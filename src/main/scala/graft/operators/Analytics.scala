@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SQL query surface over loaded tables (SURVEY.md §2.B).
+  *
+  * The reference hands uploaded tables to Datasette's SQL engine
+  * (datasette_upload_csvs/__init__.py exposes the table URL at the
+  * end of the upload); graft's query engine is Spark SQL. These
+  * queries pin the engine's scan/filter/agg/join/window/json surface
+  * against a DuckDB oracle.
+  *
+  * Numeric discipline for oracle parity: money aggregates go through
+  * DECIMAL(38,6) (exact, order-independent sums); averages are
+  * decimal-sum cast to double divided by count (deterministic IEEE);
+  * event-time math is done in epoch milliseconds (bigint).
+  */
+object Analytics {
+
+  /** Exact, order-independent money type: cast before summing.
+    * Scale 6 ≥ the true decimal count of every aggregated product here
+    * (price 2dp × discount 2dp × tax 2dp), so the double→decimal cast
+    * never lands on a rounding half-way point — Spark (HALF_UP over the
+    * shortest double repr) and DuckDB (scale-multiply + round) would
+    * disagree on those.
+    */
+  private def dec4(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Deterministic cross-engine average: exact decimal sum → double. */
+  private def avgOf(c: Column): Column =
+    sum(dec4(c)).cast("double") / count(lit(1))
+
+  /** B1: scan → filter → group-agg, decimal-exact (TPC-H Q1 shape). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec4(col("l_quantity"))).as("sum_qty"),
+        sum(dec4(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        sum(dec4((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        avgOf(col("l_quantity")).as("avg_qty"),
+        avgOf(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** B2: selective filter + global agg (TPC-H Q6 shape); the filter
+    * must reach the parquet scan (asserted in PlanSpec).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.05) &&
+        col("l_quantity") < lit(24.0))
+      .agg(sum(dec4(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** B3: customer ⋈ orders ⋈ lineitem + agg + deterministic top-10.
+    * customer is small → broadcast; orders⋈lineitem shuffles on the
+    * order key (AQE handles skew at scale).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** B4: six-table star join — dims broadcast, facts shuffle. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val s = Tables(spark, dir, "supplier")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    // Customer and supplier in the same nation (TPC-H Q5 semantics).
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+  }
+
+  /** B5: window rank — top-3 orders per customer by total price. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val top = Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    top.join(broadcast(Tables(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("rn"))
+  }
+
+  /** B6: ROLLUP over order status × priority. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec4(col("o_totalprice"))).as("total_price"))
+
+  /** B7: anti join — customers with no order in the trailing window. */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Events loader. The driver's parquet stores ts as
+    * TIMESTAMP(NANOS), which Spark 4 refuses outright
+    * ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` reads it as raw
+    * nanoseconds and all downstream time math stays in exact bigint
+    * epoch-ms — which is also what makes the DuckDB compare
+    * deterministic (no ns-vs-µs truncation skew).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events").withColumn("ms", expr("ts div 1000000"))
+  }
+
+  /** B8: tumbling 1-hour windows over events (batch twin of the
+    * streaming windowed agg in §2.G1). Bucket = epoch ms (bigint) so
+    * ns-vs-µs parquet precision can't skew the compare.
+    */
+  def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        (col("ms") - col("ms") % lit(3600000L)).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).as("total_value"))
+
+  /** B9: gap-based sessionization (30 min) via window functions. All
+    * time math in epoch ms. Partition key = user_id (high cardinality
+    * at scale → even shuffle; no global sort anywhere).
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ms"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val flagged = e.withColumn("new_sess",
+      when(col("ms") - lag(col("ms"), 1).over(w) > lit(1800000L), lit(1))
+        .otherwise(lit(0)))
+    val sessions = flagged.withColumn("sess_id", sum(col("new_sess")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ms")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).as("total_value"))
+      .drop("sess_id")
+  }
+
+  /** B10: JSON extraction from a string column + agg. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        max(col("k")).as("max_k"))
+
+  /** B11: exact distinct count per group. */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** DuckDB oracle twins — aliases must match the Spark side exactly
+    * (the driver's compare sorts columns by name before hashing).
+    */
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+        |  SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_top_orders_per_customer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE rn <= 3""".stripMargin,
+    "q_orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_events_windowed" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ms - LAG(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ms) AS session_start_ms, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        |  SUM(k) AS sum_k, COUNT(DISTINCT k) AS distinct_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type""".stripMargin,
+    "q_distinct_parts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_top_orders_per_customer" -> (topOrdersPerCustomer _),
+    "q_orders_rollup" -> (ordersRollup _),
+    "q_customers_no_orders" -> (customersNoOrders _),
+    "q_events_windowed" -> (eventsWindowed _),
+    "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_json" -> (eventsJson _),
+    "q_distinct_parts" -> (distinctParts _)
+  )
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Driver-equivalent correctness check, runnable locally before commit.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Replays what the driver does with Verify.scala output: for each query
+parquet dump under <verifyOutDir>, run the matching oracle SQL from
+oracle_sql.json in DuckDB over the <sfDir> parquet tables, then
+compare (column names, row count, and a value hash computed over rows
+sorted with columns in name order).
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got_rel = con.execute(
+            f"SELECT * FROM read_parquet({files!r})")
+        got_cols = [c[0] for c in got_rel.description]
+        got = got_rel.fetchall()
+        if name not in oracle:
+            print(f"  ~ {name}: no oracle ({len(got)} rows) [rows-only]")
+            continue
+        try:
+            exp_rel = con.execute(oracle[name])
+            exp_cols = [c[0] for c in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"  ✗ {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(got_cols) == sorted(exp_cols)
+        cg, ce = canon(got, got_cols), canon(exp, exp_cols)
+        if ok_cols and cg == ce:
+            print(f"  ✓ {name}: {len(got)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  ✗ {name}: cols_match={ok_cols} "
+                  f"spark_cols={sorted(got_cols)} oracle_cols={sorted(exp_cols)} "
+                  f"rows {len(got)} vs {len(exp)}")
+            diff = [(a, b) for a, b in zip(cg, ce) if a != b][:3]
+            for a, b in diff:
+                print(f"      spark:  {a}\n      oracle: {b}")
+    print(f"PASS {n_pass} FAIL {n_fail}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
