@@ -13,9 +13,9 @@ object SparkEntry {
 
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Analytics.queries
+    operators.Analytics.queries ++ operators.CsvQueries.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
-    operators.Analytics.oracles
+    operators.Analytics.oracles ++ operators.CsvQueries.oracles
 }

@@ -1,0 +1,77 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A graft "database": a directory of parquet tables (SURVEY.md
+  * §2.A5/A8).
+  *
+  * Mirrors the reference's notion of a mutable target database
+  * (datasette_upload_csvs/__init__.py:82-100) with Datasette's
+  * SQLite file swapped for a parquet directory on any Hadoop-visible
+  * filesystem (local, HDFS, S3A…) — many databases coexist, one per
+  * directory.
+  */
+class GraftDatabase(val spark: SparkSession, val path: String) {
+
+  val name: String = new Path(path).getName
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(table: String): String = s"$path/$table"
+
+  def tableExists(table: String): Boolean =
+    fs.exists(new Path(tablePath(table)))
+
+  /** Filename → table name: strip exactly one trailing ".csv"
+    * (reference __init__.py:117-119 — "weird ~ file.csv.csv" becomes
+    * "weird ~ file.csv").
+    */
+  def tableNameForFile(fileName: String): String = {
+    val base = new Path(fileName).getName
+    if (base.endsWith(".csv")) base.dropRight(4) else base
+  }
+
+  /** Conflict resolution: append _2, _3, … until free (reference
+    * __init__.py:121-127).
+    */
+  def resolveTableName(base: String): String = {
+    if (!tableExists(base)) return base
+    var suffix = 2
+    while (tableExists(s"${base}_$suffix")) suffix += 1
+    s"${base}_$suffix"
+  }
+
+  def write(df: DataFrame, table: String,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).parquet(tablePath(table))
+
+  def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
+
+  /** User tables only — internal tables are underscore-prefixed like
+    * the reference's `_csv_progress_`.
+    */
+  def listTables(): Seq[String] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("_"))
+      .sorted
+  }
+
+  def dropTable(table: String): Unit =
+    fs.delete(new Path(tablePath(table)), true)
+
+  /** Recursively remove the whole database. */
+  def drop(): Unit = fs.delete(new Path(path), true)
+
+  def progress: ProgressTracker = new ProgressTracker(this)
+}
+
+object GraftDatabase {
+  def apply(spark: SparkSession, path: String): GraftDatabase =
+    new GraftDatabase(spark, path)
+}

@@ -1,0 +1,71 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upload progress bookkeeping (SURVEY.md §2.A6/A7).
+  *
+  * The reference keeps a `_csv_progress_` row per upload task and
+  * UPDATEs it in place (datasette_upload_csvs/__init__.py:139-162,
+  * 200-207,217-221: id, table_name, bytes_todo, bytes_done,
+  * rows_done, started, completed, error). Parquet is append-only, so
+  * graft re-expresses the mutable row as an event log: each state
+  * change appends a row with a monotonically increasing `seq`, and
+  * `current()` resolves the latest state per task with a window —
+  * the same read surface, and an audit trail for free. At scale the
+  * log is tiny (O(state changes), not O(rows loaded)).
+  */
+class ProgressTracker(db: GraftDatabase) {
+
+  val tableName = "_csv_progress_"
+  private def path = db.tablePath(tableName)
+  private val spark = db.spark
+
+  private def append(id: String, table: String, bytesTodo: Long,
+      bytesDone: Long, rowsDone: Long, started: String,
+      completed: Option[String], error: Option[String], seq: Long): Unit = {
+    import spark.implicits._
+    Seq((id, table, bytesTodo, bytesDone, rowsDone, started,
+      completed.orNull, error.orNull, seq))
+      .toDF("id", "table_name", "bytes_todo", "bytes_done", "rows_done",
+        "started", "completed", "error", "seq")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def start(id: String, table: String, bytesTodo: Long,
+      started: String = now()): Unit =
+    append(id, table, bytesTodo, 0L, 0L, started, None, None, 0L)
+
+  def update(id: String, table: String, bytesTodo: Long, bytesDone: Long,
+      rowsDone: Long, seq: Long): Unit =
+    append(id, table, bytesTodo, bytesDone, rowsDone, "", None, None, seq)
+
+  /** Terminal success: bytes_done := bytes_todo, like the reference's
+    * mark_complete (__init__.py:200-207).
+    */
+  def complete(id: String, table: String, bytesTodo: Long, rowsDone: Long,
+      completedAt: String = now()): Unit =
+    append(id, table, bytesTodo, bytesTodo, rowsDone, "",
+      Some(completedAt), None, Long.MaxValue)
+
+  /** Terminal failure: error captured, upload never throws
+    * (__init__.py:217-221).
+    */
+  def fail(id: String, table: String, error: String): Unit =
+    append(id, table, 0L, 0L, 0L, "", None, Some(error), Long.MaxValue)
+
+  /** Latest state per task id. */
+  def current(): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    spark.read.parquet(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def exists: Boolean = db.tableExists(tableName)
+
+  private def now(): String = java.time.Instant.now().toString
+}

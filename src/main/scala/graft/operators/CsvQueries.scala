@@ -1,0 +1,182 @@
+package graft.operators
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.GraftDatabase
+import graft.sources.CsvUploader
+
+/** Oracle-checked exercises of the CSV→typed-table engine
+  * (SURVEY.md §2.A). Each query derives a CSV from a parquet test
+  * table, runs it through the full upload pipeline (charset sniff →
+  * distributed parse → one-pass inference → typed write → catalog),
+  * and returns a result whose DuckDB twin is computable from the
+  * ORIGINAL parquet — so a hash match proves the whole
+  * encode/decode/infer/cast path end to end.
+  */
+object CsvQueries {
+
+  /** Scratch space inside the repo (driver runs from anywhere). */
+  private val scratchRoot = "/root/repo/target/graft_scratch"
+
+  private def scratch(qname: String, sfDir: String): String = {
+    val key = new org.apache.hadoop.fs.Path(sfDir).getName
+    s"$scratchRoot/${qname}_$key"
+  }
+
+  private def freshDb(spark: SparkSession, qname: String,
+      sfDir: String): GraftDatabase = {
+    val db = GraftDatabase(spark, s"${scratch(qname, sfDir)}/db")
+    db.drop()
+    db
+  }
+
+  /** A10/A2/A4: region → CSV → upload → typed table. Integer columns
+    * come back as BIGINT (TypeTracker "integer"), proving parse +
+    * inference + cast against the original values.
+    */
+  def csvIngestTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("ingest_typed", sfDir)
+    val db = freshDb(spark, "ingest_typed", sfDir)
+    Tables(spark, sfDir, "region")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/region_csv")
+    CsvUploader.upload(db, s"$dir/region_csv", Some("region"))
+    db.read("region")
+  }
+
+  /** A3/A4: mixed-type CSV from orders — integer, text, float-with-
+    * ints-mixed-in, and a nullable text column (empty = missing).
+    */
+  def csvIngestMixed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("ingest_mixed", sfDir)
+    val db = freshDb(spark, "ingest_mixed", sfDir)
+    mixedFrame(spark, sfDir)
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/mixed_csv")
+    CsvUploader.upload(db, s"$dir/mixed_csv", Some("mixed"))
+    db.read("mixed")
+  }
+
+  private def mixedFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+      col("o_orderstatus").as("status"),
+      when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
+        .otherwise(col("o_totalprice").cast("string")).as("mixed_num"),
+      when(col("o_orderkey") % 7 === 0, lit(null: String))
+        .otherwise(concat(lit("n"), col("o_orderkey"))).as("note"))
+
+  /** A3: the inference verdicts themselves, as rows. */
+  def csvInferTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("infer_types", sfDir)
+    mixedFrame(spark, sfDir)
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/mixed_csv")
+    val raw = spark.read.option("header", "true").option("inferSchema", "false")
+      .csv(s"$dir/mixed_csv")
+    val verdicts = graft.sources.TypeInference.infer(raw)
+      .map { case (c, t) => (c, t.name) }
+    import spark.implicits._
+    verdicts.toDF("column_name", "inferred_type")
+  }
+
+  /** A1: a latin-1 file (é = 0xE9, invalid as standalone UTF-8) must
+    * be detected as ISO-8859-1 and decode losslessly.
+    */
+  def csvEncodingDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("encoding", sfDir)
+    val db = freshDb(spark, "encoding", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), concat(col("n_name"), lit("é")))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map(r => s"${r.getInt(0)},${r.getString(1)}")
+      .sorted
+    val body = ("n_nationkey,name_accented" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/nations.csv"),
+      body.getBytes(Charset.forName("ISO-8859-1")))
+    val res = CsvUploader.upload(db, s"$dir/nations.csv")
+    db.read(res.tableName).withColumn("encoding", lit(res.encoding))
+  }
+
+  /** A5: filename → table name (strip one ".csv") + conflict
+    * suffixing _2, _3 on repeated upload.
+    */
+  def csvTableConflict(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("conflict", sfDir)
+    val db = freshDb(spark, "conflict", sfDir)
+    Tables(spark, sfDir, "region")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/region_csv")
+    CsvUploader.upload(db, s"$dir/region_csv", Some("already_exists"))
+    CsvUploader.upload(db, s"$dir/region_csv", Some("already_exists"))
+    CsvUploader.upload(db, s"$dir/region_csv", Some("already_exists"))
+    CsvUploader.upload(db, s"$dir/region_csv",
+      Some(db.tableNameForFile("weird ~ filename here.csv.csv")))
+    import spark.implicits._
+    db.listTables().toDF("table_name")
+  }
+
+  /** A6: progress bookkeeping — after a successful upload the latest
+    * state has rows_done = row count, bytes_done = bytes_todo, and a
+    * completed stamp.
+    */
+  def csvProgress(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("progress", sfDir)
+    val db = freshDb(spark, "progress", sfDir)
+    Tables(spark, sfDir, "region")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/region_csv")
+    CsvUploader.upload(db, s"$dir/region_csv", Some("region"),
+      taskId = "task-progress-check")
+    db.progress.current().select(
+      col("table_name"),
+      col("rows_done"),
+      (col("bytes_done") === col("bytes_todo") && col("bytes_todo") > 0)
+        .as("bytes_ok"),
+      col("completed").isNotNull.as("completed_ok"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "csv_ingest_typed" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "csv_ingest_mixed" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_orderstatus AS status,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS DOUBLE)
+        |       ELSE o_totalprice END AS DOUBLE) AS mixed_num,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS note
+        |FROM orders""".stripMargin,
+    "csv_infer_types" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey', 'integer'), ('odate', 'text'), ('status', 'text'),
+        |  ('mixed_num', 'float'), ('note', 'text'))
+        |AS t(column_name, inferred_type)""".stripMargin,
+    "csv_encoding_detect" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || 'é' AS name_accented,
+        |  'ISO-8859-1' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_table_conflict" ->
+      """SELECT * FROM (VALUES
+        |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
+        |  ('weird ~ filename here.csv'))
+        |AS t(table_name)""".stripMargin,
+    "csv_progress" ->
+      """SELECT 'region' AS table_name, COUNT(*) AS rows_done,
+        |  true AS bytes_ok, true AS completed_ok
+        |FROM region""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_ingest_typed" -> (csvIngestTyped _),
+    "csv_ingest_mixed" -> (csvIngestMixed _),
+    "csv_infer_types" -> (csvInferTypes _),
+    "csv_encoding_detect" -> (csvEncodingDetect _),
+    "csv_table_conflict" -> (csvTableConflict _),
+    "csv_progress" -> (csvProgress _)
+  )
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, DoubleType, StringType, DataType}
+
+/** Column type inference over an all-string frame (SURVEY.md §2.A3).
+  *
+  * Semantics follow sqlite_utils.utils.TypeTracker as used by the
+  * reference (datasette_upload_csvs/__init__.py:166,208-213): a
+  * column is `integer` when every non-missing value parses as an
+  * int, else `float` when every non-missing value parses as a float,
+  * else `text`. Empty/null values are "missing" and vote for nothing;
+  * an all-missing column is `integer` (the tracker's untouched
+  * default).
+  *
+  * Spark-first re-expression: instead of a row-at-a-time tracker,
+  * ONE distributed aggregate computes three counters per column
+  * (map-side combined; the shuffled result is a single row of
+  * O(columns) longs) — the same verdicts at any scale, one scan.
+  *
+  * Known deviations from CPython parsing, documented: Python
+  * `int("1_0")`/`float("inf")` succeed; here underscore-ints are
+  * text and only case-insensitive `infinity`/`nan` spellings float.
+  */
+object TypeInference {
+
+  sealed abstract class InferredType(val name: String, val sparkType: DataType)
+  case object IntegerT extends InferredType("integer", LongType)
+  case object FloatT extends InferredType("float", DoubleType)
+  case object TextT extends InferredType("text", StringType)
+
+  private def missing(c: Column): Column = c.isNull || trim(c) === ""
+  private def isInt(c: Column): Column = trim(c).rlike("^[+-]?[0-9]+$")
+  // try_cast: ANSI-safe "does it parse" probe (Spark 4 ANSI casts throw).
+  private def isFloat(c: Column): Column = c.try_cast(DoubleType).isNotNull
+
+  /** One aggregate pass → per-column verdicts. */
+  def infer(df: DataFrame): Seq[(String, InferredType)] = {
+    val cols = df.columns.toSeq
+    val counters = cols.flatMap { name =>
+      val c = col(name)
+      Seq(
+        sum(when(!missing(c) && !isInt(c), 1L).otherwise(0L))
+          .as(s"${name}__not_int"),
+        sum(when(!missing(c) && !isFloat(c), 1L).otherwise(0L))
+          .as(s"${name}__not_float"))
+    }
+    val row = df.agg(counters.head, counters.tail: _*).head()
+    cols.zipWithIndex.map { case (name, i) =>
+      val notInt = row.getLong(2 * i)
+      val notFloat = row.getLong(2 * i + 1)
+      val t =
+        if (notInt == 0L) IntegerT
+        else if (notFloat == 0L) FloatT
+        else TextT
+      name -> t
+    }
+  }
+
+  /** Cast projection applying the verdicts; missing → NULL. The cast
+    * is pipelined into whatever consumes it (no extra pass).
+    */
+  def applyTypes(df: DataFrame, types: Seq[(String, InferredType)]): DataFrame = {
+    val byName = types.toMap
+    df.select(df.columns.toSeq.map { name =>
+      val c = col(name)
+      byName.getOrElse(name, TextT) match {
+        case IntegerT => c.try_cast(LongType).as(name)
+        case FloatT => c.try_cast(DoubleType).as(name)
+        case TextT => c.as(name)
+      }
+    }: _*)
+  }
+
+  /** Detect + cast in one go (the types pass is its own scan; the
+    * cast is lazy).
+    */
+  def inferAndApply(df: DataFrame): (DataFrame, Seq[(String, InferredType)]) = {
+    val t = infer(df)
+    (applyTypes(df, t), t)
+  }
+}

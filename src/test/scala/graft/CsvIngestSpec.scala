@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.GraftDatabase
+import graft.sources.{CsvUploader, EncodingDetector, TypeInference}
+
+class EncodingDetectorSpec extends AnyFunSuite {
+  import EncodingDetector._
+
+  test("utf-8 BOM wins") {
+    assert(detectBytes(Array(0xEF, 0xBB, 0xBF, 'a').map(_.toByte)) == Utf8)
+  }
+  test("utf-16 BOMs") {
+    assert(detectBytes(Array(0xFF, 0xFE, 'a', 0).map(_.toByte)) == Utf16LE)
+    assert(detectBytes(Array(0xFE, 0xFF, 0, 'a').map(_.toByte)) == Utf16BE)
+  }
+  test("pure ascii widens to latin-1 (reference issue #25 behavior)") {
+    assert(detectBytes("name,age\nCleo,5".getBytes("US-ASCII")) == Latin1)
+  }
+  test("valid multi-byte utf-8 is utf-8") {
+    assert(detectBytes("héllo,wörld".getBytes("UTF-8")) == Utf8)
+  }
+  test("latin-1 high bytes are not valid utf-8") {
+    assert(detectBytes("café".getBytes("ISO-8859-1")) == Latin1)
+  }
+  test("utf-8 sequence truncated by the sniff window still validates") {
+    val full = ("a" * 10 + "é").getBytes("UTF-8")
+    val cut = java.util.Arrays.copyOf(full, full.length - 1)
+    assert(detectBytes(cut, truncated = true) == Utf8)
+    // …but the same bytes as a complete file are invalid utf-8.
+    assert(detectBytes(cut, truncated = false) == Latin1)
+  }
+}
+
+class TypeInferenceSpec extends AnyFunSuite with SparkTestBase {
+  import TypeInference._
+
+  private def inferOf(values: Seq[String]): InferredType = {
+    import spark.implicits._
+    infer(values.toDF("c")).head._2
+  }
+
+  test("all ints → integer (signs, padding ok)") {
+    assert(inferOf(Seq("1", "-2", "+3", " 4 ")) == IntegerT)
+  }
+  test("ints + floats → float") {
+    assert(inferOf(Seq("1", "2.5", "3e2")) == FloatT)
+  }
+  test("any non-numeric → text") {
+    assert(inferOf(Seq("1", "2.5", "x")) == TextT)
+  }
+  test("empty values are missing and vote for nothing") {
+    assert(inferOf(Seq("", "7", "")) == IntegerT)
+    assert(inferOf(Seq("", "7.5", "")) == FloatT)
+  }
+  test("all-missing column stays at the tracker default (integer)") {
+    assert(inferOf(Seq("", "", "")) == IntegerT)
+  }
+  test("float-looking ints stay float ('5.0' is not an int)") {
+    assert(inferOf(Seq("5.0", "6")) == FloatT)
+  }
+  test("applyTypes casts and nulls missing") {
+    import spark.implicits._
+    val df = Seq(("1", "2.5", "x"), ("", "", "")).toDF("i", "f", "t")
+    val typed = applyTypes(df, Seq("i" -> IntegerT, "f" -> FloatT, "t" -> TextT))
+    val rows = typed.collect()
+    assert(typed.schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "double", "string"))
+    assert(rows.map(_.isNullAt(0)).toSeq == Seq(false, true))
+  }
+}
+
+class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
+
+  test("upload error is captured in progress, not thrown (ref :217-221)") {
+    val dir = scratch("uploader_err")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(s"$dir/empty_dir"))
+    val res = CsvUploader.upload(db, s"$dir/empty_dir", Some("broken"))
+    assert(res.error.isDefined)
+    val p = db.progress.current().collect()
+    assert(p.length == 1)
+    assert(p.head.getAs[String]("error") != null)
+    assert(!db.tableExists("broken"))
+  }
+
+  test("two databases are isolated (ref multi-db routing :82-100)") {
+    val dir = scratch("multi_db")
+    val db1 = GraftDatabase(spark, s"$dir/db1")
+    val db2 = GraftDatabase(spark, s"$dir/db2")
+    val csv = s"$dir/in.csv"
+    Files.write(Paths.get(csv), "name,age\nCleo,5\nPancakes,4".getBytes)
+    CsvUploader.upload(db1, csv, Some("dogs"))
+    assert(db1.listTables() == Seq("dogs"))
+    assert(db2.listTables() == Seq.empty)
+    CsvUploader.upload(db2, csv, Some("dogs"))
+    assert(db2.read("dogs").count() == 2)
+  }
+
+  test("reference SIMPLE fixture: ages infer as integer") {
+    val dir = scratch("simple")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/dogs.csv"),
+      "name,age\nCleo,5\nPancakes,4".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/dogs.csv")
+    assert(res.tableName == "dogs")
+    val schema = db.read("dogs").schema
+    assert(schema("age").dataType.simpleString == "bigint")
+    assert(schema("name").dataType.simpleString == "string")
+    assert(db.read("dogs").count() == 2)
+  }
+
+  test("reference NOT_UTF8 fixture: latin-1 £ survives, mixed types") {
+    val dir = scratch("not_utf8")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val content =
+      "IncidentNumber,HourlyNotionalCost(£)\r\n139091,2.55\r\n275091,2.55"
+    Files.write(Paths.get(s"$dir/notutf8.csv"),
+      content.getBytes(Charset.forName("ISO-8859-1")))
+    val res = CsvUploader.upload(db, s"$dir/notutf8.csv")
+    assert(res.encoding == "ISO-8859-1")
+    val df = db.read(res.tableName)
+    assert(df.columns.toSeq == Seq("IncidentNumber", "HourlyNotionalCost(£)"))
+    assert(df.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("bigint", "double"))
+  }
+
+  test("latin-1 bytes appearing only after the sniff window (ref LATIN1_AFTER_FIRST_2KB)") {
+    val dir = scratch("latin1_late")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val body = "just_one_column\n" + "aabbcc\n" * 1048 + "a.b.é"
+    Files.write(Paths.get(s"$dir/late.csv"),
+      body.getBytes(Charset.forName("ISO-8859-1")))
+    // Sniff window of 2 KiB misses the é — the reference accepts the
+    // mis-detect (ascii→latin-1 widening makes the decode lossless
+    // anyway); graft behaves identically.
+    val res = CsvUploader.upload(db, s"$dir/late.csv", sniffBytes = 2048)
+    assert(res.encoding == "ISO-8859-1")
+    assert(db.read(res.tableName).count() == 1049)
+  }
+}
+
+class CatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  test("filename → table name strips exactly one .csv") {
+    val db = GraftDatabase(spark, scratch("names"))
+    assert(db.tableNameForFile("dogs.csv") == "dogs")
+    assert(db.tableNameForFile("weird ~ filename here.csv.csv")
+      == "weird ~ filename here.csv")
+    assert(db.tableNameForFile("nodotcsv") == "nodotcsv")
+    assert(db.tableNameForFile("/some/path/dogs.csv") == "dogs")
+  }
+
+  test("progress tracker latest-state resolution") {
+    val dir = scratch("progress_log")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val t = db.progress
+    t.start("t1", "tbl", 100)
+    t.update("t1", "tbl", 100, 40, 10, seq = 1)
+    t.complete("t1", "tbl", 100, 25)
+    t.start("t2", "other", 50)
+    val cur = t.current().collect().map(r =>
+      r.getAs[String]("id") -> r.getAs[Long]("rows_done")).toMap
+    assert(cur == Map("t1" -> 25L, "t2" -> 0L))
+  }
+}
