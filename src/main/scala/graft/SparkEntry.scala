@@ -13,9 +13,13 @@ object SparkEntry {
 
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Analytics.queries ++ operators.CsvQueries.queries
+    operators.Analytics.queries ++ operators.CsvQueries.queries ++
+      operators.TextQueries.queries ++ operators.Dedup.queries ++
+      operators.Ann.queries ++ operators.Multimodal.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
-    operators.Analytics.oracles ++ operators.CsvQueries.oracles
+    operators.Analytics.oracles ++ operators.CsvQueries.oracles ++
+      operators.TextQueries.oracles ++ operators.Dedup.oracles ++
+      operators.Ann.oracles ++ operators.Multimodal.oracles
 }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.GraftColumnBridge
+
+import graft.functions.expressions._
+
+/** Column API + SQL registration for graft's native expressions
+  * (SURVEY.md §2.H1/H2).
+  */
+object GraftFunctions {
+
+  private def toExpr(c: Column): Expression = GraftColumnBridge.expression(c)
+  private def toCol(e: Expression): Column = GraftColumnBridge.column(e)
+
+  /** Cosine similarity of two `array<float>` columns (codegen'd). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** 60-bit SimHash of a token array (md5 token hashes). */
+  def simhash60(tokens: Column): Column =
+    toCol(SimHash60(toExpr(tokens)))
+
+  /** MinHash signature (k perms over w-shingles) of a token array. */
+  def minhashSignature(tokens: Column, k: Int = 128, shingleSize: Int = 3,
+      seed: Long = 42L): Column =
+    toCol(MinHashSignature(toExpr(tokens), k, shingleSize, seed))
+
+  /** Random-hyperplane LSH bit signature of an embedding. */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    toCol(HyperplaneSignature(toExpr(vec), planes))
+
+  /** Wrapping polynomial rolling hash of a string. */
+  def rollingHash64(c: Column): Column =
+    toCol(RollingHash64(toExpr(c)))
+
+  /** Idempotent SQL-name registration on an existing session (the
+    * driver hands us its own session; extensions cover sessions we
+    * build ourselves).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_rolling_hash64",
+      es => RollingHash64(es.head), "built-in")
+  }
+}
+
+/** Session extension wiring graft functions into SQL by name:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * spark.sql.extensions=graft.functions.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
+      (es: Seq[Expression]) => RollingHash64(es.head)))
+  }
+}

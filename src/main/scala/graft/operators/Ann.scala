@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.D).
+  *
+  * Scale shape: the query set is always the broadcast side; the
+  * corpus is scanned once. The exact path ranks per query id; at real
+  * scale the per-partition partial top-k (so only q·k rows shuffle)
+  * is the planned H3 upgrade — the query-facing schema is identical.
+  */
+object Ann {
+
+  /** D1: exact top-k by cosine for a fixed query set (vec_id < 5),
+    * deterministic tie-break on neighbor id.
+    */
+  def topkExact(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val sims = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** D2: IVF — deterministic Lloyd iterations (fixed init: lowest
+    * vec_ids; fixed iteration count), then probe the nProbe nearest
+    * cells per query. Distributed shape: centroid assignment is one
+    * map pass per iteration; the per-iteration shuffle carries only
+    * ncells·dim partial sums (posexplode + map-side combine);
+    * centroids broadcast back as literals inside the plan.
+    */
+  def ivfTopk(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, nCells: Int = 16, iters: Int = 3,
+      nProbe: Int = 2): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+    // Fixed init: the nCells lowest ids (deterministic, no sampling).
+    var centroids: Array[Array[Double]] = e
+      .orderBy(col("vec_id")).limit(nCells).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    def cellOf = (cents: Array[Array[Double]]) => {
+      val lit2d = typedlit(cents.map(_.toSeq).toSeq)
+      // argmin over cells of squared L2 distance, computed with
+      // aggregate() over the zipped arrays — stays in codegen.
+      val dists = transform(lit2d, c =>
+        aggregate(zip_with(col("embedding"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+      array_position(dists, array_min(dists)) - 1
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = e.withColumn("cell", cellOf(centroids))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.zipWithIndex.map { case (old, ci) =>
+        val dims = sums.filter(_.getLong(0) == ci)
+        if (dims.isEmpty) old
+        else {
+          val arr = old.clone()
+          dims.foreach { r =>
+            arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+          }
+          arr
+        }
+      }
+      centroids = next
+    }
+
+    val assigned = e.withColumn("cell", cellOf(centroids))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("probe_cells",
+        slice(sortedCells(centroids), 1, nProbe))
+
+    val cands = assigned
+      .join(broadcast(queries),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Cells ordered by distance to `qe` (closest first). */
+  private def sortedCells(cents: Array[Array[Double]]) = {
+    val lit2d = typedlit(cents.map(_.toSeq).toSeq)
+    val withIdx = zip_with(lit2d,
+      sequence(lit(0), lit(cents.length - 1)),
+      (c, i) => struct(
+        aggregate(zip_with(col("qe"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        i.as("cell")))
+    transform(array_sort(withIdx), s => s.getField("cell"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+        |  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+        |    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_exact" -> ((s, d) => topkExact(s, d)),
+    "ann_ivf" -> ((s, d) => ivfTopk(s, d))
+  )
+}

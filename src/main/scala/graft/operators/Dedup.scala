@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.C). Scale discipline: nothing here ever materializes O(n²) —
+  * candidates come from inverted-index / LSH-bucket joins keyed on
+  * content, and every aggregation is map-side combinable.
+  */
+object Dedup {
+
+  /** Word tokens — same `\S+` split the oracle uses. */
+  private def tokens(c: Column): Column =
+    regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Distinct w-word shingles of a token array (empty when the doc is
+    * shorter than w words — sequence() would otherwise count down).
+    */
+  private def shingleArray(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** C1: exact dedup — canonical representative (min doc_id) per
+    * distinct text + multiplicity. Shuffle key = full content hash
+    * distribution (even by construction).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** C2: content-hash dedup stats per source (sha256 — the portable
+    * checksum; xxhash64 is the cheap in-engine alternative).
+    */
+  def exactHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+
+  /** Per-doc distinct 3-shingle arrays, kept for index join + verify. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      shingleArray(tokens(col("text")), 3).as("shingles"))
+
+  /** C3: exact n-gram Jaccard pairs ≥ τ via inverted-index join:
+    * explode shingles → co-occurrence join on the shingle → per-pair
+    * intersection counts → Jaccard. Never enumerates non-overlapping
+    * pairs; shuffle is keyed on shingles (bounded bucket sizes;
+    * degenerate hot shingles would be capped/salted at real scale —
+    * the candidate-cap guard lives in the LSH path).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val s = docShingles(spark, dir)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("shingle"))
+    val a = s.select(col("doc_id").as("doc_id_a"), col("sz").as("sz_a"),
+      col("shingle"))
+    val b = s.select(col("doc_id").as("doc_id_b"), col("sz").as("sz_b"),
+      col("shingle"))
+    a.join(b, a("shingle") === b("shingle") &&
+        col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sa"), first(col("sz_b")).as("sb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+  }
+
+  /** C4: MinHash + LSH banding. Signatures are one-pass (native
+    * expression, no shingle shuffle); banding explodes ×b rows keyed
+    * (band, band-hash); bucket join yields candidates; exact Jaccard
+    * verifies. With k=128, b=32, r=4 the probability of missing a
+    * τ≥0.8 pair is ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸ — the verified output is
+    * the exact-Jaccard pair set w.p. ~1 (that equivalence IS the
+    * oracle).
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val r = k / bands
+    val docs = docShingles(spark, dir)
+    val sigs = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      minhashSignature(tokens(col("text")), k, 3, 42L).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r)))
+          .as("bucket"))
+    // Skew guard: drop degenerate buckets (all-identical boilerplate);
+    // dropped buckets are exact-dup territory handled by C1 anyway.
+    val bucketSizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket && col("bsz") > 1)
+    val inBuckets = banded.join(bucketSizes, Seq("band", "bucket"))
+    val cands = inBuckets.alias("x")
+      .join(inBuckets.alias("y"),
+        expr("x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .distinct()
+    val sa = docs.select(col("doc_id").as("doc_id_a"),
+      col("shingles").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("doc_id_b"),
+      col("shingles").as("sh_b"))
+    cands.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+  }
+
+  /** C5: 60-bit SimHash fingerprints (one pass, md5 token hashes —
+    * oracle-recomputable).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      simhash60(tokens(lower(col("text")))).as("simhash"))
+
+  /** C6: exact embedding near-dup pairs (cosine ≥ τ). Exact path =
+    * broadcast the smaller side of the self-join; the at-scale path
+    * is [[embeddingLsh]].
+    */
+  def embeddingPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_id_a") < col("vec_id_b"))
+      .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (spec-fixed PRNG). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val r = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** C7: embedding near-dup at scale — multi-table random-hyperplane
+    * LSH (OR over nTables AND-of-planesPerTable bit signatures), then
+    * exact cosine verify inside buckets. One map pass computes all
+    * table signatures; the candidate join is keyed (table, bucket) so
+    * nothing quadratic ever materializes. Recall rises with nTables
+    * and is ≈1 at real near-dup thresholds (τ≥0.9 ⇒ per-table
+    * collision 0.86^planes); pinned against C6 / planted dups in
+    * DedupSpec.
+    */
+  def embeddingLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nTables: Int = 16,
+      planesPerTable: Int = 6): DataFrame =
+    embeddingLshOn(Tables(spark, dir, "embeddings"), threshold, nTables,
+      planesPerTable)
+
+  /** [[embeddingLsh]] over any (vec_id, embedding) frame. */
+  def embeddingLshOn(e0: DataFrame, threshold: Double, nTables: Int,
+      planesPerTable: Int): DataFrame = {
+    val sigCols = (0 until nTables).map { t =>
+      hyperplaneSignature(col("embedding"),
+        hyperplanes(planesPerTable, 64, seed = 7L + t))
+    }
+    val e = e0.select(col("vec_id"), col("embedding"),
+      posexplode(array(sigCols: _*)).as(Seq("table", "sig")))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+      col("table"), col("sig"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+      col("table"), col("sig"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"), col("ea"), col("eb"))
+      .distinct()
+      .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("sim"))
+  }
+
+  private val jaccardOracle =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+      |  FROM t),
+      |ex AS (SELECT doc_id, len(s) sz, unnest(s) shingle FROM sh),
+      |cand AS (SELECT a.doc_id doc_id_a, b.doc_id doc_id_b, count(*) inter,
+      |    any_value(a.sz) sa, any_value(b.sz) sb
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+      |FROM cand
+      |WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_exact_hash" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT sha256(text)) AS n_distinct
+        |FROM documents GROUP BY source""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    // C4's contract: LSH-verified output ≡ the exact pair set at τ=0.8.
+    "dedup_minhash" -> jaccardOracle,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) w
+        |  FROM documents),
+        |bits AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT h FROM tok),
+        |votes AS (SELECT doc_id, i,
+        |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) v
+        |  FROM bits, range(0, 60) r(i) GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH p AS (SELECT a.vec_id vec_id_a, b.vec_id vec_id_b,
+        |    a.embedding ea, b.embedding eb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |s AS (SELECT vec_id_a, vec_id_b,
+        |  list_reduce([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+        |    for i in range(1, len(ea) + 1)], (x, y) -> x + y)
+        |  / (sqrt(list_reduce([CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)
+        |      for i in range(1, len(ea) + 1)], (x, y) -> x + y))
+        |    * sqrt(list_reduce([CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+        |      for i in range(1, len(eb) + 1)], (x, y) -> x + y))) AS sim
+        |  FROM p)
+        |SELECT vec_id_a, vec_id_b, sim FROM s WHERE sim >= 0.4""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exact(s, d)),
+    "dedup_exact_hash" -> ((s, d) => exactHash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => embeddingPairs(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d))
+  )
+}

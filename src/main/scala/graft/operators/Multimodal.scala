@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.F).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata.
+  * The container has no image/audio codecs, so `fakeDecode` is a
+  * clearly-marked deterministic stand-in (md5-of-bytes arithmetic)
+  * for a real decoder — everything around it is the real article:
+  * binary schema, per-partition batched decode via mapPartitions
+  * (decoder state initialized once per partition, exactly where a
+  * JNI codec handle would live), and explode-based frame sampling.
+  * Swapping in a real codec changes only the body of `decodeOne`.
+  */
+object Multimodal {
+
+  /** The documents table with text re-materialized as a binary
+    * payload column (stand-in for image/audio bytes).
+    */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"))
+
+  /** F1: opaque binary + typed metadata (size, portable checksum). */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir).select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("checksum"))
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, channels: Int, n_frames: Int, brightness: Double)
+
+  /** STUB DECODER — deterministic fake. A real build would replace
+    * this body with e.g. a JNI image decode; the signature (bytes in,
+    * features out) and everything upstream/downstream stay fixed.
+    */
+  private def decodeOne(md: MessageDigest, id: Long,
+      bytes: Array[Byte]): MediaFeatures = {
+    md.reset()
+    val h = md.digest(bytes)
+    def u(i: Int): Int = h(i) & 0xFF
+    MediaFeatures(
+      doc_id = id,
+      n_bytes = bytes.length,
+      width = 16 + u(0) % 320,
+      height = 16 + u(1) % 320,
+      channels = 1 + u(2) % 4,
+      n_frames = 1 + u(3) % 8,
+      brightness = u(4).toDouble / 255.0)
+  }
+
+  /** F2: batched decode through mapPartitions — one decoder instance
+    * per partition, rows streamed through it.
+    */
+  def decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5") // per-partition codec handle
+        it.map { case (id, bytes) => decodeOne(md, id, bytes) }
+      }
+      .toDF()
+  }
+
+  /** F3: frame sampling — one row per (synthetic) frame with its byte
+    * offset; explode keeps it distributed and shuffle-free.
+    */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    decode(spark, dir)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        (col("frame_idx").cast("bigint") *
+          expr("n_bytes div n_frames").cast("bigint")).as("byte_offset"))
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "mm_decode" ->
+      """WITH m AS (SELECT doc_id, md5(text) h,
+        |    octet_length(encode(text)) nb FROM documents)
+        |SELECT doc_id, nb AS n_bytes,
+        |  16 + ('0x'||substr(h, 1, 2))::INT % 320 AS width,
+        |  16 + ('0x'||substr(h, 3, 2))::INT % 320 AS height,
+        |  1 + ('0x'||substr(h, 5, 2))::INT % 4 AS channels,
+        |  1 + ('0x'||substr(h, 7, 2))::INT % 8 AS n_frames,
+        |  ('0x'||substr(h, 9, 2))::INT / 255.0 AS brightness
+        |FROM m""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id,
+        |    octet_length(encode(text)) nb,
+        |    1 + ('0x'||substr(md5(text), 7, 2))::INT % 8 nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(unnest(range(0, nf)) AS BIGINT) AS frame_idx,
+        |  CAST(unnest(range(0, nf)) * (nb // nf) AS BIGINT) AS byte_offset
+        |FROM m""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> ((s, d) => meta(s, d)),
+    "mm_decode" -> ((s, d) => decode(s, d)),
+    "mm_frames" -> ((s, d) => frames(s, d))
+  )
+}

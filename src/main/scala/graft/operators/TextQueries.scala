@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` (SURVEY.md §2.E). */
+object TextQueries {
+
+  /** E1: token counting — whitespace tokens + BPE-ish estimate. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      wsTokenCount(col("text")).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      punctCount(col("text")).as("n_punct"))
+
+  /** E2: quality scoring. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      meanWordLen(col("text")).as("mean_word_len"),
+      qualityScore(col("text")).as("quality"))
+
+  /** E3: language ID + per-language scores. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val scored = StopwordProfiles.foldLeft(d) { case (acc, (lang, p)) =>
+      acc.withColumn(s"c_$lang", stopwordCount(col("text"), p))
+    }
+    scored.select(col("doc_id") +: langId(col("text")).as("pred_lang") +:
+      StopwordProfiles.map { case (l, _) => col(s"c_$l") }: _*)
+  }
+
+  /** E4: normalized md5 fingerprint + duplicate-group size. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+    val groups = d.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_same"))
+    d.join(groups, Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), col("n_same"))
+  }
+
+  private val profileSql: Map[String, String] = Map(
+    "en" -> "\\b(the|and|of|to|is|in|it|a)\\b",
+    "de" -> "\\b(der|die|und|das|ist|ein|zu)\\b",
+    "es" -> "\\b(el|los|las|una|es|y|que)\\b",
+    "fr" -> "\\b(le|les|et|est|une|dans|que)\\b")
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS mean_word_len,
+         |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 50.0) * 0.4
+         |  + LEAST(1.0, (CAST(len(regexp_extract_all(text, '${profileSql("en")}')) AS DOUBLE)
+         |      / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) * 8.0) * 0.4
+         |  + (1.0 - LEAST(1.0, (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE)) * 10.0)) * 0.2 AS quality
+         |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '${profileSql("en")}')) AS c_en,
+         |  len(regexp_extract_all(text, '${profileSql("de")}')) AS c_de,
+         |  len(regexp_extract_all(text, '${profileSql("es")}')) AS c_es,
+         |  len(regexp_extract_all(text, '${profileSql("fr")}')) AS c_fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN c_en=0 AND c_de=0 AND c_es=0 AND c_fr=0 THEN 'und'
+         |       WHEN c_en >= GREATEST(c_de, c_es, c_fr) AND c_en > 0 THEN 'en'
+         |       WHEN c_de >= GREATEST(c_es, c_fr) AND c_de > 0 THEN 'de'
+         |       WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+         |       WHEN c_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang,
+         |  c_en, c_de, c_es, c_fr
+         |FROM c""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+        |FROM f""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprints _)
+  )
+}

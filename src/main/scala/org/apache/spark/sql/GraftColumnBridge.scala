@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's private[sql] Column ↔ Expression converters
+  * (they were public `Column(expr)` in Spark 3; the classic converter
+  * still exists, just package-private). Lives in the sql package for
+  * visibility only — no Spark internals are modified.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

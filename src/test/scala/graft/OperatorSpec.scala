@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup}
+
+class ExpressionSpec extends AnyFunSuite with SparkTestBase {
+
+  test("cosine similarity matches a plain-Scala reference") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b"))).head().getDouble(0)
+    def ref(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val na = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      val nb = math.sqrt(y.map(v => v.toDouble * v.toDouble).sum)
+      dot / (na * nb)
+    }
+    assert(math.abs(got - ref(a, b)) < 1e-15)
+    val self = Seq((a, a)).toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b"))).head().getDouble(0)
+    assert(self === 1.0)
+  }
+
+  test("cosine survives both codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b")).as("s"))
+    assert(df.head().getDouble(0) === 0.0)
+    // filter forces a second evaluation context
+    assert(df.filter(col("s") > -1).count() == 1)
+  }
+
+  test("simhash: identical token arrays → identical hashes; hamming grows with difference") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog".split(" ")
+    val near = base.updated(1, "slow")
+    val far = "completely different words entirely unrelated content here now".split(" ")
+    val df = Seq(("a", base), ("b", base), ("c", near), ("d", far))
+      .toDF("id", "toks")
+      .select(col("id"), simhash60(col("toks")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("c")) < ham(m("a"), m("d")))
+    assert((m("a") >>> 60) == 0L) // 60-bit domain
+  }
+
+  test("minhash signature estimates jaccard") {
+    import spark.implicits._
+    val t1 = ("w1 " * 50).trim.split(" ").zipWithIndex.map { case (w, i) => s"tok$i" }
+    val t2 = t1.take(40) ++ (0 until 10).map(i => s"other$i") // ~high overlap
+    val df = Seq(("a", t1), ("b", t2)).toDF("id", "toks")
+      .select(col("id"), minhashSignature(col("toks"), 128, 3, 42L).as("sig"))
+    val m = df.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val est = m("a").zip(m("b")).count { case (x, y) => x == y } / 128.0
+    // true shingle jaccard: shingles 1..48 vs overlap 1..38 of 58 union
+    val s1 = t1.sliding(3).map(_.mkString(" ")).toSet
+    val s2 = t2.sliding(3).map(_.mkString(" ")).toSet
+    val trueJ = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("rolling hash: deterministic, content-sensitive") {
+    import spark.implicits._
+    val df = Seq("abc", "abc", "abd").toDF("s")
+      .select(rollingHash64(col("s")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  test("embedding LSH finds planted near-duplicates with high recall") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    // plant: copy of each vector with one coordinate nudged → cos ≈ 1
+    val planted = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (v, i) => when(i === 0, v + lit(0.01f)).otherwise(v)).as("embedding"))
+    val all = e.union(planted)
+    val found = Dedup.embeddingLshOn(all, threshold = 0.99,
+        nTables = 16, planesPerTable = 6)
+      .select(col("vec_id_a"), col("vec_id_b")).as[(Long, Long)]
+      .collect().toSet
+    val wanted = e.select(col("vec_id")).as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val recall = wanted.count(found.contains).toDouble / wanted.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("minhash-LSH pairs equal exact-jaccard pairs on test docs") {
+    val exact = Dedup.ngramJaccard(spark, sf).select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf).select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+}
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+
+  test("IVF recall@10 vs exact top-10") {
+    val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopk(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // 2-of-16 cells probed: decent but lossy by design
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf.size == exact.size) // k fully filled from probed cells
+  }
+}
+
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 filter reaches the parquet scan (PushedFilters)") {
+    val plan = planOf(operators.Analytics.q6ForecastRevenue(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_shipdate"), "shipdate filter should push down")
+  }
+
+  test("q1 reads only the needed columns (schema pruning)") {
+    val plan = planOf(operators.Analytics.q1PricingSummary(spark, sf))
+    assert(!plan.contains("l_orderkey"),
+      "q1 must not read unused lineitem columns")
+  }
+
+  test("q3 broadcasts the dimension side") {
+    val plan = planOf(operators.Analytics.q3ShippingPriority(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
+  test("text pipeline stays inside whole-stage codegen") {
+    // '*(n)' marks WholeStageCodegen stages in the plan string
+    val plan = planOf(operators.TextQueries.tokenStats(spark, sf))
+    assert(plan.contains("*(1)"), plan.take(2000))
+  }
+}
