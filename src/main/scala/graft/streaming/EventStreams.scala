@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming transforms over the events shape (SURVEY.md §2.G1/G3).
+  * Batch twins of these (q_events_windowed / q_events_sessionize) are
+  * oracle-checked; these streaming forms are pinned by StreamingSpec
+  * with MemoryStream.
+  */
+object EventStreams {
+
+  /** G1: tumbling 1-hour windowed counts/sums with a watermark —
+    * state is bounded by (watermark horizon × event types).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start_ms: Long, n_events: Long,
+      total_value: Double)
+
+  /** G3: stateful gap-based sessionization via flatMapGroupsWithState:
+    * per-user O(1) state (open session aggregate), sessions emitted
+    * when the 30-min gap is observed or the state times out at the
+    * watermark — the streaming dual of the batch window-function
+    * implementation in Analytics.eventsSessionize.
+    */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.last > gapMs =>
+                  closed += Session(userId, s.start, s.n, s.total)
+                  cur = Some(SessionState(ms, ms, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, ms),
+                    s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
