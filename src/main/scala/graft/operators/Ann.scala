@@ -47,6 +47,7 @@ object Ann {
       nProbe: Int = 2): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Fixed init: the nCells lowest ids (deterministic, no sampling).
     var centroids: Array[Array[Double]] = e

@@ -53,9 +53,9 @@ object CsvUploader {
     try {
       val encoding = detectEncoding(spark, csvPath, sniffBytes)
       val raw = readRaw(spark, csvPath, encoding)
-      val (typed, types) = TypeInference.inferAndApply(raw)
+      val (types, rows) = TypeInference.inferWithCount(raw)
+      val typed = TypeInference.applyTypes(raw, types)
       db.write(typed, resolved, SaveMode.ErrorIfExists)
-      val rows = db.read(resolved).count()
       db.progress.complete(taskId, resolved, bytesTodo, rows)
       UploadResult(db.name, resolved, taskId, rows, bytesTodo, encoding,
         types, None)

@@ -36,7 +36,14 @@ object TypeInference {
   private def isFloat(c: Column): Column = c.try_cast(DoubleType).isNotNull
 
   /** One aggregate pass → per-column verdicts. */
-  def infer(df: DataFrame): Seq[(String, InferredType)] = {
+  def infer(df: DataFrame): Seq[(String, InferredType)] =
+    inferWithCount(df)._1
+
+  /** Same single pass, also yielding the row count — callers that
+    * need both (the uploader's progress bookkeeping) get them from
+    * one scan instead of two.
+    */
+  def inferWithCount(df: DataFrame): (Seq[(String, InferredType)], Long) = {
     val cols = df.columns.toSeq
     val counters = cols.flatMap { name =>
       val c = col(name)
@@ -45,9 +52,9 @@ object TypeInference {
           .as(s"${name}__not_int"),
         sum(when(!missing(c) && !isFloat(c), 1L).otherwise(0L))
           .as(s"${name}__not_float"))
-    }
+    } :+ count(lit(1L)).as("__n_rows")
     val row = df.agg(counters.head, counters.tail: _*).head()
-    cols.zipWithIndex.map { case (name, i) =>
+    val types = cols.zipWithIndex.map { case (name, i) =>
       val notInt = row.getLong(2 * i)
       val notFloat = row.getLong(2 * i + 1)
       val t =
@@ -56,6 +63,7 @@ object TypeInference {
         else TextT
       name -> t
     }
+    (types, row.getLong(2 * cols.length))
   }
 
   /** Cast projection applying the verdicts; missing → NULL. The cast
