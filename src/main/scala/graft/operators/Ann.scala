@@ -19,6 +19,10 @@ object Ann {
 
   /** D1: exact top-k by cosine for a fixed query set (vec_id < 5),
     * deterministic tie-break on neighbor id.
+    *
+    * Per-partition partial top-k (H3 aggregator) instead of a window
+    * rank: only q·k scored ids cross the shuffle, not the whole
+    * scored corpus — the shape that survives a billion-vector scan.
     */
   def topkExact(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5): DataFrame = {
@@ -28,11 +32,12 @@ object Ann {
     val sims = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    sims.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
   }
 
   /** D2: IVF — deterministic Lloyd iterations (fixed init: lowest

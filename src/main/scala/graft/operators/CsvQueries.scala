@@ -138,7 +138,59 @@ object CsvQueries {
       col("completed").isNotNull.as("completed_ok"))
   }
 
+  /** A11: schema evolution across files in one upload (the
+    * reference's insert_all(alter=True)): a later file introduces a
+    * new column; earlier rows read NULL for it, and dropped columns
+    * read NULL on the later rows.
+    */
+  def csvSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("evolve", sfDir)
+    val db = freshDb(spark, "evolve", sfDir)
+    val rows = Tables(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.write(Paths.get(s"$dir/in/a.csv"),
+      ("r_regionkey,r_name" +: rows.map { case (k, n) => s"$k,$n" }.toSeq)
+        .mkString("\n").getBytes)
+    Files.write(Paths.get(s"$dir/in/b.csv"),
+      ("r_regionkey,extra" +: rows.map { case (k, _) => s"$k,${k * 2}" }.toSeq)
+        .mkString("\n").getBytes)
+    CsvUploader.upload(db, s"$dir/in", Some("evolved"), alter = true)
+    db.read("evolved")
+  }
+
+  /** A12: gzip-compressed upload — charset sniff decompresses the
+    * member; Spark's reader handles .gz natively downstream.
+    */
+  def csvIngestGzip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("gzip", sfDir)
+    val db = freshDb(spark, "gzip", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), concat(col("n_name"), lit("é")))
+      .collect().map(r => s"${r.getInt(0)},${r.getString(1)}").sorted
+    val body = ("n_nationkey,name_accented" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(Paths.get(s"$dir/nations.csv.gz")))
+    out.write(body.getBytes(Charset.forName("ISO-8859-1")))
+    out.close()
+    val res = CsvUploader.upload(db, s"$dir/nations.csv.gz")
+    db.read(res.tableName).withColumn("encoding", lit(res.encoding))
+  }
+
   val oracles: Map[String, String] = Map(
+    "csv_schema_evolution" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+        |  CAST(NULL AS BIGINT) AS extra FROM region
+        |UNION ALL
+        |SELECT CAST(r_regionkey AS BIGINT), NULL,
+        |  CAST(r_regionkey * 2 AS BIGINT) FROM region""".stripMargin,
+    "csv_ingest_gzip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || 'é' AS name_accented,
+        |  'ISO-8859-1' AS encoding
+        |FROM nation""".stripMargin,
     "csv_ingest_typed" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
     "csv_ingest_mixed" ->
@@ -172,6 +224,8 @@ object CsvQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_schema_evolution" -> (csvSchemaEvolution _),
+    "csv_ingest_gzip" -> (csvIngestGzip _),
     "csv_ingest_typed" -> (csvIngestTyped _),
     "csv_ingest_mixed" -> (csvIngestMixed _),
     "csv_infer_types" -> (csvInferTypes _),

@@ -40,7 +40,9 @@ object CsvUploader {
       csvPath: String,
       tableName: Option[String] = None,
       taskId: String = java.util.UUID.randomUUID().toString,
-      sniffBytes: Int = EncodingDetector.DefaultSniffBytes): UploadResult = {
+      sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
+      delimiter: String = ",",
+      alter: Boolean = false): UploadResult = {
     val spark = db.spark
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,7 +54,9 @@ object CsvUploader {
     db.progress.start(taskId, resolved, bytesTodo, started)
     try {
       val encoding = detectEncoding(spark, csvPath, sniffBytes)
-      val raw = readRaw(spark, csvPath, encoding)
+      val raw =
+        if (alter) readRawEvolving(spark, csvPath, encoding, delimiter)
+        else readRaw(spark, csvPath, encoding, delimiter)
       val (types, rows) = TypeInference.inferWithCount(raw)
       val typed = TypeInference.applyTypes(raw, types)
       db.write(typed, resolved, SaveMode.ErrorIfExists)
@@ -67,7 +71,10 @@ object CsvUploader {
     }
   }
 
-  /** Sniff the first file of a path (file or directory of parts). */
+  /** Sniff the first file of a path (file or directory of parts).
+    * Gzip members (magic 1f 8b) are decompressed for the sniff —
+    * Spark's reader handles `.gz` transparently downstream.
+    */
   private def detectEncoding(spark: SparkSession, csvPath: String,
       sniffBytes: Int): String = {
     val p = new Path(csvPath)
@@ -78,17 +85,66 @@ object CsvUploader {
           .map(_.getPath).filterNot(_.getName.startsWith("_")).sortBy(_.getName)
         if (parts.isEmpty) p else parts.head
       } else p
-    EncodingDetector.detect(spark, target.toString, sniffBytes)
+    val in = fs.open(target)
+    try {
+      val head = new Array[Byte](2)
+      val n = in.read(head)
+      in.seek(0)
+      val stream: java.io.InputStream =
+        if (n == 2 && head(0) == 0x1F.toByte && head(1) == 0x8B.toByte)
+          new java.util.zip.GZIPInputStream(in)
+        else in
+      val buf = new Array[Byte](sniffBytes)
+      var off = 0
+      var r = 0
+      while (off < sniffBytes &&
+        { r = stream.read(buf, off, sniffBytes - off); r > 0 }) off += r
+      EncodingDetector.detectBytes(java.util.Arrays.copyOf(buf, off),
+        truncated = off == sniffBytes)
+    } finally in.close()
   }
 
   /** Distributed parse with an all-string schema — inference is ours
     * (§A3), never the CSV reader's.
     */
   private def readRaw(spark: SparkSession, csvPath: String,
-      encoding: String): DataFrame =
+      encoding: String, delimiter: String = ","): DataFrame =
     spark.read
       .option("header", "true")
       .option("encoding", encoding)
+      .option("sep", delimiter)
       .option("inferSchema", "false")
       .csv(csvPath)
+
+  /** Schema-evolving parse (SURVEY §2.A11): the reference's
+    * `insert_all(batch, alter=True)` (__init__.py:166) lets later
+    * rows introduce new columns mid-load. Spark's CSV reader pins the
+    * FIRST file's header for a whole directory, silently dropping
+    * later columns — so here each file contributes its own header,
+    * schemas are unioned in first-seen order, and each file is
+    * projected onto the union with NULLs for missing columns. Header reads
+    * are one tiny ranged read per file; the data scan stays one
+    * distributed pass (unionByName over per-file frames).
+    */
+  private def readRawEvolving(spark: SparkSession, csvPath: String,
+      encoding: String, delimiter: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = new Path(csvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(_.getName.startsWith("_")).sortBy(_.getName).toSeq
+      else Seq(p)
+    val perFile = files.map(f => f -> readRaw(spark, f.toString, encoding,
+      delimiter))
+    val unionCols = perFile.foldLeft(Vector.empty[String]) {
+      case (acc, (_, df)) => acc ++ df.columns.filterNot(acc.contains)
+    }
+    perFile.map { case (_, df) =>
+      val have = df.columns.toSet
+      df.select(unionCols.map(c =>
+        if (have(c)) col(c) else lit(null: String).as(c)): _*)
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+import graft.functions.TopK
+
+class AsOfSpec extends AnyFunSuite with SparkTestBase {
+
+  test("asof: latest right ≤ left, inclusive ties, null before first") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "l5"), (1L, 10L, "l10"), (1L, 2L, "l2"),
+      (2L, 7L, "x")).toDF("k", "t", "lv")
+    val right = Seq((1L, 3L, "r3"), (1L, 5L, "r5"), (1L, 9L, "r9"))
+      .toDF("k", "t", "rv")
+    val got = AsOf.asofJoin(left, right, "k", "t", "t")
+      .select(col("lv"), col("asof_rv")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "l2" -> null, // no right row at or before t=2
+      "l5" -> "r5", // inclusive: right at the same instant wins
+      "l10" -> "r9", // latest of r3/r5/r9
+      "x" -> null)) // key 2 has no right rows at all
+  }
+
+  test("asof output row count equals left row count (left join)") {
+    val out = AsOf.eventsAsof(spark, sf)
+    val purchases = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables(spark, sf, "events")
+        .filter(col("event_type") === "purchase").count()
+    }
+    assert(out.count() == purchases)
+  }
+}
+
+class TopKSpec extends AnyFunSuite with SparkTestBase {
+
+  test("partial top-k equals sort-based top-k, ties broken by id") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 0.9, 1L), ("g1", 0.9, 2L), ("g1", 0.5, 3L), ("g1", 0.99, 4L),
+      ("g2", 0.1, 9L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy(col("g"))
+      .agg(TopK.topk(3)(col("score"), col("id")).as("tk"))
+      .select(col("g"), col("tk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getDouble(0), s.getLong(1))))
+      .toMap
+    assert(got("g1") == Seq((0.99, 4L), (0.9, 1L), (0.9, 2L)))
+    assert(got("g2") == Seq((0.1, 9L))) // k larger than the group
+  }
+
+  test("merge across partitions keeps global order") {
+    import spark.implicits._
+    val n = 5000
+    val df = (1 to n).map(i => ("g", (i % 997).toDouble, i.toLong))
+      .toDF("g", "score", "id").repartition(13)
+    val top = df.groupBy(col("g"))
+      .agg(TopK.topk(5)(col("score"), col("id")).as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.score"), col("s.id")).as[(Double, Long)].collect()
+    // max score 996 occurs at ids 996, 1993, 2990, 3987, 4984 → top-5
+    assert(top.toSeq == Seq((996.0, 996L), (996.0, 1993L), (996.0, 2990L),
+      (996.0, 3987L), (996.0, 4984L)))
+  }
+}
+
+class UploaderFormatSpec extends AnyFunSuite with SparkTestBase {
+  import java.nio.file.{Files, Paths}
+  import graft.catalog.GraftDatabase
+  import graft.sources.CsvUploader
+
+  test("tab-delimited upload") {
+    val dir = scratch("tsv")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/in.tsv"), "name\tage\nCleo\t5".getBytes)
+    CsvUploader.upload(db, s"$dir/in.tsv", Some("t"), delimiter = "\t")
+    val df = db.read("t")
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.schema("age").dataType.simpleString == "bigint")
+  }
+
+  test("schema evolution unions headers in first-seen order") {
+    val dir = scratch("evolve_spec")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.write(Paths.get(s"$dir/in/a.csv"), "a,b\n1,x".getBytes)
+    Files.write(Paths.get(s"$dir/in/b.csv"), "b,c\ny,2".getBytes)
+    CsvUploader.upload(db, s"$dir/in", Some("t"), alter = true)
+    val df = db.read("t")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.orderBy("b").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), Option(r.get(2))))
+    assert(rows.toSeq == Seq((Some(1L), "x", None), (None, "y", Some(2L))))
+  }
+}
