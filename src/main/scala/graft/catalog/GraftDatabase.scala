@@ -65,6 +65,18 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def dropTable(table: String): Unit =
     fs.delete(new Path(tablePath(table)), true)
 
+  /** Export a table as CSV (Datasette exposes every table in CSV
+    * form; this is the write-side equivalent). Distributed write —
+    * one part per partition.
+    */
+  def exportCsv(table: String, outPath: String): Unit =
+    read(table).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(outPath)
+
+  /** Export a table as JSON lines (Datasette's .json view). */
+  def exportJson(table: String, outPath: String): Unit =
+    read(table).write.mode(SaveMode.Overwrite).json(outPath)
+
   /** Recursively remove the whole database. */
   def drop(): Unit = fs.delete(new Path(path), true)
 

@@ -67,5 +67,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
       (es: Seq[Expression]) => RollingHash64(es.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -122,6 +122,19 @@ object Analytics {
         col("o_totalprice"), col("rn"))
   }
 
+  /** B5b: same top-3-per-customer shape through the custom
+    * TopKPerGroup plan node (§2.H5) — partial per-partition heaps,
+    * shuffle carries only survivors. Output proves the custom exec
+    * against the same windowed oracle.
+    */
+  def topOrdersPlanNode(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      k = 3,
+      groupCols = Seq("o_custkey"),
+      orderBy = Seq("o_totalprice" -> true, "o_orderkey" -> false))
+
   /** B6: ROLLUP over order status × priority. */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
@@ -257,6 +270,13 @@ object Analytics {
         |  FROM orders) t
         |JOIN customer ON o_custkey = c_custkey
         |WHERE rn <= 3""".stripMargin,
+    "q_top_orders_plan" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
     "q_orders_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  COUNT(*) AS n_orders,
@@ -305,6 +325,7 @@ object Analytics {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q_top_orders_per_customer" -> (topOrdersPerCustomer _),
+    "q_top_orders_plan" -> (topOrdersPlanNode _),
     "q_orders_rollup" -> (ordersRollup _),
     "q_customers_no_orders" -> (customersNoOrders _),
     "q_events_windowed" -> (eventsWindowed _),

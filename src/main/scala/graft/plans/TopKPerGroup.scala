@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator top-k-per-group as a first-class plan node
+  * (SURVEY.md §2.H — extension ladder step (c): LogicalPlan +
+  * Strategy + SparkPlan, the shape used when composition can't
+  * express the physical algorithm).
+  *
+  * Physical shape: TWO exec phases, mirroring partial/final hash
+  * aggregation. The partial phase runs before any exchange and
+  * reduces every partition to ≤ k rows per group with a bounded
+  * binary heap; the final phase declares
+  * `ClusteredDistribution(group)` so the planner inserts a hash
+  * exchange that only ever carries those survivors — at most
+  * partitions × groups × k rows, never the corpus. Rank-filter via a
+  * window, by contrast, sorts and shuffles everything.
+  *
+  * Versus the H3 `Aggregator` (functions.TopK): same asymptotics, but
+  * this form keeps whole rows (no score/id projection), emits them in
+  * rank order, and needs no array explode on the way out.
+  */
+case class TopKPerGroupPlan(k: Int, groupExprs: Seq[Expression],
+    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  require(k > 0)
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
+    copy(child = c)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(k, group, order, child) =>
+      val partial = TopKPerGroupExec(k, group, order, planLater(child),
+        partial = true)
+      TopKPerGroupExec(k, group, order, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
+    order: Seq[SortOrder], child: SparkPlan, partial: Boolean)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = order
+    val outAttrs = output
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupE, outAttrs)
+      val rankOrd = GenerateOrdering.generate(orderE, outAttrs)
+      // Per-group bounded heap; head = current worst survivor
+      // (reverse rank order), so a better row evicts it in O(log k).
+      val heaps =
+        new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      while (it.hasNext) {
+        val row = it.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](limit, rankOrd.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (rankOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { h =>
+        val arr = h.toArray(new Array[UnsafeRow](h.size()))
+        java.util.Arrays.sort(arr, rankOrd)
+        arr.iterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
+    copy(child = c)
+}
+
+/** User API + strategy registration. */
+object TopKPerGroup {
+
+  /** Ensure the planner knows the node (idempotent; also registered
+    * by GraftExtensions for sessions built with them).
+    */
+  def register(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        strategies :+ TopKPerGroupStrategy
+  }
+
+  /** Top `k` rows per group of `groupCols`, ordered by `orderBy`
+    * (column name → descending?). Output = input schema, rows emitted
+    * in rank order within each group.
+    */
+  def apply(df: DataFrame, k: Int, groupCols: Seq[String],
+      orderBy: Seq[(String, Boolean)]): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val lp = GraftColumnBridge.analyzed(df)
+    def attr(name: String) = lp.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    val group = groupCols.map(attr)
+    val order = orderBy.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    GraftColumnBridge.ofRows(spark, TopKPerGroupPlan(k, group, order, lp))
+  }
+}

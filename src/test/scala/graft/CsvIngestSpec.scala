@@ -155,6 +155,21 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(db.tableNameForFile("/some/path/dogs.csv") == "dogs")
   }
 
+  test("csv and json export round-trip") {
+    val dir = scratch("export")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/in.csv"), "name,age\nCleo,5\nPancakes,4".getBytes)
+    CsvUploader.upload(db, s"$dir/in.csv", Some("dogs"))
+    db.exportCsv("dogs", s"$dir/out_csv")
+    db.exportJson("dogs", s"$dir/out_json")
+    val back = spark.read.option("header", "true").csv(s"$dir/out_csv")
+    assert(back.count() == 2 && back.columns.toSeq == Seq("name", "age"))
+    val json = spark.read.json(s"$dir/out_json")
+    assert(json.count() == 2)
+    assert(json.select("age").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 5L))
+  }
+
   test("progress tracker latest-state resolution") {
     val dir = scratch("progress_log")
     val db = GraftDatabase(spark, s"$dir/db")

@@ -148,4 +148,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val plan = planOf(operators.TextQueries.tokenStats(spark, sf))
     assert(plan.contains("*(1)"), plan.take(2000))
   }
+
+  test("custom TopKPerGroup plans partial-heap before the exchange") {
+    val df = plans.TopKPerGroup(
+      Tables(spark, sf, "orders").select(col("o_custkey"), col("o_orderkey")),
+      k = 2, groupCols = Seq("o_custkey"), orderBy = Seq("o_orderkey" -> true))
+    val plan = planOf(df)
+    assert(plan.contains("TopKPerGroupPartial"), plan.take(2000))
+    assert(plan.contains("TopKPerGroupFinal"), plan.take(2000))
+    // partial must appear below the exchange (listed after it in the tree)
+    val iPartial = plan.indexOf("TopKPerGroupPartial")
+    val iExchange = plan.indexOf("Exchange")
+    assert(iExchange >= 0 && iExchange < iPartial,
+      "exchange should sit between final and partial")
+  }
+
+  test("custom TopKPerGroup equals the window formulation") {
+    val viaPlan = operators.Analytics.topOrdersPlanNode(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaWindow = operators.Analytics.topOrdersPerCustomer(spark, sf)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPlan == viaWindow)
+  }
 }
