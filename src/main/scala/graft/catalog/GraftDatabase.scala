@@ -77,6 +77,35 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def exportJson(table: String, outPath: String): Unit =
     read(table).write.mode(SaveMode.Overwrite).json(outPath)
 
+  /** Catalog identifier for a bucketed table of this database. */
+  private def bucketedIdent(table: String): String =
+    s"graft_${name}_$table".replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Write a table hash-bucketed (and sorted) by `bucketCol`:
+    * repeated joins/aggregations on that key then read the
+    * co-located layout and skip their exchanges entirely — the
+    * pre-shuffle-once, join-many-times layout that pays for itself on
+    * every reuse at scale. Registered in the session catalog with the
+    * data rooted inside this database directory.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketedIdent(table)}")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", tablePath(table))
+      .format("parquet")
+      .saveAsTable(bucketedIdent(table))
+  }
+
+  /** Read a bucketed table with its bucket metadata (required for
+    * exchange elision; a plain parquet read of the same files loses
+    * the layout).
+    */
+  def readBucketed(table: String): DataFrame =
+    spark.table(bucketedIdent(table))
+
   /** Recursively remove the whole database. */
   def drop(): Unit = fs.delete(new Path(path), true)
 

@@ -163,6 +163,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "exchange should sit between final and partial")
   }
 
+  test("bucketed tables join without an exchange") {
+    val db = graft.catalog.GraftDatabase(spark, scratch("bucketed"))
+    db.writeBucketed(Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      "orders_b", "o_custkey", 8)
+    db.writeBucketed(Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name")),
+      "customer_b", "c_custkey", 8)
+    val joined = db.readBucketed("orders_b").join(
+      db.readBucketed("customer_b").hint("merge"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      "bucketed join must not shuffle:\n" + plan.take(3000))
+    assert(joined.count() == Tables(spark, sf, "orders").count())
+  }
+
+  test("approximate count-distinct tracks exact within rsd") {
+    val exact = Tables(spark, sf, "lineitem")
+      .select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = Tables(spark, sf, "lineitem")
+      .select(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("custom TopKPerGroup equals the window formulation") {
     val viaPlan = operators.Analytics.topOrdersPlanNode(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
