@@ -16,12 +16,12 @@ object SparkEntry {
     operators.Analytics.queries ++ operators.CsvQueries.queries ++
       operators.TextQueries.queries ++ operators.Dedup.queries ++
       operators.Ann.queries ++ operators.Multimodal.queries ++
-      operators.AsOf.queries
+      operators.AsOf.queries ++ operators.Pipeline.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
     operators.Analytics.oracles ++ operators.CsvQueries.oracles ++
       operators.TextQueries.oracles ++ operators.Dedup.oracles ++
       operators.Ann.oracles ++ operators.Multimodal.oracles ++
-      operators.AsOf.oracles
+      operators.AsOf.oracles ++ operators.Pipeline.oracles
 }

@@ -106,6 +106,19 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def readBucketed(table: String): DataFrame =
     spark.table(bucketedIdent(table))
 
+  /** Arbitrary SQL over this database's tables — the analog of the
+    * query interface the reference hands its uploaded tables to
+    * (Datasette's raison d'être). Tables are exposed as temp views
+    * under their bare names; the full Spark SQL dialect applies.
+    */
+  def sql(query: String): DataFrame = {
+    // Only identifier-safe names can be views; "weird ~ name.csv"
+    // style tables remain readable through read().
+    listTables().filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      .foreach(t => read(t).createOrReplaceTempView(t))
+    spark.sql(query)
+  }
+
   /** Recursively remove the whole database. */
   def drop(): Unit = fs.delete(new Path(path), true)
 

@@ -179,7 +179,25 @@ object CsvQueries {
     db.read(res.tableName).withColumn("encoding", lit(res.encoding))
   }
 
+  /** The query interface over uploaded tables (Datasette's whole
+    * point): upload a CSV, then run SQL against it by name.
+    */
+  def csvSqlInterface(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("sql_iface", sfDir)
+    val db = freshDb(spark, "sql_iface", sfDir)
+    Tables(spark, sfDir, "orders")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/orders_csv")
+    CsvUploader.upload(db, s"$dir/orders_csv", Some("uploaded_orders"))
+    db.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+             |FROM uploaded_orders GROUP BY o_orderstatus""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "csv_sql_interface" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "csv_schema_evolution" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
         |  CAST(NULL AS BIGINT) AS extra FROM region
@@ -224,6 +242,7 @@ object CsvQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_sql_interface" -> (csvSqlInterface _),
     "csv_schema_evolution" -> (csvSchemaEvolution _),
     "csv_ingest_gzip" -> (csvIngestGzip _),
     "csv_ingest_typed" -> (csvIngestTyped _),

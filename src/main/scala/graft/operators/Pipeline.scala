@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The end-to-end training-data cleaning pipeline (SURVEY.md §2 —
+  * the §C/§E operators composed the way a corpus build actually uses
+  * them): quality gate → language gate → exact dedup (normalized
+  * fingerprint, keep lowest id) → near-dup removal (AllPairs
+  * Jaccard pairs, drop the higher id of each pair).
+  *
+  * One declarative plan end to end: Catalyst pipelines the text
+  * scoring into the scan, the dedup group-by and the near-dup
+  * anti-join shuffle on content-derived keys, and everything scales
+  * like its §C/§E parts. The whole composite is oracle-checked.
+  */
+object Pipeline {
+
+  def cleanCorpus(spark: SparkSession, dir: String,
+      minQuality: Double = 0.7, lang: String = "en",
+      nearDupThreshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("pred_lang", langId(col("text")))
+      .filter(col("quality") >= minQuality && col("pred_lang") === lang)
+
+    // exact dedup on normalized content, canonical = lowest doc_id
+    val canonical = docs
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+
+    // near-dup removal: drop the higher id of every Jaccard pair
+    val dupIds = Dedup.ngramJaccard(spark, dir, nearDupThreshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    canonical.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        wsTokenCount(col("text")).as("n_tokens"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      """WITH scored AS (SELECT doc_id, text,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
+        |  + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|it|a)\b')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) * 8.0) * 0.4
+        |  + (1.0 - LEAST(1.0, (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE)) * 10.0)) * 0.2 AS quality,
+        |  len(regexp_extract_all(text, '\b(the|and|of|to|is|in|it|a)\b')) AS c_en,
+        |  len(regexp_extract_all(text, '\b(der|die|und|das|ist|ein|zu)\b')) AS c_de,
+        |  len(regexp_extract_all(text, '\b(el|los|las|una|es|y|que)\b')) AS c_es,
+        |  len(regexp_extract_all(text, '\b(le|les|et|est|une|dans|que)\b')) AS c_fr
+        |  FROM documents),
+        |langed AS (SELECT *,
+        |  CASE WHEN c_en=0 AND c_de=0 AND c_es=0 AND c_fr=0 THEN 'und'
+        |       WHEN c_en >= GREATEST(c_de, c_es, c_fr) AND c_en > 0 THEN 'en'
+        |       WHEN c_de >= GREATEST(c_es, c_fr) AND c_de > 0 THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+        |       WHEN c_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |  FROM scored),
+        |gated AS (SELECT * FROM langed
+        |  WHERE quality >= 0.7 AND pred_lang = 'en'),
+        |canon AS (SELECT *,
+        |  MIN(doc_id) OVER (PARTITION BY
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id
+        |  FROM gated),
+        |kept AS (SELECT * FROM canon WHERE doc_id = keep_id),
+        |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+        |  FROM t),
+        |ex AS (SELECT doc_id, len(s) sz, unnest(s) shingle FROM sh),
+        |cand AS (SELECT a.doc_id da, b.doc_id db_, count(*) inter,
+        |    any_value(a.sz) sa, any_value(b.sz) sb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT db_ AS doc_id FROM cand
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8)
+        |SELECT k.doc_id, k.pred_lang, k.quality,
+        |  len(regexp_extract_all(k.text, '\S+')) AS n_tokens
+        |FROM kept k
+        |WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = k.doc_id)""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d))
+  )
+}
