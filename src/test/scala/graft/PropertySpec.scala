@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.EncodingDetector
+
+/** Property-based invariants for the driver-side primitives (the
+  * distributed twins are pinned by the oracle queries; these cover
+  * the input space no fixture enumerates).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** scalacheck without the scalatestplus shim (not on the cp). */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("encoding detector is total and classifies all valid UTF-8 as utf-8 or latin-1(ascii)") {
+    check(Prop.forAll(Gen.listOf(Gen.asciiPrintableChar)) { chars =>
+      val s = chars.mkString
+      val verdict = EncodingDetector.detectBytes(s.getBytes("UTF-8"))
+      verdict == EncodingDetector.Latin1 || verdict == EncodingDetector.Utf8
+    })
+    check(Prop.forAll(Gen.nonEmptyListOf(
+      Gen.oneOf[String]("é", "ü", "ß", "中", "😀"))) { parts =>
+      EncodingDetector.detectBytes(parts.mkString.getBytes("UTF-8")) ==
+        EncodingDetector.Utf8
+    })
+  }
+
+  test("encoding detector never throws on arbitrary bytes") {
+    check(Prop.forAll(Gen.containerOf[Array, Byte](
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val v = EncodingDetector.detectBytes(bytes)
+      Set(EncodingDetector.Utf8, EncodingDetector.Latin1,
+        EncodingDetector.Utf16LE, EncodingDetector.Utf16BE).contains(v)
+    })
+  }
+
+  test("latin-1 decode of any byte sequence round-trips (the widening rationale)") {
+    // The reference widens ascii→latin-1 because latin-1 maps every
+    // byte; this is the property that makes the fallback lossless.
+    check(Prop.forAll(Gen.containerOf[Array, Byte](
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val decoded = new String(bytes, "ISO-8859-1")
+      java.util.Arrays.equals(decoded.getBytes("ISO-8859-1"), bytes)
+    })
+  }
+
+  test("integer-verdict strings always parse as long (cast safety)") {
+    val intLike = for {
+      sign <- Gen.oneOf("", "+", "-")
+      digits <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      padL <- Gen.oneOf("", " ", "  ")
+      padR <- Gen.oneOf("", " ")
+    } yield s"$padL$sign$digits$padR"
+    check(Prop.forAll(intLike) { s =>
+      // the inference regex accepts it ⇒ the applied cast must not null
+      val matches = s.trim.matches("^[+-]?[0-9]+$")
+      !matches || scala.util.Try(s.trim.toLong).isSuccess
+    })
+  }
+
+  test("rolling hash is a function of content only") {
+    import graft.functions.expressions.RollingHash64
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long =
+      RollingHash64(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[Long]
+    check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      (a == b) == (h(a) == h(b)) || a != b // equal content ⇒ equal hash;
+      // distinct content may collide (64-bit), so only the forward
+      // implication is law
+    })
+    check(Prop.forAll(Gen.alphaNumStr) { a => h(a) == h(a) })
+  }
+
+  test("simhash of permuted token multiset is identical (order-free votes)") {
+    import graft.functions.expressions.SimHash60
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(toks: Seq[String]): Long =
+      SimHash60(Literal(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray),
+        ArrayType(StringType))).eval(null).asInstanceOf[Long]
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaStr), Gen.long) {
+      (toks, seed) =>
+        val shuffled = new scala.util.Random(seed).shuffle(toks)
+        sim(toks) == sim(shuffled)
+    })
+  }
+}
