@@ -119,6 +119,25 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     spark.sql(query)
   }
 
+  /** Compact a table to ~targetBytes files: streaming appends and
+    * per-batch inserts accumulate small files, and at scale the file
+    * count (driver memory, listing time, task overhead) degrades
+    * every later scan. Rewrite-then-swap keeps readers atomic.
+    */
+  def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val src = new Path(tablePath(table))
+    val bytes = fs.getContentSummary(src).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(tablePath(s"_compact_$table"))
+    read(table).repartition(parts).write
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(tablePath(s"_old_$table"))
+    fs.delete(bak, true)
+    fs.rename(src, bak)
+    fs.rename(tmp, src)
+    fs.delete(bak, true)
+  }
+
   /** Recursively remove the whole database. */
   def drop(): Unit = fs.delete(new Path(path), true)
 

@@ -163,6 +163,38 @@ object Analytics {
     Tables(spark, dir, "events").withColumn("ms", expr("ts div 1000000"))
   }
 
+  /** B14: semi join with date arithmetic (TPC-H Q4 shape) — orders
+    * with a late-shipping lineitem, counted per priority.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    o.join(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** B15: correlated-subquery shape (TPC-H Q2 min-cost flavor) —
+    * parts priced at their brand's minimum. Expressed as the plan
+    * Catalyst rewrites such subqueries into: broadcast the tiny
+    * per-brand aggregate back onto the scan.
+    */
+  def qMinPricePerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val mins = p.groupBy(col("p_brand").as("b"))
+      .agg(min(col("p_retailprice")).as("min_price"))
+    p.join(broadcast(mins),
+        col("p_brand") === col("b") &&
+          col("p_retailprice") === col("min_price"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+  }
+
   /** B8: tumbling 1-hour windows over events (batch twin of the
     * streaming windowed agg in §2.G1). Bucket = epoch ms (bigint) so
     * ns-vs-µs parquet precision can't skew the compare.
@@ -287,6 +319,19 @@ object Analytics {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_min_price_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
     "q_events_windowed" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  COUNT(*) AS n_events,
@@ -328,6 +373,8 @@ object Analytics {
     "q_top_orders_plan" -> (topOrdersPlanNode _),
     "q_orders_rollup" -> (ordersRollup _),
     "q_customers_no_orders" -> (customersNoOrders _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q_min_price_per_brand" -> (qMinPricePerBrand _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json" -> (eventsJson _),

@@ -63,6 +63,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G4: streaming dedup keeps first occurrence per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.StreamingDedup
+      .dedupStream(mem.toDF().toDF("ts", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        (ts(0), "hello world"),
+        (ts(1), "Hello   World"), // same normalized fingerprint
+        (ts(2), "different doc"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "hello world")) // duplicate across batches
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).toSet
+      assert(texts == Set("hello world", "different doc"))
+    } finally q.stop()
+  }
+
+  test("compaction merges small files and preserves content") {
+    val dir = scratch("compact")
+    val db = GraftDatabase(spark, s"$dir/db")
+    import spark.implicits._
+    // 40 tiny appends → many small files
+    (1 to 8).foreach { i =>
+      Seq.fill(5)(i).toDF("v").repartition(5)
+        .write.mode("append").parquet(db.tablePath("t"))
+    }
+    val before = new java.io.File(s"$dir/db/t")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val sumBefore = db.read("t").agg(sum(col("v"))).head().getLong(0)
+    db.compact("t")
+    val after = new java.io.File(s"$dir/db/t")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before && after >= 1, s"$before -> $after")
+    assert(db.read("t").agg(sum(col("v"))).head().getLong(0) == sumBefore)
+    assert(db.listTables() == Seq("t")) // no _compact_/_old_ leftovers
+  }
+
   test("G2: streaming CSV ingest appends per batch and tracks progress") {
     val dir = scratch("stream_ingest")
     val csvDir = s"$dir/incoming"
