@@ -87,7 +87,40 @@ object Multimodal {
         (col("frame_idx").cast("bigint") *
           expr("n_bytes div n_frames").cast("bigint")).as("byte_offset"))
 
+  /** F4: resize planning — aspect-preserving fit into a target box.
+    * The geometry is real (what a thumbnail stage computes before
+    * invoking a codec); only the pixel work is the stub's.
+    */
+  def resize(spark: SparkSession, dir: String, box: Int = 64): DataFrame =
+    decode(spark, dir).select(
+      col("doc_id"), col("width"), col("height"),
+      least(lit(box.toDouble) / col("width").cast("double"),
+        lit(box.toDouble) / col("height").cast("double")).as("scale"))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        greatest(lit(1L),
+          floor(col("width").cast("double") * col("scale")).cast("bigint"))
+          .as("resized_w"),
+        greatest(lit(1L),
+          floor(col("height").cast("double") * col("scale")).cast("bigint"))
+          .as("resized_h"))
+
   val oracles: Map[String, String] = Map(
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    16 + ('0x'||substr(md5(text), 1, 2))::INT % 320 AS width,
+        |    16 + ('0x'||substr(md5(text), 3, 2))::INT % 320 AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |    LEAST(64.0 / CAST(width AS DOUBLE),
+        |          64.0 / CAST(height AS DOUBLE)) AS scale
+        |  FROM m)
+        |SELECT doc_id, width, height,
+        |  GREATEST(1, CAST(FLOOR(CAST(width AS DOUBLE) * scale) AS BIGINT))
+        |    AS resized_w,
+        |  GREATEST(1, CAST(FLOOR(CAST(height AS DOUBLE) * scale) AS BIGINT))
+        |    AS resized_h
+        |FROM s""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS checksum
@@ -114,6 +147,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) => meta(s, d)),
+    "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_decode" -> ((s, d) => decode(s, d)),
     "mm_frames" -> ((s, d) => frames(s, d))
   )

@@ -45,6 +45,34 @@ object TextQueries {
       .select(col("doc_id"), col("fingerprint"), col("n_same"))
   }
 
+  /** E5: TF-IDF top terms per document. idf is the raw N/df ratio
+    * (not ln) so every value is exact integer-derived double
+    * arithmetic — bit-identical across engines, no libm in the
+    * compare. Top-3 per doc with a (score desc, term asc) total
+    * order. Shape at scale: one explode + two hash aggregations +
+    * a broadcast of the O(vocab) df table.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val n = d.count()
+    val toks = d.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), Seq("term"))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
+  }
+
   private val profileSql: Map[String, String] = Map(
     "en" -> "\\b(the|and|of|to|is|in|it|a)\\b",
     "de" -> "\\b(der|die|und|das|ist|ein|zu)\\b",
@@ -84,6 +112,24 @@ object TextQueries {
          |       ELSE 'und' END AS pred_lang,
          |  c_en, c_de, c_es, c_fr
          |FROM c""".stripMargin,
+    "text_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+        |      AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -97,6 +143,7 @@ object TextQueries {
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
+    "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_fingerprint" -> (fingerprints _)
   )
 }
