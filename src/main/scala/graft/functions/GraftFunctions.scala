@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
       (es: Seq[Expression]) => RollingHash64(es.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }

@@ -140,8 +140,7 @@ case class MinHashSignature(child: Expression, k: Int, shingleSize: Int,
   * polynomial, base 1000003) — the cheap engine-native document
   * fingerprint (SURVEY §2.E4 production path).
   */
-case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RollingHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash64"
@@ -156,6 +155,24 @@ case class RollingHash64(child: Expression)
     }
     h
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |long $h = 1469598103934665603L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = $h * 1000003L + ($b[$i] & 0xFFL);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

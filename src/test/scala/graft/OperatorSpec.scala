@@ -190,6 +190,40 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("optimizer rule rewrites rank-filter windows into TopKPerGroup") {
+    import org.apache.spark.sql.expressions.Window
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ plans.RewriteRankFilterToTopK
+    plans.TopKPerGroup.register(spark)
+    try {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val df = Tables(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val plan = planOf(df)
+      assert(plan.contains("TopKPerGroupPartial"), plan.take(2000))
+      // neither a Window exec nor Spark's native WindowGroupLimit
+      // should survive the rewrite
+      assert(!plan.contains("Window ["), plan.take(2000))
+      assert(!plan.contains("WindowGroupLimit"), plan.take(2000))
+      // identical rows to the un-rewritten formulation
+      val expected = operators.Analytics.topOrdersPlanNode(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      // keeping rn in the output must NOT rewrite (rn unavailable)
+      val kept = Tables(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      assert(planOf(kept).contains("Window"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == plans.RewriteRankFilterToTopK)
+    }
+  }
+
   test("custom TopKPerGroup equals the window formulation") {
     val viaPlan = operators.Analytics.topOrdersPlanNode(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
