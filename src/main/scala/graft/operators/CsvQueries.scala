@@ -189,14 +189,14 @@ object CsvQueries {
       .write.mode("overwrite").option("header", "true").csv(s"$dir/orders_csv")
     CsvUploader.upload(db, s"$dir/orders_csv", Some("uploaded_orders"))
     db.sql("""SELECT o_orderstatus, COUNT(*) AS n,
-             |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
              |FROM uploaded_orders GROUP BY o_orderstatus""".stripMargin)
   }
 
   val oracles: Map[String, String] = Map(
     "csv_sql_interface" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "csv_schema_evolution" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,

@@ -267,7 +267,7 @@ object Dedup {
         |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) v
         |  FROM bits, range(0, 60) r(i) GROUP BY doc_id, i)
         |SELECT doc_id,
-        |  SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH p AS (SELECT a.vec_id vec_id_a, b.vec_id vec_id_b,

@@ -10,15 +10,38 @@ compare (column names, row count, and a value hash computed over rows
 sorted with columns in name order).
 """
 import sys, json, glob, os
+import decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The driver's hasher routes DuckDB results through pandas, where
+# DECIMAL and HUGEINT columns collapse to float64 ('498223.0') while
+# Spark's parquet keeps decimal128/int64 ('498223') — so a compared
+# result column of either type hash-mismatches even when values are
+# equal (round-1 postmortem). Treat them as errors outright.
+BANNED_TYPE_FRAGMENTS = ("DECIMAL", "HUGEINT", "INT128", "UINT64")
+
+
+def banned_types(description):
+    """Column names whose declared DuckDB type the driver can't hash
+    faithfully. description = cursor.description [(name, type, ...)]."""
+    bad = []
+    for col in description:
+        type_name = str(col[1]).upper()
+        if any(frag in type_name for frag in BANNED_TYPE_FRAGMENTS):
+            bad.append(f"{col[0]}:{col[1]}")
+    return bad
+
 
 def norm(v):
     if v is None:
         return "NULL"
+    # Dtype-sensitive, like the driver: a Decimal must NOT silently
+    # str()-equal its integer/float twin from the other engine.
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, bytes):
@@ -56,9 +79,17 @@ def main(sf_dir, out_dir):
         try:
             exp_rel = con.execute(oracle[name])
             exp_cols = [c[0] for c in exp_rel.description]
+            exp_desc = exp_rel.description
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"  ✗ {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        bad = ([f"spark {c}" for c in banned_types(got_rel.description)] +
+               [f"oracle {c}" for c in banned_types(exp_desc)])
+        if bad:
+            print(f"  ✗ {name}: driver-unhashable column type(s): "
+                  f"{', '.join(bad)} — cast finals to DOUBLE/BIGINT")
             n_fail += 1
             continue
         ok_cols = sorted(got_cols) == sorted(exp_cols)
