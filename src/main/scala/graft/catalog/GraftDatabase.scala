@@ -122,10 +122,21 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   /** Compact a table to ~targetBytes files: streaming appends and
     * per-batch inserts accumulate small files, and at scale the file
     * count (driver memory, listing time, task overhead) degrades
-    * every later scan. Rewrite-then-swap keeps readers atomic.
+    * every later scan.
+    *
+    * NOT atomic for concurrent readers: HDFS/local rename cannot swap
+    * two directories in one operation, so a reader racing the swap
+    * can observe a missing table path for the instant between the two
+    * renames. Crash-safe, though: data is never lost — a crash
+    * between the renames strands the table in `_old_<table>`, which
+    * the next compact() restores before proceeding. True atomic swap
+    * needs a table format with a metadata pointer (manifest), out of
+    * scope here.
     */
   def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val src = new Path(tablePath(table))
+    val prevBak = new Path(tablePath(s"_old_$table"))
+    if (!fs.exists(src) && fs.exists(prevBak)) fs.rename(prevBak, src)
     val bytes = fs.getContentSummary(src).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new Path(tablePath(s"_compact_$table"))

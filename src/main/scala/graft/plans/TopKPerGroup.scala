@@ -65,12 +65,17 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupE, outAttrs)
       val rankOrd = GenerateOrdering.generate(orderE, outAttrs)
+      // Identity projection: the child isn't guaranteed to emit
+      // UnsafeRows (RDD-backed scans emit GenericInternalRow), so
+      // normalize instead of casting. No-op copy cost for columnar/
+      // codegen children, which already produce UnsafeRow.
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
       // Per-group bounded heap; head = current worst survivor
       // (reverse rank order), so a better row evicts it in O(log k).
       val heaps =
         new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
+        val row = toUnsafe(it.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {

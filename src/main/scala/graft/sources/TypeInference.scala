@@ -22,6 +22,9 @@ import org.apache.spark.sql.types.{LongType, DoubleType, StringType, DataType}
   * Known deviations from CPython parsing, documented: Python
   * `int("1_0")`/`float("inf")` succeed; here underscore-ints are
   * text and only case-insensitive `infinity`/`nan` spellings float.
+  * Integers beyond Long range vote float, not integer — Python's
+  * ints are arbitrary-precision, but casting such a value to a
+  * fixed-width long would NULL it (see isInt).
   */
 object TypeInference {
 
@@ -31,7 +34,14 @@ object TypeInference {
   case object TextT extends InferredType("text", StringType)
 
   private def missing(c: Column): Column = c.isNull || trim(c) === ""
-  private def isInt(c: Column): Column = trim(c).rlike("^[+-]?[0-9]+$")
+  // Format AND range: the applied cast is try_cast(LongType), so a
+  // value that looks integral but overflows Long (e.g. 20+ digits)
+  // must NOT vote integer — it would cast to NULL and silently drop
+  // non-missing data. Such values fail this probe and demote the
+  // column to float (Python's arbitrary-precision int can't overflow;
+  // a fixed-width engine keeps the value, approximately, instead).
+  private def isInt(c: Column): Column =
+    trim(c).rlike("^[+-]?[0-9]+$") && trim(c).try_cast(LongType).isNotNull
   // try_cast: ANSI-safe "does it parse" probe (Spark 4 ANSI casts throw).
   private def isFloat(c: Column): Column = c.try_cast(DoubleType).isNotNull
 

@@ -63,6 +63,15 @@ class TypeInferenceSpec extends AnyFunSuite with SparkTestBase {
   test("float-looking ints stay float ('5.0' is not an int)") {
     assert(inferOf(Seq("5.0", "6")) == FloatT)
   }
+  test("integers beyond Long range demote to float, never NULL") {
+    // 20-digit value: looks integral, overflows Long — voting integer
+    // would try_cast it to NULL and drop non-missing data
+    val big = "12345678901234567890123"
+    assert(inferOf(Seq("1", big)) == FloatT)
+    import spark.implicits._
+    val typed = TypeInference.inferAndApply(Seq("1", big).toDF("c"))._1
+    assert(typed.filter(typed("c").isNull).count() == 0)
+  }
   test("applyTypes casts and nulls missing") {
     import spark.implicits._
     val df = Seq(("1", "2.5", "x"), ("", "", "")).toDF("i", "f", "t")

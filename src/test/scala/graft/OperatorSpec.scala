@@ -224,6 +224,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TopKPerGroup handles non-UnsafeRow children (RDD-backed scan)") {
+    // An RDD-backed DataFrame plans as an RDDScanExec emitting
+    // GenericInternalRow — the exec must normalize, not cast.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rdd = spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, 5.0), Row(1L, 11L, 9.0), Row(1L, 12L, 7.0),
+      Row(2L, 20L, 1.0)))
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val df = spark.createDataFrame(rdd, schema)
+    val top = plans.TopKPerGroup(df, k = 2, groupCols = Seq("g"),
+      orderBy = Seq("score" -> true, "id" -> false))
+    val got = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (1L, 12L), (2L, 20L)))
+  }
+
   test("custom TopKPerGroup equals the window formulation") {
     val viaPlan = operators.Analytics.topOrdersPlanNode(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -21,6 +21,23 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.size == 10001)
   }
 
+  test("salted join rejects join types that duplicate unmatched rows") {
+    import spark.implicits._
+    val big = Seq((1L, 1)).toDF("k", "v")
+    val dim = Seq((1L, "one"), (9L, "unmatched")).toDF("k", "name")
+    // right/full outer would emit the unmatched replicated row once
+    // per salt — must be refused, not silently wrong
+    for (jt <- Seq("right_outer", "full_outer", "right", "full")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, dim, "k", salts = 8, joinType = jt)
+      }
+      assert(e.getMessage.contains("not skewed-side-preserving"))
+    }
+    // left-preserving types still work
+    assert(Skew.saltedJoin(big, dim, "k", salts = 8, joinType = "left_outer")
+      .count() == 1)
+  }
+
   test("salt spreads a hot key over multiple partitions' worth of keys") {
     import spark.implicits._
     val big = (1 to 10000).map(i => (1L, i)).toDF("k", "v")

@@ -105,6 +105,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(db.listTables() == Seq("t")) // no _compact_/_old_ leftovers
   }
 
+  test("compaction recovers a table stranded by a crashed swap") {
+    val dir = scratch("compact_recover")
+    val db = GraftDatabase(spark, s"$dir/db")
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(db.tablePath("t"))
+    // simulate a crash between compact()'s two renames: data moved to
+    // _old_t, the replacement never moved in
+    assert(new java.io.File(db.tablePath("t"))
+      .renameTo(new java.io.File(db.tablePath("_old_t"))))
+    db.compact("t")
+    assert(db.read("t").agg(sum(col("v"))).head().getLong(0) == 6L)
+    assert(db.listTables() == Seq("t"))
+  }
+
+  test("G2: replayed batches publish idempotently, no duplicate rows") {
+    val dir = scratch("stream_replay")
+    val csvDir = s"$dir/incoming"
+    Files.createDirectories(Paths.get(csvDir))
+    Files.write(Paths.get(s"$csvDir/part1.csv"),
+      "name,age\nCleo,5\nPancakes,4".getBytes)
+    val db = GraftDatabase(spark, s"$dir/db")
+    val q1 = StreamingCsvIngest.start(db, csvDir, "dogs", "task-r1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(db.read("dogs").count() == 2)
+    // simulate write-succeeded-commit-lost: wipe the checkpoint so the
+    // restarted query replays batch 0 against a table that already
+    // holds its rows — the publish must converge, not append twice
+    val ckpt = new org.apache.hadoop.fs.Path(db.tablePath("_checkpoint_dogs"))
+    ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ckpt, true)
+    val q2 = StreamingCsvIngest.start(db, csvDir, "dogs", "task-r1")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(db.read("dogs").count() == 2, "replayed batch duplicated rows")
+    val rows = db.progress.current().filter(col("id") === "task-r1")
+      .select("rows_done").collect().map(_.getLong(0))
+    assert(rows.head == 2L, s"replay double-counted progress: ${rows.head}")
+  }
+
   test("G2: streaming CSV ingest appends per batch and tracks progress") {
     val dir = scratch("stream_ingest")
     val csvDir = s"$dir/incoming"
