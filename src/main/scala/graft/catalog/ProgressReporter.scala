@@ -1,0 +1,82 @@
+package graft.catalog
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+
+/** Live progress for the BATCH upload path (SURVEY.md §2.A6).
+  *
+  * The reference updates `rows_done`/`bytes_done` every 10 rows while
+  * its insert loop streams (datasette_upload_csvs/__init__.py:186-190),
+  * so a poller watching `_csv_progress_` sees the upload advance.
+  * Spark's batch write is one distributed job, not a row loop — the
+  * equivalent signal is task-level input metrics: a SparkListener
+  * sums `recordsRead`/`bytesRead` of completed tasks of the upload's
+  * job group, and a side thread appends a progress row every
+  * `intervalMs` while the job runs.
+  *
+  * Scoping: jobs submitted inside [[around]] (on the calling thread)
+  * carry the task's job group; the listener counts only stages of
+  * those jobs, so concurrent queries on the session don't pollute the
+  * numbers. The flusher's own 1-row appends run on the side thread —
+  * job-group properties are thread-local, so they are NOT in the
+  * group and never count themselves.
+  *
+  * At scale this is O(tasks) listener callbacks on the driver and one
+  * tiny parquet append per interval — no data-path cost at all.
+  */
+class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
+    bytesTodo: Long, intervalMs: Long = 250L) {
+
+  private val spark = db.spark
+  private val rowsRead = new AtomicLong(0L)
+  private val bytesRead = new AtomicLong(0L)
+  private val stages = ConcurrentHashMap.newKeySet[Integer]()
+  private val seq = new AtomicLong(0L)
+  @volatile private var running = false
+
+  private val listener = new SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      if (js.properties != null &&
+          taskId == js.properties.getProperty("spark.jobGroup.id"))
+        js.stageIds.foreach(id => stages.add(id))
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (stages.contains(te.stageId) && te.taskMetrics != null) {
+        rowsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+  }
+
+  /** Run `body` inside the metrics window. Mid-load counts are
+    * approximate (they track the scan feeding the write, like the
+    * reference tracks its insert loop); the caller's final
+    * `complete()` records the exact totals.
+    */
+  def around[T](body: => T): T = {
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(taskId, s"graft-upload-$taskId")
+    running = true
+    val flusher = new Thread({ () =>
+      var last = 0L
+      while (running) {
+        Thread.sleep(intervalMs)
+        val r = rowsRead.get()
+        if (running && r > 0L && r != last) {
+          last = r
+          db.progress.update(taskId, table, bytesTodo,
+            math.min(bytesRead.get(), bytesTodo), r, seq.incrementAndGet())
+        }
+      }
+    }: Runnable, s"graft-progress-$taskId")
+    flusher.setDaemon(true)
+    flusher.start()
+    try body
+    finally {
+      running = false
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+      flusher.join(5000)
+    }
+  }
+}

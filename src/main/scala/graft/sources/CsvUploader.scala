@@ -42,7 +42,8 @@ object CsvUploader {
       taskId: String = java.util.UUID.randomUUID().toString,
       sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
       delimiter: String = ",",
-      alter: Boolean = false): UploadResult = {
+      alter: Boolean = false,
+      progressIntervalMs: Long = 250L): UploadResult = {
     val spark = db.spark
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,7 +60,14 @@ object CsvUploader {
         else readRaw(spark, csvPath, encoding, delimiter)
       val (types, rows) = TypeInference.inferWithCount(raw)
       val typed = TypeInference.applyTypes(raw, types)
-      db.write(typed, resolved, SaveMode.ErrorIfExists)
+      // Live mid-load progress (reference updates every 10 rows,
+      // __init__.py:186-190): task metrics of the write job flow to
+      // _csv_progress_ while the load runs; complete() then records
+      // the exact totals.
+      new graft.catalog.ProgressReporter(db, taskId, resolved, bytesTodo,
+        progressIntervalMs).around {
+        db.write(typed, resolved, SaveMode.ErrorIfExists)
+      }
       db.progress.complete(taskId, resolved, bytesTodo, rows)
       UploadResult(db.name, resolved, taskId, rows, bytesTodo, encoding,
         types, None)

@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.Charset
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.GraftDatabase
@@ -136,6 +137,46 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(df.columns.toSeq == Seq("IncidentNumber", "HourlyNotionalCost(£)"))
     assert(df.schema.fields.map(_.dataType.simpleString).toSeq ==
       Seq("bigint", "double"))
+  }
+
+  test("batch upload writes live intermediate progress (ref :170-184,186-190)") {
+    val dir = scratch("live_progress")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // Many part files → many write tasks ending at different times,
+    // so the reporter's flusher observes partial counts mid-load.
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    val perFile = 20000
+    val nFiles = 48
+    for (f <- 0 until nFiles) {
+      val sb = new StringBuilder("id,name\n")
+      for (i <- 0 until perFile) sb.append(f * perFile + i).append(",n")
+        .append(i).append('\n')
+      Files.write(Paths.get(f"$dir/in/part$f%02d.csv"),
+        sb.toString.getBytes)
+    }
+    val total = perFile.toLong * nFiles
+    val res = CsvUploader.upload(db, s"$dir/in", Some("big"),
+      taskId = "task-live", progressIntervalMs = 20L)
+    assert(res.rowsDone == total)
+    // The progress table is an event log — replay it: there must be
+    // at least one mid-load row (0 < rows_done < total), counts must
+    // be nondecreasing in seq order, and current() must resolve to
+    // the exact completed state.
+    val log = spark.read.parquet(db.tablePath("_csv_progress_"))
+      .filter(col("id") === "task-live")
+      .select("seq", "rows_done", "bytes_done", "bytes_todo")
+      .collect().sortBy(_.getLong(0))
+    val mids = log.filter(r => r.getLong(0) > 0L && r.getLong(0) < Long.MaxValue)
+    assert(mids.nonEmpty, "no live mid-load progress rows observed")
+    assert(mids.forall(r => r.getLong(1) > 0L && r.getLong(1) <= total))
+    assert(mids.forall(r => r.getLong(2) <= r.getLong(3)))
+    val counts = mids.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted, s"rows_done not monotonic: $counts")
+    val cur = db.progress.current().filter(col("id") === "task-live")
+      .select("rows_done", "bytes_done", "bytes_todo", "completed").head()
+    assert(cur.getLong(0) == total)
+    assert(cur.getLong(1) == cur.getLong(2))
+    assert(cur.getString(3) != null)
   }
 
   test("latin-1 bytes appearing only after the sniff window (ref LATIN1_AFTER_FIRST_2KB)") {
