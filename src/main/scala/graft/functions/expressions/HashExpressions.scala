@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
@@ -45,15 +45,19 @@ object HashingSupport {
   }
 }
 
-/** 60-bit SimHash over a token array (multiplicity-weighted votes). */
-case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** 60-bit SimHash over a token array (multiplicity-weighted votes).
+  *
+  * Codegen: the generated code calls [[hash]] on a referenced copy of
+  * this expression — the md5 loop can't be inlined usefully, but this
+  * keeps the projection inside whole-stage codegen (no
+  * CodegenFallback barrier, no boxed eval path).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash60"
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  def hash(toks: ArrayData): Long = {
     val votes = new Array[Int](60)
     var t = 0
     val n = toks.numElements()
@@ -75,6 +79,15 @@ case class SimHash60(child: Expression)
     sim
   }
 
+  override def nullSafeEval(v: Any): Any = hash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash60].getName)
+      s"${ev.value} = $ref.hash($arr);"
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -85,7 +98,7 @@ case class SimHash60(child: Expression)
   */
 case class MinHashSignature(child: Expression, k: Int, shingleSize: Int,
     seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0 && shingleSize > 0)
 
@@ -102,8 +115,7 @@ case class MinHashSignature(child: Expression, k: Int, shingleSize: Int,
     (a, b)
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     if (n >= shingleSize) {
@@ -131,6 +143,18 @@ case class MinHashSignature(child: Expression, k: Int, shingleSize: Int,
     }
     new GenericArrayData(sig)
   }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  // Same shape as SimHash60: call-out to a referenced object, no
+  // whole-stage-codegen barrier around the signature scan.
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref =
+        ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+      s"${ev.value} = $ref.compute($arr);"
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

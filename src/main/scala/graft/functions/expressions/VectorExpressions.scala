@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -73,7 +73,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 case class HyperplaneSignature(child: Expression,
     planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length <= 32)
 
@@ -96,6 +96,34 @@ case class HyperplaneSignature(child: Expression,
     }
     sig
   }
+
+  // Primitive double loop over a referenced double[][] — fully inside
+  // whole-stage codegen, no boxing.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val p = ctx.freshName("p")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |int $sig = 0;
+         |for (int $j = 0; $j < $pl.length; $j++) {
+         |  double[] $p = $pl[$j];
+         |  double $dot = 0.0;
+         |  int $m = java.lang.Math.min($n, $p.length);
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * $p[$i];
+         |  }
+         |  if ($dot >= 0.0) $sig |= (1 << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

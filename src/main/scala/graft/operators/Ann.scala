@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -91,29 +90,36 @@ object Ann {
     }
 
     val assigned = e.withColumn("cell", cellOf(centroids))
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    // Explode each query into (query, probed cell) rows so the probe
+    // is an EQUI-join on `cell` — a hash join whose cost is
+    // O(candidates), not the O(corpus × queries) nested loop an
+    // array_contains predicate plans as. The query side stays tiny
+    // (q × nProbe rows) and broadcasts.
+    val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("probe_cells",
-        slice(sortedCells(centroids), 1, nProbe))
+      .select(col("query_id"), col("qe"),
+        explode(slice(sortedCells(centroids), 1, nProbe)).as("cell"))
 
     val cands = assigned
-      .join(broadcast(queries),
-        array_contains(col("probe_cells"), col("cell")) &&
-          col("vec_id") =!= col("query_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("sim"))
+    // Partial top-k per partition (H3 aggregator, as in D1): only
+    // q·k scored rows cross the shuffle, not every candidate.
+    cands.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("sim"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
   }
 
-  /** Cells ordered by distance to `qe` (closest first). */
+  /** Cells ordered by distance to `qe` (closest first). Cell ids are
+    * long to match `cellOf`'s array_position output (equi-join key).
+    */
   private def sortedCells(cents: Array[Array[Double]]) = {
     val lit2d = typedlit(cents.map(_.toSeq).toSeq)
     val withIdx = zip_with(lit2d,
-      sequence(lit(0), lit(cents.length - 1)),
+      sequence(lit(0L), lit((cents.length - 1).toLong)),
       (c, i) => struct(
         aggregate(zip_with(col("qe"), c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v).as("d"),

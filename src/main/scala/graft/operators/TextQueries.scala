@@ -49,12 +49,19 @@ object TextQueries {
     * (not ln) so every value is exact integer-derived double
     * arithmetic — bit-identical across engines, no libm in the
     * compare. Top-3 per doc with a (score desc, term asc) total
-    * order. Shape at scale: one explode + two hash aggregations +
-    * a broadcast of the O(vocab) df table.
+    * order.
+    *
+    * Shape at scale: one explode + two hash aggregations + a
+    * term-keyed join that AQE sizes at runtime — NO broadcast hint:
+    * on a web-scale corpus the distinct-term table is 10⁸–10⁹ rows
+    * and a forced broadcast is a guaranteed OOM, while at small scale
+    * AQE broadcasts it anyway. The corpus size N rides in as a 1-row
+    * aggregate cross join (single-row broadcast), not a separate
+    * driver-side count() action.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val n = d.count()
+    val nDf = d.agg(count(lit(1)).cast("double").as("__n_docs"))
     val toks = d.select(col("doc_id"),
       explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
         .as("term"))
@@ -62,9 +69,11 @@ object TextQueries {
       .agg(count(lit(1)).as("tf"))
     val df_ = toks.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df_), Seq("term"))
+    val scored = tf.join(df_, Seq("term"))
+      .crossJoin(nDf)
       .withColumn("tfidf",
-        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+        col("tf").cast("double") * (col("__n_docs") / col("df").cast("double")))
+      .drop("__n_docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)

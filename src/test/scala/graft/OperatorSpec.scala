@@ -118,6 +118,16 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall")
     assert(ivf.size == exact.size) // k fully filled from probed cells
   }
+
+  test("IVF probe is a hash equi-join, not a nested loop") {
+    val plan = Ann.ivfTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "probe must equi-join on cell:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+  }
 }
 
 class PlanSpec extends AnyFunSuite with SparkTestBase {
@@ -147,6 +157,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // '*(n)' marks WholeStageCodegen stages in the plan string
     val plan = planOf(operators.TextQueries.tokenStats(spark, sf))
     assert(plan.contains("*(1)"), plan.take(2000))
+  }
+
+  test("sketch expressions stay inside whole-stage codegen") {
+    // SimHash60 / MinHashSignature / HyperplaneSignature doGenCode:
+    // the projection computing the sketch must sit inside a
+    // WholeStageCodegen stage ('*(n)'), not behind a fallback barrier
+    def codegenLine(df: org.apache.spark.sql.DataFrame, expr: String): Unit = {
+      val plan = planOf(df)
+      val line = plan.linesIterator.find(_.contains(expr))
+      assert(line.isDefined, s"$expr not in plan:\n" + plan.take(2000))
+      assert(line.get.contains("*("),
+        s"$expr fell out of codegen:\n" + plan.take(2000))
+    }
+    codegenLine(operators.Dedup.simhash(spark, sf), "graft_simhash60")
+    codegenLine(Tables(spark, sf, "documents").select(
+      graft.functions.GraftFunctions.minhashSignature(
+        split(col("text"), "\\s+"), 16, 3, 42L).as("sig")), "graft_minhash")
+    codegenLine(Tables(spark, sf, "embeddings").select(
+      graft.functions.GraftFunctions.hyperplaneSignature(col("embedding"),
+        operators.Dedup.hyperplanes(6, 64)).as("sig")), "graft_hyperplane_sig")
   }
 
   test("custom TopKPerGroup plans partial-heap before the exchange") {
