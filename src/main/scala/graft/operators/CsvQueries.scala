@@ -102,6 +102,45 @@ object CsvQueries {
     db.read(res.tableName).withColumn("encoding", lit(res.encoding))
   }
 
+  /** A1 (cp1252 tiebreak): a file whose only non-ASCII byte is € —
+    * 0x80, a C1 control in latin-1 but printable in cp1252 — must be
+    * detected as windows-1252 and decode losslessly.
+    */
+  def csvEncodingCp1252(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("encoding_cp1252", sfDir)
+    val db = freshDb(spark, "encoding_cp1252", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), concat(col("n_name"), lit("€")))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map(r => s"${r.getInt(0)},${r.getString(1)}")
+      .sorted
+    val body = ("n_nationkey,name_euro" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/nations.csv"),
+      body.getBytes(Charset.forName("windows-1252")))
+    val res = CsvUploader.upload(db, s"$dir/nations.csv")
+    db.read(res.tableName).withColumn("encoding", lit(res.encoding))
+  }
+
+  /** A1 (UTF-16 no BOM): NUL-skew heuristic + charset-aware line
+    * splitting, end to end.
+    */
+  def csvEncodingUtf16(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("encoding_utf16", sfDir)
+    val db = freshDb(spark, "encoding_utf16", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), concat(col("n_name"), lit("é")))
+      .collect()
+      .map(r => s"${r.getInt(0)},${r.getString(1)}")
+      .sorted
+    val body = ("n_nationkey,name_accented" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/nations.csv"),
+      body.getBytes(Charset.forName("UTF-16LE"))) // LE charset adds no BOM
+    val res = CsvUploader.upload(db, s"$dir/nations.csv")
+    db.read(res.tableName).withColumn("encoding", lit(res.encoding))
+  }
+
   /** A5: filename → table name (strip one ".csv") + conflict
     * suffixing _2, _3 on repeated upload.
     */
@@ -230,6 +269,16 @@ object CsvQueries {
         |  n_name || 'é' AS name_accented,
         |  'ISO-8859-1' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_cp1252" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || '€' AS name_euro,
+        |  'windows-1252' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_utf16" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || 'é' AS name_accented,
+        |  'UTF-16LE' AS encoding
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -249,6 +298,8 @@ object CsvQueries {
     "csv_ingest_mixed" -> (csvIngestMixed _),
     "csv_infer_types" -> (csvInferTypes _),
     "csv_encoding_detect" -> (csvEncodingDetect _),
+    "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
+    "csv_encoding_utf16" -> (csvEncodingUtf16 _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _)
   )

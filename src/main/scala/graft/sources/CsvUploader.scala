@@ -112,17 +112,58 @@ object CsvUploader {
     } finally in.close()
   }
 
+  /** cp1252 differs from latin-1 ONLY in 0x80–0x9F (27 defined
+    * printables there: € ™ smart quotes Š Œ Ž …). Spark's CSV reader
+    * accepts a fixed charset list that excludes cp1252, so the
+    * distributed decode reads latin-1 — byte-lossless, each 0x8x/0x9x
+    * byte becomes the same-numbered C1 control char — and this
+    * translate projection remaps those code points. Exactly
+    * equivalent to a native cp1252 decode, and it stays in codegen.
+    */
+  private lazy val (cp1252From, cp1252To) = {
+    val defined = (0x80 to 0x9F)
+      .filterNot(Set(0x81, 0x8D, 0x8F, 0x90, 0x9D))
+    (defined.map(_.toChar).mkString,
+      defined.map(b => new String(Array(b.toByte), "windows-1252")).mkString)
+  }
+
+  private def cp1252Char(ch: Char): Char = {
+    val i = cp1252From.indexOf(ch)
+    if (i >= 0) cp1252To(i) else ch
+  }
+
+  /** The charset to hand Spark's reader: cp1252 decodes as latin-1
+    * and is fixed up column-wise afterwards.
+    */
+  private def sparkCharset(encoding: String): String =
+    if (encoding == EncodingDetector.Cp1252) EncodingDetector.Latin1
+    else encoding
+
   /** Distributed parse with an all-string schema — inference is ours
     * (§A3), never the CSV reader's.
+    *
+    * UTF-16 needs an explicit lineSep: without it Hadoop splits
+    * records on the raw 0x0A byte, cutting the 2-byte newline in
+    * half; with it Spark encodes "\n" in the declared charset and
+    * splits on the full sequence.
     */
   private def readRaw(spark: SparkSession, csvPath: String,
-      encoding: String, delimiter: String = ","): DataFrame =
-    spark.read
+      encoding: String, delimiter: String = ","): DataFrame = {
+    val reader = spark.read
       .option("header", "true")
-      .option("encoding", encoding)
+      .option("encoding", sparkCharset(encoding))
       .option("sep", delimiter)
       .option("inferSchema", "false")
-      .csv(csvPath)
+    val df = (if (encoding.startsWith("UTF-16")) reader.option("lineSep", "\n")
+      else reader).csv(csvPath)
+    if (encoding == EncodingDetector.Cp1252) {
+      import org.apache.spark.sql.functions.{col, translate}
+      // header names were decoded latin-1 too — fix them JVM-side
+      val renamed = df.toDF(df.columns.map(_.map(cp1252Char)): _*)
+      renamed.select(renamed.columns.map(c =>
+        translate(col(c), cp1252From, cp1252To).as(c)): _*)
+    } else df
+  }
 
   /** Schema-evolving parse (SURVEY §2.A11): the reference's
     * `insert_all(batch, alter=True)` (__init__.py:166) lets later

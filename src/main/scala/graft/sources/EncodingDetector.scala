@@ -15,9 +15,16 @@ import org.apache.spark.sql.SparkSession
   * independent of file size — after which the actual decode happens
   * distributed inside Spark's CSV reader via its `encoding` option.
   *
-  * Detection ladder: BOM → strict UTF-8 validation → latin-1
-  * fallback; all-ASCII also lands on latin-1 (superset, fewer decode
-  * errors — the reference cites its issue #25 for the same choice).
+  * Detection ladder: BOM → UTF-16-without-BOM NUL-skew heuristic →
+  * strict UTF-8 validation → cp1252-vs-latin-1 statistical tiebreak;
+  * all-ASCII lands on latin-1 (superset, fewer decode errors — the
+  * reference cites its issue #25 for the same choice).
+  *
+  * Remaining undetectable without a full charset_normalizer port
+  * (documented gap): multi-byte East-Asian encodings (Shift-JIS,
+  * GBK, EUC-KR — their bytes also form plausible latin-1), cp125x
+  * variants other than 1252, and EBCDIC. Those decode as latin-1
+  * mojibake, like any non-statistical sniffer would.
   */
 object EncodingDetector {
 
@@ -26,6 +33,7 @@ object EncodingDetector {
 
   val Utf8 = "UTF-8"
   val Latin1 = "ISO-8859-1"
+  val Cp1252 = "windows-1252"
   val Utf16LE = "UTF-16LE"
   val Utf16BE = "UTF-16BE"
 
@@ -57,10 +65,48 @@ object EncodingDetector {
       return Utf16LE
     if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
       return Utf16BE
+    // UTF-16 without BOM: ASCII-range text encodes as alternating
+    // data/NUL bytes (NUL on the high byte). Real single-byte CSVs
+    // contain no NULs at all, so a strong positional NUL skew is a
+    // safe signal. Must run BEFORE UTF-8 validation — NUL bytes are
+    // valid UTF-8, so UTF-16LE ASCII text would pass as UTF-8.
+    val utf16 = detectUtf16NoBom(bytes)
+    if (utf16.isDefined) return utf16.get
     if (isValidUtf8(bytes, truncated)) {
       // ascii → latin-1 widening, mirroring the reference.
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
-    } else Latin1
+    } else {
+      // Not UTF-8 → single-byte western. 0x80–0x9F are C1 control
+      // characters in latin-1 (never in real text) but printable in
+      // cp1252 (€ ™ smart quotes en/em dashes). If such bytes appear
+      // and all of them are ones cp1252 defines, cp1252 is the
+      // decode that yields text; bytes ≥ 0xA0 read identically in
+      // both, so otherwise latin-1 stays the default.
+      val c1 = bytes.iterator.map(_ & 0xFF).filter(b => b >= 0x80 && b <= 0x9F)
+        .toArray
+      val undefinedInCp1252 = Set(0x81, 0x8D, 0x8F, 0x90, 0x9D)
+      if (c1.nonEmpty && c1.forall(!undefinedInCp1252.contains(_))) Cp1252
+      else Latin1
+    }
+  }
+
+  /** UTF-16 detection when no BOM is present: ≥70% of one byte
+    * parity NUL and <10% of the other. NUL-on-odd = little-endian
+    * (ASCII char first), NUL-on-even = big-endian.
+    */
+  private def detectUtf16NoBom(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 8) return None
+    var evenNul = 0
+    var oddNul = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0) { if ((i & 1) == 0) evenNul += 1 else oddNul += 1 }
+      i += 1
+    }
+    val half = bytes.length / 2
+    if (oddNul * 10 >= half * 7 && evenNul * 10 < half) Some(Utf16LE)
+    else if (evenNul * 10 >= half * 7 && oddNul * 10 < half) Some(Utf16BE)
+    else None
   }
 
   /** Strict UTF-8 validation; when the buffer was truncated by the

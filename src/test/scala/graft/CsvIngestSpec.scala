@@ -139,6 +139,48 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
       Seq("bigint", "double"))
   }
 
+  test("cp1252 fixture: smart quotes and € decode losslessly") {
+    val dir = scratch("cp1252")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val content = "name,price\n“fancy” café,€5"
+    Files.write(Paths.get(s"$dir/shop.csv"),
+      content.getBytes(Charset.forName("windows-1252")))
+    val res = CsvUploader.upload(db, s"$dir/shop.csv")
+    assert(res.encoding == "windows-1252")
+    val row = db.read("shop").head()
+    assert(row.getString(0) == "“fancy” café")
+    assert(row.getString(1) == "€5")
+  }
+
+  test("UTF-16LE without BOM decodes losslessly end to end") {
+    val dir = scratch("utf16_nobom")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val content = "name,age\nCléo,5\nPancakes,4"
+    Files.write(Paths.get(s"$dir/dogs.csv"),
+      content.getBytes(Charset.forName("UTF-16LE"))) // no BOM with LE/BE
+    val res = CsvUploader.upload(db, s"$dir/dogs.csv")
+    assert(res.encoding == "UTF-16LE")
+    val dogs = db.read("dogs")
+    assert(dogs.schema("age").dataType.simpleString == "bigint")
+    assert(dogs.collect().map(_.getString(0)).toSet ==
+      Set("Cléo", "Pancakes"))
+  }
+
+  test("UTF-16BE without BOM detected by NUL-position skew") {
+    import EncodingDetector._
+    val le = "name,age\nCleo,5".getBytes(Charset.forName("UTF-16LE"))
+    val be = "name,age\nCleo,5".getBytes(Charset.forName("UTF-16BE"))
+    assert(detectBytes(le) == Utf16LE)
+    assert(detectBytes(be) == Utf16BE)
+    // plain ASCII must NOT look like UTF-16
+    assert(detectBytes("name,age\nCleo,5".getBytes) == Latin1)
+    // latin-1-only bytes (≥ 0xA0) stay latin-1, not cp1252
+    assert(detectBytes("café £"
+      .getBytes(Charset.forName("ISO-8859-1"))) == Latin1)
+    // a byte undefined in cp1252 (0x81) forces latin-1
+    assert(detectBytes(Array[Byte]('a', 0x93.toByte, 0x81.toByte)) == Latin1)
+  }
+
   test("batch upload writes live intermediate progress (ref :170-184,186-190)") {
     val dir = scratch("live_progress")
     val db = GraftDatabase(spark, s"$dir/db")

@@ -36,6 +36,7 @@ class PropertySpec extends AnyFunSuite {
       Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val v = EncodingDetector.detectBytes(bytes)
       Set(EncodingDetector.Utf8, EncodingDetector.Latin1,
+        EncodingDetector.Cp1252,
         EncodingDetector.Utf16LE, EncodingDetector.Utf16BE).contains(v)
     })
   }
