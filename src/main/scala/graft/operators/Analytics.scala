@@ -238,6 +238,26 @@ object Analytics {
       .drop("sess_id")
   }
 
+  /** B9b: same 30-min gap sessionization through Spark's native
+    * session_window function — a cross-check of the window-function
+    * formulation (B9) against the engine's built-in session operator,
+    * pinned by the SAME DuckDB oracle. Semantics note: session_window
+    * closes a session at last_event + gap (exclusive), the manual
+    * form starts a new session when diff > gap — these differ only
+    * when two events sit EXACTLY gap apart, which ns-derived event
+    * times never do.
+    */
+  def eventsSessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts_ms"),
+        col("ms"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts_ms"), "30 minutes"))
+      .agg(min(col("ms")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start_ms"), col("n_events"),
+        col("total_value"))
+
   /** B10: JSON extraction from a string column + agg. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -360,6 +380,19 @@ object Analytics {
         |SELECT user_id, MIN(ms) AS session_start_ms, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+    "q_events_sessionize_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ms - LAG(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ms) AS session_start_ms, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(DISTINCT k) AS distinct_k, MAX(k) AS max_k
@@ -387,6 +420,7 @@ object Analytics {
     "q_min_price_per_brand" -> (qMinPricePerBrand _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),
     "q_distinct_parts" -> (distinctParts _)
   )

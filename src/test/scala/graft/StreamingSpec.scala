@@ -85,6 +85,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.TwsStreams.RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("G3-tws: transformWithState sessionization matches fMGWS semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = graft.streaming.TwsStreams
+        .sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_sess_out").start()
+      try {
+        mem.addData(
+          EventStreams.Event(1L, ts(0), 1.0),
+          EventStreams.Event(1L, ts(5), 2.0))
+        q.processAllAvailable()
+        mem.addData(EventStreams.Event(1L, ts(35), 4.0))
+        q.processAllAvailable()
+        val sessions = spark.table("tws_sess_out").as[EventStreams.Session]
+          .collect().toSet
+        assert(sessions.contains(
+          EventStreams.Session(1L, ts(0).getTime, 2L, 3.0)))
+      } finally q.stop()
+    }
+  }
+
+  test("G4-tws: transformWithState dedup keeps first per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[(Timestamp, String)]
+      val q = graft.streaming.TwsStreams
+        .dedupStream(mem.toDF().toDF("ts", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_dedup_out").start()
+      try {
+        mem.addData(
+          (ts(0), "hello world"),
+          (ts(1), "Hello   World"), // same normalized fingerprint
+          (ts(2), "different doc"))
+        q.processAllAvailable()
+        mem.addData((ts(3), "hello world")) // duplicate across batches
+        q.processAllAvailable()
+        val texts = spark.table("tws_dedup_out").select("text")
+          .collect().map(_.getString(0)).toSet
+        assert(texts == Set("hello world", "different doc"))
+      } finally q.stop()
+    }
+  }
+
   test("compaction merges small files and preserves content") {
     val dir = scratch("compact")
     val db = GraftDatabase(spark, s"$dir/db")
