@@ -17,6 +17,10 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")
+    // TIMESTAMP(NANOS) parquet (the events table) reads as raw
+    // nanosecond bigints instead of erroring — session-level so no
+    // operator has to mutate conf as a side effect.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -163,13 +163,16 @@ object Analytics {
 
   /** Events loader. The driver's parquet stores ts as
     * TIMESTAMP(NANOS), which Spark 4 refuses outright
-    * ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` reads it as raw
-    * nanoseconds and all downstream time math stays in exact bigint
-    * epoch-ms — which is also what makes the DuckDB compare
-    * deterministic (no ns-vs-µs truncation skew).
+    * ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` (a GraftSession default —
+    * set here too only for sessions built without the factory) reads
+    * it as raw nanoseconds and all downstream time math stays in
+    * exact bigint epoch-ms — which is also what makes the DuckDB
+    * compare deterministic (no ns-vs-µs truncation skew).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables(spark, dir, "events").withColumn("ms", expr("ts div 1000000"))
   }
 

@@ -19,12 +19,13 @@ import org.apache.spark.sql.types.{LongType, DoubleType, StringType, DataType}
   * (map-side combined; the shuffled result is a single row of
   * O(columns) longs) — the same verdicts at any scale, one scan.
   *
-  * Known deviations from CPython parsing, documented: Python
-  * `int("1_0")`/`float("inf")` succeed; here underscore-ints are
-  * text and only case-insensitive `infinity`/`nan` spellings float.
-  * Integers beyond Long range vote float, not integer — Python's
-  * ints are arbitrary-precision, but casting such a value to a
-  * fixed-width long would NULL it (see isInt).
+  * CPython parse parity: underscore digit grouping (`1_000`,
+  * `1_000.5`, `1e1_0` — single underscores between digits only, per
+  * the Python numeric grammar) and bare `inf`/`-inf` spellings are
+  * accepted and normalized before the cast. Remaining deviation,
+  * documented: integers beyond Long range vote float, not integer —
+  * Python's ints are arbitrary-precision, but casting such a value
+  * to a fixed-width long would NULL it (see isInt).
   */
 object TypeInference {
 
@@ -34,6 +35,23 @@ object TypeInference {
   case object TextT extends InferredType("text", StringType)
 
   private def missing(c: Column): Column = c.isNull || trim(c) === ""
+
+  // Python digitpart: digits with single underscores BETWEEN digits.
+  private val D = "[0-9](_?[0-9])*"
+  private val IntRe = s"^[+-]?$D$$"
+  // Python float grammar: D | D. | D.D | .D, optional exponent.
+  private val FloatRe = s"^[+-]?($D\\.?|$D\\.$D|\\.$D)([eE][+-]?$D)?$$"
+
+  /** Normalize a Python-parseable numeric string to what the JVM cast
+    * accepts: strip digit-grouping underscores, widen bare `inf` to
+    * `Infinity` (`float("inf")` parses in Python, "inf" doesn't in
+    * Spark).
+    */
+  private def canon(c: Column): Column = {
+    val t = translate(trim(c), "_", "")
+    when(t.rlike("^(?i)[+-]?inf$"), concat(t, lit("inity"))).otherwise(t)
+  }
+
   // Format AND range: the applied cast is try_cast(LongType), so a
   // value that looks integral but overflows Long (e.g. 20+ digits)
   // must NOT vote integer — it would cast to NULL and silently drop
@@ -41,9 +59,13 @@ object TypeInference {
   // column to float (Python's arbitrary-precision int can't overflow;
   // a fixed-width engine keeps the value, approximately, instead).
   private def isInt(c: Column): Column =
-    trim(c).rlike("^[+-]?[0-9]+$") && trim(c).try_cast(LongType).isNotNull
-  // try_cast: ANSI-safe "does it parse" probe (Spark 4 ANSI casts throw).
-  private def isFloat(c: Column): Column = c.try_cast(DoubleType).isNotNull
+    trim(c).rlike(IntRe) && canon(c).try_cast(LongType).isNotNull
+  // try_cast: ANSI-safe "does it parse" probe (Spark 4 ANSI casts
+  // throw). Underscored values must additionally match the Python
+  // grammar — try_cast alone never sees them (canon strips first).
+  private def isFloat(c: Column): Column =
+    (!trim(c).contains("_") || trim(c).rlike(FloatRe)) &&
+      canon(c).try_cast(DoubleType).isNotNull
 
   /** One aggregate pass → per-column verdicts. */
   def infer(df: DataFrame): Seq[(String, InferredType)] =
@@ -84,8 +106,8 @@ object TypeInference {
     df.select(df.columns.toSeq.map { name =>
       val c = col(name)
       byName.getOrElse(name, TextT) match {
-        case IntegerT => c.try_cast(LongType).as(name)
-        case FloatT => c.try_cast(DoubleType).as(name)
+        case IntegerT => canon(c).try_cast(LongType).as(name)
+        case FloatT => canon(c).try_cast(DoubleType).as(name)
         case TextT => c.as(name)
       }
     }: _*)

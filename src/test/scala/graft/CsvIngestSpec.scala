@@ -64,6 +64,29 @@ class TypeInferenceSpec extends AnyFunSuite with SparkTestBase {
   test("float-looking ints stay float ('5.0' is not an int)") {
     assert(inferOf(Seq("5.0", "6")) == FloatT)
   }
+  test("CPython underscore grouping parses (int and float)") {
+    import spark.implicits._
+    assert(inferOf(Seq("1_000", "2")) == IntegerT)
+    assert(inferOf(Seq("1_000.5", "2")) == FloatT)
+    assert(inferOf(Seq("1e1_0", "2")) == FloatT)
+    // illegal underscore placement is text, exactly like int()/float()
+    assert(inferOf(Seq("1__0")) == TextT)
+    assert(inferOf(Seq("_10")) == TextT)
+    assert(inferOf(Seq("10_")) == TextT)
+    assert(inferOf(Seq("1_0.")) == FloatT) // float('1_0.') == 10.0
+    val typed = TypeInference.inferAndApply(Seq("1_000", "2").toDF("c"))._1
+    assert(typed.collect().map(_.getLong(0)).toSet == Set(1000L, 2L))
+  }
+
+  test("bare inf spellings float like Python's float('inf')") {
+    import spark.implicits._
+    assert(inferOf(Seq("inf", "1.5")) == FloatT)
+    assert(inferOf(Seq("-INF", "1.5")) == FloatT)
+    val typed = TypeInference.inferAndApply(Seq("inf", "-inf").toDF("c"))._1
+    assert(typed.collect().map(_.getDouble(0)).toSet ==
+      Set(Double.PositiveInfinity, Double.NegativeInfinity))
+  }
+
   test("integers beyond Long range demote to float, never NULL") {
     // 20-digit value: looks integral, overflows Long — voting integer
     // would try_cast it to NULL and drop non-missing data
