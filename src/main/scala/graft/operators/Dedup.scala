@@ -232,6 +232,59 @@ object Dedup {
       .select(col("vec_id_a"), col("vec_id_b"), col("sim"))
   }
 
+  /** C9: near-duplicate clustering — connected components over the
+    * verified near-dup pair graph, every document labeled with its
+    * cluster's canonical (minimum) doc_id plus the cluster size. This
+    * is the step a cleaning pipeline actually wants after pair
+    * generation: "keep one document per duplicate cluster", made
+    * transitive (a~b, b~c ⇒ one cluster even when a,c weren't a pair).
+    *
+    * Scale shape: min-label propagation runs ONLY over the dup-graph
+    * vertex set (docs that appear in some pair — a tiny fraction of
+    * the corpus), one equi-join + one map-side-combined min per
+    * round, converging in O(component diameter) rounds; dup clusters
+    * are small and dense, so diameter is tiny. Labels join back to
+    * the corpus once at the end. No driver state beyond the O(1)
+    * convergence check (sum of labels, strictly decreasing until
+    * fixpoint). The GraphX/GraphFrames CC shape, without the
+    * dependency.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxIters: Int = 50): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val pairs = ngramJaccard(spark, dir, threshold)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    val withCluster = docs.join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withCluster.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   private val jaccardOracle =
     """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
       |sh AS (SELECT doc_id,
@@ -247,7 +300,29 @@ object Dedup {
       |FROM cand
       |WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8""".stripMargin
 
+  /** CC oracle: transitive closure via recursive CTE (min reachable
+    * id per node), over the same jaccard pair set.
+    */
+  private val clustersOracle =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_id_a, doc_id_b FROM (
+       |$jaccardOracle
+       |) jp),
+       |e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+       |      UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM reach JOIN e ON reach.id = e.dst),
+       |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |allc AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+       |         FROM documents d LEFT JOIN lab ON d.doc_id = lab.id)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM allc""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -290,6 +365,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
+    "dedup_clusters" -> ((s, d) => nearDupClusters(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d))
   )

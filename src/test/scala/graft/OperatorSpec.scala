@@ -104,6 +104,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact)
   }
+
+  test("near-dup clusters are the transitive closure of the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every pair ends up in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    // canonical id is the cluster minimum and a member of it
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.keySet.min == cid)
+      assert(members.forall(_._2._2 == members.size))
+    }
+    // docs in no pair are singletons labeled by themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(c => inPairs(c._1)).foreach { case (id, (cid, sz)) =>
+      assert(cid == id && sz == 1L)
+    }
+  }
 }
 
 class AnnSpec extends AnyFunSuite with SparkTestBase {
