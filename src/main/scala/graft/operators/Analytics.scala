@@ -271,6 +271,34 @@ object Analytics {
         countDistinct(col("k")).as("distinct_k"),
         max(col("k")).as("max_k"))
 
+  /** B16: exact median per group, deterministic cross-engine. Built
+    * from order statistics — rank the group, pick the middle row(s),
+    * average the two middles as (lo + hi) / 2 — instead of an
+    * engine's percentile function, whose interpolation op order is
+    * not portable. Odd groups select one row twice: (v + v) / 2 is
+    * IEEE-exact, so both engines emit identical bits. Rank ties don't
+    * matter: ordering is BY the value, so position k holds the same
+    * value under any tie order. Shape at scale: one hash-partitioned
+    * sort per group (the same Window shuffle as B5), no global sort.
+    */
+  def qMedianQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").asc)
+    val ranked = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    ranked
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("l_returnflag"))
+      .agg(((min(col("l_quantity")) + max(col("l_quantity"))) / 2)
+        .as("median_qty"),
+        count(lit(1)).as("n_mid"))
+      .select(col("l_returnflag"), col("median_qty"))
+  }
+
   /** B11: exact distinct count per group. */
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -407,7 +435,19 @@ object Analytics {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_median_quantity" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem),
+        |mids AS (SELECT * FROM ranked
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2)
+        |SELECT l_returnflag,
+        |  (MIN(l_quantity) + MAX(l_quantity)) / 2 AS median_qty
+        |FROM mids GROUP BY l_returnflag""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,6 +465,7 @@ object Analytics {
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),
-    "q_distinct_parts" -> (distinctParts _)
+    "q_distinct_parts" -> (distinctParts _),
+    "q_median_quantity" -> (qMedianQuantity _)
   )
 }

@@ -234,6 +234,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == Tables(spark, sf, "orders").count())
   }
 
+  test("approx percentile tracks the exact order-statistics median") {
+    val exact = operators.Analytics.qMedianQuantity(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (flag, m) =>
+      assert(math.abs(approx(flag) - m) / m < 0.05,
+        s"$flag approx=${approx(flag)} exact=$m")
+    }
+  }
+
   test("approximate count-distinct tracks exact within rsd") {
     val exact = Tables(spark, sf, "lineitem")
       .select(countDistinct(col("l_partkey"))).head().getLong(0)
