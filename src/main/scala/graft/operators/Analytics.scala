@@ -299,6 +299,35 @@ object Analytics {
       .select(col("l_returnflag"), col("median_qty"))
   }
 
+  /** B17: running total per customer — cumulative window sum.
+    * Determinism: the prefix sum accumulates in DECIMAL(38,6) (exact,
+    * so association order is irrelevant) with ONE cast to double per
+    * output row; frame order is made total by the (date, orderkey)
+    * tiebreak. Shape at scale: one hash-partitioned sort per
+    * customer — same shuffle class as the rank windows, no global
+    * sort.
+    */
+  def qRunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec4(col("o_totalprice"))).over(w).cast("double")
+          .as("running_total"))
+  }
+
+  /** B18: pivot (conditional aggregation): order counts by priority ×
+    * status. Spark's pivot leaves absent cells NULL where the
+    * oracle's COUNT FILTER yields 0 — na.fill closes the gap.
+    */
+  def qOrdersPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
   /** B11: exact distinct count per group. */
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -436,6 +465,18 @@ object Analytics {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+    "q_orders_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_median_quantity" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_quantity,
@@ -466,6 +507,8 @@ object Analytics {
     "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),
     "q_distinct_parts" -> (distinctParts _),
-    "q_median_quantity" -> (qMedianQuantity _)
+    "q_median_quantity" -> (qMedianQuantity _),
+    "q_running_revenue" -> (qRunningRevenue _),
+    "q_orders_pivot" -> (qOrdersPivot _)
   )
 }

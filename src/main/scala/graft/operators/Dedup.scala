@@ -300,6 +300,29 @@ object Dedup {
       |FROM cand
       |WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8""".stripMargin
 
+  /** C10: edit-distance verification of near-dup pairs — Levenshtein
+    * distance (and its length-normalized ratio) for every verified
+    * Jaccard pair. The character-level second opinion a pipeline uses
+    * to grade shingle-level candidates. At scale the O(m·n) DP runs
+    * ONLY on the near-dup pair set (tiny), never corpus-wide; the
+    * candidate generation above it is the AllPairs index, so nothing
+    * quadratic in the corpus appears here either.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val ta = docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb"))
+    ngramJaccard(spark, dir, threshold)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .join(ta, Seq("doc_id_a")).join(tb, Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("ta"), col("tb")).cast("bigint").as("edit_dist"),
+        (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"))
+          .as("similarity"))
+  }
+
   /** CC oracle: transitive closure via recursive CTE (min reachable
     * id per node), over the same jaccard pair set.
     */
@@ -321,8 +344,22 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM allc""".stripMargin
 
+  private val editDistOracle =
+    s"""WITH p AS (SELECT doc_id_a, doc_id_b FROM (
+       |$jaccardOracle
+       |) jp)
+       |SELECT doc_id_a, doc_id_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |    / CAST(GREATEST(length(a.text), length(b.text)) AS DOUBLE)
+       |      AS similarity
+       |FROM p
+       |JOIN documents a ON p.doc_id_a = a.doc_id
+       |JOIN documents b ON p.doc_id_b = b.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "dedup_edit_distance" -> editDistOracle,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -366,6 +403,7 @@ object Dedup {
     "dedup_minhash" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_clusters" -> ((s, d) => nearDupClusters(s, d)),
+    "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d))
   )

@@ -82,6 +82,28 @@ object TextQueries {
       .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
   }
 
+  /** E6: corpus-wide top bigrams — the vocabulary/statistics view a
+    * data pipeline inspects before filtering. Bigrams form by zipping
+    * the token array against its own tail (no per-element outer-
+    * expression re-evaluation), multiplicities kept; one explode +
+    * one hash aggregation + a top-N limit (planned as TakeOrdered —
+    * no global sort materialization).
+    */
+  def topBigrams(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    Tables(spark, dir, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(n)
+  }
+
   private val profileSql: Map[String, String] = Map(
     "en" -> "\\b(the|and|of|to|is|in|it|a)\\b",
     "de" -> "\\b(der|die|und|das|ist|ein|zu)\\b",
@@ -139,6 +161,13 @@ object TextQueries {
         |      ORDER BY tfidf DESC, term ASC) AS rank
         |  FROM scored)
         |SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""".stripMargin,
+    "text_top_bigrams" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') w
+        |  FROM documents),
+        |b AS (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) bigram
+        |  FROM t)
+        |SELECT bigram, COUNT(*) AS n_occurrences FROM b GROUP BY bigram
+        |ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -153,6 +182,7 @@ object TextQueries {
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
-    "text_fingerprint" -> (fingerprints _)
+    "text_fingerprint" -> (fingerprints _),
+    "text_top_bigrams" -> ((s, d) => topBigrams(s, d))
   )
 }
