@@ -241,12 +241,14 @@ object Dedup {
     *
     * Scale shape: min-label propagation runs ONLY over the dup-graph
     * vertex set (docs that appear in some pair — a tiny fraction of
-    * the corpus), one equi-join + one map-side-combined min per
-    * round, converging in O(component diameter) rounds; dup clusters
-    * are small and dense, so diameter is tiny. Labels join back to
-    * the corpus once at the end. No driver state beyond the O(1)
-    * convergence check (sum of labels, strictly decreasing until
-    * fixpoint). The GraphX/GraphFrames CC shape, without the
+    * the corpus). A round is ONE plan: (neighbor labels ∪ own labels)
+    * → hash-min per vertex — two stages, and when the label frame is
+    * small AQE turns the edge join into a broadcast, leaving a single
+    * shuffle per round. Converges in O(component diameter) rounds;
+    * dup clusters are small and dense, so diameter is tiny. Labels
+    * join back to the corpus once at the end. No driver state beyond
+    * the O(1) convergence check (sum of labels, strictly decreasing
+    * until fixpoint). The GraphX/GraphFrames CC shape, without the
     * dependency.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
@@ -254,24 +256,29 @@ object Dedup {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"))
     val pairs = ngramJaccard(spark, dir, threshold)
       .select(col("doc_id_a"), col("doc_id_b"))
+    // localCheckpoint, not persist: persist caches rows but each
+    // round's LOGICAL plan would still re-embed the whole pair
+    // pipeline, so analysis + AQE planning cost grows every round.
+    // Checkpointing truncates the lineage to a scan of the (tiny)
+    // edge set — the standard iterative-algorithm shape (GraphX does
+    // the same); on a cluster where executor loss matters, swap for
+    // reliable checkpoint().
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
       val s = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
