@@ -42,7 +42,60 @@ object Pipeline {
         wsTokenCount(col("text")).as("n_tokens"))
   }
 
+  /** Deterministic, reproducible train/valid/test assignment — the
+    * split a training pipeline must be able to recompute bit-for-bit
+    * months later. Bucket = first 8 md5 hex chars of the doc id mod
+    * 100 (portable across engines, unlike engine-native hash
+    * functions); 80/10/10. Pure map — no shuffle, no state, identical
+    * on any cluster size.
+    */
+  def deterministicSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+
+  /** Sequence packing: assign documents to contiguous token-budget
+    * bins per source — the batching step before training. Cumulative
+    * token count over a (source, doc_id) total order, bin = the
+    * budget window the document's end offset lands in. One
+    * hash-partitioned window per source (high-cardinality at real
+    * scale → even shuffle); all-integer arithmetic, so cross-engine
+    * exact.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 4096): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents) t""".stripMargin,
+    "pipeline_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens,
+        |  (cum_tokens - 1) // 4096 AS bin FROM c""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH scored AS (SELECT doc_id, text,
         |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
@@ -88,6 +141,8 @@ object Pipeline {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d))
+    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
+    "pipeline_split" -> (deterministicSplit _),
+    "pipeline_pack" -> ((s, d) => packSequences(s, d))
   )
 }
