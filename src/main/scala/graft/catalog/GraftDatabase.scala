@@ -106,6 +106,18 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def readBucketed(table: String): DataFrame =
     spark.table(bucketedIdent(table))
 
+  /** Write a table hive-partitioned by `partCols`: scans filtered on
+    * a partition column list only the matching directories
+    * (PartitionFilters in the plan — zero I/O for pruned partitions).
+    * The layout for any column a 100 TB table is routinely filtered
+    * by (date, source, modality); `read` picks the partition columns
+    * back up via directory discovery.
+    */
+  def writePartitioned(df: DataFrame, table: String,
+      partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(tablePath(table))
+
   /** Arbitrary SQL over this database's tables — the analog of the
     * query interface the reference hands its uploaded tables to
     * (Datasette's raison d'être). Tables are exposed as temp views

@@ -105,7 +105,36 @@ object Multimodal {
           floor(col("height").cast("double") * col("scale")).cast("bigint"))
           .as("resized_h"))
 
+  /** F5/H11: modality-partitioned media table — decode, route by
+    * modality (multi-frame payloads are "video"), write
+    * hive-partitioned, and read back with a partition filter that
+    * prunes the image directories entirely (asserted in PlanSpec).
+    * The write-side layout step of a real multimodal corpus store.
+    */
+  def partitionedMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = graft.catalog.GraftDatabase(spark,
+      s"/root/repo/target/graft_scratch/mm_part_${new org.apache.hadoop.fs.Path(sfDir).getName}/db")
+    db.drop()
+    val feats = decode(spark, sfDir)
+      .withColumn("modality",
+        when(col("n_frames") > 1, "video").otherwise("image"))
+    db.writePartitioned(feats, "media", Seq("modality"))
+    db.read("media")
+      .filter(col("modality") === "video")
+      .groupBy(col("channels"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_partitioned" ->
+      """WITH m AS (SELECT doc_id,
+        |    1 + ('0x'||substr(md5(text), 5, 2))::INT % 4 AS channels,
+        |    1 + ('0x'||substr(md5(text), 7, 2))::INT % 8 AS nf,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents)
+        |SELECT channels, COUNT(*) AS n, CAST(SUM(nb) AS BIGINT) AS total_bytes
+        |FROM m WHERE nf > 1 GROUP BY channels""".stripMargin,
     "mm_resize" ->
       """WITH m AS (SELECT doc_id,
         |    16 + ('0x'||substr(md5(text), 1, 2))::INT % 320 AS width,
@@ -147,6 +176,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) => meta(s, d)),
+    "mm_partitioned" -> (partitionedMedia _),
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_decode" -> ((s, d) => decode(s, d)),
     "mm_frames" -> ((s, d) => frames(s, d))

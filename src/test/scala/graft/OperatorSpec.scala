@@ -216,6 +216,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "exchange should sit between final and partial")
   }
 
+  test("partitioned media scan prunes partitions (PartitionFilters)") {
+    val plan = planOf(operators.Multimodal.partitionedMedia(spark, sf))
+    assert(plan.contains("PartitionFilters: ["), plan.take(2500))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*modality.*"),
+      "modality filter must prune at partition level:\n" + plan.take(2500))
+  }
+
   test("bucketed tables join without an exchange") {
     val db = graft.catalog.GraftDatabase(spark, scratch("bucketed"))
     db.writeBucketed(Tables(spark, sf, "orders")
