@@ -1,6 +1,11 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,16 +27,54 @@ class ProgressTracker(db: GraftDatabase) {
   private def path = db.tablePath(tableName)
   private val spark = db.spark
 
+  /** Parquet schema of the event log — identical shape to what a
+    * Spark 1-row append would produce; readable by spark.read.parquet
+    * and the DuckDB oracle alike.
+    */
+  private val progressSchema = MessageTypeParser.parseMessageType(
+    """message graft_progress {
+      |  optional binary id (UTF8);
+      |  optional binary table_name (UTF8);
+      |  optional int64 bytes_todo;
+      |  optional int64 bytes_done;
+      |  optional int64 rows_done;
+      |  optional binary started (UTF8);
+      |  optional binary completed (UTF8);
+      |  optional binary error (UTF8);
+      |  optional int64 seq;
+      |}""".stripMargin)
+
+  /** One-row metadata append, written DIRECTLY with a ParquetWriter —
+    * a progress update must not cost a Spark job (the Spark write
+    * path schedules a full job per append; measured ~200 ms each,
+    * several per upload once live progress flushes mid-load). Direct
+    * file write is ~ms, and bookkeeping stays off the data path.
+    */
   private def append(id: String, table: String, bytesTodo: Long,
       bytesDone: Long, rowsDone: Long, started: String,
       completed: Option[String], error: Option[String], seq: Long): Unit = {
-    import spark.implicits._
-    Seq((id, table, bytesTodo, bytesDone, rowsDone, started,
-      completed.orNull, error.orNull, seq))
-      .toDF("id", "table_name", "bytes_todo", "bytes_done", "rows_done",
-        "started", "completed", "error", "seq")
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    dir.getFileSystem(conf).mkdirs(dir)
+    val file = new Path(dir,
+      s"part-${java.util.UUID.randomUUID().toString}.parquet")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(file, conf))
+      .withType(progressSchema)
+      .build()
+    try {
+      val g = new SimpleGroupFactory(progressSchema).newGroup()
+      g.append("id", id)
+      g.append("table_name", table)
+      g.append("bytes_todo", bytesTodo)
+      g.append("bytes_done", bytesDone)
+      g.append("rows_done", rowsDone)
+      g.append("started", started)
+      completed.foreach(g.append("completed", _))
+      error.foreach(g.append("error", _))
+      g.append("seq", seq)
+      writer.write(g)
+    } finally writer.close()
   }
 
   def start(id: String, table: String, bytesTodo: Long,
