@@ -68,22 +68,26 @@ object Ann {
       array_position(dists, array_min(dists)) - 1
     }
 
+    // Per-iteration update as ONE wide aggregate — count + `dim` sum
+    // columns per cell — instead of posexploding every vector into
+    // dim rows (×64 row blowup through the shuffle). Partial
+    // aggregation combines map-side either way; this form shuffles
+    // 16 rows × 65 columns, not 640k exploded rows.
+    val dim = centroids(0).length
     for (_ <- 1 to iters) {
       val assigned = e.withColumn("cell", cellOf(centroids))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
+        sum(element_at(col("embedding"), d + 1).cast("double")).as(s"s$d"))
+      val sums = assigned.groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
+      val byCell = sums.map(r => r.getLong(0) -> r).toMap
       val next = centroids.zipWithIndex.map { case (old, ci) =>
-        val dims = sums.filter(_.getLong(0) == ci)
-        if (dims.isEmpty) old
-        else {
-          val arr = old.clone()
-          dims.foreach { r =>
-            arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
-          }
-          arr
+        byCell.get(ci.toLong) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            Array.tabulate(dim)(d => r.getDouble(2 + d) / n)
+          case None => old
         }
       }
       centroids = next
