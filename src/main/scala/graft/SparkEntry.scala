@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Analytics.queries ++ operators.CsvQueries.queries ++
       operators.TextQueries.queries ++ operators.Dedup.queries ++
-      operators.Ann.queries ++ operators.Multimodal.queries ++
+      operators.Ann.queries ++ operators.Pq.queries ++
+      operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.Pipeline.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */

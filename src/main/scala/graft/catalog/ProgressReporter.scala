@@ -64,8 +64,11 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
         val r = rowsRead.get()
         if (running && r > 0L && r != last) {
           last = r
-          db.progress.update(taskId, table, bytesTodo,
+          // A transient FS failure on a bookkeeping row must not kill
+          // the flusher (or the upload): drop the tick, try next time.
+          try db.progress.update(taskId, table, bytesTodo,
             math.min(bytesRead.get(), bytesTodo), r, seq.incrementAndGet())
+          catch { case _: Exception => }
         }
       }
     }: Runnable, s"graft-progress-$taskId")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Pq}
 
 class ExpressionSpec extends AnyFunSuite with SparkTestBase {
 
@@ -140,6 +140,56 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     // 2-of-16 cells probed: decent but lossy by design
     assert(recall >= 0.5, s"recall=$recall")
     assert(ivf.size == exact.size) // k fully filled from probed cells
+  }
+
+  test("PQ codes are deterministic, in range, and beat mean-only MSE") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Pq.train(e)
+    assert(cb.cents.length == 8 && cb.cents(0).length == 16)
+    def codesOf(c: Pq.Codebook) = Pq.encode(e, c).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes = codesOf(cb)
+    assert(codes == codesOf(cb), "encoding must be deterministic")
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 16)))
+    // trained codebook must reconstruct better than the mean-only one
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def mse(c: Pq.Codebook): Double = {
+      val cm = codesOf(c)
+      vecs.map { case (id, v) =>
+        v.indices.map { d =>
+          val s = d / c.subDim
+          val err = v(d) - c.cents(s)(cm(id)(s))(d % c.subDim)
+          err * err
+        }.sum
+      }.sum / vecs.size
+    }
+    val cb1 = Pq.train(e, m = 8, k = 1, iters = 1)
+    assert(mse(cb) < mse(cb1),
+      s"k=16 MSE ${mse(cb)} should beat k=1 MSE ${mse(cb1)}")
+  }
+
+  test("PQ ADC ranking tracks the exact dot-product ranking") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qs = vecs.filter(_._1 < 5)
+    // exact dot-product top-10 per query, computed in plain Scala
+    val exact = qs.map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> q.zip(v).map { case (a, b) => a * b }.sum }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val pq = Pq.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      ex.intersect(pq(q)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean ADC recall@10 too low: $mean")
   }
 
   test("IVF probe is a hash equi-join, not a nested loop") {
