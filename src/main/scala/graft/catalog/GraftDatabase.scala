@@ -122,12 +122,23 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     * query interface the reference hands its uploaded tables to
     * (Datasette's raison d'être). Tables are exposed as temp views
     * under their bare names; the full Spark SQL dialect applies.
+    *
+    * Internal underscore tables are queryable too — the reference
+    * exposes `_csv_progress_` to its SQL surface (its tests poll
+    * upload progress by query, tests:170-184). Directories that
+    * aren't parquet tables (stream checkpoints, staging) are skipped.
     */
   def sql(query: String): DataFrame = {
+    val p = new Path(path)
+    val all =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
     // Only identifier-safe names can be views; "weird ~ name.csv"
     // style tables remain readable through read().
-    listTables().filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      .foreach(t => read(t).createOrReplaceTempView(t))
+    all.filter(_.matches("[A-Za-z_][A-Za-z0-9_]*")).foreach { t =>
+      try read(t).createOrReplaceTempView(t)
+      catch { case _: Exception => () } // not a parquet table
+    }
     spark.sql(query)
   }
 

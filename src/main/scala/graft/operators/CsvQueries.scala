@@ -232,7 +232,30 @@ object CsvQueries {
              |FROM uploaded_orders GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** A6/B13: progress polled through the SQL surface — the way the
+    * reference's own tests watch an upload
+    * (tests/test_datasette_upload_csvs.py:170-184 query
+    * _csv_progress_ until bytes_done == bytes_todo).
+    */
+  def csvProgressSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("progress_sql", sfDir)
+    val db = freshDb(spark, "progress_sql", sfDir)
+    Tables(spark, sfDir, "region")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/region_csv")
+    CsvUploader.upload(db, s"$dir/region_csv", Some("region"),
+      taskId = "task-progress-sql")
+    db.sql("""SELECT table_name, rows_done,
+             |  bytes_done = bytes_todo AS bytes_ok
+             |FROM _csv_progress_
+             |WHERE id = 'task-progress-sql' AND completed IS NOT NULL"""
+      .stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "csv_progress_sql" ->
+      """SELECT 'region' AS table_name, COUNT(*) AS rows_done,
+        |  true AS bytes_ok
+        |FROM region""".stripMargin,
     "csv_sql_interface" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
@@ -301,6 +324,7 @@ object CsvQueries {
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),
     "csv_table_conflict" -> (csvTableConflict _),
-    "csv_progress" -> (csvProgress _)
+    "csv_progress" -> (csvProgress _),
+    "csv_progress_sql" -> (csvProgressSql _)
   )
 }
