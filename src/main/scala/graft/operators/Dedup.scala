@@ -210,6 +210,51 @@ object Dedup {
     embeddingLshOn(Tables(spark, dir, "embeddings"), threshold, nTables,
       planesPerTable)
 
+  /** C7b: multi-probe variant — each vector ALSO probes the bucket
+    * with its lowest-|margin| bit flipped (the plane it sits closest
+    * to, i.e. the likeliest single-bit disagreement with a true
+    * neighbor). Probing buys the recall of ~2× the tables for half
+    * the signature storage and half the candidate-join volume — the
+    * standard trade at scale, pinned in DedupSpec: 8 probed tables
+    * match 16 plain tables' recall floor. Probe rows exist only on
+    * the left side of the join, so bucket contents stay single-sig.
+    */
+  def embeddingLshMultiProbe(e0: DataFrame, threshold: Double,
+      nTables: Int = 8, planesPerTable: Int = 6): DataFrame = {
+    val sigAndFlip = (0 until nTables).map { t =>
+      val planes = hyperplanes(planesPerTable, 64, seed = 7L + t)
+      val dots = array(planes.map(p =>
+        aggregate(zip_with(col("embedding"), typedlit(p.toSeq),
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v)): _*)
+      val absDots = transform(dots, d => abs(d))
+      val sig = hyperplaneSignature(col("embedding"), planes)
+      val weakBit = (array_position(absDots, array_min(absDots)) - 1)
+        .cast("int")
+      // shiftleft needs a literal bit count — dispatch over the (≤6)
+      // plane indices instead
+      val flip = (0 until planesPerTable).foldLeft(sig) { (acc, p) =>
+        when(weakBit === p, sig.bitwiseXOR(lit(1 << p))).otherwise(acc)
+      }
+      (sig, flip)
+    }: Seq[(Column, Column)]
+    val base = e0.select(col("vec_id"), col("embedding"),
+      posexplode(array(sigAndFlip.map(_._1): _*)).as(Seq("table", "sig")))
+    val flips = e0.select(col("vec_id"), col("embedding"),
+      posexplode(array(sigAndFlip.map(_._2): _*)).as(Seq("table", "sig")))
+    val probes = base.union(flips)
+    val a = probes.select(col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"), col("table"), col("sig"))
+    val b = base.select(col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"), col("table"), col("sig"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"), col("ea"), col("eb"))
+      .distinct()
+      .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("sim"))
+  }
+
   /** [[embeddingLsh]] over any (vec_id, embedding) frame. */
   def embeddingLshOn(e0: DataFrame, threshold: Double, nTables: Int,
       planesPerTable: Int): DataFrame = {

@@ -97,6 +97,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("multi-probe embedding LSH matches 16-table recall with 8 tables") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (v, i) => when(i === 0, v + lit(0.01f)).otherwise(v)).as("embedding"))
+    val all = e.union(planted)
+    val found = Dedup.embeddingLshMultiProbe(all, threshold = 0.99,
+        nTables = 8, planesPerTable = 6)
+      .select(col("vec_id_a"), col("vec_id_b")).as[(Long, Long)]
+      .collect().toSet
+    val wanted = e.select(col("vec_id")).as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val recall = wanted.count(found.contains).toDouble / wanted.size
+    assert(recall >= 0.9, s"multi-probe recall=$recall with half the tables")
+  }
+
   test("minhash-LSH pairs equal exact-jaccard pairs on test docs") {
     val exact = Dedup.ngramJaccard(spark, sf).select("doc_id_a", "doc_id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
