@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -46,36 +46,34 @@ object Ann {
     * ncells·dim partial sums (posexplode + map-side combine);
     * centroids broadcast back as literals inside the plan.
     */
-  def ivfTopk(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, nCells: Int = 16, iters: Int = 3,
-      nProbe: Int = 2): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Squared-L2 argmin cell of `v` against literal centroids —
+    * aggregate() over zipped arrays, stays in codegen. Shared by IVF
+    * and IVF-PQ.
+    */
+  private[operators] def cellExpr(cents: Array[Array[Double]],
+      v: Column): Column = {
+    val lit2d = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(lit2d, c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    array_position(dists, array_min(dists)) - 1
+  }
 
-    // Fixed init: the nCells lowest ids (deterministic, no sampling).
+  /** Deterministic Lloyd over `e` = (vec_id, embedding): fixed init
+    * from the nCells lowest ids, fixed iteration count. Per-iteration
+    * update is ONE wide aggregate — count + `dim` sum columns per
+    * cell — instead of posexploding every vector into dim rows (×64
+    * row blowup through the shuffle); this form shuffles nCells rows
+    * of dim+1 values.
+    */
+  private[operators] def trainCentroids(e: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = e
       .orderBy(col("vec_id")).limit(nCells).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-
-    def cellOf = (cents: Array[Array[Double]]) => {
-      val lit2d = typedlit(cents.map(_.toSeq).toSeq)
-      // argmin over cells of squared L2 distance, computed with
-      // aggregate() over the zipped arrays — stays in codegen.
-      val dists = transform(lit2d, c =>
-        aggregate(zip_with(col("embedding"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v))
-      array_position(dists, array_min(dists)) - 1
-    }
-
-    // Per-iteration update as ONE wide aggregate — count + `dim` sum
-    // columns per cell — instead of posexploding every vector into
-    // dim rows (×64 row blowup through the shuffle). Partial
-    // aggregation combines map-side either way; this form shuffles
-    // 16 rows × 65 columns, not 640k exploded rows.
     val dim = centroids(0).length
     for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cell", cellOf(centroids))
+      val assigned = e.withColumn("cell", cellExpr(centroids, col("embedding")))
       val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
         sum(element_at(col("embedding"), d + 1).cast("double")).as(s"s$d"))
       val sums = assigned.groupBy(col("cell"))
@@ -92,8 +90,17 @@ object Ann {
       }
       centroids = next
     }
+    centroids
+  }
 
-    val assigned = e.withColumn("cell", cellOf(centroids))
+  def ivfTopk(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, nCells: Int = 16, iters: Int = 3,
+      nProbe: Int = 2): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(e, nCells, iters)
+    val assigned = e.withColumn("cell", cellExpr(centroids, col("embedding")))
     // Explode each query into (query, probed cell) rows so the probe
     // is an EQUI-join on `cell` — a hash join whose cost is
     // O(candidates), not the O(corpus × queries) nested loop an
@@ -102,7 +109,8 @@ object Ann {
     val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .select(col("query_id"), col("qe"),
-        explode(slice(sortedCells(centroids), 1, nProbe)).as("cell"))
+        explode(slice(sortedCellsExpr(centroids, col("qe")), 1, nProbe))
+          .as("cell"))
 
     val cands = assigned
       .join(broadcast(probes), Seq("cell"))
@@ -118,14 +126,15 @@ object Ann {
   }
 
   /** Cells ordered by distance to `qe` (closest first). Cell ids are
-    * long to match `cellOf`'s array_position output (equi-join key).
+    * long to match `cellExpr`'s array_position output (equi-join key).
     */
-  private def sortedCells(cents: Array[Array[Double]]) = {
+  private[operators] def sortedCellsExpr(cents: Array[Array[Double]],
+      qe: Column): Column = {
     val lit2d = typedlit(cents.map(_.toSeq).toSeq)
     val withIdx = zip_with(lit2d,
       sequence(lit(0L), lit((cents.length - 1).toLong)),
       (c, i) => struct(
-        aggregate(zip_with(col("qe"), c, (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(qe, c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v).as("d"),
         i.as("cell")))
     transform(array_sort(withIdx), s => s.getField("cell"))

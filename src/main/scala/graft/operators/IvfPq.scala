@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** IVF-PQ (SURVEY.md §2.D5) — the canonical billion-scale ANN
+  * composition: a coarse IVF quantizer routes each vector to a cell,
+  * PQ encodes the RESIDUAL (vector − cell centroid; residuals are
+  * smaller, so the same codebook budget quantizes them more
+  * accurately), and a query scans only its probed cells, scoring
+  * compressed codes with the inner-product decomposition
+  *
+  *   dot(q, x) = dot(q, centroid(cell_x)) + dot(q, resid_x)
+  *             ≈ cell_dot + Σ_m LUT_q[m][code_m(x)]
+  *
+  * so the per-cell constant rides on the probe row and the scan
+  * touches only the m-byte codes. Storage: m bytes + a cell id per
+  * vector; scan cost: |probed cells| / nCells of the corpus.
+  */
+object IvfPq {
+
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Coarse quantizer + residuals (float, so Pq.train's collect path
+    // reads them like any embedding column). One Lloyd iteration per
+    // quantizer: every extra iteration is a full corpus job, and the
+    // recall floor (spec) is already met — a production build would
+    // train once offline and reuse the codebooks across queries.
+    val coarse = Ann.trainCentroids(e, nCells, iters = 1)
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    val assigned = e
+      .withColumn("cell", Ann.cellExpr(coarse, col("embedding")))
+      .withColumn("embedding",
+        zip_with(col("embedding"),
+          element_at(coarseLit, (col("cell") + 1).cast("int")),
+          (x, c) => (x - c).cast("float")))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cb = Pq.train(assigned.select(col("vec_id"), col("embedding")),
+      iters = 1)
+    val codes = assigned.select(col("vec_id"), col("cell"),
+      Pq.codesExpr(cb, col("embedding")).as("codes"))
+
+    // Driver-side probe table: (query, probed cell, cell constant,
+    // residual-codebook LUT) — nQueries × nProbe rows, broadcast.
+    val probeRows = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Float](1).map(_.toDouble).toArray
+        val lut = Pq.lutFor(q, cb)
+        coarse.zipWithIndex.map { case (c, ci) =>
+          val l2 = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+          val cellDot = c.zip(q).map { case (a, b) => a * b }.sum
+          (ci.toLong, l2, cellDot)
+        }.sortBy(_._2).take(nProbe)
+          .map { case (cell, _, cellDot) => (qid, cell, cellDot, lut) }
+      }.toSeq.toDF("query_id", "cell", "cell_dot", "lut")
+
+    val scored = codes.join(broadcast(probeRows), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        col("cell_dot") + Pq.adcScoreExpr(cb.m, col("codes"), col("lut")))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("score"), col("vec_id"))
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("approx_dot"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq" -> ((s, d) => annIvfPq(s, d))
+  )
+}

@@ -84,13 +84,39 @@ object Pq {
     Codebook(m, k, subDim, cents)
   }
 
+  /** Codes of vector column `v` as an array<int>[m] — usable inline
+    * so callers can carry extra columns (IVF-PQ keeps the cell id).
+    */
+  def codesExpr(cb: Codebook, v: Column): Column =
+    array((0 until cb.m).map(s =>
+      argminCell(subvector(v, s, cb.subDim), cb.cents(s))): _*)
+
   /** Encode every vector to its m codebook indices — one map pass,
     * output rows are (vec_id, codes array<int>[m]).
     */
   def encode(e: DataFrame, cb: Codebook): DataFrame =
-    e.select(col("vec_id"), array((0 until cb.m).map(s =>
-      argminCell(subvector(col("embedding"), s, cb.subDim), cb.cents(s))
-    ): _*).as("codes"))
+    e.select(col("vec_id"), codesExpr(cb, col("embedding")).as("codes"))
+
+  /** ADC score of a codes column against a per-row lookup-table
+    * column (array<array<double>>, lut(s)(c) = query subvector ·
+    * centroid c of subspace s).
+    */
+  def adcScoreExpr(m: Int, codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(element_at(lut, (s + 1).cast("int")), c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** LUT for query vector `q` against `cb` (driver-side, O(m·k·subDim)). */
+  def lutFor(q: Array[Double], cb: Codebook): Seq[Seq[Double]] =
+    Array.tabulate(cb.m)(s => Array.tabulate(cb.k) { c =>
+      var dot = 0.0
+      var d = 0
+      while (d < cb.subDim) {
+        dot += q(s * cb.subDim + d) * cb.cents(s)(c)(d); d += 1
+      }
+      dot
+    }.toSeq).toSeq
 
   /** ADC top-k: per query, the dot product against a compressed
     * vector is the sum of m table lookups — LUT(s)(c) = query
@@ -105,24 +131,13 @@ object Pq {
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
         val q = r.getSeq[Float](1).map(_.toDouble).toArray
-        val lut = Array.tabulate(cb.m)(s => Array.tabulate(cb.k) { c =>
-          var dot = 0.0
-          var d = 0
-          while (d < cb.subDim) {
-            dot += q(s * cb.subDim + d) * cb.cents(s)(c)(d); d += 1
-          }
-          dot
-        }.toSeq).toSeq
-        (r.getLong(0), lut)
+        (r.getLong(0), lutFor(q, cb))
       }.toSeq.toDF("query_id", "lut")
     val codes = encode(e, cb)
     val scored = codes.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
-      .withColumn("score", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
-          (c, s) => element_at(element_at(col("lut"), (s + 1).cast("int")),
-            c + 1)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("score",
+        adcScoreExpr(cb.m, col("codes"), col("lut")))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(topK)(col("score"), col("vec_id"))
         .as("tk"))

@@ -210,6 +210,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.3, s"mean ADC recall@10 too low: $mean")
   }
 
+  test("IVF-PQ tracks the exact dot ranking at least as well as plain PQ") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exact = vecs.filter(_._1 < 5).map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> q.zip(v).map { case (a, b) => a * b }.sum }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val rs = exact.map { case (q, ex) =>
+        ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val ivfpq = recallOf(graft.operators.IvfPq.annIvfPq(spark, sf))
+    assert(ivfpq >= 0.2, s"IVF-PQ recall too low: $ivfpq")
+  }
+
   test("IVF probe is a hash equi-join, not a nested loop") {
     val plan = Ann.ivfTopk(spark, sf)
       .queryExecution.executedPlan.toString
