@@ -133,11 +133,25 @@ object CsvUploader {
   }
 
   /** The charset to hand Spark's reader: cp1252 decodes as latin-1
-    * and is fixed up column-wise afterwards.
+    * and is fixed up column-wise afterwards; a UTF-32BE file (always
+    * BOM-detected) reads through the generic BOM-aware "UTF-32"
+    * charset, the only 32-bit form Spark's CSV reader accepts.
+    * UTF-32LE has NO correct distributed path: the reader would
+    * split records on big-endian newline bytes — fail loudly (the
+    * uploader captures the error in _csv_progress_) rather than
+    * decode garbage, which is also what the old UTF-16LE
+    * misdetection used to produce silently.
     */
-  private def sparkCharset(encoding: String): String =
-    if (encoding == EncodingDetector.Cp1252) EncodingDetector.Latin1
-    else encoding
+  private def sparkCharset(encoding: String): String = encoding match {
+    case EncodingDetector.Cp1252 => EncodingDetector.Latin1
+    case EncodingDetector.Utf32BE => "UTF-32"
+    case EncodingDetector.Utf32LE =>
+      throw new IllegalArgumentException(
+        "UTF-32LE is detected but not decodable by Spark's distributed " +
+          "CSV reader (only BOM-aware big-endian UTF-32 is supported); " +
+          "transcode the file to UTF-8 first")
+    case e => e
+  }
 
   /** Distributed parse with an all-string schema — inference is ours
     * (§A3), never the CSV reader's.
@@ -154,7 +168,8 @@ object CsvUploader {
       .option("encoding", sparkCharset(encoding))
       .option("sep", delimiter)
       .option("inferSchema", "false")
-    val df = (if (encoding.startsWith("UTF-16")) reader.option("lineSep", "\n")
+    val df = (if (encoding.startsWith("UTF-16") ||
+        encoding.startsWith("UTF-32")) reader.option("lineSep", "\n")
       else reader).csv(csvPath)
     if (encoding == EncodingDetector.Cp1252) {
       import org.apache.spark.sql.functions.{col, translate}

@@ -36,6 +36,8 @@ object EncodingDetector {
   val Cp1252 = "windows-1252"
   val Utf16LE = "UTF-16LE"
   val Utf16BE = "UTF-16BE"
+  val Utf32LE = "UTF-32LE"
+  val Utf32BE = "UTF-32BE"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -61,6 +63,14 @@ object EncodingDetector {
   def detectBytes(bytes: Array[Byte], truncated: Boolean = false): String = {
     if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
       bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) return Utf8
+    // UTF-32 BOMs first: FF FE 00 00 is a PREFIX-collision with the
+    // UTF-16LE BOM and must win when the trailing NULs are present.
+    if (bytes.length >= 4 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xFE.toByte && bytes(2) == 0 && bytes(3) == 0)
+      return Utf32LE
+    if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+      bytes(2) == 0xFE.toByte && bytes(3) == 0xFF.toByte)
+      return Utf32BE
     if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
       return Utf16LE
     if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)

@@ -189,6 +189,45 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
       Set("Cléo", "Pancakes"))
   }
 
+  test("UTF-32 BOMs win over the prefix-colliding UTF-16LE BOM") {
+    import EncodingDetector._
+    // UTF-32LE BOM = FF FE 00 00 — its first two bytes ARE the
+    // UTF-16LE BOM; the longer match must win
+    val le32 = Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0, 'a', 0, 0, 0)
+    val be32 = Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte, 0, 0, 0, 'a')
+    assert(detectBytes(le32) == Utf32LE)
+    assert(detectBytes(be32) == Utf32BE)
+    // a genuine UTF-16LE BOM (next char non-NUL high byte) still wins
+    val le16 = "x".getBytes(Charset.forName("UTF-16LE"))
+    assert(detectBytes(Array[Byte](0xFF.toByte, 0xFE.toByte) ++ le16)
+      == Utf16LE)
+    // UTF-32BE decodes end to end through the generic BOM-aware
+    // "UTF-32" charset (the only 32-bit form Spark's reader accepts)
+    val dir = scratch("utf32")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(dir))
+    val beBom = Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte)
+    Files.write(Paths.get(s"$dir/dogs.csv"),
+      beBom ++ "name,age\nCleo,5\nPancakes,4"
+        .getBytes(Charset.forName("UTF-32BE")))
+    val res = CsvUploader.upload(db, s"$dir/dogs.csv")
+    assert(res.error.isEmpty, res.error.toString)
+    assert(res.encoding == "UTF-32BE")
+    val dogs = db.read("dogs")
+    assert(dogs.schema("age").dataType.simpleString == "bigint")
+    assert(dogs.collect().map(_.getString(0)).toSet ==
+      Set("Cleo", "Pancakes"))
+    // UTF-32LE has no correct distributed decode in Spark: the upload
+    // must FAIL LOUDLY with the error captured in progress — the old
+    // UTF-16LE misdetection decoded it as silent mojibake
+    Files.write(Paths.get(s"$dir/le.csv"),
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
+        "name,age\nCleo,5".getBytes(Charset.forName("UTF-32LE")))
+    val resLe = CsvUploader.upload(db, s"$dir/le.csv")
+    assert(resLe.error.isDefined)
+    assert(resLe.error.get.contains("UTF-32LE"))
+  }
+
   test("UTF-16BE without BOM detected by NUL-position skew") {
     import EncodingDetector._
     val le = "name,age\nCleo,5".getBytes(Charset.forName("UTF-16LE"))

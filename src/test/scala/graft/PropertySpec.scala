@@ -37,7 +37,8 @@ class PropertySpec extends AnyFunSuite {
       val v = EncodingDetector.detectBytes(bytes)
       Set(EncodingDetector.Utf8, EncodingDetector.Latin1,
         EncodingDetector.Cp1252,
-        EncodingDetector.Utf16LE, EncodingDetector.Utf16BE).contains(v)
+        EncodingDetector.Utf16LE, EncodingDetector.Utf16BE,
+        EncodingDetector.Utf32LE, EncodingDetector.Utf32BE).contains(v)
     })
   }
 
