@@ -328,7 +328,31 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L, Seq("F", "O", "P"))
 
-  /** B11: exact distinct count per group. */
+  /** B19: set operations — customers that placed orders in 1996 but
+    * not 1997 (INTERSECT/EXCEPT surface).
+    */
+  def qCustomerChurn(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(year: Int) = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    custsIn(1996).except(custsIn(1997))
+      .select(col("o_custkey").as("churned_custkey"))
+  }
+
+  /** B20: string-function surface (the everyday Datasette-SQL diet):
+    * LIKE, substring, case mapping, trim, regexp extraction,
+    * concatenation — all exercised in one pass over customer.
+    */
+  def qStringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_name").like("Customer%1%"))
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+        length(trim(col("c_name"))).as("name_len"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"))
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -477,6 +501,22 @@ object Analytics {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_customer_churn" ->
+      """SELECT o_custkey AS churned_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_string_ops" ->
+      """SELECT c_custkey,
+        |  upper(substr(c_name, 1, 8)) AS name_prefix,
+        |  length(trim(c_name)) AS name_len,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+        |  c_mktsegment || '-' || c_name AS tagged
+        |FROM customer
+        |WHERE c_name LIKE 'Customer%1%'""".stripMargin,
     "q_median_quantity" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_quantity,
@@ -509,6 +549,8 @@ object Analytics {
     "q_distinct_parts" -> (distinctParts _),
     "q_median_quantity" -> (qMedianQuantity _),
     "q_running_revenue" -> (qRunningRevenue _),
-    "q_orders_pivot" -> (qOrdersPivot _)
+    "q_orders_pivot" -> (qOrdersPivot _),
+    "q_customer_churn" -> (qCustomerChurn _),
+    "q_string_ops" -> (qStringOps _)
   )
 }

@@ -104,6 +104,18 @@ object TextQueries {
       .limit(n)
   }
 
+  /** E7: per-(source, lang) corpus inventory — the first dashboard a
+    * data pipeline builds. Counts and extrema only (order-independent
+    * exact); one map-side-combined aggregation.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   private val profileSql: Map[String, String] = Map(
     "en" -> "\\b(the|and|of|to|is|in|it|a)\\b",
     "de" -> "\\b(der|die|und|das|ist|ein|zu)\\b",
@@ -161,6 +173,11 @@ object TextQueries {
         |      ORDER BY tfidf DESC, term ASC) AS rank
         |  FROM scored)
         |SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "text_top_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') w
         |  FROM documents),
@@ -183,6 +200,7 @@ object TextQueries {
     "text_langid" -> (langid _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_fingerprint" -> (fingerprints _),
-    "text_top_bigrams" -> ((s, d) => topBigrams(s, d))
+    "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),
+    "text_corpus_stats" -> (corpusStats _)
   )
 }
