@@ -134,10 +134,17 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       if (!fs.exists(p)) Seq.empty[String]
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
     // Only identifier-safe names can be views; "weird ~ name.csv"
-    // style tables remain readable through read().
+    // style tables remain readable through read(). The skip-on-error
+    // is restricted to INTERNAL underscore dirs (checkpoints/staging
+    // aren't parquet); an unreadable USER table must still throw —
+    // temp views are session-global, so swallowing the error here
+    // would silently serve a stale view registered by an earlier
+    // sql() call, possibly from a different database.
     all.filter(_.matches("[A-Za-z_][A-Za-z0-9_]*")).foreach { t =>
-      try read(t).createOrReplaceTempView(t)
-      catch { case _: Exception => () } // not a parquet table
+      if (t.startsWith("_")) {
+        try read(t).createOrReplaceTempView(t)
+        catch { case _: Exception => () } // not a parquet table
+      } else read(t).createOrReplaceTempView(t)
     }
     spark.sql(query)
   }

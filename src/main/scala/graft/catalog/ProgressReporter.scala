@@ -19,9 +19,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * Scoping: jobs submitted inside [[around]] (on the calling thread)
   * carry the task's job group; the listener counts only stages of
   * those jobs, so concurrent queries on the session don't pollute the
-  * numbers. The flusher's own 1-row appends run on the side thread —
-  * job-group properties are thread-local, so they are NOT in the
-  * group and never count themselves.
+  * numbers. The flusher thread explicitly CLEARS the job group it
+  * inherits (Spark local properties are an InheritableThreadLocal and
+  * the thread is spawned inside the group) — so even if a progress
+  * append ever runs a Spark job again, it cannot count itself.
   *
   * At scale this is O(tasks) listener callbacks on the driver and one
   * tiny parquet append per interval — no data-path cost at all.
@@ -58,6 +59,8 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
     spark.sparkContext.setJobGroup(taskId, s"graft-upload-$taskId")
     running = true
     val flusher = new Thread({ () =>
+      // inherited from the spawning thread — drop it (see scaladoc)
+      spark.sparkContext.clearJobGroup()
       var last = 0L
       while (running) {
         Thread.sleep(intervalMs)

@@ -244,17 +244,18 @@ object Analytics {
   /** B9b: same 30-min gap sessionization through Spark's native
     * session_window function — a cross-check of the window-function
     * formulation (B9) against the engine's built-in session operator,
-    * pinned by the SAME DuckDB oracle. Semantics note: session_window
-    * closes a session at last_event + gap (exclusive), the manual
-    * form starts a new session when diff > gap — these differ only
-    * when two events sit EXACTLY gap apart, which ns-derived event
-    * times never do.
+    * pinned by the SAME DuckDB oracle. Gap alignment: session_window
+    * splits at diff ≥ gap (window end is exclusive) while the manual
+    * form splits at diff > 30 min — so the native gap is 30 min + 1 ms,
+    * making "split iff diff > 1 800 000 ms" exact on both paths, ties
+    * included.
     */
   def eventsSessionizeNative(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("user_id"), timestamp_millis(col("ms")).as("ts_ms"),
         col("ms"), col("value"))
-      .groupBy(col("user_id"), session_window(col("ts_ms"), "30 minutes"))
+      .groupBy(col("user_id"),
+        session_window(col("ts_ms"), "1800001 milliseconds"))
       .agg(min(col("ms")).as("session_start_ms"),
         count(lit(1)).as("n_events"),
         decSum(col("value")).as("total_value"))

@@ -20,15 +20,17 @@ import graft.sources.CsvUploader
   */
 object CsvQueries {
 
-  /** Scratch space inside the repo (driver runs from anywhere). */
-  private val scratchRoot = "/root/repo/target/graft_scratch"
+  /** Scratch space inside the repo (driver runs from anywhere).
+    * Shared across operator modules so the layout lives in one place.
+    */
+  private[operators] val scratchRoot = "/root/repo/target/graft_scratch"
 
-  private def scratch(qname: String, sfDir: String): String = {
+  private[operators] def scratch(qname: String, sfDir: String): String = {
     val key = new org.apache.hadoop.fs.Path(sfDir).getName
     s"$scratchRoot/${qname}_$key"
   }
 
-  private def freshDb(spark: SparkSession, qname: String,
+  private[operators] def freshDb(spark: SparkSession, qname: String,
       sfDir: String): GraftDatabase = {
     val db = GraftDatabase(spark, s"${scratch(qname, sfDir)}/db")
     db.drop()

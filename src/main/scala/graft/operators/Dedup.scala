@@ -314,16 +314,22 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // sum over an EMPTY label set (a corpus with no near-dup pair —
+    // the common clean case) is a null aggregate, not a long
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (it < maxIters && !converged) {
       val next = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(next)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -112,9 +112,7 @@ object Multimodal {
     * The write-side layout step of a real multimodal corpus store.
     */
   def partitionedMedia(spark: SparkSession, sfDir: String): DataFrame = {
-    val db = graft.catalog.GraftDatabase(spark,
-      s"/root/repo/target/graft_scratch/mm_part_${new org.apache.hadoop.fs.Path(sfDir).getName}/db")
-    db.drop()
+    val db = CsvQueries.freshDb(spark, "mm_part", sfDir)
     val feats = decode(spark, sfDir)
       .withColumn("modality",
         when(col("n_frames") > 1, "video").otherwise("image"))

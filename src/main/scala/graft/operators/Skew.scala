@@ -16,7 +16,8 @@ object Skew {
     * it once per salt copy.
     */
   private val safeJoinTypes =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti", "cross") // semi/anti: Spark's short aliases
 
   /** Salted equi-join: the skewed (big) side gets a random salt in
     * [0, salts); the replicated (small-per-key) side is exploded once

@@ -123,6 +123,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("near-dup clustering handles a corpus with zero pairs") {
+    // the common clean-corpus case: no document shares a shingle, so
+    // the pair graph is empty — every doc must come back a singleton
+    import spark.implicits._
+    val dir = scratch("cc_empty")
+    Seq((1L, "alpha bravo charlie delta echo"),
+        (2L, "foxtrot golf hotel india juliet"),
+        (3L, "kilo lima mike november oscar"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
   test("near-dup clusters are the transitive closure of the pair graph") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .select("doc_id_a", "doc_id_b")

@@ -24,14 +24,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 BANNED_TYPE_FRAGMENTS = ("DECIMAL", "HUGEINT", "INT128", "UINT64")
 
 
-def banned_types(description):
+def banned_types(rel):
     """Column names whose declared DuckDB type the driver can't hash
-    faithfully. description = cursor.description [(name, type, ...)]."""
+    faithfully. `rel` must be a DuckDBPyRelation (con.sql(...)): its
+    .types carry real type names — the DBAPI cursor description only
+    reports generic codes ('NUMBER' for DECIMAL/HUGEINT/BIGINT alike)
+    and would make this check dead code."""
     bad = []
-    for col in description:
-        type_name = str(col[1]).upper()
+    for name, typ in zip(rel.columns, rel.types):
+        type_name = str(typ).upper()
         if any(frag in type_name for frag in BANNED_TYPE_FRAGMENTS):
-            bad.append(f"{col[0]}:{col[1]}")
+            bad.append(f"{name}:{typ}")
     return bad
 
 
@@ -69,24 +72,25 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         files = glob.glob(f"{d}/*.parquet")
-        got_rel = con.execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        got_cols = [c[0] for c in got_rel.description]
+        # con.sql returns independent relation objects (con.execute
+        # returns the connection itself, whose description is
+        # clobbered by the next query — aliasing both sides).
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols = list(got_rel.columns)
         got = got_rel.fetchall()
         if name not in oracle:
             print(f"  ~ {name}: no oracle ({len(got)} rows) [rows-only]")
             continue
         try:
-            exp_rel = con.execute(oracle[name])
-            exp_cols = [c[0] for c in exp_rel.description]
-            exp_desc = exp_rel.description
+            exp_rel = con.sql(oracle[name])
+            exp_cols = list(exp_rel.columns)
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"  ✗ {name}: oracle SQL failed: {e}")
             n_fail += 1
             continue
-        bad = ([f"spark {c}" for c in banned_types(got_rel.description)] +
-               [f"oracle {c}" for c in banned_types(exp_desc)])
+        bad = ([f"spark {c}" for c in banned_types(got_rel)] +
+               [f"oracle {c}" for c in banned_types(exp_rel)])
         if bad:
             print(f"  ✗ {name}: driver-unhashable column type(s): "
                   f"{', '.join(bad)} — cast finals to DOUBLE/BIGINT")
