@@ -56,4 +56,43 @@ object TopK {
   def topk(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k), ExpressionEncoder[ScoredId]())
       .apply(score, id)
+
+  /** String-keyed twin of [[topk]] — same bounded-buffer partial
+    * aggregation for keys that aren't numeric ids (event types,
+    * terms). Total order (score desc, key asc).
+    */
+  case class ScoredKey(score: Double, key: String)
+
+  private val ordKey: Ordering[ScoredKey] =
+    Ordering.by((s: ScoredKey) => (-s.score, s.key))
+
+  class TopKByAggregator(k: Int)
+      extends Aggregator[ScoredKey, List[ScoredKey], Seq[ScoredKey]] {
+
+    override def zero: List[ScoredKey] = Nil
+
+    private def insert(buf: List[ScoredKey], x: ScoredKey): List[ScoredKey] = {
+      if (buf.lengthCompare(k) >= 0 && ordKey.gteq(x, buf.last)) buf
+      else {
+        val (better, worse) = buf.span(b => ordKey.lt(b, x))
+        (better ::: (x :: worse)).take(k)
+      }
+    }
+
+    override def reduce(b: List[ScoredKey], a: ScoredKey): List[ScoredKey] =
+      insert(b, a)
+    override def merge(b1: List[ScoredKey],
+        b2: List[ScoredKey]): List[ScoredKey] =
+      b2.foldLeft(b1)(insert)
+    override def finish(b: List[ScoredKey]): Seq[ScoredKey] = b
+
+    override def bufferEncoder: Encoder[List[ScoredKey]] =
+      ExpressionEncoder[List[ScoredKey]]()
+    override def outputEncoder: Encoder[Seq[ScoredKey]] =
+      ExpressionEncoder[Seq[ScoredKey]]()
+  }
+
+  def topkBy(k: Int)(score: Column, key: Column): Column =
+    udaf(new TopKByAggregator(k), ExpressionEncoder[ScoredKey]())
+      .apply(score, key)
 }

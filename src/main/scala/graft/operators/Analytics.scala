@@ -262,6 +262,26 @@ object Analytics {
       .select(col("user_id"), col("session_start_ms"), col("n_events"),
         col("total_value"))
 
+  /** B21: trending — top-3 event types per hour by count, through
+    * the bounded partial top-k aggregator (H3's string-keyed twin):
+    * only hours × 3 rows cross the final shuffle, not every
+    * (hour, type) count. Batch twin of the streaming trending form
+    * (EventStreams.trending).
+    */
+  def eventsTrending(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        (col("ms") - col("ms") % lit(3600000L)).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("hour_ms"))
+      .agg(graft.functions.TopK.topkBy(3)(col("n").cast("double"),
+        col("event_type")).as("tk"))
+      .select(col("hour_ms"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("hour_ms"), (col("idx") + 1).as("rank"),
+        col("s.key").as("event_type"),
+        col("s.score").cast("bigint").as("n_events"))
+
   /** B10: JSON extraction from a string column + agg. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -502,6 +522,17 @@ object Analytics {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_events_trending" ->
+      """WITH c AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_ms, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY hour_ms
+        |      ORDER BY n DESC, event_type ASC) AS rank
+        |  FROM c)
+        |SELECT hour_ms, rank, event_type, n AS n_events
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_customer_churn" ->
       """SELECT o_custkey AS churned_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -552,6 +583,7 @@ object Analytics {
     "q_running_revenue" -> (qRunningRevenue _),
     "q_orders_pivot" -> (qOrdersPivot _),
     "q_customer_churn" -> (qCustomerChurn _),
-    "q_string_ops" -> (qStringOps _)
+    "q_string_ops" -> (qStringOps _),
+    "q_events_trending" -> (eventsTrending _)
   )
 }

@@ -25,6 +25,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** G5: streaming trending — top-k event types per hour window,
+    * as TWO chained stateful aggregations (Spark 4's
+    * multiple-stateful-operator support, append mode): windowed
+    * counts emit when the watermark closes the window, then the
+    * bounded top-k aggregator (H3's string-keyed twin) reduces each
+    * closed window to k rows. State stays watermark-bounded in both
+    * stages; the batch twin (Analytics.eventsTrending) is
+    * oracle-checked.
+    */
+  def trending(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(graft.functions.TopK.topkBy(k)(col("n").cast("double"),
+        col("event_type")).as("tk"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("window_start"), (col("idx") + 1).as("rank"),
+        col("s.key").as("event_type"),
+        col("s.score").cast("long").as("n_events"))
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start_ms: Long, n_events: Long,

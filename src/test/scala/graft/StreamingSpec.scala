@@ -40,6 +40,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G5: streaming trending chains two stateful aggregations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.trending(
+        mem.toDF().toDF("ts", "event_type"), k = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend_out").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), "view"),
+        (Timestamp.valueOf("2024-01-01 10:25:00"), "view"),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:40:00"), "scroll"))
+      q.processAllAvailable()
+      // push the watermark past 11:00 + 2h so the 10:00 window closes
+      // through BOTH stateful stages (emission propagates across
+      // batches — nudge until the sink fills)
+      var tries = 0
+      while (spark.table("trend_out").isEmpty && tries < 5) {
+        mem.addData((Timestamp.valueOf("2024-01-01 14:00:00"), "late"))
+        q.processAllAvailable()
+        tries += 1
+      }
+      val rows = spark.table("trend_out")
+        .select(col("window_start").cast("string"), col("rank"),
+          col("event_type"), col("n_events"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", 1, "click", 3L),
+        ("2024-01-01 10:00:00", 2, "view", 2L)))
+    } finally q.stop()
+  }
+
   test("G3: stateful sessionization emits closed sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
