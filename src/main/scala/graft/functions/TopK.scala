@@ -14,23 +14,30 @@ import org.apache.spark.sql.functions.udaf
   * corpus. That asymmetry is the whole game at 100 TB: top-10 of a
   * billion candidates shuffles 10 rows per group, not 10⁹.
   *
-  * Ordering is total (score desc, id asc) so results are
+  * Ordering is total (score desc, id/key asc) so results are
   * deterministic under any partitioning.
   */
 object TopK {
 
   case class ScoredId(score: Double, id: Long)
 
-  private val ord: Ordering[ScoredId] =
-    Ordering.by((s: ScoredId) => (-s.score, s.id))
+  /** String-keyed twin of [[ScoredId]] for keys that aren't numeric
+    * ids (event types, terms).
+    */
+  case class ScoredKey(score: Double, key: String)
 
-  class TopKAggregator(k: Int)
-      extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
+  /** One bounded-top-k implementation for both element types; the
+    * buffer stays sorted best-first and capped at k.
+    */
+  class BoundedTopK[T](k: Int, ord: Ordering[T],
+      bufEnc: Encoder[List[T]], outEnc: Encoder[Seq[T]])
+      extends Aggregator[T, List[T], Seq[T]] {
 
-    override def zero: List[ScoredId] = Nil
+    require(k > 0, s"top-k needs k > 0, got $k")
 
-    /** Keep the buffer sorted best-first and capped at k. */
-    private def insert(buf: List[ScoredId], x: ScoredId): List[ScoredId] = {
+    override def zero: List[T] = Nil
+
+    private def insert(buf: List[T], x: T): List[T] = {
       if (buf.lengthCompare(k) >= 0 && ord.gteq(x, buf.last)) buf
       else {
         val (better, worse) = buf.span(b => ord.lt(b, x))
@@ -38,61 +45,32 @@ object TopK {
       }
     }
 
-    override def reduce(b: List[ScoredId], a: ScoredId): List[ScoredId] =
-      insert(b, a)
-    override def merge(b1: List[ScoredId], b2: List[ScoredId]): List[ScoredId] =
+    override def reduce(b: List[T], a: T): List[T] = insert(b, a)
+    override def merge(b1: List[T], b2: List[T]): List[T] =
       b2.foldLeft(b1)(insert)
-    override def finish(b: List[ScoredId]): Seq[ScoredId] = b
+    override def finish(b: List[T]): Seq[T] = b
 
-    override def bufferEncoder: Encoder[List[ScoredId]] =
-      ExpressionEncoder[List[ScoredId]]()
-    override def outputEncoder: Encoder[Seq[ScoredId]] =
-      ExpressionEncoder[Seq[ScoredId]]()
+    override def bufferEncoder: Encoder[List[T]] = bufEnc
+    override def outputEncoder: Encoder[Seq[T]] = outEnc
   }
 
   /** Column form: `topk(k)(scoreCol, idCol)` → array<struct<score,id>>
     * ordered best-first.
     */
   def topk(k: Int)(score: Column, id: Column): Column =
-    udaf(new TopKAggregator(k), ExpressionEncoder[ScoredId]())
+    udaf(new BoundedTopK[ScoredId](k,
+        Ordering.by((s: ScoredId) => (-s.score, s.id)),
+        ExpressionEncoder[List[ScoredId]](),
+        ExpressionEncoder[Seq[ScoredId]]()),
+      ExpressionEncoder[ScoredId]())
       .apply(score, id)
 
-  /** String-keyed twin of [[topk]] — same bounded-buffer partial
-    * aggregation for keys that aren't numeric ids (event types,
-    * terms). Total order (score desc, key asc).
-    */
-  case class ScoredKey(score: Double, key: String)
-
-  private val ordKey: Ordering[ScoredKey] =
-    Ordering.by((s: ScoredKey) => (-s.score, s.key))
-
-  class TopKByAggregator(k: Int)
-      extends Aggregator[ScoredKey, List[ScoredKey], Seq[ScoredKey]] {
-
-    override def zero: List[ScoredKey] = Nil
-
-    private def insert(buf: List[ScoredKey], x: ScoredKey): List[ScoredKey] = {
-      if (buf.lengthCompare(k) >= 0 && ordKey.gteq(x, buf.last)) buf
-      else {
-        val (better, worse) = buf.span(b => ordKey.lt(b, x))
-        (better ::: (x :: worse)).take(k)
-      }
-    }
-
-    override def reduce(b: List[ScoredKey], a: ScoredKey): List[ScoredKey] =
-      insert(b, a)
-    override def merge(b1: List[ScoredKey],
-        b2: List[ScoredKey]): List[ScoredKey] =
-      b2.foldLeft(b1)(insert)
-    override def finish(b: List[ScoredKey]): Seq[ScoredKey] = b
-
-    override def bufferEncoder: Encoder[List[ScoredKey]] =
-      ExpressionEncoder[List[ScoredKey]]()
-    override def outputEncoder: Encoder[Seq[ScoredKey]] =
-      ExpressionEncoder[Seq[ScoredKey]]()
-  }
-
+  /** [[topk]] keyed by string — total order (score desc, key asc). */
   def topkBy(k: Int)(score: Column, key: Column): Column =
-    udaf(new TopKByAggregator(k), ExpressionEncoder[ScoredKey]())
+    udaf(new BoundedTopK[ScoredKey](k,
+        Ordering.by((s: ScoredKey) => (-s.score, s.key)),
+        ExpressionEncoder[List[ScoredKey]](),
+        ExpressionEncoder[Seq[ScoredKey]]()),
+      ExpressionEncoder[ScoredKey]())
       .apply(score, key)
 }
