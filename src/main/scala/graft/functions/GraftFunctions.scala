@@ -35,6 +35,23 @@ object GraftFunctions {
   def rollingHash64(c: Column): Column =
     toCol(RollingHash64(toExpr(c)))
 
+  /** Squared-L2 argmin cell of a float vector vs literal centroids. */
+  def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    toCol(NearestCell(toExpr(vec), cents))
+
+  /** PQ codes (per-subspace argmin) of a float vector vs a codebook. */
+  def pqEncode(vec: Column, cents: Array[Array[Array[Double]]]): Column =
+    toCol(PqEncodeCodes(toExpr(vec), cents))
+
+  /** ADC lookup-table score of a codes column against a LUT column. */
+  def adcScore(codes: Column, lut: Column): Column =
+    toCol(AdcScore(toExpr(codes), toExpr(lut)))
+
+  /** vec − cents(cell): residual against the assigned centroid. */
+  def cellResidual(vec: Column, cell: Column,
+      cents: Array[Array[Double]]): Column =
+    toCol(CellResidual(toExpr(vec), toExpr(cell), cents))
+
   /** Idempotent SQL-name registration on an existing session (the
     * driver hands us its own session; extensions cover sessions we
     * build ourselves).

@@ -128,3 +128,251 @@ case class HyperplaneSignature(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Nearest centroid (squared-L2 argmin) of a float vector against a
+  * literal centroid matrix (SURVEY.md §2.D2/D5). Replaces the
+  * `transform`/`aggregate` higher-order-function formulation, which
+  * Catalyst evaluates through interpreted lambdas with per-element
+  * boxing — this loop is primitive and lives inside whole-stage
+  * codegen, so the corpus-wide cell-assignment pass (the part of IVF
+  * that actually scales with data) is a tight scan. Ties break to the
+  * lowest cell index (same as array_position of the min).
+  */
+case class NearestCell(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(a.numElements(), ct.length)
+      while (i < n) {
+        val diff = a.getFloat(i).toDouble - ct(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cm = ctx.addReferenceObj("cents", cents, "double[][]")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cm.length; $c++) {
+         |  double[] $ct = $cm[$c];
+         |  double $d = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $ct.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = ((double) $a.getFloat($i)) - $ct[$i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Product-quantization encoder (SURVEY.md §2.D4): per subspace s,
+  * the squared-L2 argmin of the subvector against codebook
+  * `cents(s)`, emitted as array<int>[m]. One primitive pass per row —
+  * the corpus-scale encode stays in whole-stage codegen instead of
+  * m×k interpreted lambda evaluations per vector.
+  */
+case class PqEncodeCodes(child: Expression,
+    cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty && cents(0).nonEmpty && cents(0)(0).nonEmpty)
+  private val m = cents.length
+  private val subDim = cents(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val cb = cents(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val ct = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = a.getFloat(base + i).toDouble - ct(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cm = ctx.addReferenceObj("cents", cents, "double[][][]")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val cb = ctx.freshName("cb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = $s * $subDim;
+         |  double[][] $cb = $cm[$s];
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cb.length; $c++) {
+         |    double[] $ct = $cb[$c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $diff = ((double) $a.getFloat($base + $i)) - $ct[$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Residual of a float vector against its assigned cell's centroid
+  * (SURVEY.md §2.D5): `vec - cents(cell)` as array<float>. Sits in
+  * the IVF-PQ encode scan, so it's a native primitive loop rather
+  * than an interpreted zip_with lambda over every corpus element.
+  */
+case class CellResidual(left: Expression, right: Expression,
+    cents: Array[Array[Double]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_cell_residual"
+
+  override def nullSafeEval(v: Any, cell: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val ct = cents(cell.asInstanceOf[Int])
+    val n = math.min(a.numElements(), ct.length)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (a.getFloat(i).toDouble - ct(i)).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, cell) => {
+      val cm = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ct = ctx.freshName("ct")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $ct = $cm[$cell];
+         |int $n = java.lang.Math.min($a.numElements(), $ct.length);
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (float) (((double) $a.getFloat($i)) - $ct[$i]);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC (asymmetric distance computation) score (SURVEY.md §2.D4/D5):
+  * Σ_s lut[s][codes[s]] — the per-row lookup-table sum that scores a
+  * PQ-compressed vector against a query. `codes` is array<int>[m],
+  * `lut` array<array<double>> riding on the broadcast query row.
+  * Index-ordered double adds, matching the plain-Scala spec oracle.
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_score"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), lut.numElements())
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val sum = ctx.freshName("sum")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($codes.numElements(), $lut.numElements());
+         |double $sum = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $sum += $lut.getArray($s).getDouble($codes.getInt($s));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -39,59 +39,27 @@ object Ann {
         (col("idx") + 1).as("rank"), col("s.score").as("sim"))
   }
 
-  /** D2: IVF — deterministic Lloyd iterations (fixed init: lowest
-    * vec_ids; fixed iteration count), then probe the nProbe nearest
-    * cells per query. Distributed shape: centroid assignment is one
-    * map pass per iteration; the per-iteration shuffle carries only
-    * ncells·dim partial sums (posexplode + map-side combine);
-    * centroids broadcast back as literals inside the plan.
+  /** D2: IVF — deterministic Lloyd (in-core over a bounded sample,
+    * [[KMeans]]), then probe the nProbe nearest cells per query.
+    * Distributed shape: the corpus-scale pass is cell ASSIGNMENT —
+    * one codegen'd map scan (native `NearestCell` expression);
+    * centroids broadcast as plan literals.
     */
   /** Squared-L2 argmin cell of `v` against literal centroids —
-    * aggregate() over zipped arrays, stays in codegen. Shared by IVF
-    * and IVF-PQ.
+    * native codegen expression (primitive loops, no interpreted
+    * lambdas). Shared by IVF and IVF-PQ.
     */
   private[operators] def cellExpr(cents: Array[Array[Double]],
-      v: Column): Column = {
-    val lit2d = typedlit(cents.map(_.toSeq).toSeq)
-    val dists = transform(lit2d, c =>
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v))
-    array_position(dists, array_min(dists)) - 1
-  }
+      v: Column): Column =
+    nearestCell(v, cents)
 
-  /** Deterministic Lloyd over `e` = (vec_id, embedding): fixed init
-    * from the nCells lowest ids, fixed iteration count. Per-iteration
-    * update is ONE wide aggregate — count + `dim` sum columns per
-    * cell — instead of posexploding every vector into dim rows (×64
-    * row blowup through the shuffle); this form shuffles nCells rows
-    * of dim+1 values.
+  /** Deterministic centroids over `e` = (vec_id, embedding): one
+    * TakeOrdered sample pass + in-core Lloyd (quantizer quality needs
+    * a distribution sample, not the corpus — see [[KMeans]]).
     */
   private[operators] def trainCentroids(e: DataFrame, nCells: Int,
-      iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = e
-      .orderBy(col("vec_id")).limit(nCells).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val dim = centroids(0).length
-    for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cell", cellExpr(centroids, col("embedding")))
-      val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
-        sum(element_at(col("embedding"), d + 1).cast("double")).as(s"s$d"))
-      val sums = assigned.groupBy(col("cell"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      val byCell = sums.map(r => r.getLong(0) -> r).toMap
-      val next = centroids.zipWithIndex.map { case (old, ci) =>
-        byCell.get(ci.toLong) match {
-          case Some(r) =>
-            val n = r.getLong(1)
-            Array.tabulate(dim)(d => r.getDouble(2 + d) / n)
-          case None => old
-        }
-      }
-      centroids = next
-    }
-    centroids
-  }
+      iters: Int, sampleN: Int = 65536): Array[Array[Double]] =
+    KMeans.lloyd(KMeans.sampleVectors(e, sampleN), nCells, iters)
 
   def ivfTopk(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, nCells: Int = 16, iters: Int = 3,
@@ -126,13 +94,15 @@ object Ann {
   }
 
   /** Cells ordered by distance to `qe` (closest first). Cell ids are
-    * long to match `cellExpr`'s array_position output (equi-join key).
+    * int to match `cellExpr`'s output (equi-join key). Higher-order
+    * functions are fine here: this runs on the q query rows only,
+    * never the corpus.
     */
   private[operators] def sortedCellsExpr(cents: Array[Array[Double]],
       qe: Column): Column = {
     val lit2d = typedlit(cents.map(_.toSeq).toSeq)
     val withIdx = zip_with(lit2d,
-      sequence(lit(0L), lit((cents.length - 1).toLong)),
+      sequence(lit(0), lit(cents.length - 1)),
       (c, i) => struct(
         aggregate(zip_with(qe, c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v).as("d"),

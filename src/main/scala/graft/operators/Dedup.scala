@@ -297,50 +297,105 @@ object Dedup {
     * dependency.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, maxIters: Int = 50): DataFrame = {
+      threshold: Double = 0.8, maxIters: Int = 50,
+      maxDriverEdges: Long = 4L * 1000 * 1000,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"))
     val pairs = ngramJaccard(spark, dir, threshold)
       .select(col("doc_id_a"), col("doc_id_b"))
-    // localCheckpoint, not persist: persist caches rows but each
-    // round's LOGICAL plan would still re-embed the whole pair
-    // pipeline, so analysis + AQE planning cost grows every round.
-    // Checkpointing truncates the lineage to a scan of the (tiny)
-    // edge set — the standard iterative-algorithm shape (GraphX does
-    // the same); on a cluster where executor loss matters, swap for
-    // reliable checkpoint().
-    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    // sum over an EMPTY label set (a corpus with no near-dup pair —
-    // the common clean case) is a null aggregate, not a long
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("label"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var prevSum = labelSum(labels)
-    var it = 0
-    var converged = labels.isEmpty
-    while (it < maxIters && !converged) {
-      val next = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      it += 1
-    }
+    val labels = clusterLabels(spark, pairs, maxIters, maxDriverEdges,
+      reliableCheckpointDir)
     val withCluster = docs.join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
     val sizes = withCluster.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     withCluster.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Connected-component labels (id, label=min reachable id) of the
+    * pair graph. Two regimes, same output:
+    *
+    * - **In-core union-find** when the pair set fits the driver
+    *   (≤ maxDriverEdges, default 4M ⇒ ~64 MB): near-dup graphs are
+    *   a tiny fraction of the corpus even at 100 TB, so this is the
+    *   common case — and it replaces O(diameter) Spark rounds with
+    *   microseconds of path-compressed unions. Same philosophy as a
+    *   broadcast join: when one side is provably small, stop
+    *   distributing it.
+    * - **Distributed min-label propagation** above the threshold:
+    *   one (neighbor-labels ∪ own-labels) → hash-min plan per round,
+    *   lineage truncated per round (persist alone would re-embed the
+    *   whole pair pipeline in every round's logical plan). Rounds =
+    *   O(component diameter); dup clusters are small and dense.
+    *   `reliableCheckpointDir` swaps localCheckpoint for reliable
+    *   checkpoint() so a lost executor replays from storage instead
+    *   of recomputing the whole chain — the right setting on a real
+    *   cluster where the loop outlives executor churn.
+    */
+  private[operators] def clusterLabels(spark: SparkSession,
+      pairs: DataFrame, maxIters: Int, maxDriverEdges: Long,
+      reliableCheckpointDir: Option[String]): DataFrame = {
+    import spark.implicits._
+    val nEdges = pairs.count()
+    if (nEdges <= maxDriverEdges) {
+      // Union-find with path halving + union by min label: the
+      // canonical representative IS the minimum member, which is what
+      // the distributed loop converges to.
+      val edges = pairs.select(col("doc_id_a"), col("doc_id_b"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)); x = parent(x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "label")
+    } else {
+      val checkpoint: DataFrame => DataFrame = reliableCheckpointDir match {
+        case Some(d) =>
+          spark.sparkContext.setCheckpointDir(d)
+          df => df.checkpoint()
+        case None => df => df.localCheckpoint()
+      }
+      val edges = checkpoint(
+        pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+          .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"))))
+      var labels = checkpoint(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+      // sum over an EMPTY label set (a corpus with no near-dup pair —
+      // the common clean case) is a null aggregate, not a long
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(sum(col("label"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var prevSum = labelSum(labels)
+      var it = 0
+      var converged = labels.isEmpty
+      while (it < maxIters && !converged) {
+        val next = checkpoint(edges.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("label"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
+        val s = labelSum(next)
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        it += 1
+      }
+      labels
+    }
   }
 
   private val jaccardOracle =
@@ -374,10 +429,14 @@ object Dedup {
     ngramJaccard(spark, dir, threshold)
       .select(col("doc_id_a"), col("doc_id_b"))
       .join(ta, Seq("doc_id_a")).join(tb, Seq("doc_id_b"))
+      // two selects so the O(m·n) DP is evaluated ONCE per pair and
+      // the ratio derives from the materialized column
       .select(col("doc_id_a"), col("doc_id_b"),
         levenshtein(col("ta"), col("tb")).cast("bigint").as("edit_dist"),
-        (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
-          greatest(length(col("ta")), length(col("tb"))).cast("double"))
+        greatest(length(col("ta")), length(col("tb"))).cast("double")
+          .as("max_len"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
           .as("similarity"))
   }
 

@@ -28,19 +28,17 @@ object IvfPq {
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Coarse quantizer + residuals (float, so Pq.train's collect path
-    // reads them like any embedding column). One Lloyd iteration per
-    // quantizer: every extra iteration is a full corpus job, and the
-    // recall floor (spec) is already met — a production build would
-    // train once offline and reuse the codebooks across queries.
+    // Coarse quantizer + residuals (float, so Pq.train's sample path
+    // reads them like any embedding column). Training is in-core over
+    // a bounded sample (KMeans), so iterations are free; the corpus
+    // passes — assignment and residual — are ONE codegen'd map scan
+    // (native NearestCell + CellResidual expressions).
     val coarse = Ann.trainCentroids(e, nCells, iters = 1)
-    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
     val assigned = e
       .withColumn("cell", Ann.cellExpr(coarse, col("embedding")))
       .withColumn("embedding",
-        zip_with(col("embedding"),
-          element_at(coarseLit, (col("cell") + 1).cast("int")),
-          (x, c) => (x - c).cast("float")))
+        graft.functions.GraftFunctions.cellResidual(
+          col("embedding"), col("cell"), coarse))
       .select(col("vec_id"), col("cell"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -60,7 +58,7 @@ object IvfPq {
         coarse.zipWithIndex.map { case (c, ci) =>
           val l2 = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
           val cellDot = c.zip(q).map { case (a, b) => a * b }.sum
-          (ci.toLong, l2, cellDot)
+          (ci, l2, cellDot)
         }.sortBy(_._2).take(nProbe)
           .map { case (cell, _, cellDot) => (qid, cell, cellDot, lut) }
       }.toSeq.toDF("query_id", "cell", "cell_dot", "lut")
@@ -68,7 +66,7 @@ object IvfPq {
     val scored = codes.join(broadcast(probeRows), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score",
-        col("cell_dot") + Pq.adcScoreExpr(cb.m, col("codes"), col("lut")))
+        col("cell_dot") + Pq.adcScoreExpr(col("codes"), col("lut")))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(k)(col("score"), col("vec_id"))
         .as("tk"))

@@ -74,6 +74,58 @@ class ExpressionSpec extends AnyFunSuite with SparkTestBase {
     val hs = df.collect().map(_.getLong(0))
     assert(hs(0) == hs(1) && hs(0) != hs(2))
   }
+
+  test("nearest cell / PQ encode / ADC score match plain-Scala references") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(0.1f, 0.2f, 3.0f, 4.0f),
+      Array(2.9f, 4.1f, 0.0f, 0.1f),
+      Array(0.0f, 0.0f, 0.0f, 0.0f))
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0), Array(3.0, 4.0, 0.0, 0.0))
+    def argmin(v: Array[Float], cs: Array[Array[Double]]): Int =
+      cs.zipWithIndex.minBy { case (c, i) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i) }._2
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val cells = df.select(col("vec_id"),
+        nearestCell(col("embedding"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(cells(i.toLong) == argmin(v, cents), s"vec $i")
+    }
+    // PQ: m=2 subspaces of dim 2, k=2 per-subspace codebooks
+    val pqCents = Array(
+      Array(Array(0.0, 0.0), Array(3.0, 4.0)),
+      Array(Array(0.0, 0.0), Array(3.0, 4.0)))
+    val codes = df.select(col("vec_id"),
+        pqEncode(col("embedding"), pqCents).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val want = Array(
+        argmin(v.slice(0, 2), pqCents(0)),
+        argmin(v.slice(2, 4), pqCents(1)))
+      assert(codes(i.toLong).sameElements(want), s"vec $i")
+    }
+    // ADC: sum of per-subspace LUT lookups
+    val lut = Seq(Seq(1.5, -2.0), Seq(0.25, 8.0))
+    val scored = df.select(col("vec_id"),
+        adcScore(pqEncode(col("embedding"), pqCents), typedlit(lut)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val c = codes(i.toLong)
+      assert(scored(i.toLong) === lut(0)(c(0)) + lut(1)(c(1)), s"vec $i")
+    }
+    // residual: vec − cents(cell), as float
+    val resid = df.select(col("vec_id"),
+        cellResidual(col("embedding"),
+          nearestCell(col("embedding"), cents), cents).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val want = v.zip(cents(argmin(v, cents)))
+        .map { case (x, c) => (x.toDouble - c).toFloat }
+      assert(resid(i.toLong).sameElements(want), s"vec $i")
+    }
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
@@ -136,6 +188,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val out = Dedup.nearDupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
+  test("distributed label propagation equals the union-find fast path") {
+    // maxDriverEdges=0 forces the distributed regime; the in-core
+    // union-find is the default. Same labels either way — and the
+    // reliable-checkpoint variant (executor-loss-safe on a real
+    // cluster) must also agree.
+    val viaUF = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaLP = Dedup.nearDupClusters(spark, sf, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLP == viaUF)
+    val viaReliable = Dedup.nearDupClusters(spark, sf, maxDriverEdges = 0,
+        reliableCheckpointDir = Some(scratch("cc_ckpt")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaReliable == viaUF)
   }
 
   test("near-dup clusters are the transitive closure of the pair graph") {
@@ -305,6 +373,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     codegenLine(Tables(spark, sf, "embeddings").select(
       graft.functions.GraftFunctions.hyperplaneSignature(col("embedding"),
         operators.Dedup.hyperplanes(6, 64)).as("sig")), "graft_hyperplane_sig")
+    // the ANN corpus passes (cell assignment, PQ encode) must also
+    // stay inside whole-stage codegen — they scan every vector
+    val cents = Array(Array.fill(64)(0.0), Array.fill(64)(1.0))
+    val pqCents = Array.fill(8)(Array(Array.fill(8)(0.0), Array.fill(8)(1.0)))
+    codegenLine(Tables(spark, sf, "embeddings").select(
+      graft.functions.GraftFunctions.nearestCell(col("embedding"), cents)
+        .as("cell")), "graft_nearest_cell")
+    codegenLine(Tables(spark, sf, "embeddings").select(
+      graft.functions.GraftFunctions.pqEncode(col("embedding"), pqCents)
+        .as("codes")), "graft_pq_encode")
   }
 
   test("custom TopKPerGroup plans partial-heap before the exchange") {
