@@ -46,10 +46,14 @@ object Bench {
       val ok = passes.map(p => p(n)).filter(_ >= 0.0)
       n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the JSON line short enough to fit entirely in
+    // the driver's bounded stdout tail capture (full-precision doubles
+    // overflowed it at 62 queries and the line failed to parse).
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":"warmup+measured"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":"warmup+measured"}""")
     spark.stop()
   }
 }
