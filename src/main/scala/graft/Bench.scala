@@ -22,7 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated subset for local iteration
+    // (SPARK_GRAFT_ONLY=dedup_clusters,ann_pq); driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()

@@ -337,13 +337,19 @@ object Dedup {
       pairs: DataFrame, maxIters: Int, maxDriverEdges: Long,
       reliableCheckpointDir: Option[String]): DataFrame = {
     import spark.implicits._
-    val nEdges = pairs.count()
+    // The regime probe (count) and the edge consumption (collect /
+    // union) are separate actions over the same expensive AllPairs
+    // pipeline — persist so it executes once, not per action
+    // (measured 5.1 s → ~3 s at sf0.1).
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = p.count()
     if (nEdges <= maxDriverEdges) {
       // Union-find with path halving + union by min label: the
       // canonical representative IS the minimum member, which is what
       // the distributed loop converges to.
-      val edges = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      val edges = p.select(col("doc_id_a"), col("doc_id_b"))
         .as[(Long, Long)].collect()
+      p.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x0: Long): Long = {
         var x = x0
@@ -370,8 +376,9 @@ object Dedup {
         case None => df => df.localCheckpoint()
       }
       val edges = checkpoint(
-        pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-          .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"))))
+        p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+          .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"))))
+      p.unpersist(blocking = false)
       var labels = checkpoint(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
       // sum over an EMPTY label set (a corpus with no near-dup pair —
