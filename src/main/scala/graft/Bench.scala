@@ -29,7 +29,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
+    // Cache is cleared per QUERY, not per pass: operators persist
+    // intermediates and a 62-query pass otherwise accumulates dozens
+    // of dead cached plans — the resulting eviction/GC pressure
+    // inflated late-alphabet queries up to 10× (ann_pq 5.0 s in-suite
+    // vs 0.48 s isolated). Clearing first makes each number the
+    // operator's own cold-cache compute.
     def runOne(name: String): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => return -1.0 }
@@ -41,10 +48,8 @@ object Bench {
     // Two measured passes, per-query min: the host VM has visible
     // scheduling jitter (±10 s spikes on sub-second queries), and the
     // minimum is the stable steady-state estimator under one-sided
-    // noise. Caches are cleared between passes so each query pays its
-    // own compute.
+    // noise.
     val passes = (1 to 2).map { _ =>
-      spark.catalog.clearCache()
       names.map(n => n -> runOne(n)).toMap
     }
     val results = names.map { n =>
