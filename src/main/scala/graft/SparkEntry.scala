@@ -18,12 +18,14 @@ object SparkEntry {
       operators.Ann.queries ++ operators.Pq.queries ++
       operators.IvfPq.queries ++
       operators.Multimodal.queries ++
-      operators.AsOf.queries ++ operators.Pipeline.queries
+      operators.AsOf.queries ++ operators.Pipeline.queries ++
+      operators.Curation.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
     operators.Analytics.oracles ++ operators.CsvQueries.oracles ++
       operators.TextQueries.oracles ++ operators.Dedup.oracles ++
       operators.Ann.oracles ++ operators.Multimodal.oracles ++
-      operators.AsOf.oracles ++ operators.Pipeline.oracles
+      operators.AsOf.oracles ++ operators.Pipeline.oracles ++
+      operators.Curation.oracles
 }

@@ -35,6 +35,12 @@ object GraftFunctions {
   def rollingHash64(c: Column): Column =
     toCol(RollingHash64(toExpr(c)))
 
+  /** Bloom-filter membership probe (serialized filter baked into the
+    * plan; map-side, codegen'd). Positives need exact verification.
+    */
+  def bloomMightContain(c: Column, serializedBloom: Array[Byte]): Column =
+    toCol(BloomMightContain(toExpr(c), serializedBloom))
+
   /** Squared-L2 argmin cell of a float vector vs literal centroids. */
   def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
     toCol(NearestCell(toExpr(vec), cents))

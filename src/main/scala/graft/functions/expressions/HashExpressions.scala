@@ -201,3 +201,44 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Bloom-filter membership probe over a string column (SURVEY.md
+  * §2.C13). The filter is built once on the already-seen corpus
+  * (`DataFrame.stat.bloomFilter`) and baked into the expression in
+  * serialized form, so the probe is a map-side primitive call inside
+  * whole-stage codegen — no join, no shuffle, no UDF boxing.
+  *
+  * Scale note: plan-embedded filters ship with the task closure and
+  * are fine to the tens of MB (1e8 items @1% fpp ≈ 120 MB is the
+  * practical ceiling); beyond that, build per-bucket filters and join
+  * on the bucket key instead of embedding one global filter.
+  *
+  * False positives are the contract: callers MUST verify positives
+  * with an exact join ([[graft.operators.Curation.incrementalNew]]),
+  * which makes the composed operator exact — the filter only decides
+  * how few rows reach the verify join.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bf = ctx.addReferenceObj("bloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      s"${ev.value} = $bf.mightContainBinary($s.getBytes());"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.bloomMightContain
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs beyond dedup (SURVEY.md §2.C13–C15, §2.E8–E9): benchmark
+  * contamination detection, domain mixing, incremental-batch novelty
+  * filtering, PII redaction and repetition scoring.
+  *
+  * Scale discipline: every operator is a map pass or a
+  * broadcast-probed join on the corpus side — the corpus (the 100 TB
+  * operand) is never shuffled except where an aggregation key
+  * (doc_id) demands it, and those aggregations are map-side
+  * combinable.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  // ---------------------------------------------------------------
+  // C13: benchmark contamination
+  // ---------------------------------------------------------------
+
+  /** C13: n-gram contamination check — the "is my training corpus
+    * polluted with my eval set" query (13-gram overlap is the
+    * published convention). The benchmark here is a deterministic
+    * slice of `documents` (doc_id ≡ 0 mod 97) standing in for an
+    * external eval set; every other document is scored by how many
+    * distinct 13-grams it shares with any benchmark doc.
+    *
+    * Shape at scale: benchmark sets are tiny (thousands of docs)
+    * against a 100 TB corpus, so the benchmark's distinct-gram table
+    * is broadcast — the corpus side is ONE map pass (shingle + probe)
+    * plus a doc_id-keyed count that combines map-side. The corpus is
+    * never shuffled by gram. Prod would probe xxhash64(gram) to cut
+    * the broadcast bytes; the string form is kept oracle-verifiable.
+    */
+  def contamination(spark: SparkSession, dir: String, n: Int = 13,
+      benchMod: Int = 97): DataFrame =
+    contaminationOf(docs(spark, dir), n, benchMod)
+
+  /** [[contamination]] over an arbitrary (doc_id, text) frame. */
+  def contaminationOf(d: DataFrame, n: Int = 13,
+      benchMod: Int = 97): DataFrame = {
+    val grams = d.select(col("doc_id"),
+      Dedup.shingleArray(Dedup.tokens(col("text")), n).as("grams"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = grams.filter(col("doc_id") % benchMod =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_shared"),
+        (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------
+  // C14: domain mixing
+  // ---------------------------------------------------------------
+
+  private val mixRates: Seq[(Seq[String], Int)] = Seq(
+    (Seq("src0", "src1", "src2", "src3"), 100),
+    (Seq("src4", "src5", "src6", "src7"), 50),
+    (Seq("src8", "src9", "src10", "src11"), 25))
+  private val mixDefaultRate = 10
+
+  /** C14: domain mixing — downsample each source to its target weight
+    * (the per-domain mixture a pretraining recipe prescribes).
+    * Membership is the same portable md5-bucket rule as
+    * [[Pipeline.deterministicSplit]]: keep iff
+    * bucket(doc_id) < rate(source) — a pure map, no shuffle, no RNG
+    * state, bit-reproducible on any cluster size, and a document's
+    * fate never changes when the corpus around it does.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = mixRates.foldLeft(lit(mixDefaultRate)) {
+      case (acc, (srcs, r)) =>
+        when(col("source").isin(srcs: _*), lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), rate.as("rate_pct"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+  }
+
+  // ---------------------------------------------------------------
+  // C15: incremental-batch novelty via Bloom prefilter
+  // ---------------------------------------------------------------
+
+  /** C15: incremental dedup — which documents of a new batch are
+    * genuinely new against an already-ingested corpus. The shape that
+    * matters at 100 TB: a Bloom filter over the old corpus's content
+    * is built once and probed MAP-SIDE on the new batch, so documents
+    * the filter definitely hasn't seen (the overwhelming majority of
+    * a fresh crawl) never enter a join at all; only Bloom positives
+    * (true dups + fpp·|new| false positives) reach the exact
+    * verification anti-join. The composed result is exact — the
+    * filter decides join SIZE, never membership.
+    *
+    * Here "old" = sources src0–src9, "new" = the rest. The
+    * expectedItems count costs one counting pass over the old side
+    * (at real scale it comes from table statistics or the previous
+    * build's ledger).
+    */
+  def incrementalNew(spark: SparkSession, dir: String,
+      fpp: Double = 0.01): DataFrame = {
+    val oldSources = (0 to 9).map("src" + _)
+    val d = docs(spark, dir)
+    incrementalNewOf(
+      d.filter(col("source").isin(oldSources: _*)),
+      d.filter(!col("source").isin(oldSources: _*)), fpp)
+  }
+
+  /** [[incrementalNew]] over explicit old/new (doc_id, source, text)
+    * frames.
+    */
+  def incrementalNewOf(old: DataFrame, fresh: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val nOld = math.max(old.count(), 1L)
+    val bloom = old.stat.bloomFilter("text", nOld, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val flagged = fresh.withColumn("maybe_seen",
+      bloomMightContain(col("text"), bytes))
+    val definiteNew = flagged.filter(!col("maybe_seen"))
+    val verifiedNew = flagged.filter(col("maybe_seen"))
+      .join(old.select(col("text")).distinct(), Seq("text"), "left_anti")
+    definiteNew.select(col("doc_id"), col("source"))
+      .unionByName(verifiedNew.select(col("doc_id"), col("source")))
+  }
+
+  // ---------------------------------------------------------------
+  // E8: PII detection + redaction
+  // ---------------------------------------------------------------
+
+  /** (name, pattern, replacement) — patterns restricted to syntax
+    * with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    * ASCII classes, bounded repetition, \b word boundaries. Redaction
+    * applies in THIS order on both engines.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Redact all [[PiiPatterns]] from a text column, in order. */
+  def piiRedact(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, lit(pat), lit(repl))
+    }
+
+  /** E8: PII scan + redaction over the corpus. The synthetic corpus
+    * contains no PII, so the query plants one deterministic instance
+    * of each class per document (a fixture derived from doc_id/source
+    * — identically planted by the oracle SQL) and then runs the real
+    * operator: per-class match counts + the redacted text. One map
+    * pass, no shuffle; regexes stay inside whole-stage codegen.
+    */
+  def piiRedactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" email:"), col("source"), lit("."), col("doc_id").cast("string"),
+      lit("@example.com ip:10."), (col("doc_id") % 256).cast("string"),
+      lit(".0.1 ssn:"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ph:555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("planted"), lit(pat), lit(0)))
+        .cast("bigint").as(s"n_$name")
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("planted"))
+      .select(col("doc_id") +: counts :+
+        piiRedact(col("planted")).as("redacted"): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // E9: repetition scoring
+  // ---------------------------------------------------------------
+
+  private def bigramsOf(w: Column): Column =
+    when(size(w) >= 2,
+      zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+
+  /** E9: repetition metrics — the Gopher-style signals that catch
+    * boilerplate and degenerate generation: fraction of tokens that
+    * are the single most frequent word, fraction of bigram slots
+    * occupied by repeated bigrams, and the top-bigram fraction.
+    * Multiplicities are exact integer counts; the only doubles are
+    * the final ratios (exact cross-engine IEEE division). Two
+    * explode→hash-agg pipelines joined on doc_id — all keys
+    * high-cardinality, all aggs map-side combinable; docs with fewer
+    * than two tokens have no bigram row and drop out (matching the
+    * oracle's inner join).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(spark, dir))
+
+  /** [[repetition]] over an arbitrary (doc_id, text) frame. */
+  def repetitionOf(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
+      Dedup.tokens(lower(col("text"))).as("w"))
+    def stats(grams: DataFrame, pfx: String): DataFrame =
+      grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$pfx"),
+          count(lit(1)).as(s"d_$pfx"),
+          max(col("c")).as(s"m_$pfx"))
+    val uni = stats(base.select(col("doc_id"),
+      explode(col("w")).as("g")), "uni")
+    val bi = stats(base.select(col("doc_id"),
+      explode(bigramsOf(col("w"))).as("g")), "bi")
+    uni.join(bi, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("m_uni").cast("double") / col("n_uni").cast("double"))
+          .as("top_word_frac"),
+        ((col("n_bi") - col("d_bi")).cast("double")
+          / col("n_bi").cast("double")).as("dup_2gram_frac"),
+        (col("m_bi").cast("double") / col("n_bi").cast("double"))
+          .as("top_2gram_frac"))
+  }
+
+  // ---------------------------------------------------------------
+  // Oracles
+  // ---------------------------------------------------------------
+
+  private val oldSrcList = (0 to 9).map(i => s"'src$i'").mkString(", ")
+
+  private def sqlPlanted: String =
+    """text || ' email:' || source || '.' || CAST(doc_id AS VARCHAR)
+      | || '@example.com ip:10.' || CAST(doc_id % 256 AS VARCHAR)
+      | || '.0.1 ssn:' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      | || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      | || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      | || ' ph:555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      | || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')""".stripMargin
+      .replace("\n", "")
+
+  private val piiRedactSql: String = {
+    val redacted = PiiPatterns.foldLeft("planted") {
+      case (acc, (_, pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(planted, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    s"""WITH p AS (SELECT doc_id, $sqlPlanted AS planted FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  $redacted AS redacted
+       |FROM p""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "curate_contamination" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+12], ' ')
+        |    for i in range(1, len(w) - 11)]) s
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(s) gram FROM sh WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) gram FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT c.doc_id, COUNT(*) n
+        |  FROM corpus c JOIN bench b USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared,
+        |  CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    "curate_domain_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+        |       WHEN source IN ('src4','src5','src6','src7') THEN 50
+        |       WHEN source IN ('src8','src9','src10','src11') THEN 25
+        |       ELSE 10 END AS rate_pct,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, rate_pct FROM r WHERE bucket < rate_pct""".stripMargin,
+    "curate_incremental_new" ->
+      s"""SELECT n.doc_id, n.source FROM documents n
+         |WHERE n.source NOT IN ($oldSrcList)
+         |  AND NOT EXISTS (SELECT 1 FROM documents o
+         |    WHERE o.source IN ($oldSrcList) AND o.text = n.text)""".stripMargin,
+    "curate_pii_redact" -> piiRedactSql,
+    "curate_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(w) g FROM t),
+        |uc AS (SELECT doc_id, g, COUNT(*) c FROM u GROUP BY 1, 2),
+        |us AS (SELECT doc_id, SUM(c) n, COUNT(*) d, MAX(c) m FROM uc GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) g FROM t),
+        |bc AS (SELECT doc_id, g, COUNT(*) c FROM b GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, SUM(c) n, COUNT(*) d, MAX(c) m FROM bc GROUP BY 1)
+        |SELECT us.doc_id,
+        |  CAST(us.m AS DOUBLE) / CAST(us.n AS DOUBLE) AS top_word_frac,
+        |  CAST(bs.n - bs.d AS DOUBLE) / CAST(bs.n AS DOUBLE) AS dup_2gram_frac,
+        |  CAST(bs.m AS DOUBLE) / CAST(bs.n AS DOUBLE) AS top_2gram_frac
+        |FROM us JOIN bs ON us.doc_id = bs.doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_contamination" -> ((s, d) => contamination(s, d)),
+    "curate_domain_mix" -> (domainMix _),
+    "curate_incremental_new" -> ((s, d) => incrementalNew(s, d)),
+    "curate_pii_redact" -> (piiRedactQuery _),
+    "curate_repetition" -> (repetition _)
+  )
+}

@@ -15,7 +15,7 @@ import graft.functions.GraftFunctions._
 object Dedup {
 
   /** Word tokens — same `\S+` split the oracle uses. */
-  private def tokens(c: Column): Column =
+  private[operators] def tokens(c: Column): Column =
     regexp_extract_all(c, lit("\\S+"), lit(0))
 
   /** Distinct w-word shingles of a token array (empty when the doc is
@@ -27,7 +27,7 @@ object Dedup {
     * the element_at formulation re-ran the regexp tokenizer ~n·w
     * times per row (measured 2.4 ms/row; this form is ~30× cheaper).
     */
-  private def shingleArray(toks: Column, w: Int): Column = {
+  private[operators] def shingleArray(toks: Column, w: Int): Column = {
     val len = size(toks) - (w - 1)
     val parts = (0 until w).map(j => slice(toks, lit(j + 1), len))
     val zipped = parts.reduce((acc, p) =>

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.bloomMightContain
+import graft.operators.Curation
+
+/** Corpus-curation operators (SURVEY.md §2.C13–C15, E8–E9). */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("contamination flags a doc sharing a 13-gram with the benchmark slice") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g " +
+        s"w${i}h w${i}i w${i}j w${i}k w${i}l w${i}m w${i}n"))
+    val benchText = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14"
+    // doc 0 is benchmark (0 mod 97); doc 50 copies it verbatim
+    val docs = (Seq((0L, benchText), (50L, benchText)) ++ clean)
+      .toDF("doc_id", "text")
+    val got = Curation.contaminationOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(!got.contains(0L), "benchmark docs must not be scored")
+    // 14 tokens → two distinct 13-grams, both shared
+    assert(got(50L) == ((2L, 1)))
+    assert(got(1L) == ((0L, 0)))
+    assert(got.size == 31)
+  }
+
+  test("bloom expression: no false negatives, few false positives") {
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"member-$i")
+    val bf = members.toDF("s").stat.bloomFilter("s", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val probes = (members ++ (0 until 1000).map(i => s"other-$i")).toDF("s")
+      .select(col("s"), bloomMightContain(col("s"), bytes).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(probes(_)), "bloom false negative")
+    val fp = (0 until 1000).count(i => probes(s"other-$i"))
+    assert(fp <= 50, s"fp=$fp way above the 1% design point")
+  }
+
+  test("incremental-new equals the exact anti-join regardless of bloom fp") {
+    import spark.implicits._
+    val old = (0 until 500).map(i => (i.toLong, "old", s"doc text $i"))
+      .toDF("doc_id", "source", "text")
+    // 100 genuinely new + 50 retreads of old content
+    val fresh = ((1000 until 1100).map(i => (i.toLong, "new", s"fresh text $i"))
+      ++ (2000 until 2050).map(i => (i.toLong, "new", s"doc text ${i - 2000}")))
+      .toDF("doc_id", "source", "text")
+    // fpp deliberately terrible so false positives definitely occur
+    // and the verify join must clean them up
+    val got = Curation.incrementalNewOf(old, fresh, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == (1000L until 1100L).toSeq)
+  }
+
+  test("pii redaction: all four classes redacted, counts exact, idempotent") {
+    import spark.implicits._
+    val s = "call 555-123-4567 or mail a.b@x.io from 10.1.2.3 ssn 123-45-6789"
+    val df = Seq(s).toDF("t")
+    val counts = Curation.PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("t"), lit(pat), lit(0))).as(name)
+    }
+    val c = df.select(counts: _*).head()
+    assert((0 until 4).forall(c.getInt(_) == 1), c.toString)
+    val red = df.select(Curation.piiRedact(col("t")).as("r"))
+      .head().getString(0)
+    assert(red == "call [PHONE] or mail [EMAIL] from [IP] ssn [SSN]")
+    val twice = Seq(red).toDF("t")
+      .select(Curation.piiRedact(col("t"))).head().getString(0)
+    assert(twice == red, "redaction must be idempotent")
+  }
+
+  test("repetition metrics on a degenerate and a diverse doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here differ totally")).toDF("doc_id", "text")
+    val m = Curation.repetitionOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((1.0, 2.0 / 3.0, 1.0)))
+    assert(m(2L) == ((1.0 / 5.0, 0.0, 1.0 / 4.0)))
+  }
+
+  test("domain mix keeps every rate-100 doc and respects the md5 bucket rule") {
+    val got = Curation.domainMix(spark, sf)
+    val full = Tables(spark, sf, "documents")
+    val keptBySrc = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalBySrc = full.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("src0", "src1", "src2", "src3"))
+      assert(keptBySrc.getOrElse(s, 0L) == totalBySrc(s), s"rate-100 $s")
+    // downsampled sources keep strictly fewer (25 docs/source at this
+    // sf makes a 0-kept rate-10 source possible, but never a full one)
+    for ((s, n) <- keptBySrc if !Seq("src0", "src1", "src2", "src3").contains(s))
+      assert(n < totalBySrc(s), s"downsampled $s kept all $n")
+  }
+}
