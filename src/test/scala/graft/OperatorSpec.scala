@@ -385,6 +385,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         .as("codes")), "graft_pq_encode")
   }
 
+  test("curation ops keep their scale-critical plan shapes") {
+    // contamination: the benchmark gram set broadcasts; the corpus is
+    // probed map-side, never shuffled by gram
+    val cont = planOf(operators.Curation.contamination(spark, sf))
+    assert(cont.contains("BroadcastHashJoin"), cont.take(2000))
+    // domain mix and PII are pure map passes — no exchange anywhere
+    val mix = planOf(operators.Curation.domainMix(spark, sf))
+    assert(!mix.contains("Exchange"), mix.take(2000))
+    val pii = planOf(operators.Curation.piiRedactQuery(spark, sf))
+    assert(!pii.contains("Exchange"), pii.take(2000))
+    // the bloom probe stays inside whole-stage codegen
+    val bf = Tables(spark, sf, "documents")
+      .stat.bloomFilter("text", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = planOf(Tables(spark, sf, "documents").select(
+      graft.functions.GraftFunctions.bloomMightContain(
+        col("text"), bos.toByteArray).as("hit")))
+    val line = probe.linesIterator.find(_.contains("graft_bloom"))
+    assert(line.exists(_.contains("*(")),
+      "bloom probe fell out of codegen:\n" + probe.take(2000))
+  }
+
   test("custom TopKPerGroup plans partial-heap before the exchange") {
     val df = plans.TopKPerGroup(
       Tables(spark, sf, "orders").select(col("o_custkey"), col("o_orderkey")),
