@@ -19,7 +19,7 @@ object SparkEntry {
       operators.IvfPq.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.Pipeline.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++ operators.Layout.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
@@ -27,5 +27,5 @@ object SparkEntry {
       operators.TextQueries.oracles ++ operators.Dedup.oracles ++
       operators.Ann.oracles ++ operators.Multimodal.oracles ++
       operators.AsOf.oracles ++ operators.Pipeline.oracles ++
-      operators.Curation.oracles
+      operators.Curation.oracles ++ operators.Layout.oracles
 }

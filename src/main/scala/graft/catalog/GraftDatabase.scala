@@ -118,6 +118,48 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(tablePath(table))
 
+  /** Write a table clustered on the Z-order curve of `zCols`
+    * (SURVEY.md §2.H12): range-partition on the interleaved value,
+    * sort within partitions, write. Each output file then covers a
+    * compact curve segment, so the parquet min/max stats of EVERY
+    * participating column are narrow per file and a range predicate
+    * on any of them prunes most files — multi-dimensional layout
+    * pruning, where a single-column sort only serves one predicate
+    * column. The curve column itself is dropped before the write:
+    * it's a layout key, not data.
+    */
+  def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    // Interleaving RAW values lets the widest column's high bits
+    // dominate the curve (its top bits sit above every bit the
+    // narrower columns can set), collapsing the layout back to a
+    // single-column sort. Normalize each column onto the curve's
+    // per-column bit budget first: shift (x − min) so the observed
+    // span occupies exactly ⌊63/k⌋ bits. One metadata-scale min/max
+    // pass (the same range-bound pass Delta's ZORDER does), pure
+    // integer arithmetic, no overflow (shift, not multiply).
+    val bits = 63 / zCols.size
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val normed = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getLong(2 * i)
+      val span = math.max(stats.getLong(2 * i + 1) - lo, 1L)
+      val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val base = (col(c).cast("long") - lit(lo))
+      val shift = spanBits - bits
+      if (shift > 0) shiftright(base, shift)
+      else if (shift < 0) shiftleft(base, -shift)
+      else base
+    }
+    df.withColumn("__z", graft.functions.GraftFunctions.zorder(normed: _*))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(tablePath(table))
+  }
+
   /** Arbitrary SQL over this database's tables — the analog of the
     * query interface the reference hands its uploaded tables to
     * (Datasette's raison d'être). Tables are exposed as temp views

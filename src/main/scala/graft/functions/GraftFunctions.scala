@@ -41,6 +41,10 @@ object GraftFunctions {
   def bloomMightContain(c: Column, serializedBloom: Array[Byte]): Column =
     toCol(BloomMightContain(toExpr(c), serializedBloom))
 
+  /** Z-order (Morton) curve value of 2–8 non-negative long columns. */
+  def zorder(cols: Column*): Column =
+    toCol(ZOrderLong(cols.map(toExpr)))
+
   /** Squared-L2 argmin cell of a float vector vs literal centroids. */
   def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
     toCol(NearestCell(toExpr(vec), cents))
