@@ -74,6 +74,8 @@ object GraftFunctions {
       es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash64",
       es => RollingHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_zorder",
+      es => ZOrderLong(es), "built-in")
   }
 }
 
@@ -94,6 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
       (es: Seq[Expression]) => RollingHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderLong].getName, "graft_zorder"),
+      (es: Seq[Expression]) => ZOrderLong(es)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }

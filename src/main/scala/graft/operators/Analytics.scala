@@ -320,6 +320,32 @@ object Analytics {
       .select(col("l_returnflag"), col("median_qty"))
   }
 
+  /** B22: exact p50/p90/p99 per group via discrete order statistics —
+    * the tail-latency-style summary B16 generalizes to. The value at
+    * rank ⌈p·n⌉ is picked directly (quantile_disc semantics): no
+    * interpolation arithmetic at all, so cross-engine parity needs
+    * only integer rank math — (n·p + 99) div 100 — and the sort.
+    * Same scale shape as B16: ONE hash-partitioned sort per group
+    * serves every requested percentile (the conditional-agg pivot
+    * adds no extra pass); the approx twin for when a sort is too
+    * expensive is approx_percentile, specced against this in
+    * PlanSpec's median test.
+    */
+  def qPercentiles(spark: SparkSession, dir: String,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").asc)
+    val ranked = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val picks = ps.map(p =>
+      max(when(col("rn") === expr(s"(cnt * $p + 99) div 100"),
+        col("l_quantity"))).as(s"p$p"))
+    ranked.groupBy(col("l_returnflag")).agg(picks.head, picks.tail: _*)
+  }
+
   /** B17: running total per customer — cumulative window sum.
     * Determinism: the prefix sum accumulates in DECIMAL(38,6) (exact,
     * so association order is irrelevant) with ONE cast to double per
@@ -549,6 +575,18 @@ object Analytics {
         |  c_mktsegment || '-' || c_name AS tagged
         |FROM customer
         |WHERE c_name LIKE 'Customer%1%'""".stripMargin,
+    "q_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN l_quantity END) AS p50,
+        |  MAX(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN l_quantity END) AS p90,
+        |  MAX(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN l_quantity END) AS p99
+        |FROM ranked GROUP BY l_returnflag""".stripMargin,
     "q_median_quantity" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_quantity,
@@ -580,6 +618,7 @@ object Analytics {
     "q_events_json" -> (eventsJson _),
     "q_distinct_parts" -> (distinctParts _),
     "q_median_quantity" -> (qMedianQuantity _),
+    "q_percentiles" -> ((s, d) => qPercentiles(s, d)),
     "q_running_revenue" -> (qRunningRevenue _),
     "q_orders_pivot" -> (qOrdersPivot _),
     "q_customer_churn" -> (qCustomerChurn _),
