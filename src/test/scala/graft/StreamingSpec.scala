@@ -123,6 +123,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G6: streaming curation gates quality+lang, dedups, redacts PII") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = ("the and of to is in it a " * 7).trim + " mail a.b@x.io"
+    val german = ("der die und das ist ein zu " * 8).trim
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCuration
+      .curate(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      mem.addData(
+        (ts(0), 1L, good),
+        (ts(1), 2L, "x y z"), // too short → quality gate
+        (ts(2), 3L, german), // language gate
+        (ts(3), 4L, good)) // duplicate fingerprint
+      q.processAllAvailable()
+      val rows = spark.table("curate_out")
+        .select("doc_id", "pred_lang", "clean_text").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L))
+      assert(rows.head.getString(1) == "en")
+      assert(rows.head.getString(2).endsWith("mail [EMAIL]"),
+        rows.head.getString(2))
+    } finally q.stop()
+  }
+
   private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
