@@ -130,7 +130,7 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     */
   def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
       nFiles: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{col, max, min}
     // Interleaving RAW values lets the widest column's high bits
     // dominate the curve (its top bits sit above every bit the
     // narrower columns can set), collapsing the layout back to a
@@ -143,21 +143,163 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val normed = zCols.zipWithIndex.map { case (c, i) =>
+    val metas = zCols.zipWithIndex.map { case (c, i) =>
       val lo = stats.getLong(2 * i)
-      val span = math.max(stats.getLong(2 * i + 1) - lo, 1L)
+      val hi = stats.getLong(2 * i + 1)
+      val span = math.max(hi - lo, 1L)
       val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
-      val base = (col(c).cast("long") - lit(lo))
-      val shift = spanBits - bits
-      if (shift > 0) shiftright(base, shift)
-      else if (shift < 0) shiftleft(base, -shift)
-      else base
+      ZColMeta(c, lo, hi, spanBits - bits)
     }
-    df.withColumn("__z", graft.functions.GraftFunctions.zorder(normed: _*))
+    df.withColumn("__z", zCurve(metas))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(tablePath(table))
+    val names = fs.listStatus(new Path(tablePath(table)))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq
+    writeZMeta(table, metas, fileRanges(names, metas))
+  }
+
+  /** Merge a new batch into a Z-ordered table by rewriting ONLY the
+    * curve segments the batch overlaps — the incremental maintenance
+    * step that keeps a 100 TB clustered table clustered without the
+    * full-table rewrite: a batch touching a narrow key region
+    * rewrites a handful of files and every other file (and its page
+    * cache, its replicas, its scan statistics) is untouched.
+    *
+    * Mechanics: the sidecar curve metadata written by
+    * [[writeZOrdered]] fixes the normalization (so the curve space is
+    * stable across appends; out-of-range values clamp, costing only
+    * locality at the edges) and the per-file curve ranges. Each batch
+    * row maps to the file whose segment contains its curve value;
+    * touched files + batch are re-sorted and rewritten, the sidecar
+    * is updated. Same non-atomicity contract as [[compact]] (and
+    * compact() discards the clustering — re-run writeZOrdered after).
+    */
+  def appendZOrdered(table: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val (metas, files0) = readZMeta(table)
+    val files = files0.sortBy(_.zmin)
+    // __fi = index of the last file with zmin ≤ z (first file catches
+    // everything below the global min)
+    val idxExpr = files.drop(1)
+      .map(f => when(col("__z") >= f.zmin, 1).otherwise(0))
+      .reduceOption[org.apache.spark.sql.Column](_ + _).getOrElse(lit(0))
+    val assigned = batch.withColumn("__z", zCurve(metas))
+      .withColumn("__fi", idxExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = assigned.select(col("__fi")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { assigned.unpersist(blocking = false); return }
+    val touchedNames = touched.map(files(_).name)
+    val stage = new Path(tablePath(s"_zstage_$table"))
+    spark.read
+      .parquet(touchedNames.map(n => s"${tablePath(table)}/$n"): _*)
+      .withColumn("__z", zCurve(metas)).withColumn("__fi", idxExpr)
+      .unionByName(assigned)
+      .repartitionByRange(touched.length, col("__fi"), col("__z"))
+      .sortWithinPartitions(col("__fi"), col("__z"))
+      .drop("__z", "__fi")
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    assigned.unpersist(blocking = false)
+    touchedNames.foreach(n => fs.delete(new Path(tablePath(table), n), false))
+    val moved = fs.listStatus(stage)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map { s =>
+        val dst = new Path(tablePath(table), s.getPath.getName)
+        fs.rename(s.getPath, dst)
+        dst.toString
+      }.toSeq
+    fs.delete(stage, true)
+    writeZMeta(table, metas,
+      files.filterNot(f => touchedNames.contains(f.name))
+        ++ fileRanges(moved, metas))
+  }
+
+  /** Normalization of one clustered column (see [[writeZOrdered]]). */
+  private case class ZColMeta(name: String, lo: Long, hi: Long, shift: Int)
+  private case class ZFileMeta(name: String, zmin: Long, zmax: Long)
+
+  /** The curve key: clamp into the recorded bounds, rebase, shift
+    * onto the bit budget, interleave.
+    */
+  private def zCurve(metas: Seq[ZColMeta]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val normed = metas.map { m =>
+      val clamped = greatest(lit(m.lo),
+        least(col(m.name).cast("long"), lit(m.hi))) - lit(m.lo)
+      if (m.shift > 0) shiftright(clamped, m.shift)
+      else if (m.shift < 0) shiftleft(clamped, -m.shift)
+      else clamped
+    }
+    graft.functions.GraftFunctions.zorder(normed: _*)
+  }
+
+  /** Driver twin of [[zCurve]] for corner points. */
+  private def zVal(metas: Seq[ZColMeta], vals: Seq[Long]): Long = {
+    val k = metas.size
+    val bits = 63 / k
+    var z = 0L
+    for (j <- 0 until k) {
+      val m = metas(j)
+      val c = math.min(math.max(vals(j), m.lo), m.hi) - m.lo
+      val n = if (m.shift > 0) c >>> m.shift
+        else if (m.shift < 0) c << -m.shift else c
+      for (i <- 0 until bits) z |= ((n >>> i) & 1L) << (i * k + j)
+    }
+    z
+  }
+
+  /** Per-file curve ranges from per-file column min/max (the Morton
+    * interleave is monotone in each coordinate, so a file's curve
+    * range is the curve value of its min/max corners — at real scale
+    * this reads parquet FOOTERS only; here it's a column-pruned agg
+    * scan of the named files).
+    */
+  private def fileRanges(paths: Seq[String],
+      metas: Seq[ZColMeta]): Seq[ZFileMeta] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val aggs = metas.flatMap(m =>
+      Seq(min(col(m.name)).cast("long"), max(col(m.name)).cast("long")))
+    spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val los = metas.indices.map(i => r.getLong(1 + 2 * i))
+        val his = metas.indices.map(i => r.getLong(2 + 2 * i))
+        ZFileMeta(new Path(r.getString(0)).getName,
+          zVal(metas, los), zVal(metas, his))
+      }.toSeq
+  }
+
+  /** Sidecar layout metadata, underscore-named so parquet readers
+    * skip it. Plain TSV: `col name lo hi shift` / `file name zmin
+    * zmax` lines.
+    */
+  private def zMetaPath(table: String): Path =
+    new Path(tablePath(table), "_zorder_meta.tsv")
+
+  private def writeZMeta(table: String, metas: Seq[ZColMeta],
+      files: Seq[ZFileMeta]): Unit = {
+    val sb = new StringBuilder
+    metas.foreach(m =>
+      sb.append(s"col\t${m.name}\t${m.lo}\t${m.hi}\t${m.shift}\n"))
+    files.foreach(f =>
+      sb.append(s"file\t${f.name}\t${f.zmin}\t${f.zmax}\n"))
+    val out = fs.create(zMetaPath(table), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readZMeta(table: String): (Seq[ZColMeta], Seq[ZFileMeta]) = {
+    val in = fs.open(zMetaPath(table))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).map(_.split("\t")).toSeq
+    (lines.collect { case Array("col", n, lo, hi, sh) =>
+        ZColMeta(n, lo.toLong, hi.toLong, sh.toInt) },
+      lines.collect { case Array("file", n, zmin, zmax) =>
+        ZFileMeta(n, zmin.toLong, zmax.toLong) })
   }
 
   /** Arbitrary SQL over this database's tables — the analog of the

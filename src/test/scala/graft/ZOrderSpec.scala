@@ -77,4 +77,50 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     // sanity: same rows came back
     assert(db.read("orders_z").count() == orders.count())
   }
+
+  test("incremental z-append rewrites only the overlapping curve segments") {
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dir = scratch("zinc_db")
+    val db = GraftDatabase(spark, dir)
+    db.writeZOrdered(orders, "oz", Seq("o_custkey", "o_orderkey"),
+      nFiles = 16)
+
+    def fileState(): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/oz")
+      d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val before = fileState()
+    assert(before.size >= 8, s"want many files, got ${before.size}")
+
+    // a batch confined to the low-key corner of the curve
+    val Array(maxC, maxO) = orders
+      .agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val batch = orders.filter(
+      col("o_custkey") <= maxC / 10 && col("o_orderkey") <= maxO / 10)
+    val nBatch = batch.count()
+    assert(nBatch > 0)
+    db.appendZOrdered("oz", batch)
+
+    val after = fileState()
+    val untouched = before.filter { case (n, len) =>
+      after.get(n).contains(len)
+    }
+    assert(untouched.size >= before.size / 2,
+      s"append rewrote ${before.size - untouched.size} of ${before.size} files")
+
+    // content: exactly the original multiset plus the batch
+    val expected = orders.unionAll(batch)
+    val got = db.read("oz")
+    assert(got.count() == orders.count() + nBatch)
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+
+    // the sidecar stays consistent: a second append still works and
+    // still targets a minority of files
+    db.appendZOrdered("oz", batch)
+    assert(db.read("oz").count() == orders.count() + 2 * nBatch)
+  }
 }
