@@ -63,7 +63,10 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
       spark.sparkContext.clearJobGroup()
       var last = 0L
       while (running) {
-        Thread.sleep(intervalMs)
+        // Interruptible: around() interrupts on completion so the
+        // upload never waits out a residual tick.
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
         val r = rowsRead.get()
         if (running && r > 0L && r != last) {
           last = r
@@ -82,6 +85,7 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
       running = false
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
+      flusher.interrupt()
       flusher.join(5000)
     }
   }
