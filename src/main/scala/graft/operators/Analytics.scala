@@ -346,6 +346,59 @@ object Analytics {
     ranked.groupBy(col("l_returnflag")).agg(picks.head, picks.tail: _*)
   }
 
+  /** B23: funnel analysis — users converting view → click → purchase
+    * with each step inside `stepMs` of the previous one. Each step is
+    * a groupBy(user).min(ms) on the step's events semi-joined to the
+    * previous step's converters — three filtered aggregations, all
+    * shuffling on user_id (high-cardinality, even), all time math in
+    * exact epoch-ms bigints. The final result is three counts.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String,
+      stepMs: Long = 86400000L): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ms"))
+    def nextStep(prev: DataFrame, evType: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ms") >= col("t") && col("ms") - col("t") <= stepMs)
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+        .select(col("user_id"), col("t2").as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t"))
+    val c = nextStep(v, "click")
+    val p = nextStep(c, "purchase")
+    def counted(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    counted(v, 1, "view")
+      .unionByName(counted(c, 2, "click"))
+      .unionByName(counted(p, 3, "purchase"))
+  }
+
+  /** B24: table profiling — the dataset-card stats a pipeline records
+    * before training: rows, nulls, exact distinct counts, min/max per
+    * column. One column-pruned scan per profiled column (a single
+    * multi-distinct aggregation would plan an Expand of the whole
+    * table — strictly more shuffle at scale than n parallel pruned
+    * scans); min/max surfaced as strings only for types whose cast is
+    * engine-portable (integers, strings — never doubles).
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "orders")
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map { c =>
+        t.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint")
+            .as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }.reduce(_.unionByName(_))
+  }
+
   /** B17: running total per customer — cumulative window sum.
     * Determinism: the prefix sum accumulates in DECIMAL(38,6) (exact,
     * so association order is irrelevant) with ONE cast to double per
@@ -575,6 +628,45 @@ object Analytics {
         |  c_mktsegment || '-' || c_name AS tagged
         |FROM customer
         |WHERE c_name LIKE 'Customer%1%'""".stripMargin,
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, MIN(ms) t FROM e WHERE event_type = 'view'
+        |      GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ms) t FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ms >= v.t
+        |        AND e.ms - v.t <= 86400000 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ms) t FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ms >= c.t
+        |        AND e.ms - c.t <= 86400000 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT COUNT(*) FROM v) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)""".stripMargin,
+    "q_table_profile" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+        |  MAX(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+        |  MAX(o_orderpriority) FROM orders""".stripMargin,
     "q_percentiles" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_quantity,
@@ -619,6 +711,8 @@ object Analytics {
     "q_distinct_parts" -> (distinctParts _),
     "q_median_quantity" -> (qMedianQuantity _),
     "q_percentiles" -> ((s, d) => qPercentiles(s, d)),
+    "q_events_funnel" -> ((s, d) => eventsFunnel(s, d)),
+    "q_table_profile" -> (tableProfile _),
     "q_running_revenue" -> (qRunningRevenue _),
     "q_orders_pivot" -> (qOrdersPivot _),
     "q_customer_churn" -> (qCustomerChurn _),
