@@ -217,6 +217,18 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
         ++ fileRanges(moved, metas))
   }
 
+  /** Bootstrap-or-append: the per-microbatch form for streaming
+    * ingest into a clustered table (`foreachBatch` hands every batch
+    * here and the table never stops being z-ordered). First batch
+    * lays out the table and fixes the curve normalization; later
+    * batches merge via [[appendZOrdered]], rewriting only overlapping
+    * segments.
+    */
+  def upsertZOrdered(table: String, batch: DataFrame, zCols: Seq[String],
+      nFiles: Int): Unit =
+    if (fs.exists(zMetaPath(table))) appendZOrdered(table, batch)
+    else writeZOrdered(batch, table, zCols, nFiles)
+
   /** Normalization of one clustered column (see [[writeZOrdered]]). */
   private case class ZColMeta(name: String, lo: Long, hi: Long, shift: Int)
   private case class ZFileMeta(name: String, zmin: Long, zmax: Long)

@@ -98,4 +98,43 @@ class PropertySpec extends AnyFunSuite {
         sim(toks) == sim(shuffled)
     })
   }
+
+  test("z-order curve is monotone per coordinate and injective on its bit budget") {
+    import graft.functions.expressions.ZOrderLong
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def z(a: Long, b: Long): Long =
+      ZOrderLong(Seq(Literal(a), Literal(b))).eval(null).asInstanceOf[Long]
+    // mask into the 31-bit domain INSIDE the property: scalacheck's
+    // shrinker wanders outside chooseNum's range (e.g. to -1)
+    val mask = (1L << 31) - 1
+    val anyL = Gen.long
+    // monotone: the property that lets per-file curve ranges derive
+    // from min/max corner stats (GraftDatabase.fileRanges)
+    check(Prop.forAll(anyL, anyL, anyL, anyL) { (a0, d1, b0, d2) =>
+      val a = a0 & mask; val b = b0 & mask
+      val a2 = math.min(a + (d1 & 7), mask)
+      val b2 = math.min(b + (d2 & 7), mask)
+      z(a, b) <= z(a2, b2)
+    })
+    check(Prop.forAll(anyL, anyL, anyL, anyL) { (x1, x2, y1, y2) =>
+      val (a1, a2, b1, b2) = (x1 & mask, x2 & mask, y1 & mask, y2 & mask)
+      (z(a1, b1) == z(a2, b2)) == (a1 == a2 && b1 == b2)
+    })
+    check(Prop.forAll(anyL, anyL) { (a, b) => z(a & mask, b & mask) >= 0 })
+  }
+
+  test("bloom filter has no false negatives over arbitrary string sets") {
+    import graft.functions.expressions.BloomMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.util.sketch.BloomFilter
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr)) { members =>
+      val bf = BloomFilter.create(math.max(members.size.toLong, 1L), 0.01)
+      members.foreach(bf.putString)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = BloomMightContain(Literal("x"), bos.toByteArray)
+      members.forall(m =>
+        probe.copy(child = Literal(m)).eval(null).asInstanceOf[Boolean])
+    })
+  }
 }

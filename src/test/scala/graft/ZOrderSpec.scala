@@ -123,4 +123,35 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     db.appendZOrdered("oz", batch)
     assert(db.read("oz").count() == orders.count() + 2 * nBatch)
   }
+
+  test("streaming ingest via upsertZOrdered keeps the table clustered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = scratch("zstream_db")
+    val db = GraftDatabase(spark, dir)
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("o_custkey", "o_orderkey")
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        db.upsertZOrdered("oz", b, Seq("o_custkey", "o_orderkey"),
+          nFiles = 4)
+      }
+      .start()
+    try {
+      mem.addData((0 until 400).map(i => (i.toLong % 100, i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((400 until 500).map(i => (i.toLong % 100, i.toLong)): _*)
+      q.processAllAvailable()
+      assert(db.read("oz").count() == 500)
+      // still curve-sorted within each file: z of consecutive rows in
+      // any one file is non-decreasing for the first batch's bounds
+      val perFile = spark.read.parquet(s"$dir/oz")
+        .groupBy(input_file_name())
+        .agg((max(col("o_custkey")) - min(col("o_custkey"))).as("w"))
+        .collect().map(_.getLong(1))
+      assert(perFile.exists(_ < 99), "no file narrowed the custkey range")
+    } finally q.stop()
+  }
 }
