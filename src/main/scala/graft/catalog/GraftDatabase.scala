@@ -174,11 +174,14 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     * locality at the edges) and the per-file curve ranges. Each batch
     * row maps to the file whose segment contains its curve value;
     * touched files + batch are re-sorted and rewritten, the sidecar
-    * is updated. Same non-atomicity contract as [[compact]] (and
-    * compact() discards the clustering — re-run writeZOrdered after).
+    * is updated. Crash-safe via the sidecar-authority recovery in
+    * [[recoverZ]]; not atomic for concurrent readers — the same
+    * reader contract as [[compact]] (which also discards the
+    * clustering; re-run writeZOrdered after compacting).
     */
   def appendZOrdered(table: String, batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, lit, when}
+    recoverZ(table)
     val (metas, files0) = readZMeta(table)
     val files = files0.sortBy(_.zmin)
     // __fi = index of the last file with zmin ≤ z (first file catches
@@ -203,7 +206,14 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       .drop("__z", "__fi")
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     assigned.unpersist(blocking = false)
-    touchedNames.foreach(n => fs.delete(new Path(tablePath(table), n), false))
+    // Commit protocol (the sidecar is the authority — see recoverZ):
+    // back the touched files out, move the staged files in, THEN
+    // publish the new sidecar, then drop the backup. A crash at any
+    // point leaves a state recoverZ restores exactly.
+    val backup = new Path(tablePath(s"_zold_$table"))
+    fs.mkdirs(backup)
+    touchedNames.foreach(n =>
+      fs.rename(new Path(tablePath(table), n), new Path(backup, n)))
     val moved = fs.listStatus(stage)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map { s =>
@@ -211,10 +221,41 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
         fs.rename(s.getPath, dst)
         dst.toString
       }.toSeq
-    fs.delete(stage, true)
     writeZMeta(table, metas,
       files.filterNot(f => touchedNames.contains(f.name))
         ++ fileRanges(moved, metas))
+    fs.delete(backup, true)
+    fs.delete(stage, true)
+  }
+
+  /** Restore the sidecar-consistent state after a crashed
+    * [[appendZOrdered]]: the sidecar names exactly the files the
+    * table must contain, so recovery is mechanical — drop any
+    * part-file the sidecar doesn't know (a half-moved stage), restore
+    * any sidecar file missing from the table out of the backup dir,
+    * then clear backup/stage. Before the new sidecar publishes this
+    * rolls the append back; after, it only sweeps the leftovers.
+    */
+  private def recoverZ(table: String): Unit = {
+    val backup = new Path(tablePath(s"_zold_$table"))
+    val stage = new Path(tablePath(s"_zstage_$table"))
+    if (!fs.exists(backup) && !fs.exists(stage)) return
+    val (_, metaFiles) = readZMeta(table)
+    val known = metaFiles.map(_.name).toSet
+    val dir = new Path(tablePath(table))
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .filterNot(s => known.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
+    if (fs.exists(backup)) {
+      known.filterNot(n => fs.exists(new Path(dir, n)))
+        .foreach { n =>
+          val src = new Path(backup, n)
+          if (fs.exists(src)) fs.rename(src, new Path(dir, n))
+        }
+    }
+    fs.delete(backup, true)
+    fs.delete(stage, true)
   }
 
   /** Bootstrap-or-append: the per-microbatch form for streaming

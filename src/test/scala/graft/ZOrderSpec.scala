@@ -124,6 +124,39 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(db.read("oz").count() == orders.count() + 2 * nBatch)
   }
 
+  test("z-append recovers a table stranded by a crashed merge") {
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dir = scratch("zcrash_db")
+    val db = GraftDatabase(spark, dir)
+    db.writeZOrdered(orders, "oz", Seq("o_custkey", "o_orderkey"),
+      nFiles = 8)
+    val n0 = orders.count()
+
+    // Manufacture a mid-crash state: one sidecar-listed file backed
+    // out to _zold_ (as if the crash hit between backup and sidecar
+    // publish), a half-moved stage orphan in the table dir, and a
+    // leftover stage dir.
+    val tableDir = new java.io.File(s"$dir/oz")
+    val aFile = tableDir.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    val backup = new java.io.File(s"$dir/_zold_oz")
+    backup.mkdirs()
+    assert(aFile.renameTo(new java.io.File(backup, aFile.getName)))
+    java.nio.file.Files.write(
+      new java.io.File(tableDir, "part-bogus-halfmoved").toPath,
+      Array[Byte](1, 2, 3))
+    new java.io.File(s"$dir/_zstage_oz").mkdirs()
+
+    // the next append must first restore the consistent state, then
+    // merge its batch normally
+    val batch = orders.limit(50)
+    db.appendZOrdered("oz", batch)
+    assert(db.read("oz").count() == n0 + 50)
+    assert(!backup.exists() && !new java.io.File(s"$dir/_zstage_oz").exists())
+    assert(!new java.io.File(tableDir, "part-bogus-halfmoved").exists())
+  }
+
   test("streaming ingest via upsertZOrdered keeps the table clustered") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
