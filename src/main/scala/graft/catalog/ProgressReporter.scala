@@ -35,6 +35,7 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
   private val bytesRead = new AtomicLong(0L)
   private val stages = ConcurrentHashMap.newKeySet[Integer]()
   private val seq = new AtomicLong(0L)
+  private val done = new java.util.concurrent.CountDownLatch(1)
   @volatile private var running = false
 
   private val listener = new SparkListener {
@@ -63,10 +64,12 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
       spark.sparkContext.clearJobGroup()
       var last = 0L
       while (running) {
-        // Interruptible: around() interrupts on completion so the
-        // upload never waits out a residual tick.
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
+        // Latch-paced, not sleep+interrupt: the latch drops instantly
+        // at completion (no residual tick wait), and the thread is
+        // never interrupted — an interrupt landing inside the parquet
+        // bookkeeping write would kill the stream mid-file
+        // (ClosedByInterruptException) and strand a corrupt part.
+        done.await(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         val r = rowsRead.get()
         if (running && r > 0L && r != last) {
           last = r
@@ -83,9 +86,9 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
     try body
     finally {
       running = false
+      done.countDown()
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
-      flusher.interrupt()
       flusher.join(5000)
     }
   }
