@@ -39,6 +39,33 @@ object Ann {
         (col("idx") + 1).as("rank"), col("s.score").as("sim"))
   }
 
+  /** D6: filtered exact top-k — metadata predicate composed with
+    * vector search (the "where label = X" filter every production
+    * vector store supports). The predicate applies to the CORPUS SCAN
+    * before any scoring (filter-then-search): recall is exact by
+    * construction, the parquet scan prunes on the pushed-down
+    * predicate, and the partial top-k shape is unchanged —
+    * post-filtering a top-k (the naive composition) would need
+    * k≫target to survive selective filters and still couldn't
+    * guarantee k results.
+    */
+  def topkFiltered(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, labelMod: Int = 4): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val sims = e.filter(col("label") % labelMod === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
+    sims.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+  }
+
   /** D2: IVF — deterministic Lloyd (in-core over a bounded sample,
     * [[KMeans]]), then probe the nProbe nearest cells per query.
     * Distributed shape: the corpus-scale pass is cell ASSIGNMENT —
@@ -126,11 +153,29 @@ object Ann {
         |  ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin,
+    "ann_topk_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+        |  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+        |    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y))) AS sim
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id != q.query_id AND e.label % 4 = 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact" -> ((s, d) => topkExact(s, d)),
+    "ann_topk_filtered" -> ((s, d) => topkFiltered(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopk(s, d))
   )
 }
