@@ -116,6 +116,42 @@ object TextQueries {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** E10: statistical fluency under the corpus's own bigram model —
+    * the cheap LM-style quality signal (a doc whose bigrams are
+    * common corpus-wide reads as fluent; word salad scores low).
+    * Score = Σc(w1 w2) / Σc(w1) over the doc's bigram slots —
+    * aggregate conditional mass from corpus counts. Integer sums
+    * (order-free, exact) with ONE final double division keep it
+    * bit-portable; a per-slot mean of double ratios would sum in
+    * partition order, and a real perplexity's log/exp would pull in
+    * libm — neither hash-matches across engines.
+    *
+    * Shape at scale: two count tables (bigram, unigram — vocabulary-
+    * sized, AQE-sized joins, NO broadcast hints) + one explode over
+    * the corpus; every aggregation map-side combines.
+    */
+  def fluency(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val d = Tables(spark, dir, "documents")
+    val docBi = d.select(col("doc_id"), explode(bigrams).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val uniCnt = d.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val biCnt = d.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    docBi.join(biCnt, Seq("bigram")).join(uniCnt, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("c2")).cast("double") / sum(col("c1")).cast("double"))
+        .as("fluency"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   private val profileSql: Map[String, String] = Map(
     "en" -> "\\b(the|and|of|to|is|in|it|a)\\b",
     "de" -> "\\b(der|die|und|das|ist|ein|zu)\\b",
@@ -185,6 +221,23 @@ object TextQueries {
         |  FROM t)
         |SELECT bigram, COUNT(*) AS n_occurrences FROM b GROUP BY bigram
         |ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin,
+    "text_fluency" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
+        |  FROM documents),
+        |db AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) bigram
+        |  FROM t),
+        |dbw AS (SELECT doc_id, bigram,
+        |    string_split(bigram, ' ')[1] AS w1 FROM db),
+        |uc AS (SELECT unnest(w) w1 FROM t),
+        |u AS (SELECT w1, COUNT(*) c1 FROM uc GROUP BY 1),
+        |b AS (SELECT bigram, COUNT(*) c2 FROM db GROUP BY 1),
+        |j AS (SELECT d.doc_id, b.c2, u.c1 FROM dbw d
+        |  JOIN b USING (bigram) JOIN u USING (w1))
+        |SELECT doc_id,
+        |  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS fluency,
+        |  COUNT(*) AS n_bigrams
+        |FROM j GROUP BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -200,6 +253,7 @@ object TextQueries {
     "text_langid" -> (langid _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_fingerprint" -> (fingerprints _),
+    "text_fluency" -> (fluency _),
     "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),
     "text_corpus_stats" -> (corpusStats _)
   )
