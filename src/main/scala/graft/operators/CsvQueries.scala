@@ -124,6 +124,27 @@ object CsvQueries {
     db.read(res.tableName).withColumn("encoding", lit(res.encoding))
   }
 
+  /** A1 (Shift-JIS): statistical detection (structural validity +
+    * kana-row pairs) and a fully distributed SJIS decode, end to end.
+    * The planted suffix mixes hiragana/katakana/kanji — what a real
+    * Japanese CSV carries.
+    */
+  def csvEncodingSjis(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("encoding_sjis", sfDir)
+    val db = freshDb(spark, "encoding_sjis", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), concat(col("n_name"), lit("の試験データ")))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map(r => s"${r.getInt(0)},${r.getString(1)}")
+      .sorted
+    val body = ("n_nationkey,name_jp" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/nations.csv"),
+      body.getBytes(Charset.forName("Shift_JIS")))
+    val res = CsvUploader.upload(db, s"$dir/nations.csv")
+    db.read(res.tableName).withColumn("encoding", lit(res.encoding))
+  }
+
   /** A1 (UTF-16 no BOM): NUL-skew heuristic + charset-aware line
     * splitting, end to end.
     */
@@ -304,6 +325,11 @@ object CsvQueries {
         |  n_name || 'é' AS name_accented,
         |  'UTF-16LE' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_sjis" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || 'の試験データ' AS name_jp,
+        |  'Shift_JIS' AS encoding
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -325,6 +351,7 @@ object CsvQueries {
     "csv_encoding_detect" -> (csvEncodingDetect _),
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),
+    "csv_encoding_sjis" -> (csvEncodingSjis _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _),
     "csv_progress_sql" -> (csvProgressSql _)

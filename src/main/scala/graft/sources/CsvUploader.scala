@@ -144,6 +144,7 @@ object CsvUploader {
     */
   private def sparkCharset(encoding: String): String = encoding match {
     case EncodingDetector.Cp1252 => EncodingDetector.Latin1
+    case EncodingDetector.ShiftJis => "Shift_JIS"
     case EncodingDetector.Utf32BE => "UTF-32"
     case EncodingDetector.Utf32LE =>
       throw new IllegalArgumentException(
@@ -163,6 +164,13 @@ object CsvUploader {
     */
   private def readRaw(spark: SparkSession, csvPath: String,
       encoding: String, delimiter: String = ","): DataFrame = {
+    // Shift_JIS is outside Spark's default CSV charset allowlist; the
+    // legacy escape hatch admits any JVM charset. The decode stays
+    // fully distributed AND split-safe: SJIS trail bytes are ≥ 0x40,
+    // so a raw 0x0A is always a real newline (unlike UTF-16).
+    if (encoding == EncodingDetector.ShiftJis &&
+        spark.conf.get("spark.sql.legacy.javaCharsets", "false") != "true")
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val reader = spark.read
       .option("header", "true")
       .option("encoding", sparkCharset(encoding))

@@ -20,11 +20,20 @@ import org.apache.spark.sql.SparkSession
   * all-ASCII lands on latin-1 (superset, fewer decode errors — the
   * reference cites its issue #25 for the same choice).
   *
+  * Detection ladder addition: Shift-JIS by structural validity plus
+  * a kana signal (≥2 two-byte sequences with lead 0x82/0x83 —
+  * hiragana/katakana rows; those leads are C1 controls in latin-1 and
+  * near-unused punctuation in cp1252, so western text can't produce
+  * them as pair leads). Pure-kanji text without any kana is left to
+  * the latin-1 fallback — the conservative trade that keeps French/
+  * German accent+letter byte pairs (valid SJIS pairs structurally!)
+  * from misdetecting.
+  *
   * Remaining undetectable without a full charset_normalizer port
-  * (documented gap): multi-byte East-Asian encodings (Shift-JIS,
-  * GBK, EUC-KR — their bytes also form plausible latin-1), cp125x
-  * variants other than 1252, and EBCDIC. Those decode as latin-1
-  * mojibake, like any non-statistical sniffer would.
+  * (documented gap): GBK, EUC-KR (their bytes also form plausible
+  * latin-1 and carry no kana-like discriminator), cp125x variants
+  * other than 1252, and EBCDIC. Those decode as latin-1 mojibake,
+  * like any non-statistical sniffer would.
   */
 object EncodingDetector {
 
@@ -38,6 +47,7 @@ object EncodingDetector {
   val Utf16BE = "UTF-16BE"
   val Utf32LE = "UTF-32LE"
   val Utf32BE = "UTF-32BE"
+  val ShiftJis = "Shift_JIS"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -85,6 +95,8 @@ object EncodingDetector {
     if (isValidUtf8(bytes, truncated)) {
       // ascii → latin-1 widening, mirroring the reference.
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
+    } else if (isShiftJis(bytes, truncated)) {
+      ShiftJis
     } else {
       // Not UTF-8 → single-byte western. 0x80–0x9F are C1 control
       // characters in latin-1 (never in real text) but printable in
@@ -117,6 +129,34 @@ object EncodingDetector {
     if (oddNul * 10 >= half * 7 && evenNul * 10 < half) Some(Utf16LE)
     else if (evenNul * 10 >= half * 7 && oddNul * 10 < half) Some(Utf16BE)
     else None
+  }
+
+  /** Shift-JIS: every byte must fit the SJIS stream structure
+    * (ASCII / half-width kana 0xA1–0xDF / lead 0x81–0x9F|0xE0–0xFC +
+    * trail 0x40–0x7E|0x80–0xFC) AND at least two pairs must be kana
+    * rows (lead 0x82/0x83) — the discriminator western single-byte
+    * text cannot fake (see class doc). A truncated sniff window may
+    * cut a final pair in half.
+    */
+  private[sources] def isShiftJis(bytes: Array[Byte],
+      truncated: Boolean = false): Boolean = {
+    var i = 0
+    var kanaPairs = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else if (b >= 0xA1 && b <= 0xDF) i += 1 // half-width kana
+      else if ((b >= 0x81 && b <= 0x9F) || (b >= 0xE0 && b <= 0xFC)) {
+        if (i + 1 >= n) return truncated && kanaPairs >= 2
+        val t = bytes(i + 1) & 0xFF
+        if ((t >= 0x40 && t <= 0x7E) || (t >= 0x80 && t <= 0xFC)) {
+          if (b == 0x82 || b == 0x83) kanaPairs += 1
+          i += 2
+        } else return false
+      } else return false
+    }
+    kanaPairs >= 2
   }
 
   /** Strict UTF-8 validation; when the buffer was truncated by the

@@ -28,6 +28,20 @@ class EncodingDetectorSpec extends AnyFunSuite {
   test("latin-1 high bytes are not valid utf-8") {
     assert(detectBytes("café".getBytes("ISO-8859-1")) == Latin1)
   }
+  test("shift-jis text with kana detects; western accent pairs do not") {
+    assert(detectBytes("id,名前\n1,かなテスト\n2,日本語データ"
+      .getBytes("Shift_JIS")) == ShiftJis)
+    // accent+letter byte pairs are structurally valid SJIS pairs, but
+    // carry no kana-row leads — must stay on the western ladder
+    assert(detectBytes("id,nom\n1,générale\n2,Müller,naïve"
+      .getBytes("ISO-8859-1")) == Latin1)
+    assert(detectBytes("id,text\n1,€uro “quoted”"
+      .getBytes("windows-1252")) == Cp1252)
+    // kana-only suffix truncated mid-pair by the sniff window
+    val full = "1,かなかな".getBytes("Shift_JIS")
+    assert(detectBytes(java.util.Arrays.copyOf(full, full.length - 1),
+      truncated = true) == ShiftJis)
+  }
   test("utf-8 sequence truncated by the sniff window still validates") {
     val full = ("a" * 10 + "é").getBytes("UTF-8")
     val cut = java.util.Arrays.copyOf(full, full.length - 1)
