@@ -143,6 +143,11 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // Empty input (or all-null z-columns): nothing to lay out and no
+    // normalization derivable. Leave the table un-bootstrapped so
+    // upsertZOrdered's next non-empty batch lays it out — a streaming
+    // foreachBatch can legitimately deliver an empty first batch.
+    if (stats.isNullAt(0)) return
     val metas = zCols.zipWithIndex.map { case (c, i) =>
       val lo = stats.getLong(2 * i)
       val hi = stats.getLong(2 * i + 1)
@@ -180,15 +185,17 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     * clustering; re-run writeZOrdered after compacting).
     */
   def appendZOrdered(table: String, batch: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.col
     recoverZ(table)
     val (metas, files0) = readZMeta(table)
     val files = files0.sortBy(_.zmin)
     // __fi = index of the last file with zmin ≤ z (first file catches
-    // everything below the global min)
-    val idxExpr = files.drop(1)
-      .map(f => when(col("__z") >= f.zmin, 1).otherwise(0))
-      .reduceOption[org.apache.spark.sql.Column](_ + _).getOrElse(lit(0))
+    // everything below the global min). Binary search per row —
+    // O(log F) and constant generated-code size, where a chained-when
+    // sum is O(F) per row and outgrows the 64KB codegen method limit
+    // at real file counts.
+    val idxExpr = graft.functions.GraftFunctions.segmentIndex(
+      col("__z"), files.map(_.zmin).toArray)
     val assigned = batch.withColumn("__z", zCurve(metas))
       .withColumn("__fi", idxExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -241,6 +248,8 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     val stage = new Path(tablePath(s"_zstage_$table"))
     if (!fs.exists(backup) && !fs.exists(stage)) return
     val (_, metaFiles) = readZMeta(table)
+    fs.delete(new Path(tablePath(table), "_zorder_meta.tsv.tmp"), false)
+    fs.delete(zMetaBakPath(table), false)
     val known = metaFiles.map(_.name).toSet
     val dir = new Path(tablePath(table))
     fs.listStatus(dir)
@@ -340,11 +349,31 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       sb.append(s"col\t${m.name}\t${m.lo}\t${m.hi}\t${m.shift}\n"))
     files.foreach(f =>
       sb.append(s"file\t${f.name}\t${f.zmin}\t${f.zmax}\n"))
-    val out = fs.create(zMetaPath(table), true)
+    // The sidecar is the recovery AUTHORITY — it must never be
+    // half-written (an in-place overwrite truncated by a crash would
+    // shrink `known` and make recoverZ delete good files). Protocol:
+    // write complete tmp → move current aside to .bak → move tmp in →
+    // drop .bak. Every crash window leaves either the old sidecar,
+    // the .bak (readZMeta falls back to it), or the new sidecar.
+    val meta = zMetaPath(table)
+    val tmp = new Path(tablePath(table), "_zorder_meta.tsv.tmp")
+    val bak = zMetaBakPath(table)
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(bak, false)
+    if (fs.exists(meta)) fs.rename(meta, bak)
+    fs.rename(tmp, meta)
+    fs.delete(bak, false)
   }
 
+  private def zMetaBakPath(table: String): Path =
+    new Path(tablePath(table), "_zorder_meta.tsv.bak")
+
   private def readZMeta(table: String): (Seq[ZColMeta], Seq[ZFileMeta]) = {
+    // A crash between writeZMeta's two renames leaves only the .bak —
+    // the last complete sidecar; restore it before reading.
+    if (!fs.exists(zMetaPath(table)) && fs.exists(zMetaBakPath(table)))
+      fs.rename(zMetaBakPath(table), zMetaPath(table))
     val in = fs.open(zMetaPath(table))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -45,6 +45,10 @@ object GraftFunctions {
   def zorder(cols: Column*): Column =
     toCol(ZOrderLong(cols.map(toExpr)))
 
+  /** Index of the last sorted bound ≤ value (binary search per row). */
+  def segmentIndex(c: Column, bounds: Array[Long]): Column =
+    toCol(SegmentIndex(toExpr(c), bounds))
+
   /** Squared-L2 argmin cell of a float vector vs literal centroids. */
   def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
     toCol(NearestCell(toExpr(vec), cents))

@@ -31,6 +31,25 @@ object TextFunctions {
     "es" -> "\\b(el|los|las|una|es|y|que)\\b",
     "fr" -> "\\b(le|les|et|est|une|dans|que)\\b")
 
+  /** Whitespace tokens of a string column (the `\S+` split every
+    * oracle mirrors).
+    */
+  def wsTokens(c: Column): Column =
+    regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Adjacent-token bigrams of a token array (multiplicities kept;
+    * empty below two tokens). Built by zipping the array against its
+    * own tail — a lambda that indexed back into an outer expression
+    * would re-evaluate it per element.
+    */
+  def bigramArray(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+
   def wsTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(WsToken), lit(0)))
 

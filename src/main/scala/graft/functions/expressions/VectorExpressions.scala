@@ -216,22 +216,28 @@ case class PqEncodeCodes(child: Expression,
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    // Ragged vectors clamp to the available prefix (missing dims read
+    // as 0) — an unguarded getFloat past numElements on UnsafeArrayData
+    // reads adjacent row memory and yields silently-wrong codes.
+    val n = a.numElements()
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
       val base = s * subDim
       val cb = cents(s)
+      val lim = math.max(0, math.min(subDim, n - base))
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cb.length) {
         val ct = cb(c)
         var d = 0.0
         var i = 0
-        while (i < subDim) {
+        while (i < lim) {
           val diff = a.getFloat(base + i).toDouble - ct(i)
           d += diff * diff
           i += 1
         }
+        while (i < subDim) { d += ct(i) * ct(i); i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -256,19 +262,26 @@ case class PqEncodeCodes(child: Expression,
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val diff = ctx.freshName("diff")
+      val n = ctx.freshName("n")
+      val lim = ctx.freshName("lim")
       s"""
+         |int $n = $a.numElements();
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $base = $s * $subDim;
+         |  int $lim = java.lang.Math.max(0,
+         |    java.lang.Math.min($subDim, $n - $base));
          |  double[][] $cb = $cm[$s];
          |  int $best = 0; double $bestD = Double.MAX_VALUE;
          |  for (int $c = 0; $c < $cb.length; $c++) {
          |    double[] $ct = $cb[$c];
          |    double $d = 0.0;
-         |    for (int $i = 0; $i < $subDim; $i++) {
+         |    int $i = 0;
+         |    for (; $i < $lim; $i++) {
          |      double $diff = ((double) $a.getFloat($base + $i)) - $ct[$i];
          |      $d += $diff * $diff;
          |    }
+         |    for (; $i < $subDim; $i++) { $d += $ct[$i] * $ct[$i]; }
          |    if ($d < $bestD) { $bestD = $d; $best = $c; }
          |  }
          |  $codes[$s] = $best;

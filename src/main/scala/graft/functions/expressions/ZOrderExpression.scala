@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
@@ -26,11 +26,19 @@ import org.apache.spark.sql.types._
   * partitions on the curve value, so collisions only cost locality,
   * never correctness.
   */
-case class ZOrderLong(children: Seq[Expression]) extends Expression {
+case class ZOrderLong(children: Seq[Expression]) extends Expression
+    with ImplicitCastInputTypes {
 
   private val k = children.size
   require(k >= 2 && k <= 8, s"z-order needs 2..8 columns, got $k")
   private val bits = 63 / k
+
+  // Analysis casts int/short/byte children up to long (or rejects
+  // non-numerics) — without this, interpreted eval would CCE on an
+  // Integer while codegen silently worked (the SQL-facing
+  // graft_zorder sees arbitrary column types).
+  override def inputTypes: Seq[DataType] =
+    Seq.fill(children.size)(LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
@@ -83,4 +91,40 @@ case class ZOrderLong(children: Seq[Expression]) extends Expression {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)
+}
+
+/** Index of the curve segment containing a value: the largest i with
+  * bounds(i) ≤ v (0 when v is below every bound). `bounds` are the
+  * sorted per-file z-minima of a clustered table — binary search per
+  * row, O(log F), where the equivalent chained-when expression is
+  * O(F) per row AND grows the generated code linearly with the file
+  * count (a thousand-file table would blow the 64KB generated-method
+  * limit and fall back to interpreted eval on the hot assignment
+  * scan).
+  */
+case class SegmentIndex(child: Expression, bounds: Array[Long])
+    extends UnaryExpression {
+
+  require(bounds.nonEmpty)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_segment_index"
+
+  def find(v: Long): Int = {
+    val bs = java.util.Arrays.binarySearch(bounds, v)
+    if (bs >= 0) bs else math.max(0, -bs - 2)
+  }
+
+  override def nullSafeEval(v: Any): Any = find(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("segIdx", this,
+        classOf[SegmentIndex].getName)
+      s"${ev.value} = $ref.find($v);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

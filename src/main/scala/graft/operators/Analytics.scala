@@ -399,6 +399,29 @@ object Analytics {
       }.reduce(_.unionByName(_))
   }
 
+  /** B25: full outer join — per-nation customer vs supplier counts,
+    * keeping nations that have only one side (and the dim row for
+    * ones with neither via the final right join to `nation`).
+    * Aggregate-then-join: both sides shrink to ≤|nations| rows before
+    * any join, so the joins are broadcastable no matter how large the
+    * fact tables are.
+    */
+  def qNationCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val custs = Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val supps = Tables(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    custs.join(supps, Seq("nationkey"), "full_outer")
+      .join(Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name")),
+        Seq("nationkey"), "right_outer")
+      .select(col("n_name"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
   /** B17: running total per customer — cumulative window sum.
     * Determinism: the prefix sum accumulates in DECIMAL(38,6) (exact,
     * so association order is irrelevant) with ONE cast to double per
@@ -628,6 +651,18 @@ object Analytics {
         |  c_mktsegment || '-' || c_name AS tagged
         |FROM customer
         |WHERE c_name LIKE 'Customer%1%'""".stripMargin,
+    "q_nation_coverage" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |  FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        |  FROM supplier GROUP BY 1),
+        |f AS (SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |    n_customers, n_suppliers
+        |  FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey)
+        |SELECT n.n_name,
+        |  CAST(COALESCE(f.n_customers, 0) AS BIGINT) AS n_customers,
+        |  CAST(COALESCE(f.n_suppliers, 0) AS BIGINT) AS n_suppliers
+        |FROM f RIGHT JOIN nation n ON f.nationkey = n.n_nationkey""".stripMargin,
     "q_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |v AS (SELECT user_id, MIN(ms) t FROM e WHERE event_type = 'view'
@@ -712,6 +747,7 @@ object Analytics {
     "q_median_quantity" -> (qMedianQuantity _),
     "q_percentiles" -> ((s, d) => qPercentiles(s, d)),
     "q_events_funnel" -> ((s, d) => eventsFunnel(s, d)),
+    "q_nation_coverage" -> (qNationCoverage _),
     "q_table_profile" -> (tableProfile _),
     "q_running_revenue" -> (qRunningRevenue _),
     "q_orders_pivot" -> (qOrdersPivot _),

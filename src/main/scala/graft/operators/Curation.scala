@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions.bloomMightContain
+import graft.functions.TextFunctions.bigramArray
 
 /** Corpus-curation operators a large-scale training-data pipeline
   * runs beyond dedup (SURVEY.md §2.C13–C15, §2.E8–E9): benchmark
@@ -132,8 +133,11 @@ object Curation {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // NULL text probes to NULL — without the coalesce, three-valued
+    // logic would drop such rows from BOTH branches (the oracle's
+    // NOT EXISTS keeps them: equality to NULL is never true).
     val flagged = fresh.withColumn("maybe_seen",
-      bloomMightContain(col("text"), bytes))
+      coalesce(bloomMightContain(col("text"), bytes), lit(false)))
     val definiteNew = flagged.filter(!col("maybe_seen"))
     val verifiedNew = flagged.filter(col("maybe_seen"))
       .join(old.select(col("text")).distinct(), Seq("text"), "left_anti")
@@ -195,14 +199,6 @@ object Curation {
   // E9: repetition scoring
   // ---------------------------------------------------------------
 
-  private def bigramsOf(w: Column): Column =
-    when(size(w) >= 2,
-      zip_with(
-        slice(w, lit(1), size(w) - 1),
-        slice(w, lit(2), size(w) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
-
   /** E9: repetition metrics — the Gopher-style signals that catch
     * boilerplate and degenerate generation: fraction of tokens that
     * are the single most frequent word, fraction of bigram slots
@@ -231,7 +227,7 @@ object Curation {
     val uni = stats(base.select(col("doc_id"),
       explode(col("w")).as("g")), "uni")
     val bi = stats(base.select(col("doc_id"),
-      explode(bigramsOf(col("w"))).as("g")), "bi")
+      explode(bigramArray(col("w"))).as("g")), "bi")
     uni.join(bi, Seq("doc_id"))
       .select(col("doc_id"),
         (col("m_uni").cast("double") / col("n_uni").cast("double"))

@@ -90,13 +90,7 @@ object TextQueries {
     * no global sort materialization).
     */
   def topBigrams(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-    val bigrams = when(size(toks) >= 2,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = bigramArray(wsTokens(lower(col("text"))))
     Tables(spark, dir, "documents")
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n_occurrences"))
@@ -131,13 +125,8 @@ object TextQueries {
     * the corpus; every aggregation map-side combines.
     */
   def fluency(spark: SparkSession, dir: String): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-    val bigrams = when(size(toks) >= 2,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
+    val toks = wsTokens(lower(col("text")))
+    val bigrams = bigramArray(toks)
     val d = Tables(spark, dir, "documents")
     val docBi = d.select(col("doc_id"), explode(bigrams).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))

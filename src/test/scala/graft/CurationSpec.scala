@@ -55,6 +55,15 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val got = Curation.incrementalNewOf(old, fresh, fpp = 0.5)
       .select("doc_id").as[Long].collect().sorted
     assert(got.toSeq == (1000L until 1100L).toSeq)
+
+    // NULL text must be kept as new (the oracle's NOT EXISTS is never
+    // true for NULL), not dropped by three-valued bloom logic
+    val withNull = fresh.unionByName(
+      Seq((3000L, "new", null.asInstanceOf[String]))
+        .toDF("doc_id", "source", "text"))
+    val got2 = Curation.incrementalNewOf(old, withNull, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got2.toSeq == ((1000L until 1100L) :+ 3000L).toSeq)
   }
 
   test("pii redaction: all four classes redacted, counts exact, idempotent") {

@@ -48,6 +48,41 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       Seq(Some(zref(Seq(3L, 5L))), None))
   }
 
+  test("curve accepts int columns (implicit cast) on both eval paths") {
+    import spark.implicits._
+    val df = Seq((3, 5), (7, 2)).toDF("a", "b") // IntegerType columns
+    val got = df.select(zorder(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(zref(Seq(3L, 5L)), zref(Seq(7L, 2L))))
+  }
+
+  test("segment index = last sorted bound <= value, O(log F)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.segmentIndex
+    val bounds = Array(10L, 20L, 20L, 40L)
+    val got = Seq(5L, 10L, 15L, 20L, 39L, 40L, 99L).toDF("v")
+      .select(segmentIndex(col("v"), bounds).as("i"))
+      .as[Int].collect().toSeq
+    // below-min clamps to 0; exact hits land on a matching bound;
+    // between-bounds takes the lower segment
+    assert(got(0) == 0 && got(1) == 0 && got(2) == 0)
+    assert(bounds(got(3)) == 20L && got(4) >= 1 && bounds(got(4)) == 20L)
+    assert(got(5) == 3 && got(6) == 3)
+  }
+
+  test("upsert skips an empty first batch and bootstraps on the next") {
+    import spark.implicits._
+    val dir = scratch("zempty_db")
+    val db = GraftDatabase(spark, dir)
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    db.upsertZOrdered("t", empty, Seq("a", "b"), nFiles = 4) // no-op
+    db.upsertZOrdered("t",
+      (0L until 100L).map(i => (i % 10, i)).toDF("a", "b"),
+      Seq("a", "b"), nFiles = 4)
+    db.upsertZOrdered("t", empty, Seq("a", "b"), nFiles = 4) // no-op append
+    assert(db.read("t").count() == 100)
+  }
+
   test("z-ordered layout narrows per-file ranges on BOTH dimensions") {
     val orders = Tables(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
