@@ -45,11 +45,19 @@ object Curation {
       benchMod: Int = 97): DataFrame =
     contaminationOf(docs(spark, dir), n, benchMod)
 
-  /** [[contamination]] over an arbitrary (doc_id, text) frame. */
+  /** [[contamination]] over an arbitrary (doc_id, text) frame.
+    * `hashGrams = true` is the production probe: the broadcast set
+    * and the join keys become xxhash64 longs (~10× smaller than
+    * 13-gram strings; a false hit needs a 64-bit collision INSIDE the
+    * benchmark set — ~n²/2⁶⁵). The string form stays the
+    * oracle-verifiable default; CurationSpec pins the two equal.
+    */
   def contaminationOf(d: DataFrame, n: Int = 13,
-      benchMod: Int = 97): DataFrame = {
-    val grams = d.select(col("doc_id"),
-      Dedup.shingleArray(Dedup.tokens(col("text")), n).as("grams"))
+      benchMod: Int = 97, hashGrams: Boolean = false): DataFrame = {
+    val gramArr = Dedup.shingleArray(Dedup.tokens(col("text")), n)
+    val keyed = if (hashGrams) transform(gramArr, g => xxhash64(g))
+      else gramArr
+    val grams = d.select(col("doc_id"), keyed.as("grams"))
     val bench = grams.filter(col("doc_id") % benchMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     val corpus = grams.filter(col("doc_id") % benchMod =!= 0)

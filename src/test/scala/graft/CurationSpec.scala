@@ -25,6 +25,10 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(50L) == ((2L, 1)))
     assert(got(1L) == ((0L, 0)))
     assert(got.size == 31)
+    // the hashed-probe production path computes the same result
+    val hashed = Curation.contaminationOf(docs, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(hashed == got)
   }
 
   test("bloom expression: no false negatives, few false positives") {
