@@ -151,6 +151,12 @@ object CsvUploader {
         "UTF-32LE is detected but not decodable by Spark's distributed " +
           "CSV reader (only BOM-aware big-endian UTF-32 is supported); " +
           "transcode the file to UTF-8 first")
+    case EncodingDetector.EucFamily =>
+      throw new IllegalArgumentException(
+        "EUC-family bytes detected (EUC-KR / EUC-JP / GBK share the " +
+          "same structure); disambiguating needs language statistics " +
+          "this engine doesn't carry — transcode the file to UTF-8 " +
+          "rather than risk a wrong-member decode")
     case e => e
   }
 

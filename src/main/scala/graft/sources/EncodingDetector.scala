@@ -29,10 +29,18 @@ import org.apache.spark.sql.SparkSession
   * German accent+letter byte pairs (valid SJIS pairs structurally!)
   * from misdetecting.
   *
+  * EUC-family (EUC-KR / EUC-JP / GBK) byte streams share one
+  * structure — every non-ASCII byte sits in a high+high pair
+  * (0xA1–0xFE twice) — but distinguishing WHICH member needs language
+  * frequency tables this detector doesn't carry. Guessing wrong
+  * produces fluent-looking garbage, so the verdict is the explicit
+  * [[EucFamily]] and the uploader fails loudly (the UTF-32LE
+  * precedent): an error in `_csv_progress_` beats silent latin-1
+  * mojibake, which is what these files previously became.
+  *
   * Remaining undetectable without a full charset_normalizer port
-  * (documented gap): GBK, EUC-KR (their bytes also form plausible
-  * latin-1 and carry no kana-like discriminator), cp125x variants
-  * other than 1252, and EBCDIC. Those decode as latin-1 mojibake,
+  * (documented gap): cp125x variants other than 1252, EBCDIC, and
+  * kana-free pure-kanji Shift-JIS. Those decode as latin-1 mojibake,
   * like any non-statistical sniffer would.
   */
 object EncodingDetector {
@@ -48,6 +56,7 @@ object EncodingDetector {
   val Utf32LE = "UTF-32LE"
   val Utf32BE = "UTF-32BE"
   val ShiftJis = "Shift_JIS"
+  val EucFamily = "EUC-FAMILY"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -97,6 +106,8 @@ object EncodingDetector {
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
     } else if (isShiftJis(bytes, truncated)) {
       ShiftJis
+    } else if (isEucFamily(bytes, truncated)) {
+      EucFamily
     } else {
       // Not UTF-8 → single-byte western. 0x80–0x9F are C1 control
       // characters in latin-1 (never in real text) but printable in
@@ -157,6 +168,33 @@ object EncodingDetector {
       } else return false
     }
     kanaPairs >= 2
+  }
+
+  /** EUC-family structure: every byte is ASCII or part of a
+    * high+high pair (both 0xA1–0xFE), with ≥3 such pairs. Western
+    * text can't fake it — its high bytes are isolated accents
+    * followed by ASCII (invalid trail) except for runs of adjacent
+    * accented letters, which the ≥3-pairs floor plus the
+    * every-high-byte-paired rule make vanishingly unlikely. Runs
+    * after [[isShiftJis]]: an EUC stream reads as SJIS half-width
+    * kana singles but has no kana-ROW pairs, so the two don't collide.
+    */
+  private[sources] def isEucFamily(bytes: Array[Byte],
+      truncated: Boolean = false): Boolean = {
+    var i = 0
+    var pairs = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else if (b >= 0xA1 && b <= 0xFE) {
+        if (i + 1 >= n) return truncated && pairs >= 3
+        val t = bytes(i + 1) & 0xFF
+        if (t >= 0xA1 && t <= 0xFE) { pairs += 1; i += 2 }
+        else return false
+      } else return false
+    }
+    pairs >= 3
   }
 
   /** Strict UTF-8 validation; when the buffer was truncated by the

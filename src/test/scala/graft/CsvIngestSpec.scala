@@ -42,6 +42,16 @@ class EncodingDetectorSpec extends AnyFunSuite {
     assert(detectBytes(java.util.Arrays.copyOf(full, full.length - 1),
       truncated = true) == ShiftJis)
   }
+  test("euc-family detects structurally; upload fails loudly, never mojibake") {
+    assert(detectBytes("id,이름\n1,한국어 데이터".getBytes("EUC-KR"))
+      == EucFamily)
+    assert(detectBytes("id,名前\n1,日本語データ".getBytes("EUC-JP"))
+      == EucFamily)
+    assert(detectBytes("id,名字\n1,中文数据".getBytes("GBK")) == EucFamily)
+    // isolated accents break the pair structure → western ladder
+    assert(detectBytes("id,nom\n1,décidé,café".getBytes("ISO-8859-1"))
+      == Latin1)
+  }
   test("utf-8 sequence truncated by the sniff window still validates") {
     val full = ("a" * 10 + "é").getBytes("UTF-8")
     val cut = java.util.Arrays.copyOf(full, full.length - 1)

@@ -38,7 +38,8 @@ class PropertySpec extends AnyFunSuite {
       Set(EncodingDetector.Utf8, EncodingDetector.Latin1,
         EncodingDetector.Cp1252,
         EncodingDetector.Utf16LE, EncodingDetector.Utf16BE,
-        EncodingDetector.Utf32LE, EncodingDetector.Utf32BE).contains(v)
+        EncodingDetector.Utf32LE, EncodingDetector.Utf32BE,
+        EncodingDetector.ShiftJis, EncodingDetector.EucFamily).contains(v)
     })
   }
 
