@@ -26,9 +26,18 @@ object Ann {
   def topkExact(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") < nQueries)
+    topkOver(e, e, k, nQueries)
+  }
+
+  /** Shared exact-top-k core: broadcast the query set, scan `corpus`,
+    * partial top-k per partition. D1 passes the whole table as
+    * corpus; D6 passes the predicate-filtered scan.
+    */
+  private def topkOver(corpus: DataFrame, queries: DataFrame, k: Int,
+      nQueries: Int): DataFrame = {
+    val q = queries.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val sims = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val sims = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
     sims.groupBy(col("query_id"))
@@ -52,18 +61,7 @@ object Ann {
   def topkFiltered(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, labelMod: Int = 4): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val sims = e.filter(col("label") % labelMod === 0)
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
-    sims.groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
-        .as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+    topkOver(e.filter(col("label") % labelMod === 0), e, k, nQueries)
   }
 
   /** D2: IVF — deterministic Lloyd (in-core over a bounded sample,
