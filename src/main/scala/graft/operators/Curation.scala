@@ -88,17 +88,44 @@ object Curation {
     * state, bit-reproducible on any cluster size, and a document's
     * fate never changes when the corpus around it does.
     */
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
-    val rate = mixRates.foldLeft(lit(mixDefaultRate)) {
-      case (acc, (srcs, r)) =>
-        when(col("source").isin(srcs: _*), lit(r)).otherwise(acc)
-    }
+  /** Target rate as a function of the source column. */
+  private def rateCol: Column = mixRates.foldLeft(lit(mixDefaultRate)) {
+    case (acc, (srcs, r)) =>
+      when(col("source").isin(srcs: _*), lit(r)).otherwise(acc)
+  }
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("source"), rate.as("rate_pct"),
+      .select(col("doc_id"), col("source"), rateCol.as("rate_pct"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100).as("bucket"))
       .filter(col("bucket") < col("rate_pct"))
       .select(col("doc_id"), col("source"), col("rate_pct"))
+
+  /** C16: the mixture report — what [[domainMix]] actually achieved,
+    * per source: totals, kept counts/chars, and the realized keep
+    * fraction (md5 buckets are uniform, so it tracks rate_pct to
+    * ±binomial noise — the report is how a corpus build audits that).
+    * Two map-side-combined aggregations joined on source; the ratio
+    * is the only double, derived from exact integer counts.
+    */
+  def mixReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val kept = domainMix(spark, dir)
+      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("bigint").as("kept_chars"))
+    // rate_pct derives from the source on the TOTALS side — a source
+    // whose sample came up empty still reports its configured rate
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .withColumn("rate_pct", rateCol)
+      .join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("rate_pct"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double")
+          / col("n_total").cast("double")).as("achieved_frac"))
   }
 
   // ---------------------------------------------------------------
@@ -303,6 +330,26 @@ object Curation {
         |    AS bucket
         |  FROM documents)
         |SELECT doc_id, source, rate_pct FROM r WHERE bucket < rate_pct""".stripMargin,
+    "curate_mix_report" ->
+      """WITH rated AS (SELECT doc_id, source, n_chars,
+        |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+        |       WHEN source IN ('src4','src5','src6','src7') THEN 50
+        |       WHEN source IN ('src8','src9','src10','src11') THEN 25
+        |       ELSE 10 END AS rate_pct,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |    AS bucket
+        |  FROM documents),
+        |kept AS (SELECT source, COUNT(*) n_kept,
+        |    CAST(SUM(n_chars) AS BIGINT) kept_chars
+        |  FROM rated WHERE bucket < rate_pct GROUP BY 1),
+        |tot AS (SELECT source, ANY_VALUE(rate_pct) rate_pct,
+        |    COUNT(*) n_total FROM rated GROUP BY 1)
+        |SELECT t.source, t.rate_pct, t.n_total,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+        |  CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+        |    AS achieved_frac
+        |FROM tot t LEFT JOIN kept k ON t.source = k.source""".stripMargin,
     "curate_incremental_new" ->
       s"""SELECT n.doc_id, n.source FROM documents n
          |WHERE n.source NOT IN ($oldSrcList)
@@ -329,6 +376,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_contamination" -> ((s, d) => contamination(s, d)),
     "curate_domain_mix" -> (domainMix _),
+    "curate_mix_report" -> (mixReport _),
     "curate_incremental_new" -> ((s, d) => incrementalNew(s, d)),
     "curate_pii_redact" -> (piiRedactQuery _),
     "curate_repetition" -> (repetition _)
