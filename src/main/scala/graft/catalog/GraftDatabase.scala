@@ -19,6 +19,17 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hadoop rename reports most failures (existing destination,
+    * missing parent, cross-FS move) by returning FALSE rather than
+    * throwing. Every rename in the z-order/compact commit protocols
+    * must either happen or abort the protocol — a silently-skipped
+    * rename desynchronizes the sidecar from the data files, the exact
+    * corruption the sidecar-authority design exists to prevent.
+    */
+  private def renameOrThrow(src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   def tablePath(table: String): String = s"$path/$table"
 
   def tableExists(table: String): Boolean =
@@ -147,7 +158,16 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     // normalization derivable. Leave the table un-bootstrapped so
     // upsertZOrdered's next non-empty batch lays it out — a streaming
     // foreachBatch can legitimately deliver an empty first batch.
-    if (stats.isNullAt(0)) return
+    // A MIX (some z-columns all-null, others not) is a caller error:
+    // no curve bounds exist for the null column, so name it instead
+    // of NPE-ing in getLong below.
+    val nullCols = zCols.zipWithIndex.filter { case (_, i) =>
+      stats.isNullAt(2 * i) }.map(_._1)
+    if (nullCols.size == zCols.size) return
+    require(nullCols.isEmpty,
+      s"writeZOrdered: z-column(s) ${nullCols.mkString(", ")} are " +
+        "entirely NULL (or not castable to long); cannot derive curve " +
+        "bounds for them while other z-columns have data")
     val metas = zCols.zipWithIndex.map { case (c, i) =>
       val lo = stats.getLong(2 * i)
       val hi = stats.getLong(2 * i + 1)
@@ -220,12 +240,12 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     val backup = new Path(tablePath(s"_zold_$table"))
     fs.mkdirs(backup)
     touchedNames.foreach(n =>
-      fs.rename(new Path(tablePath(table), n), new Path(backup, n)))
+      renameOrThrow(new Path(tablePath(table), n), new Path(backup, n)))
     val moved = fs.listStatus(stage)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map { s =>
         val dst = new Path(tablePath(table), s.getPath.getName)
-        fs.rename(s.getPath, dst)
+        renameOrThrow(s.getPath, dst)
         dst.toString
       }.toSeq
     writeZMeta(table, metas,
@@ -260,7 +280,7 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       known.filterNot(n => fs.exists(new Path(dir, n)))
         .foreach { n =>
           val src = new Path(backup, n)
-          if (fs.exists(src)) fs.rename(src, new Path(dir, n))
+          if (fs.exists(src)) renameOrThrow(src, new Path(dir, n))
         }
     }
     fs.delete(backup, true)
@@ -276,7 +296,15 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     */
   def upsertZOrdered(table: String, batch: DataFrame, zCols: Seq[String],
       nFiles: Int): Unit =
-    if (fs.exists(zMetaPath(table))) appendZOrdered(table, batch)
+    // Bootstrapped means "a complete sidecar exists", and after a
+    // crash inside writeZMeta's rename window the last complete
+    // sidecar is the .bak (meta moved aside, tmp not yet moved in).
+    // Testing zMetaPath alone would misread that state as
+    // un-bootstrapped and writeZOrdered's SaveMode.Overwrite would
+    // replace the whole table with just this batch — silent data
+    // loss. appendZOrdered's readZMeta restores the .bak.
+    if (fs.exists(zMetaPath(table)) || fs.exists(zMetaBakPath(table)))
+      appendZOrdered(table, batch)
     else writeZOrdered(batch, table, zCols, nFiles)
 
   /** Normalization of one clustered column (see [[writeZOrdered]]). */
@@ -361,8 +389,8 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(bak, false)
-    if (fs.exists(meta)) fs.rename(meta, bak)
-    fs.rename(tmp, meta)
+    if (fs.exists(meta)) renameOrThrow(meta, bak)
+    renameOrThrow(tmp, meta)
     fs.delete(bak, false)
   }
 
@@ -373,7 +401,7 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     // A crash between writeZMeta's two renames leaves only the .bak —
     // the last complete sidecar; restore it before reading.
     if (!fs.exists(zMetaPath(table)) && fs.exists(zMetaBakPath(table)))
-      fs.rename(zMetaBakPath(table), zMetaPath(table))
+      renameOrThrow(zMetaBakPath(table), zMetaPath(table))
     val in = fs.open(zMetaPath(table))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -432,7 +460,7 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def compact(table: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val src = new Path(tablePath(table))
     val prevBak = new Path(tablePath(s"_old_$table"))
-    if (!fs.exists(src) && fs.exists(prevBak)) fs.rename(prevBak, src)
+    if (!fs.exists(src) && fs.exists(prevBak)) renameOrThrow(prevBak, src)
     val bytes = fs.getContentSummary(src).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new Path(tablePath(s"_compact_$table"))
@@ -440,8 +468,8 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       .mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new Path(tablePath(s"_old_$table"))
     fs.delete(bak, true)
-    fs.rename(src, bak)
-    fs.rename(tmp, src)
+    renameOrThrow(src, bak)
+    renameOrThrow(tmp, src)
     fs.delete(bak, true)
   }
 

@@ -55,22 +55,24 @@ object CsvUploader {
     db.progress.start(taskId, resolved, bytesTodo, started)
     try {
       val encoding = detectEncoding(spark, csvPath, sniffBytes)
-      val raw =
-        if (alter) readRawEvolving(spark, csvPath, encoding, delimiter)
-        else readRaw(spark, csvPath, encoding, delimiter)
-      val (types, rows) = TypeInference.inferWithCount(raw)
-      val typed = TypeInference.applyTypes(raw, types)
-      // Live mid-load progress (reference updates every 10 rows,
-      // __init__.py:186-190): task metrics of the write job flow to
-      // _csv_progress_ while the load runs; complete() then records
-      // the exact totals.
-      new graft.catalog.ProgressReporter(db, taskId, resolved, bytesTodo,
-        progressIntervalMs).around {
-        db.write(typed, resolved, SaveMode.ErrorIfExists)
+      withLegacyCharsets(spark, needsLegacyCharset(encoding)) {
+        val raw =
+          if (alter) readRawEvolving(spark, csvPath, encoding, delimiter)
+          else readRaw(spark, csvPath, encoding, delimiter)
+        val (types, rows) = TypeInference.inferWithCount(raw)
+        val typed = TypeInference.applyTypes(raw, types)
+        // Live mid-load progress (reference updates every 10 rows,
+        // __init__.py:186-190): task metrics of the write job flow to
+        // _csv_progress_ while the load runs; complete() then records
+        // the exact totals.
+        new graft.catalog.ProgressReporter(db, taskId, resolved, bytesTodo,
+          progressIntervalMs).around {
+          db.write(typed, resolved, SaveMode.ErrorIfExists)
+        }
+        db.progress.complete(taskId, resolved, bytesTodo, rows)
+        UploadResult(db.name, resolved, taskId, rows, bytesTodo, encoding,
+          types, None)
       }
-      db.progress.complete(taskId, resolved, bytesTodo, rows)
-      UploadResult(db.name, resolved, taskId, rows, bytesTodo, encoding,
-        types, None)
     } catch {
       case e: Exception =>
         db.progress.fail(taskId, resolved, String.valueOf(e.getMessage))
@@ -168,15 +170,37 @@ object CsvUploader {
     * half; with it Spark encodes "\n" in the declared charset and
     * splits on the full sequence.
     */
+  /** Charsets outside Spark's default CSV allowlist, admitted through
+    * the `spark.sql.legacy.javaCharsets` escape hatch. All are
+    * split-safe for a distributed decode: their multi-byte trail
+    * bytes are ≥ 0x40 (SJIS) / ≥ 0xA1 (EUC family), so a raw 0x0A is
+    * always a real newline (unlike UTF-16).
+    */
+  private def needsLegacyCharset(encoding: String): Boolean =
+    encoding == EncodingDetector.ShiftJis
+
+  /** Run `body` with the legacy-charset escape hatch on, restoring
+    * the previous session value afterwards — a one-off Shift-JIS
+    * upload must not permanently widen the accepted-charset behavior
+    * of every later CSV read on the shared session. Callers must
+    * finish every ACTION on the decoded frame inside `body`: the conf
+    * is consulted when the scan executes, not when it's declared.
+    */
+  private def withLegacyCharsets[T](spark: SparkSession,
+      needed: Boolean)(body: => T): T = {
+    if (!needed) return body
+    val key = "spark.sql.legacy.javaCharsets"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def readRaw(spark: SparkSession, csvPath: String,
       encoding: String, delimiter: String = ","): DataFrame = {
-    // Shift_JIS is outside Spark's default CSV charset allowlist; the
-    // legacy escape hatch admits any JVM charset. The decode stays
-    // fully distributed AND split-safe: SJIS trail bytes are ≥ 0x40,
-    // so a raw 0x0A is always a real newline (unlike UTF-16).
-    if (encoding == EncodingDetector.ShiftJis &&
-        spark.conf.get("spark.sql.legacy.javaCharsets", "false") != "true")
-      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val reader = spark.read
       .option("header", "true")
       .option("encoding", sparkCharset(encoding))

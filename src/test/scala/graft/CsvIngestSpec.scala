@@ -199,6 +199,23 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getString(1) == "€5")
   }
 
+  test("Shift-JIS upload restores the legacy-charset conf afterwards") {
+    val dir = scratch("sjis_conf")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val content = "name,price\nかなかな,5\nカタカナ,4"
+    Files.write(Paths.get(s"$dir/jp.csv"),
+      content.getBytes(Charset.forName("Shift_JIS")))
+    val key = "spark.sql.legacy.javaCharsets"
+    val prev = spark.conf.getOption(key)
+    val res = CsvUploader.upload(db, s"$dir/jp.csv")
+    assert(res.error.isEmpty)
+    assert(res.encoding == "Shift_JIS")
+    assert(db.read("jp").head().getString(0) == "かなかな")
+    // one upload must not permanently widen the session's accepted
+    // charsets (ADVICE r3)
+    assert(spark.conf.getOption(key) == prev)
+  }
+
   test("UTF-16LE without BOM decodes losslessly end to end") {
     val dir = scratch("utf16_nobom")
     val db = GraftDatabase(spark, s"$dir/db")

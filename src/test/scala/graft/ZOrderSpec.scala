@@ -192,6 +192,40 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(tableDir, "part-bogus-halfmoved").exists())
   }
 
+  test("upsert after a crash in the sidecar-publish window appends, " +
+      "not overwrites") {
+    import spark.implicits._
+    val dir = scratch("zbak_db")
+    val db = GraftDatabase(spark, dir)
+    db.upsertZOrdered("t",
+      (0L until 100L).map(i => (i % 10, i)).toDF("a", "b"),
+      Seq("a", "b"), nFiles = 4)
+    // Manufacture the narrowest writeZMeta crash window: the current
+    // sidecar has been moved aside to .bak and the tmp not yet moved
+    // in — only the .bak exists. The next upsert must treat the table
+    // as bootstrapped (append path), NOT re-bootstrap with
+    // SaveMode.Overwrite and silently drop the 100 existing rows.
+    val meta = new java.io.File(s"$dir/t/_zorder_meta.tsv")
+    assert(meta.renameTo(new java.io.File(s"$dir/t/_zorder_meta.tsv.bak")))
+    db.upsertZOrdered("t",
+      (100L until 150L).map(i => (i % 10, i)).toDF("a", "b"),
+      Seq("a", "b"), nFiles = 4)
+    assert(db.read("t").count() == 150)
+    assert(meta.exists(), "sidecar restored from .bak and republished")
+  }
+
+  test("writeZOrdered names an all-null z-column instead of NPE-ing") {
+    import spark.implicits._
+    val dir = scratch("znull_db")
+    val db = GraftDatabase(spark, dir)
+    val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      db.writeZOrdered(df, "t", Seq("a", "b"), nFiles = 2)
+    }
+    assert(e.getMessage.contains("b"))
+  }
+
   test("streaming ingest via upsertZOrdered keeps the table clustered") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
