@@ -74,8 +74,12 @@ object Analytics {
       .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
   /** B3: customer ⋈ orders ⋈ lineitem + agg + deterministic top-10.
-    * customer is small → broadcast; orders⋈lineitem shuffles on the
-    * order key (AQE handles skew at scale).
+    * No broadcast() hint on customer: it scales linearly with the
+    * corpus (a forced hint bypasses Spark's size threshold — executor
+    * OOM at the 100 TB design point). AQE's runtime size estimate
+    * picks broadcast-hash while the filtered side is small and
+    * shuffle-hash once it isn't; PlanSpec pins the small-scale choice.
+    * orders⋈lineitem shuffles on the order key (AQE handles skew).
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1997-06-01").cast("timestamp")
@@ -84,7 +88,7 @@ object Analytics {
     val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
     val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -96,7 +100,12 @@ object Analytics {
       .limit(10)
   }
 
-  /** B4: six-table star join — dims broadcast, facts shuffle. */
+  /** B4: six-table star join. Only the FIXED-cardinality dims carry a
+    * broadcast() hint (region = 5 rows, nation = 25 at every scale
+    * factor); supplier and customer grow with SF, so their join
+    * strategy is left to AQE — broadcast-hash while small,
+    * shuffle-hash at scale, never a forced OOM.
+    */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables(spark, dir, "nation")
@@ -108,8 +117,8 @@ object Analytics {
     val l = Tables(spark, dir, "lineitem")
     // Customer and supplier in the same nation (TPC-H Q5 semantics).
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c,
         col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -119,14 +128,20 @@ object Analytics {
         .as("revenue"))
   }
 
-  /** B5: window rank — top-3 orders per customer by total price. */
+  /** B5: window rank — top-3 orders per customer by total price. The
+    * customer join is unhinted: customer scales with the corpus, and
+    * the ranked side is already partitioned by o_custkey, so at scale
+    * AQE turns this into a shuffle join that reuses the window's
+    * exchange on one side instead of materializing 10^10 customers on
+    * every executor.
+    */
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     val top = Tables(spark, dir, "orders")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-    top.join(broadcast(Tables(spark, dir, "customer")),
+    top.join(Tables(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("rn"))
