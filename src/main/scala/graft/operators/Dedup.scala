@@ -57,7 +57,10 @@ object Dedup {
 
   /** Per-doc distinct 3-shingle arrays, kept for index join + verify. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(
+    docShinglesOf(Tables(spark, dir, "documents"))
+
+  private def docShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       shingleArray(tokens(col("text")), 3).as("shingles"))
 
@@ -68,7 +71,10 @@ object Dedup {
     * join and the verify step actually operate on.
     */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    docShingles(spark, dir).select(
+    docShingleHashesOf(Tables(spark, dir, "documents"))
+
+  private def docShingleHashesOf(docs: DataFrame): DataFrame =
+    docShinglesOf(docs).select(
       col("doc_id"),
       sort_array(transform(col("shingles"), s => xxhash64(s))).as("sh"))
 
@@ -84,12 +90,21 @@ object Dedup {
     * shingle arrays.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardOf(Tables(spark, dir, "documents"), threshold)
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text) frame — the
+    * form the cleaning composite feeds its already-gated survivors
+    * into (pairs over 10^11 raw docs when only the gated fraction
+    * needs deduping is wasted shuffle).
+    */
+  def ngramJaccardOf(docsIn: DataFrame,
       threshold: Double = 0.8): DataFrame = {
     // The hashed-shingle frame feeds four plan branches (frequency,
     // prefix, and both verify sides) — persist it once instead of
     // re-tokenizing the corpus per branch. Long arrays cache in a few
     // bytes per shingle; MEMORY_AND_DISK spills at cluster scale.
-    val docs = docShingleHashes(spark, dir)
+    val docs = docShingleHashesOf(docsIn)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docs.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))

@@ -33,9 +33,20 @@ object Pipeline {
       .withColumn("keep_id", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"))
+      // Feeds BOTH the anti-join's kept side and the whole AllPairs
+      // shingle pipeline (itself multi-branch) — without this persist
+      // the regex gates and the dedup window re-execute per branch,
+      // and the composite ran 3× its most expensive component.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup removal: drop the higher id of every Jaccard pair
-    val dupIds = Dedup.ngramJaccard(spark, dir, nearDupThreshold)
+    // Near-dup removal: pairs over the gated, exact-deduped survivors
+    // ONLY (cheapest, and the semantics a corpus build wants — at
+    // scale the gates drop a large fraction of the corpus, and
+    // shingling what you already discarded is wasted shuffle); drop
+    // the higher id of every Jaccard pair.
+    val dupIds = Dedup.ngramJaccardOf(
+        canonical.select(col("doc_id"), col("text")), nearDupThreshold)
       .select(col("doc_id_b").as("doc_id")).distinct()
     canonical.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("pred_lang"), col("quality"),
@@ -123,7 +134,7 @@ object Pipeline {
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id
         |  FROM gated),
         |kept AS (SELECT * FROM canon WHERE doc_id = keep_id),
-        |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+        |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM kept),
         |sh AS (SELECT doc_id,
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
         |  FROM t),
