@@ -164,6 +164,41 @@ object CsvQueries {
     db.read(res.tableName).withColumn("encoding", lit(res.encoding))
   }
 
+  /** A1 (EUC member disambiguation): one fixture per EUC-family
+    * member. The detector sees the shared high+high pair structure,
+    * then the per-member frequency profiles (JVM-charset-derived)
+    * pick the language; the decode runs distributed through the
+    * legacy-charset hatch, and the oracle compares the round-tripped
+    * text against the original UTF-8.
+    */
+  private def eucFixture(spark: SparkSession, sfDir: String, qname: String,
+      suffix: String, colName: String, charset: String): DataFrame = {
+    val dir = scratch(qname, sfDir)
+    val db = freshDb(spark, qname, sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), concat(col("n_name"), lit(suffix)))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map(r => s"${r.getInt(0)},${r.getString(1)}")
+      .sorted
+    val body = (s"n_nationkey,$colName" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/nations.csv"),
+      body.getBytes(Charset.forName(charset)))
+    val res = CsvUploader.upload(db, s"$dir/nations.csv")
+    db.read(res.tableName).withColumn("encoding", lit(res.encoding))
+  }
+
+  def csvEncodingEucKr(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_euckr", "의 시험 자료", "name_kr",
+      "EUC-KR")
+
+  def csvEncodingEucJp(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_eucjp", "のしけんでーた", "name_jp",
+      "EUC-JP")
+
+  def csvEncodingGbk(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_gbk", "的测试数据", "name_zh", "GBK")
+
   /** A5: filename → table name (strip one ".csv") + conflict
     * suffixing _2, _3 on repeated upload.
     */
@@ -330,6 +365,21 @@ object CsvQueries {
         |  n_name || 'の試験データ' AS name_jp,
         |  'Shift_JIS' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_euckr" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || '의 시험 자료' AS name_kr,
+        |  'EUC-KR' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_eucjp" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || 'のしけんでーた' AS name_jp,
+        |  'EUC-JP' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_gbk" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || '的测试数据' AS name_zh,
+        |  'GBK' AS encoding
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -352,6 +402,9 @@ object CsvQueries {
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),
     "csv_encoding_sjis" -> (csvEncodingSjis _),
+    "csv_encoding_euckr" -> (csvEncodingEucKr _),
+    "csv_encoding_eucjp" -> (csvEncodingEucJp _),
+    "csv_encoding_gbk" -> (csvEncodingGbk _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _),
     "csv_progress_sql" -> (csvProgressSql _)

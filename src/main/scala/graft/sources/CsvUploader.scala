@@ -156,9 +156,9 @@ object CsvUploader {
     case EncodingDetector.EucFamily =>
       throw new IllegalArgumentException(
         "EUC-family bytes detected (EUC-KR / EUC-JP / GBK share the " +
-          "same structure); disambiguating needs language statistics " +
-          "this engine doesn't carry — transcode the file to UTF-8 " +
-          "rather than risk a wrong-member decode")
+          "same structure) but the statistical member profiles were " +
+          "ambiguous — transcode the file to UTF-8 rather than risk " +
+          "a wrong-member decode")
     case e => e
   }
 
@@ -177,7 +177,10 @@ object CsvUploader {
     * always a real newline (unlike UTF-16).
     */
   private def needsLegacyCharset(encoding: String): Boolean =
-    encoding == EncodingDetector.ShiftJis
+    encoding == EncodingDetector.ShiftJis ||
+      encoding == EncodingDetector.EucKr ||
+      encoding == EncodingDetector.EucJp ||
+      encoding == EncodingDetector.Gbk
 
   /** Run `body` with the legacy-charset escape hatch on, restoring
     * the previous session value afterwards — a one-off Shift-JIS

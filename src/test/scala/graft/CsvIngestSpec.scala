@@ -42,15 +42,20 @@ class EncodingDetectorSpec extends AnyFunSuite {
     assert(detectBytes(java.util.Arrays.copyOf(full, full.length - 1),
       truncated = true) == ShiftJis)
   }
-  test("euc-family detects structurally; upload fails loudly, never mojibake") {
+  test("euc-family members disambiguate via the frequency profiles") {
     assert(detectBytes("id,이름\n1,한국어 데이터".getBytes("EUC-KR"))
-      == EucFamily)
+      == EucKr)
     assert(detectBytes("id,名前\n1,日本語データ".getBytes("EUC-JP"))
-      == EucFamily)
-    assert(detectBytes("id,名字\n1,中文数据".getBytes("GBK")) == EucFamily)
+      == EucJp)
+    assert(detectBytes("id,名字\n1,中文数据".getBytes("GBK")) == Gbk)
     // isolated accents break the pair structure → western ladder
     assert(detectBytes("id,nom\n1,décidé,café".getBytes("ISO-8859-1"))
       == Latin1)
+    // structurally EUC but no language mass (enumeration symbols
+    // only) → the ambiguous verdict stays, and the upload keeps its
+    // loud failure instead of guessing a member
+    assert(detectBytes("id,x\n1,①②③④⑤⑥⑦⑧".getBytes("GBK"))
+      == EucFamily)
   }
   test("utf-8 sequence truncated by the sniff window still validates") {
     val full = ("a" * 10 + "é").getBytes("UTF-8")

@@ -39,7 +39,9 @@ class PropertySpec extends AnyFunSuite {
         EncodingDetector.Cp1252,
         EncodingDetector.Utf16LE, EncodingDetector.Utf16BE,
         EncodingDetector.Utf32LE, EncodingDetector.Utf32BE,
-        EncodingDetector.ShiftJis, EncodingDetector.EucFamily).contains(v)
+        EncodingDetector.ShiftJis, EncodingDetector.EucFamily,
+        EncodingDetector.EucKr, EncodingDetector.EucJp,
+        EncodingDetector.Gbk).contains(v)
     })
   }
 
