@@ -199,6 +199,19 @@ object CsvQueries {
   def csvEncodingGbk(spark: SparkSession, sfDir: String): DataFrame =
     eucFixture(spark, sfDir, "encoding_gbk", "的测试数据", "name_zh", "GBK")
 
+  /** A1 (Cyrillic codepages): same fixture machinery — cp1251 and
+    * KOI8-R put the same Russian letters in different byte ranges, so
+    * the density-gated frequency profiles must both pick the right
+    * member and decode losslessly.
+    */
+  def csvEncodingCp1251(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_cp1251", " проверка данных",
+      "name_ru", "windows-1251")
+
+  def csvEncodingKoi8r(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_koi8r", " проверка данных",
+      "name_ru", "KOI8-R")
+
   /** A5: filename → table name (strip one ".csv") + conflict
     * suffixing _2, _3 on repeated upload.
     */
@@ -380,6 +393,16 @@ object CsvQueries {
         |  n_name || '的测试数据' AS name_zh,
         |  'GBK' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_cp1251" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' проверка данных' AS name_ru,
+        |  'windows-1251' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_koi8r" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' проверка данных' AS name_ru,
+        |  'KOI8-R' AS encoding
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -405,6 +428,8 @@ object CsvQueries {
     "csv_encoding_euckr" -> (csvEncodingEucKr _),
     "csv_encoding_eucjp" -> (csvEncodingEucJp _),
     "csv_encoding_gbk" -> (csvEncodingGbk _),
+    "csv_encoding_cp1251" -> (csvEncodingCp1251 _),
+    "csv_encoding_koi8r" -> (csvEncodingKoi8r _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _),
     "csv_progress_sql" -> (csvProgressSql _)

@@ -180,7 +180,9 @@ object CsvUploader {
     encoding == EncodingDetector.ShiftJis ||
       encoding == EncodingDetector.EucKr ||
       encoding == EncodingDetector.EucJp ||
-      encoding == EncodingDetector.Gbk
+      encoding == EncodingDetector.Gbk ||
+      encoding == EncodingDetector.Cp1251 ||
+      encoding == EncodingDetector.Koi8R
 
   /** Run `body` with the legacy-charset escape hatch on, restoring
     * the previous session value afterwards — a one-off Shift-JIS

@@ -67,6 +67,8 @@ object EncodingDetector {
   val EucKr = "EUC-KR"
   val EucJp = "EUC-JP"
   val Gbk = "GBK"
+  val Cp1251 = "windows-1251"
+  val Koi8R = "KOI8-R"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -114,6 +116,11 @@ object EncodingDetector {
     if (isValidUtf8(bytes, truncated)) {
       // ascii → latin-1 widening, mirroring the reference.
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
+    } else if (detectCyrillic(bytes).isDefined) {
+      // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are
+      // single high bytes, so even-length letter runs structurally
+      // mimic EUC high+high pairs.
+      detectCyrillic(bytes).get
     } else if (isShiftJis(bytes, truncated)) {
       ShiftJis
     } else if (isEucFamily(bytes, truncated)) {
@@ -205,6 +212,49 @@ object EncodingDetector {
       } else return false
     }
     pairs >= 3
+  }
+
+  /** Cyrillic single-byte codepages (cp1251 / KOI8-R) are
+    * structurally indistinguishable from latin-1 — every byte
+    * sequence "decodes". The statistical separation: Russian text is
+    * DOMINATED by high bytes (nearly every letter ≥ 0xC0, vs isolated
+    * accents in western text), and each codepage puts the most
+    * frequent lowercase letters in a different range (cp1251:
+    * 0xE0–0xFF; KOI8-R: 0xC0–0xDF). Gate on ≥25% high bytes, then
+    * require ≥35% of them to be top-15 Russian lowercase letters in
+    * the winning codepage with a 1.5× margin over the other — real
+    * Russian clears both by a wide margin (top-15 ≈ 2/3 of letters),
+    * western/CJK streams clear neither.
+    */
+  private lazy val cp1251Profile = byteProfile("оеаинтсрвлкмдпу", Cp1251)
+  private lazy val koi8Profile = byteProfile("оеаинтсрвлкмдпу", Koi8R)
+
+  private def byteProfile(chars: String, charset: String): Set[Int] =
+    chars.map(ch => String.valueOf(ch).getBytes(charset))
+      .filter(_.length == 1).map(b => b(0) & 0xFF).toSet
+
+  private[sources] def detectCyrillic(bytes: Array[Byte]): Option[String] = {
+    val n = bytes.length
+    if (n == 0) return None
+    var high = 0
+    var cp = 0
+    var koi = 0
+    var i = 0
+    while (i < n) {
+      val v = bytes(i) & 0xFF
+      if (v >= 0x80) {
+        high += 1
+        if (cp1251Profile.contains(v)) cp += 1
+        if (koi8Profile.contains(v)) koi += 1
+      }
+      i += 1
+    }
+    if (high * 4 < n) return None // <25% non-ASCII: western ladder
+    val best = math.max(cp, koi)
+    val other = math.min(cp, koi)
+    if (best * 20 >= high * 7 && best * 2 >= other * 3)
+      Some(if (cp >= koi) Cp1251 else Koi8R)
+    else None
   }
 
   /** Encode each character of `chars` in `charset` and keep the

@@ -57,6 +57,17 @@ class EncodingDetectorSpec extends AnyFunSuite {
     assert(detectBytes("id,x\n1,①②③④⑤⑥⑦⑧".getBytes("GBK"))
       == EucFamily)
   }
+  test("cyrillic codepages separate by letter-range skew") {
+    val ru = "id,имя\n1,проверка данных\n2,русский текст"
+    assert(detectBytes(ru.getBytes("windows-1251")) == Cp1251)
+    assert(detectBytes(ru.getBytes("KOI8-R")) == Koi8R)
+    // western accent density never reaches the 25% high-byte gate
+    assert(detectBytes("id,nom\n1,générale,décidé,café"
+      .getBytes("ISO-8859-1")) == Latin1)
+    // CJK streams don't score on the Cyrillic profiles
+    assert(detectBytes("id,名前\n1,かなテスト\n2,日本語データ"
+      .getBytes("Shift_JIS")) == ShiftJis)
+  }
   test("utf-8 sequence truncated by the sniff window still validates") {
     val full = ("a" * 10 + "é").getBytes("UTF-8")
     val cut = java.util.Arrays.copyOf(full, full.length - 1)

@@ -41,7 +41,8 @@ class PropertySpec extends AnyFunSuite {
         EncodingDetector.Utf32LE, EncodingDetector.Utf32BE,
         EncodingDetector.ShiftJis, EncodingDetector.EucFamily,
         EncodingDetector.EucKr, EncodingDetector.EucJp,
-        EncodingDetector.Gbk).contains(v)
+        EncodingDetector.Gbk, EncodingDetector.Cp1251,
+        EncodingDetector.Koi8R).contains(v)
     })
   }
 
