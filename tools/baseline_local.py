@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local single-node baseline for the headline queries (VERDICT r3 #4).
+
+BASELINE.json publishes no timing numbers, so the bench-vs-baseline
+criterion has been incomputable. This harness produces a local,
+like-for-like baseline: each headline query's DuckDB oracle SQL (the
+exact semantic twin the correctness gate already compares against)
+timed over the SAME sf parquet tables, on the same machine, with the
+same core budget DuckDB defaults to (all cores; Spark runs local[32]).
+
+Usage:
+  python3 tools/baseline_local.py [sfDir] [oracleSqlJson] [outJson]
+
+Defaults: /root/testdata/sf0.1, target/verify_local/oracle_sql.json
+(written by `sbt "runMain graft.Verify ..."`), BASELINE_LOCAL.json.
+
+Timing protocol mirrors graft.Bench: one warmup pass, then the min of
+two measured passes (min is the right statistic on a VM with
+scheduling jitter). Results are fully materialized (fetchall) so lazy
+relations can't undercount.
+"""
+import sys, json, os, time
+import duckdb
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "dedup_exact",
+    "text_token_stats",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle_path = (sys.argv[2] if len(sys.argv) > 2
+                   else "target/verify_local/oracle_sql.json")
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "BASELINE_LOCAL.json"
+    with open(oracle_path) as f:
+        oracles = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = {}
+    total = 0.0
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"[baseline] {name}: no oracle sql, skipped")
+            continue
+        con.sql(sql).fetchall()  # warmup (buffer cache, JIT-ish paths)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            rows = con.sql(sql).fetchall()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        total += best
+        print(f"[baseline] {name}: {best:.3f}s ({len(rows)} rows)")
+
+    out = {
+        "engine": f"duckdb-{duckdb.__version__}",
+        "threads": con.sql("SELECT current_setting('threads')").fetchone()[0],
+        "sf": sf_dir,
+        "protocol": "warmup + min-of-2, fully materialized",
+        "metric": "total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
