@@ -412,6 +412,63 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
         ZFileMeta(n, zmin.toLong, zmax.toLong) })
   }
 
+  /** Row/byte statistics for a table, persisted by [[analyze]] —
+    * the catalog state that lets join planning distinguish "known
+    * small" from "unknown size" without re-listing the table.
+    */
+  case class TableStats(rows: Long, bytes: Long, analyzedAt: String)
+
+  private def statsPath(table: String): Path =
+    new Path(tablePath(table), "_table_stats.tsv")
+
+  /** ANALYZE: collect row count + on-disk bytes into a sidecar. The
+    * byte size comes from a directory listing; the row count is a
+    * count() whose parquet form is answered from row-group metadata,
+    * not a data scan, when aggregate pushdown applies — either way
+    * this is an explicit, amortized action, the same contract as SQL
+    * ANALYZE. Underscore-named so parquet readers skip it.
+    */
+  def analyze(table: String): TableStats = {
+    val rows = read(table).count()
+    val bytes = fs.getContentSummary(new Path(tablePath(table))).getLength
+    val stats = TableStats(rows, bytes, java.time.Instant.now().toString)
+    val out = fs.create(statsPath(table), true)
+    try out.write(
+      s"${stats.rows}\t${stats.bytes}\t${stats.analyzedAt}\n".getBytes("UTF-8"))
+    finally out.close()
+    stats
+  }
+
+  def tableStats(table: String): Option[TableStats] = {
+    if (!fs.exists(statsPath(table))) return None
+    val in = fs.open(statsPath(table))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.trim.split("\t") match {
+      case Array(r, b, at) => Some(TableStats(r.toLong, b.toLong, at))
+      case _ => None
+    }
+  }
+
+  /** Read a table for the dimension side of a join, attaching a
+    * broadcast hint ONLY when [[analyze]]d statistics prove it under
+    * `maxBroadcastBytes`. The inversion matters at scale: a plain
+    * `broadcast(read(t))` hint is an unconditional command that
+    * bypasses Spark's size threshold (executor OOM when t turns out
+    * to be 10^10 rows), whereas this path degrades to an unhinted
+    * read — AQE still picks broadcast at runtime if the table is
+    * small, so nothing is lost when stats are missing or stale-large.
+    */
+  def readDim(table: String,
+      maxBroadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val df = read(table)
+    tableStats(table) match {
+      case Some(s) if s.bytes <= maxBroadcastBytes =>
+        org.apache.spark.sql.functions.broadcast(df)
+      case _ => df
+    }
+  }
+
   /** Arbitrary SQL over this database's tables — the analog of the
     * query interface the reference hands its uploaded tables to
     * (Datasette's raison d'être). Tables are exposed as temp views

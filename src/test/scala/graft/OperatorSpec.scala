@@ -462,6 +462,44 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == Tables(spark, sf, "orders").count())
   }
 
+  test("ANALYZE stats gate the broadcast decision (large tables are " +
+      "never force-broadcast)") {
+    val db = graft.catalog.GraftDatabase(spark, scratch("stats_db"))
+    db.write(Tables(spark, sf, "nation"), "nation_dim")
+    db.write(Tables(spark, sf, "orders"), "orders_big")
+    val s1 = db.analyze("nation_dim")
+    val s2 = db.analyze("orders_big")
+    assert(s1.rows == 25 && s1.bytes > 0)
+    assert(s2.rows == Tables(spark, sf, "orders").count())
+    assert(db.tableStats("nation_dim").contains(s1))
+    // stats sidecar must not pollute the data read
+    assert(db.read("nation_dim").count() == 25)
+
+    val fact = Tables(spark, sf, "orders").select(col("o_custkey"))
+    // analyzed-small: the hint attaches (ResolvedHint in the analyzed
+    // plan — the physical join would be broadcast via AQE either way,
+    // so the hint itself is what's asserted) and the join broadcasts
+    val small = fact.join(db.readDim("nation_dim"),
+      col("o_custkey") % 25 === col("n_nationkey"))
+    assert(small.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(planOf(small).contains("BroadcastHashJoin"),
+      planOf(small).take(2000))
+    // analyzed-LARGE (threshold forced below its size): the same call
+    // path must NOT hint — the stats veto the broadcast even though
+    // the caller asked for a dimension read
+    val big = fact.join(
+      db.readDim("orders_big", maxBroadcastBytes = s2.bytes - 1)
+        .select(col("o_orderkey")),
+      col("o_custkey") === col("o_orderkey"))
+    assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "stats-aware path must not carry a broadcast hint")
+    // un-analyzed: no stats → no hint (safe default)
+    db.write(Tables(spark, sf, "region"), "region_raw")
+    val raw = fact.join(db.readDim("region_raw"),
+      col("o_custkey") % 5 === col("r_regionkey"))
+    assert(!raw.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("approx percentile tracks the exact order-statistics median") {
     val exact = operators.Analytics.qMedianQuantity(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
