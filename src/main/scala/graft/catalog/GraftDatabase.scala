@@ -233,13 +233,22 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       .drop("__z", "__fi")
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     assigned.unpersist(blocking = false)
-    // Commit protocol (the sidecar is the authority — see recoverZ):
-    // back the touched files out, move the staged files in, THEN
-    // publish the new sidecar, then drop the backup. A crash at any
-    // point leaves a state recoverZ restores exactly.
+    commitZRewrite(table, metas,
+      files.filterNot(f => touchedNames.contains(f.name)),
+      touchedNames.toSeq, stage)
+  }
+
+  /** Commit protocol shared by [[appendZOrdered]] and [[rebalanceZ]]
+    * (the sidecar is the authority — see [[recoverZ]]): back the
+    * replaced files out, move the staged files in, THEN publish the
+    * new sidecar, then drop the backup. A crash at any point leaves a
+    * state recoverZ restores exactly.
+    */
+  private def commitZRewrite(table: String, metas: Seq[ZColMeta],
+      keep: Seq[ZFileMeta], replaced: Seq[String], stage: Path): Unit = {
     val backup = new Path(tablePath(s"_zold_$table"))
     fs.mkdirs(backup)
-    touchedNames.foreach(n =>
+    replaced.foreach(n =>
       renameOrThrow(new Path(tablePath(table), n), new Path(backup, n)))
     val moved = fs.listStatus(stage)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -248,11 +257,86 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
         renameOrThrow(s.getPath, dst)
         dst.toString
       }.toSeq
-    writeZMeta(table, metas,
-      files.filterNot(f => touchedNames.contains(f.name))
-        ++ fileRanges(moved, metas))
+    writeZMeta(table, metas, keep ++ fileRanges(moved, metas))
     fs.delete(backup, true)
     fs.delete(stage, true)
+  }
+
+  /** Rebalance a z-ordered table whose file sizes drifted: repeated
+    * [[appendZOrdered]] batches hitting a narrow key region fatten
+    * the overlapped segments while the rest stay small, and both
+    * directions hurt (fat files → stragglers and coarse pruning;
+    * slivers → file-count overheads). Policy: a file has drifted when
+    * outside [target/4, 2·target]; maximal runs of ADJACENT drifted
+    * files are rewritten together, range-partitioned on the curve
+    * into ⌈runBytes/target⌉ files (one run of slivers merges, one
+    * oversized file splits); a run too small to reach target/4 on its
+    * own absorbs its smaller healthy neighbor so merges have
+    * material. Everything outside the runs is untouched — the same
+    * minority-rewrite economics as the append path, with the same
+    * crash-safe commit. Within a run the rewrite is range-partitioned
+    * by __z, so per-file curve ranges stay disjoint.
+    */
+  def rebalanceZ(table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    recoverZ(table)
+    val (metas, files0) = readZMeta(table)
+    if (files0.size <= 1) return
+    val dir = new Path(tablePath(table))
+    val sizes = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val files = files0.sortBy(_.zmin)
+    val lo = targetBytes / 4
+    val hi = targetBytes * 2
+    def bytesOf(i: Int): Long = sizes.getOrElse(files(i).name, 0L)
+    val drifted = files.indices.filter(i =>
+      bytesOf(i) > hi || bytesOf(i) < lo)
+    if (drifted.isEmpty) return
+    // maximal runs of consecutive indices
+    var runs = drifted.foldLeft(List.empty[(Int, Int)]) {
+      case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+      case (acc, i) => (i, i) :: acc
+    }.reverse
+    // a starved run (can't reach lo alone) absorbs its smaller
+    // healthy neighbor, without ever overlapping the next run
+    runs = runs.zipWithIndex.map { case ((s, e), ri) =>
+      val runBytes = (s to e).map(bytesOf).sum
+      if (runBytes >= lo) (s, e)
+      else {
+        val prevEnd = if (ri == 0) -1 else runs(ri - 1)._2
+        val nextStart =
+          if (ri == runs.size - 1) files.size else runs(ri + 1)._1
+        val canPrev = s - 1 > prevEnd
+        val canNext = e + 1 < nextStart
+        if (canPrev && (!canNext || bytesOf(s - 1) <= bytesOf(e + 1)))
+          (s - 1, e)
+        else if (canNext) (s, e + 1)
+        else (s, e)
+      }
+    }
+    // absorption can make neighbors adjacent — merge any overlap
+    runs = runs.foldLeft(List.empty[(Int, Int)]) {
+      case ((s0, e0) :: rest, (s, e)) if s <= e0 + 1 =>
+        (s0, math.max(e0, e)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+    runs.foreach { case (s, e) =>
+      val names = (s to e).map(files(_).name)
+      val runBytes = (s to e).map(bytesOf).sum
+      val nOut = math.max(1, math.round(runBytes.toDouble / targetBytes).toInt)
+      val stage = new Path(tablePath(s"_zstage_$table"))
+      spark.read.parquet(names.map(n => s"${tablePath(table)}/$n"): _*)
+        .withColumn("__z", zCurve(metas))
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val (_, cur) = readZMeta(table)
+      commitZRewrite(table, metas,
+        cur.filterNot(f => names.contains(f.name)), names, stage)
+    }
   }
 
   /** Restore the sidecar-consistent state after a crashed

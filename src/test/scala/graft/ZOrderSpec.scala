@@ -226,6 +226,89 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("b"))
   }
 
+  /** Per-file [min,max] of the ACTUAL curve values, recomputed from
+    * the data with the sidecar's normalization (clamp, rebase, shift,
+    * interleave). The sidecar's own per-file ranges are min/max-CORNER
+    * bounds — conservative supersets that overlap by construction —
+    * so disjointness is a property of the actual values, not of the
+    * sidecar.
+    */
+  private def zFileRanges(dir: String, table: String): Seq[(Long, Long)] = {
+    val src = scala.io.Source.fromFile(s"$dir/$table/_zorder_meta.tsv")
+    val metas = try src.getLines().filter(_.startsWith("col\t"))
+      .map(_.split("\t")).map(a => (a(1), a(2).toLong, a(3).toLong,
+        a(4).toInt)).toList
+      finally src.close()
+    val cols = metas.map(_._1)
+    val rows = spark.read.parquet(s"$dir/$table")
+      .select(input_file_name().as("f"),
+        struct(cols.map(col): _*).as("v"))
+      .collect()
+      .map { r =>
+        val vs = metas.zipWithIndex.map { case ((_, lo, hi, sh), i) =>
+          val c = math.min(math.max(r.getStruct(1).getLong(i), lo), hi) - lo
+          if (sh > 0) c >>> sh else if (sh < 0) c << -sh else c
+        }
+        (r.getString(0), zref(vs))
+      }
+    rows.groupBy(_._1).values
+      .map(g => (g.map(_._2).min, g.map(_._2).max)).toSeq.sortBy(_._1)
+  }
+
+  test("rebalanceZ bounds file sizes after skewed appends and keeps " +
+      "ranges disjoint") {
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dir = scratch("zreb_db")
+    val db = GraftDatabase(spark, dir)
+    db.writeZOrdered(orders, "oz", Seq("o_custkey", "o_orderkey"),
+      nFiles = 12)
+
+    def fileSizes(): Seq[Long] = {
+      val d = new java.io.File(s"$dir/oz")
+      d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.length()).toSeq
+    }
+    // skew: repeatedly append only the low corner — the overlapped
+    // segments fatten while the rest stay put
+    val Array(maxC, maxO) = orders
+      .agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val corner = orders.filter(
+      col("o_custkey") <= maxC / 8 && col("o_orderkey") <= maxO / 8)
+    val nCorner = corner.count()
+    (1 to 4).foreach(_ => db.appendZOrdered("oz", corner))
+    val n = orders.count() + 4 * nCorner
+
+    val total = fileSizes().sum
+    val target = total / 12
+    db.rebalanceZ("oz", targetBytes = target)
+
+    // bounded factor: nothing fat, count near ideal (merged slivers)
+    val after = fileSizes()
+    assert(after.forall(_ <= 2 * target),
+      s"oversized file after rebalance: ${after.sorted.reverse.take(3)}")
+    assert(after.size <= 2 * 12 + 1, s"file count ${after.size}")
+    // content: exact multiset preserved
+    assert(db.read("oz").count() == n)
+    val expected = (1 to 4).foldLeft(orders)((d, _) => d.unionAll(corner))
+    assert(db.read("oz").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(db.read("oz")).count() == 0)
+    // per-file curve ranges stay disjoint-ish: consecutive files (by
+    // zmin) may touch at a boundary value but not nest/overlap beyond
+    // a small remainder of untouched files
+    val ranges = zFileRanges(dir, "oz")
+    val overlaps = ranges.sliding(2).count {
+      case Seq((_, aMax), (bMin, _)) => aMax > bMin
+      case _ => false
+    }
+    assert(overlaps <= ranges.size / 4,
+      s"$overlaps of ${ranges.size} consecutive ranges overlap")
+    // the table stays maintainable: another append round-trips
+    db.appendZOrdered("oz", corner.limit(10))
+    assert(db.read("oz").count() == n + 10)
+  }
+
   test("streaming ingest via upsertZOrdered keeps the table clustered") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
