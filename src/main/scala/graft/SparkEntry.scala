@@ -16,7 +16,7 @@ object SparkEntry {
     operators.Analytics.queries ++ operators.CsvQueries.queries ++
       operators.TextQueries.queries ++ operators.Dedup.queries ++
       operators.Ann.queries ++ operators.Pq.queries ++
-      operators.IvfPq.queries ++
+      operators.IvfPq.queries ++ operators.Hnsw.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.Pipeline.queries ++
       operators.Curation.queries ++ operators.Layout.queries

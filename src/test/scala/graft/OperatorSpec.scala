@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, Pq}
+import graft.operators.{Ann, Dedup, Hnsw, Pq}
 
 class ExpressionSpec extends AnyFunSuite with SparkTestBase {
 
@@ -323,6 +323,36 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
       plan.take(3000))
+  }
+
+  test("HNSW recall@10 vs exact top-10, full k, deterministic") {
+    val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Hnsw.hnswTopk(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hnsw = run()
+    val pairs = hnsw.map { case (q, n, _) => (q, n) }
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    // beam width 48 over ~125-node partition graphs: near-exhaustive
+    // locally; the floor guards the graph/beam logic, not the tuning
+    assert(recall >= 0.9, s"recall=$recall")
+    assert(pairs.size == exact.size, "k must be fully filled")
+    assert(run() == hnsw, "hash-derived levels + id tie-breaks: " +
+      "the same build must return the same ranking")
+  }
+
+  test("HNSW candidate generation is a map-side scan, no shuffle " +
+      "before the top-k merge") {
+    val plan = Hnsw.hnswTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the q·k candidate merge; the graph build
+    // and per-partition search must not shuffle the corpus
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // partial-agg merge + final sort/collect
+      s"unexpected shuffles ($exchanges):\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 }
 
