@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Ann.queries ++ operators.Pq.queries ++
       operators.IvfPq.queries ++ operators.Hnsw.queries ++
       operators.Multimodal.queries ++
-      operators.AsOf.queries ++ operators.Pipeline.queries ++
+      operators.AsOf.queries ++ operators.RangeJoin.queries ++
+      operators.Pipeline.queries ++
       operators.Curation.queries ++ operators.Layout.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
@@ -26,6 +27,7 @@ object SparkEntry {
     operators.Analytics.oracles ++ operators.CsvQueries.oracles ++
       operators.TextQueries.oracles ++ operators.Dedup.oracles ++
       operators.Ann.oracles ++ operators.Multimodal.oracles ++
-      operators.AsOf.oracles ++ operators.Pipeline.oracles ++
+      operators.AsOf.oracles ++ operators.RangeJoin.oracles ++
+      operators.Pipeline.oracles ++
       operators.Curation.oracles ++ operators.Layout.oracles
 }

@@ -29,7 +29,7 @@ object Analytics {
     * shortest double repr) and DuckDB (scale-multiply + round) would
     * disagree on those.
     */
-  private def dec4(c: Column): Column = c.cast(DecimalType(38, 6))
+  private[operators] def dec4(c: Column): Column = c.cast(DecimalType(38, 6))
 
   /** Deterministic cross-engine average: exact decimal sum → double. */
   private def avgOf(c: Column): Column =
@@ -43,7 +43,7 @@ object Analytics {
     * "What's wrong" #1). The cast is deterministic: both engines round
     * the same exact decimal to the same IEEE double.
     */
-  private def decSum(c: Column): Column = sum(dec4(c)).cast("double")
+  private[operators] def decSum(c: Column): Column = sum(dec4(c)).cast("double")
 
   /** B1: scan → filter → group-agg, decimal-exact (TPC-H Q1 shape). */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =

@@ -611,4 +611,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaPlan == viaWindow)
   }
+
+  test("range join: binned equi-join matches the theta join and " +
+      "plans no nested loop") {
+    val day = 86400L
+    val iv = Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("lo"))
+      .withColumn("hi", col("lo") + lit(7 * day))
+    val pts = Tables(spark, sf, "lineitem")
+      .select(col("l_shipdate").cast("timestamp_ltz").cast("long").as("p"), col("l_orderkey"))
+    def keyset(df: org.apache.spark.sql.DataFrame) = df
+      .select("promo_id", "l_orderkey", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val binned = operators.RangeJoin.rangeJoin(
+      pts, "p", iv, "lo", "hi", binWidth = 7 * day)
+    // the formulation SQL users write: a theta join Spark can only
+    // nested-loop — the negative control for why binning exists
+    val theta = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(keyset(binned) == keyset(theta))
+    assert(theta.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "theta formulation should nested-loop (else this spec is stale)")
+
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "binned range join must hash-join on the bin:\n" + plan.take(3000))
+  }
+
+  test("range join rejects intervals wider than the bin width") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 200L)).toDF("id", "lo", "hi")
+    val pts = Seq(50L).toDF("p")
+    val ex = intercept[Exception] {
+      operators.RangeJoin.rangeJoin(pts, "p", iv, "lo", "hi",
+        binWidth = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("wider than binWidth")),
+      s"expected the loud width-contract error, got: $ex")
+  }
 }
