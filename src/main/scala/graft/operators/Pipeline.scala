@@ -91,7 +91,35 @@ object Pipeline {
       .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
   }
 
+  /** Deterministic stratified sample: exactly `k` documents per
+    * source, chosen by md5-of-id order — uniform within each stratum
+    * (the hash is independent of any document property), reproducible
+    * bit-for-bit on any cluster size, and portable across engines (no
+    * RNG, no engine-native hash). This is the eval-set / ablation
+    * draw a corpus build recomputes months later.
+    *
+    * Scale shape: [[graft.plans.TopKPerGroup]] — per-partition
+    * bounded heaps reduce each partition to ≤ k rows per source
+    * before the exchange, so only partitions × sources × k rows
+    * shuffle, never the corpus. `df.stat.sampleBy` (Bernoulli) can't
+    * give exact counts or cross-engine determinism.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerGroup(docs, k, Seq("source"),
+        Seq("h" -> false, "doc_id" -> false))
+      .select(col("doc_id"), col("source"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_sample_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 10""".stripMargin,
     "pipeline_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
@@ -154,6 +182,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_split" -> (deterministicSplit _),
-    "pipeline_pack" -> ((s, d) => packSequences(s, d))
+    "pipeline_pack" -> ((s, d) => packSequences(s, d)),
+    "pipeline_sample_stratified" -> ((s, d) => stratifiedSample(s, d))
   )
 }
