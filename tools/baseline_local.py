@@ -22,14 +22,11 @@ relations can't undercount.
 import sys, json, os, time
 import duckdb
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "dedup_exact",
-    "text_token_stats",
-]
+# r4: time EVERY oracle twin, not just the original 6-query headline —
+# the full bench board is in bench_full.json now, so bench-vs-baseline
+# is computable per query across the whole oracle-checked surface.
+# (Oracles are derived purely from the base parquet tables; none
+# reference scratch files.)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -51,11 +48,8 @@ def main():
 
     queries = {}
     total = 0.0
-    for name in HEADLINE:
-        sql = oracles.get(name)
-        if sql is None:
-            print(f"[baseline] {name}: no oracle sql, skipped")
-            continue
+    for name in sorted(oracles):
+        sql = oracles[name]
         con.sql(sql).fetchall()  # warmup (buffer cache, JIT-ish paths)
         best = None
         for _ in range(2):
