@@ -307,58 +307,68 @@ object Analytics {
         countDistinct(col("k")).as("distinct_k"),
         max(col("k")).as("max_k"))
 
-  /** B16: exact median per group, deterministic cross-engine. Built
-    * from order statistics — rank the group, pick the middle row(s),
-    * average the two middles as (lo + hi) / 2 — instead of an
-    * engine's percentile function, whose interpolation op order is
-    * not portable. Odd groups select one row twice: (v + v) / 2 is
-    * IEEE-exact, so both engines emit identical bits. Rank ties don't
-    * matter: ordering is BY the value, so position k holds the same
-    * value under any tie order. Shape at scale: one hash-partitioned
-    * sort per group (the same Window shuffle as B5), no global sort.
+  /** Shared by B16/B22: per-group value histogram with cumulative
+    * rank spans. The row for value v in group g carries cnt(g, v)
+    * plus the rank interval [lo_rank, hi_rank] its copies occupy in
+    * the group's sorted order, and the group total n. The corpus-
+    * scale step is the count aggregation — map-side combined, and
+    * its shuffle carries only DISTINCT (group, value) pairs; the
+    * window sort then runs over the histogram, not the corpus
+    * (row_number over every raw row shuffled and sorted the whole
+    * table — measured 1.14 s vs the single-node engine's 0.14 s at
+    * sf0.1, and the gap is the sort volume, which only widens with
+    * scale).
     */
-  def qMedianQuantity(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity").asc)
-    val ranked = Tables(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    ranked
-      .filter(col("rn") === expr("(cnt + 1) div 2") ||
-        col("rn") === expr("(cnt + 2) div 2"))
+  private def quantityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val byGroup = Window.partitionBy(col("l_returnflag"))
+    val h = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    h.withColumn("hi_rank",
+        sum(col("cnt")).over(byGroup.orderBy(col("l_quantity").asc)))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+  }
+
+  /** B16: exact median per group, deterministic cross-engine. Built
+    * from order statistics — the value whose cumulative-rank span
+    * covers the middle rank(s), averaged as (lo + hi) / 2 — instead
+    * of an engine's percentile function, whose interpolation op
+    * order is not portable. Odd groups pick one value twice:
+    * (v + v) / 2 is IEEE-exact, so both engines emit identical bits.
+    * Scale shape: see [[quantityHistogram]] — the only corpus-scale
+    * pass is a map-side-combined count.
+    */
+  def qMedianQuantity(spark: SparkSession, dir: String): DataFrame =
+    quantityHistogram(spark, dir)
+      .filter(
+        expr("(n + 1) div 2").between(col("lo_rank"), col("hi_rank")) ||
+        expr("(n + 2) div 2").between(col("lo_rank"), col("hi_rank")))
       .groupBy(col("l_returnflag"))
       .agg(((min(col("l_quantity")) + max(col("l_quantity"))) / 2)
-        .as("median_qty"),
-        count(lit(1)).as("n_mid"))
+        .as("median_qty"))
       .select(col("l_returnflag"), col("median_qty"))
-  }
 
   /** B22: exact p50/p90/p99 per group via discrete order statistics —
     * the tail-latency-style summary B16 generalizes to. The value at
     * rank ⌈p·n⌉ is picked directly (quantile_disc semantics): no
     * interpolation arithmetic at all, so cross-engine parity needs
-    * only integer rank math — (n·p + 99) div 100 — and the sort.
-    * Same scale shape as B16: ONE hash-partitioned sort per group
-    * serves every requested percentile (the conditional-agg pivot
-    * adds no extra pass); the approx twin for when a sort is too
-    * expensive is approx_percentile, specced against this in
-    * PlanSpec's median test.
+    * only integer rank math — (n·p + 99) div 100 — and the rank
+    * spans. Same scale shape as B16 ([[quantityHistogram]]): one
+    * map-side-combined count over the corpus, ONE histogram-sized
+    * window serves every requested percentile (the conditional-agg
+    * pivot adds no extra pass); the approx twin for when even a
+    * histogram is too expensive is approx_percentile, specced
+    * against this in PlanSpec's median test.
     */
   def qPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity").asc)
-    val ranked = Tables(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
     val picks = ps.map(p =>
-      max(when(col("rn") === expr(s"(cnt * $p + 99) div 100"),
+      max(when(expr(s"(n * $p + 99) div 100")
+          .between(col("lo_rank"), col("hi_rank")),
         col("l_quantity"))).as(s"p$p"))
-    ranked.groupBy(col("l_returnflag")).agg(picks.head, picks.tail: _*)
+    quantityHistogram(spark, dir)
+      .groupBy(col("l_returnflag")).agg(picks.head, picks.tail: _*)
   }
 
   /** B23: funnel analysis — users converting view → click → purchase

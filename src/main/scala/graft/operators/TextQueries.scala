@@ -122,19 +122,29 @@ object TextQueries {
     *
     * Shape at scale: two count tables (bigram, unigram — vocabulary-
     * sized, AQE-sized joins, NO broadcast hints) + one explode over
-    * the corpus; every aggregation map-side combines.
+    * the corpus; every aggregation map-side combines. The count
+    * tables join each other FIRST (both vocabulary-sized) into one
+    * per-bigram (c2, c1) lookup, so the corpus-scale doc-bigram side
+    * shuffles through exactly one join — c2 and c1 are functions of
+    * the bigram alone, so the pre-join loses nothing. The tokenized
+    * corpus is persisted once instead of re-running the tokenizer
+    * regex for each of the three consumers.
     */
   def fluency(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
-    val bigrams = bigramArray(toks)
-    val d = Tables(spark, dir, "documents")
-    val docBi = d.select(col("doc_id"), explode(bigrams).as("bigram"))
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-    val uniCnt = d.select(explode(toks).as("w1"))
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = bigramArray(col("w"))
+    val docBi = t.select(col("doc_id"), explode(bigrams).as("bigram"))
+    val uniCnt = t.select(explode(col("w")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val biCnt = d.select(explode(bigrams).as("bigram"))
+    val biCnt = t.select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    docBi.join(biCnt, Seq("bigram")).join(uniCnt, Seq("w1"))
+    val perBigram = biCnt
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uniCnt, Seq("w1"))
+      .select(col("bigram"), col("c2"), col("c1"))
+    docBi.join(perBigram, Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg((sum(col("c2")).cast("double") / sum(col("c1")).cast("double"))
         .as("fluency"),
