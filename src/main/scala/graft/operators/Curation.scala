@@ -248,6 +248,42 @@ object Curation {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(docs(spark, dir))
 
+  /** C18: per-source exact quantile-band outlier trim — keep
+    * documents whose length sits inside [p`loP`, p`hiP`] of their own
+    * source's length distribution (truncation-style cleaning: drops
+    * both the boilerplate stubs and the concatenation monsters
+    * without a global hand-tuned threshold, and adapts per domain).
+    *
+    * Percentiles are DISCRETE order statistics over a per-(source,
+    * n_chars) histogram — the B16/B22 shape: the corpus-scale pass is
+    * one map-side-combined count whose shuffle carries distinct
+    * (source, length) pairs; the rank windows then run over the
+    * histogram. Integer rank math only ((n·p + 99) div 100), so the
+    * band edges are bit-identical cross-engine. The bands table is
+    * one row per source; the final filter is an equi-join the
+    * optimizer sizes (broadcast at any realistic source count).
+    */
+  def lengthBand(spark: SparkSession, dir: String,
+      loP: Int = 5, hiP: Int = 95): DataFrame = {
+    val byg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val h = docs(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hi_rank",
+        sum(col("cnt")).over(byg.orderBy(col("n_chars").asc)))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
+      .withColumn("n", sum(col("cnt")).over(byg))
+    def pick(p: Int) =
+      max(when(expr(s"(n * $p + 99) div 100")
+        .between(col("lo_rank"), col("hi_rank")), col("n_chars")))
+    val bands = h.groupBy(col("source"))
+      .agg(pick(loP).as("lo_chars"), pick(hiP).as("hi_chars"))
+    docs(spark, dir).join(bands, Seq("source"))
+      .filter(col("n_chars").between(col("lo_chars"), col("hi_chars")))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** [[repetition]] over an arbitrary (doc_id, text) frame. */
   def repetitionOf(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"),
@@ -370,7 +406,24 @@ object Curation {
         |  CAST(us.m AS DOUBLE) / CAST(us.n AS DOUBLE) AS top_word_frac,
         |  CAST(bs.n - bs.d AS DOUBLE) / CAST(bs.n AS DOUBLE) AS dup_2gram_frac,
         |  CAST(bs.m AS DOUBLE) / CAST(bs.n AS DOUBLE) AS top_2gram_frac
-        |FROM us JOIN bs ON us.doc_id = bs.doc_id""".stripMargin
+        |FROM us JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
+    "curate_length_band" ->
+      """WITH h AS (SELECT source, n_chars, COUNT(*) cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS hi_rank,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) - cnt + 1
+        |    AS lo_rank,
+        |  SUM(cnt) OVER (PARTITION BY source) AS n FROM h),
+        |b AS (SELECT source,
+        |  MAX(CASE WHEN (n * 5 + 99) // 100 BETWEEN lo_rank AND hi_rank
+        |      THEN n_chars END) AS lo_chars,
+        |  MAX(CASE WHEN (n * 95 + 99) // 100 BETWEEN lo_rank AND hi_rank
+        |      THEN n_chars END) AS hi_chars
+        |  FROM c GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN b USING (source)
+        |WHERE d.n_chars BETWEEN b.lo_chars AND b.hi_chars""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,6 +432,7 @@ object Curation {
     "curate_mix_report" -> (mixReport _),
     "curate_incremental_new" -> ((s, d) => incrementalNew(s, d)),
     "curate_pii_redact" -> (piiRedactQuery _),
-    "curate_repetition" -> (repetition _)
+    "curate_repetition" -> (repetition _),
+    "curate_length_band" -> ((s, d) => lengthBand(s, d))
   )
 }
