@@ -88,6 +88,23 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def exportJson(table: String, outPath: String): Unit =
     read(table).write.mode(SaveMode.Overwrite).json(outPath)
 
+  /** Export a table globally sorted by `sortCols` WITHOUT a
+    * single-reducer bottleneck: `orderBy` plans a range exchange —
+    * boundaries from a driver-side sample — so every partition sorts
+    * its own disjoint key range in parallel and file i holds keys
+    * strictly below file i+1 (the lexicographic part-file order IS
+    * the total order). This is the "publish a sorted dump" shape;
+    * its per-file key disjointness is what ZOrderSpec-style readers
+    * and downstream binary-searchers rely on. Plan + file-range
+    * invariants are spec-pinned.
+    */
+  def exportSorted(table: String, outPath: String,
+      sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    read(table).orderBy(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Catalog identifier for a bucketed table of this database. */
   private def bucketedIdent(table: String): String =
     s"graft_${name}_$table".replaceAll("[^A-Za-z0-9_]", "_")

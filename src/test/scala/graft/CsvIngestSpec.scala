@@ -381,6 +381,55 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       == Seq(4L, 5L))
   }
 
+  test("sorted export range-partitions: disjoint per-file key ranges, " +
+      "no single reducer") {
+    val dir = scratch("export_sorted")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // enough rows and spread that orderBy plans >1 range partition
+    import spark.implicits._
+    val df = (0 until 20000).map(i => ((i * 7919) % 20011, s"v$i"))
+      .toDF("k", "v")
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/db/t")
+    // the plan behind exportSorted: a range exchange, not a
+    // single-partition global sort
+    val plan = db.read("t").orderBy(col("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      plan.take(2000))
+    // at 20k rows AQE coalesces the range partitions to one; shrink
+    // the advisory size so the write keeps the multi-file shape a
+    // real-scale export has
+    val shrunk = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4KB")
+    val prev = shrunk.map { case (k, _) => k -> spark.conf.getOption(k) }
+    shrunk.foreach { case (k, v) => spark.conf.set(k, v) }
+    try db.exportSorted("t", s"$dir/out", Seq("k"))
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length > 1, "expected a parallel multi-file write")
+    // per-file [min, max] spans must be non-overlapping and ordered
+    // by file name — the property that makes the dump a total order
+    val spans = parts.toSeq.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min(col("k")),
+          org.apache.spark.sql.functions.max(col("k"))).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    spans.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: $hi1 vs $lo2")
+      case _ =>
+    }
+    // and the concatenation reads back complete
+    assert(spark.read.parquet(s"$dir/out").count() == 20000)
+  }
+
   test("progress tracker latest-state resolution") {
     val dir = scratch("progress_log")
     val db = GraftDatabase(spark, s"$dir/db")
