@@ -75,7 +75,45 @@ object IvfPq {
         (col("idx") + 1).as("rank"), col("s.score").as("approx_dot"))
   }
 
+  /** D8: IVF-PQ + exact refine — the last stage of the production
+    * billion-scale pipeline. ADC ranks are approximate (quantization
+    * error); the fix is to over-fetch `refine`·k candidates from the
+    * compressed scan, then re-score JUST those against the raw
+    * vectors with the exact dot product and re-rank. The expensive
+    * part (corpus scan) still touches only m-byte codes; the exact
+    * arithmetic runs on q·k·refine rows — the candidate set
+    * broadcasts against the raw-vector table, so the refine costs
+    * one broadcast-hash probe of the corpus and no extra shuffle.
+    * Higher-order zip_with/aggregate is fine here precisely because
+    * it never sees the corpus, only the candidates.
+    */
+  def annIvfPqRefined(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 2,
+      refine: Int = 5): DataFrame = {
+    val cands = annIvfPq(spark, dir, k * refine, nQueries, nCells, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = e.join(
+        broadcast(cands.join(q, Seq("query_id"))),
+        col("vec_id") === col("neighbor_id"))
+      .withColumn("dot",
+        aggregate(
+          zip_with(col("qe"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("dot"), col("neighbor_id"))
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("dot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_ivfpq" -> ((s, d) => annIvfPq(s, d))
+    "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "ann_ivfpq_refine" -> ((s, d) => annIvfPqRefined(s, d))
   )
 }

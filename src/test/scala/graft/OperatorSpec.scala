@@ -313,6 +313,21 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
     val ivfpq = recallOf(graft.operators.IvfPq.annIvfPq(spark, sf))
     assert(ivfpq >= 0.2, s"IVF-PQ recall too low: $ivfpq")
+
+    // exact refine over 5x over-fetched ADC candidates must dominate
+    // the pure compressed ranking, and its scores must BE exact dots
+    val refined = graft.operators.IvfPq.annIvfPqRefined(spark, sf)
+    val refRecall = recallOf(refined)
+    assert(refRecall >= ivfpq,
+      s"refine lost recall: $refRecall < $ivfpq")
+    assert(refRecall >= 0.5, s"refined recall too low: $refRecall")
+    refined.collect().foreach { r =>
+      val q = vecs.find(_._1 == r.getLong(0)).get._2
+      val x = vecs.find(_._1 == r.getLong(1)).get._2
+      val want = q.zip(x).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"refined score is not the exact dot for row $r")
+    }
   }
 
   test("IVF probe is a hash equi-join, not a nested loop") {
