@@ -292,4 +292,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select("rows_done").collect().map(_.getLong(0))
     assert(prog.head >= 1L) // cumulative within the last run
   }
+
+  test("G7: the binned range join runs stream-static, incrementally, " +
+      "unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val pts = mem.toDF().toDF("p", "tag")
+    val iv = Seq((100L, 150L, "w1"), (300L, 350L, "w2"))
+      .toDF("lo", "hi", "win")
+    // the SAME batch operator: binning is a stateless map on the
+    // stream side and the interval side is static, so the equi-join
+    // needs no watermark and emits per micro-batch
+    val q = graft.operators.RangeJoin.rangeJoin(pts, "p", iv,
+        "lo", "hi", binWidth = 100L)
+      .select(col("p"), col("tag"), col("win"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rj_out").start()
+    try {
+      mem.addData((120L, "a"), (200L, "b"), (340L, "c"), (149L, "d"))
+      q.processAllAvailable()
+      def rows() = spark.table("rj_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows() == Set((120L, "a", "w1"), (149L, "d", "w1"),
+        (340L, "c", "w2")), s"got ${rows()}")
+      // a later micro-batch joins incrementally, no recomputation of
+      // the earlier matches
+      mem.addData((310L, "e"), (99L, "f"))
+      q.processAllAvailable()
+      assert(rows() == Set((120L, "a", "w1"), (149L, "d", "w1"),
+        (340L, "c", "w2"), (310L, "e", "w2")), s"got ${rows()}")
+    } finally q.stop()
+  }
 }
