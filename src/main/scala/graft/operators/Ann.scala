@@ -74,7 +74,7 @@ object Ann {
     * native codegen expression (primitive loops, no interpreted
     * lambdas). Shared by IVF and IVF-PQ.
     */
-  private[operators] def cellExpr(cents: Array[Array[Double]],
+  private[graft] def cellExpr(cents: Array[Array[Double]],
       v: Column): Column =
     nearestCell(v, cents)
 
@@ -82,7 +82,7 @@ object Ann {
     * TakeOrdered sample pass + in-core Lloyd (quantizer quality needs
     * a distribution sample, not the corpus — see [[KMeans]]).
     */
-  private[operators] def trainCentroids(e: DataFrame, nCells: Int,
+  private[graft] def trainCentroids(e: DataFrame, nCells: Int,
       iters: Int, sampleN: Int = 65536): Array[Array[Double]] =
     KMeans.lloyd(KMeans.sampleVectors(e, sampleN), nCells, iters)
 
@@ -123,7 +123,7 @@ object Ann {
     * functions are fine here: this runs on the q query rows only,
     * never the corpus.
     */
-  private[operators] def sortedCellsExpr(cents: Array[Array[Double]],
+  private[graft] def sortedCellsExpr(cents: Array[Array[Double]],
       qe: Column): Column = {
     val lit2d = typedlit(cents.map(_.toSeq).toSeq)
     val withIdx = zip_with(lit2d,

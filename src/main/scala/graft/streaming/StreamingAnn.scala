@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ann
+
+/** G8: streaming ANN serving (SURVEY.md §2.G) — a stream of query
+  * vectors answered against a statically built IVF index, the
+  * "vector search endpoint" shape: the corpus index is built once
+  * (batch), queries arrive continuously, results emit per closed
+  * window.
+  *
+  * Scale/state accounting: the index side (cell assignments) is a
+  * STATIC frame — the stream never shuffles it; each micro-batch's
+  * queries map to their probe cells statelessly (the same literal-
+  * centroid expressions as batch D2) and hash-join the probed cells
+  * only. The one stateful operator is the windowed top-k aggregation,
+  * and its state is watermark-bounded: a query's k-heap lives only
+  * until its window closes. Equality with the batch path is
+  * spec-pinned — same centroids (deterministic training), same
+  * probes, same tie-breaks, so a streamed query returns EXACTLY what
+  * batch D2 returns for it.
+  */
+object StreamingAnn {
+
+  /** Serve a query stream `(ts, query_id, qe)` against the
+    * `embeddings` table of `dir`. Emits `(window_start, query_id,
+    * neighbor_id, rank, sim)` per closed window (append mode).
+    */
+  def serveIvf(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nCells: Int = 16, iters: Int = 3, nProbe: Int = 2,
+      window: String = "5 minutes", watermark: String = "10 minutes")
+      : DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = Ann.trainCentroids(corpus, nCells, iters)
+    val assigned = corpus
+      .withColumn("cell", Ann.cellExpr(centroids, col("embedding")))
+
+    // stream side: stateless probe-cell explosion (q × nProbe rows)
+    val probes = queries
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("query_id"), col("qe"),
+        explode(slice(Ann.sortedCellsExpr(centroids, col("qe")), 1, nProbe))
+          .as("cell"))
+
+    // stream-static equi-join on cell, then the watermark-bounded
+    // windowed top-k: only q·k survivors per window hold state
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosineSimilarity(
+          col("qe"), col("embedding")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("sim"), col("vec_id")).as("tk"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("window_start"), col("query_id"),
+        col("s.id").as("neighbor_id"), (col("idx") + 1).as("rank"),
+        col("s.score").as("sim"))
+  }
+}

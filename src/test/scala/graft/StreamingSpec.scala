@@ -293,6 +293,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.head >= 1L) // cumulative within the last run
   }
 
+  test("G8: streaming ANN serving equals the batch IVF answer per query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qvecs = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val out = graft.streaming.StreamingAnn.serveIvf(spark, sf,
+      mem.toDF().toDF("ts", "query_id", "qe"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ann_serve_out").start()
+    try {
+      mem.addData(qvecs.toSeq.map { case (id, v) =>
+        (Timestamp.valueOf("2024-01-01 10:02:00"), id, v) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past the 10:00 window so it closes
+      var tries = 0
+      while (spark.table("ann_serve_out").isEmpty && tries < 5) {
+        mem.addData((Timestamp.valueOf("2024-01-01 14:00:00"),
+          999L, qvecs.head._2))
+        q.processAllAvailable()
+        tries += 1
+      }
+      val got = spark.table("ann_serve_out")
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      // deterministic centroid training + identical probes and
+      // tie-breaks: the streamed answer must EQUAL the batch one
+      val want = graft.operators.Ann.ivfTopk(spark, sf)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == want, s"stream ${got.size} vs batch ${want.size}")
+    } finally q.stop()
+  }
+
   test("G7: the binned range join runs stream-static, incrementally, " +
       "unchanged") {
     import spark.implicits._
