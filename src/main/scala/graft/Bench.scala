@@ -84,9 +84,15 @@ object Bench {
 
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir","passes":"warmup+measured"}"""
-    java.nio.file.Files.write(
+    // best-effort sidecar: an unwritable CWD must not destroy the
+    // measured run's stdout line (the driver-parsed artifact)
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] bench_full.json not written: $e")
+    }
 
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)},"queries_measured":${results.size},"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
     spark.stop()

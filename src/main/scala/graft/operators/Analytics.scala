@@ -307,28 +307,15 @@ object Analytics {
         countDistinct(col("k")).as("distinct_k"),
         max(col("k")).as("max_k"))
 
-  /** Shared by B16/B22: per-group value histogram with cumulative
-    * rank spans. The row for value v in group g carries cnt(g, v)
-    * plus the rank interval [lo_rank, hi_rank] its copies occupy in
-    * the group's sorted order, and the group total n. The corpus-
-    * scale step is the count aggregation — map-side combined, and
-    * its shuffle carries only DISTINCT (group, value) pairs; the
-    * window sort then runs over the histogram, not the corpus
-    * (row_number over every raw row shuffled and sorted the whole
-    * table — measured 1.14 s vs the single-node engine's 0.14 s at
-    * sf0.1, and the gap is the sort volume, which only widens with
-    * scale).
+  /** Shared by B16/B22: [[OrderStats.histogram]] over lineitem
+    * quantities — see OrderStats for the rank-span semantics and the
+    * measured histogram-vs-row_number rationale.
     */
-  private def quantityHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val byGroup = Window.partitionBy(col("l_returnflag"))
-    val h = Tables(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_quantity"))
-      .agg(count(lit(1)).as("cnt"))
-    h.withColumn("hi_rank",
-        sum(col("cnt")).over(byGroup.orderBy(col("l_quantity").asc)))
-      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
-      .withColumn("n", sum(col("cnt")).over(byGroup))
-  }
+  private def quantityHistogram(spark: SparkSession, dir: String): DataFrame =
+    OrderStats.histogram(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), "l_quantity")
 
   /** B16: exact median per group, deterministic cross-engine. Built
     * from order statistics — the value whose cumulative-rank span
@@ -363,10 +350,7 @@ object Analytics {
     */
   def qPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val picks = ps.map(p =>
-      max(when(expr(s"(n * $p + 99) div 100")
-          .between(col("lo_rank"), col("hi_rank")),
-        col("l_quantity"))).as(s"p$p"))
+    val picks = ps.map(p => OrderStats.pick(p, "l_quantity").as(s"p$p"))
     quantityHistogram(spark, dir)
       .groupBy(col("l_returnflag")).agg(picks.head, picks.tail: _*)
   }

@@ -265,20 +265,12 @@ object Curation {
     */
   def lengthBand(spark: SparkSession, dir: String,
       loP: Int = 5, hiP: Int = 95): DataFrame = {
-    val byg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-    val h = docs(spark, dir)
-      .groupBy(col("source"), col("n_chars"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("hi_rank",
-        sum(col("cnt")).over(byg.orderBy(col("n_chars").asc)))
-      .withColumn("lo_rank", col("hi_rank") - col("cnt") + 1)
-      .withColumn("n", sum(col("cnt")).over(byg))
-    def pick(p: Int) =
-      max(when(expr(s"(n * $p + 99) div 100")
-        .between(col("lo_rank"), col("hi_rank")), col("n_chars")))
+    val h = OrderStats.histogram(
+      docs(spark, dir).select(col("source"), col("n_chars")),
+      Seq("source"), "n_chars")
     val bands = h.groupBy(col("source"))
-      .agg(pick(loP).as("lo_chars"), pick(hiP).as("hi_chars"))
+      .agg(OrderStats.pick(loP, "n_chars").as("lo_chars"),
+        OrderStats.pick(hiP, "n_chars").as("hi_chars"))
     docs(spark, dir).join(bands, Seq("source"))
       .filter(col("n_chars").between(col("lo_chars"), col("hi_chars")))
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -151,7 +151,10 @@ object Hnsw {
       val q = vecs(n)
       val lNew = levels(n)
       val lEntry = levels(entry)
-      var ep = descend(q, entry, lEntry, math.min(lEntry, lNew) + 1)
+      // greedy-descend every layer ABOVE the top beam layer
+      // (descend processes layers fromLayer..toLayer+1, same call
+      // shape as search()'s descend-to-0-then-beam-at-0)
+      var ep = descend(q, entry, lEntry, math.min(lEntry, lNew))
       var l = math.min(lEntry, lNew)
       while (l >= 0) {
         val cands = searchLayer(q, ep, l, efConstruction)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -37,6 +37,14 @@ object RangeJoin {
       lo: String, hi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val w = lit(binWidth)
+    // Exact integer floor-division: (v - pmod(v, w)) is divisible by
+    // w, so the `div` truncation IS the floor, for negatives too.
+    // Spark's `/` on longs is DOUBLE division — above 2^53 it rounds
+    // and a boundary point lands in the wrong bin, silently dropping
+    // matches (e.g. epoch-nanosecond inputs, a unit the contract
+    // allows).
+    def binOf(c: Column): Column =
+      call_function("div", c - pmod(c, w), w)
     // loud failure beats silent row loss: raise_error inside the bin
     // sequence if an interval overruns the width contract
     val checkedHi = when(col(hi) > col(lo) + w,
@@ -45,8 +53,8 @@ object RangeJoin {
     val ivb = intervals
       .filter(col(hi) > col(lo))
       .withColumn("__graft_bin",
-        explode(sequence(floor(col(lo) / w), floor((checkedHi - 1) / w))))
-    val ptb = points.withColumn("__graft_bin", floor(col(p) / w))
+        explode(sequence(binOf(col(lo)), binOf(checkedHi - 1))))
+    val ptb = points.withColumn("__graft_bin", binOf(col(p)))
     ptb.join(ivb, Seq("__graft_bin"))
       .filter(col(p) >= col(lo) && col(p) < col(hi))
       .drop("__graft_bin")

@@ -657,6 +657,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "binned range join must hash-join on the bin:\n" + plan.take(3000))
   }
 
+  test("range join bins exactly beyond double precision (epoch-ns scale)") {
+    import spark.implicits._
+    // at ~4e18 a double ulp is 512: floor(double(v)/w) misbins e.g.
+    // v = base+768 (true bin ..000, double bin ..001) — the integer
+    // floor-division path must agree with the theta join regardless
+    val base = 4000000000000000000L
+    val iv = Seq((1L, base, base + 1000L), (2L, base + 1000L, base + 2000L))
+      .toDF("iv_id", "lo", "hi")
+    val pts = (Seq(0L, 500L, 768L, 769L, 999L, 1000L, 1001L, 1767L, 1999L)
+      .map(base + _) :+ (base - 1L) :+ (base + 2000L)).toDF("p")
+    val binned = operators.RangeJoin
+      .rangeJoin(pts, "p", iv, "lo", "hi", binWidth = 1000L)
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    val theta = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    assert(binned == theta, s"binned $binned vs theta $theta")
+    assert(theta.size == 9) // everything except base-1 and base+2000
+  }
+
   test("range join rejects intervals wider than the bin width") {
     import spark.implicits._
     val iv = Seq((1L, 0L, 200L)).toDF("id", "lo", "hi")
