@@ -212,6 +212,15 @@ object CsvQueries {
     eucFixture(spark, sfDir, "encoding_koi8r", " проверка данных",
       "name_ru", "KOI8-R")
 
+  /** A1 (EBCDIC): a cp037 mainframe export — space is 0x40, letters
+    * ≥ 0x81, newline 0x25 — detected structurally and decoded with
+    * the charset-encoded lineSep (a raw-0x0A split would see one
+    * giant line).
+    */
+  def csvEncodingEbcdic(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_ebcdic", " batch 01 ledger",
+      "name_tag", "IBM037")
+
   /** A5: filename → table name (strip one ".csv") + conflict
     * suffixing _2, _3 on repeated upload.
     */
@@ -403,6 +412,11 @@ object CsvQueries {
         |  n_name || ' проверка данных' AS name_ru,
         |  'KOI8-R' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_ebcdic" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' batch 01 ledger' AS name_tag,
+        |  'IBM037' AS encoding
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -430,6 +444,7 @@ object CsvQueries {
     "csv_encoding_gbk" -> (csvEncodingGbk _),
     "csv_encoding_cp1251" -> (csvEncodingCp1251 _),
     "csv_encoding_koi8r" -> (csvEncodingKoi8r _),
+    "csv_encoding_ebcdic" -> (csvEncodingEbcdic _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _),
     "csv_progress_sql" -> (csvProgressSql _)

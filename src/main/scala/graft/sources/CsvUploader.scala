@@ -182,7 +182,8 @@ object CsvUploader {
       encoding == EncodingDetector.EucJp ||
       encoding == EncodingDetector.Gbk ||
       encoding == EncodingDetector.Cp1251 ||
-      encoding == EncodingDetector.Koi8R
+      encoding == EncodingDetector.Koi8R ||
+      encoding == EncodingDetector.Cp037
 
   /** Run `body` with the legacy-charset escape hatch on, restoring
     * the previous session value afterwards — a one-off Shift-JIS
@@ -211,8 +212,13 @@ object CsvUploader {
       .option("encoding", sparkCharset(encoding))
       .option("sep", delimiter)
       .option("inferSchema", "false")
+    // UTF-16/32 AND EBCDIC need the explicit lineSep: Spark encodes
+    // "\n" in the declared charset (0x25 in cp037), so records split
+    // on the real newline bytes instead of a raw 0x0A that a
+    // non-ASCII-compatible stream never contains.
     val df = (if (encoding.startsWith("UTF-16") ||
-        encoding.startsWith("UTF-32")) reader.option("lineSep", "\n")
+        encoding.startsWith("UTF-32") ||
+        encoding == EncodingDetector.Cp037) reader.option("lineSep", "\n")
       else reader).csv(csvPath)
     if (encoding == EncodingDetector.Cp1252) {
       import org.apache.spark.sql.functions.{col, translate}

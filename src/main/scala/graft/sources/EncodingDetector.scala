@@ -45,10 +45,15 @@ import org.apache.spark.sql.SparkSession
   * [[EucFamily]] verdict and the loud upload failure (wrong-member
   * decode = fluent-looking garbage, worse than an error).
   *
+  * EBCDIC (cp037) is caught structurally: ASCII space 0x20 never
+  * appears (EBCDIC space is 0x40) and letters/digits live ≥ 0x81 —
+  * counts no ASCII-compatible charset produces.
+  *
   * Remaining undetectable without a full charset_normalizer port
-  * (documented gap): cp125x variants other than 1251/1252, EBCDIC,
-  * and kana-free pure-kanji Shift-JIS. Those decode as latin-1
-  * mojibake, like any non-statistical sniffer would.
+  * (documented gap): cp125x variants other than 1251/1252, EBCDIC
+  * codepages other than 037, and kana-free pure-kanji Shift-JIS.
+  * Those decode as latin-1 mojibake, like any non-statistical
+  * sniffer would.
   */
 object EncodingDetector {
 
@@ -69,6 +74,7 @@ object EncodingDetector {
   val Gbk = "GBK"
   val Cp1251 = "windows-1251"
   val Koi8R = "KOI8-R"
+  val Cp037 = "IBM037"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -116,6 +122,11 @@ object EncodingDetector {
     if (isValidUtf8(bytes, truncated)) {
       // ascii → latin-1 widening, mirroring the reference.
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
+    } else if (isEbcdic(bytes)) {
+      // Must run BEFORE the Cyrillic check: EBCDIC digits (0xF0–0xF9)
+      // collide with cp1251 lowercase р–щ, so a digit-heavy EBCDIC
+      // file would otherwise pass the Cyrillic profile.
+      Cp037
     } else if (detectCyrillic(bytes).isDefined) {
       // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are
       // single high bytes, so even-length letter runs structurally
@@ -232,6 +243,45 @@ object EncodingDetector {
   private def byteProfile(chars: String, charset: String): Set[Int] =
     chars.map(ch => String.valueOf(ch).getBytes(charset))
       .filter(_.length == 1).map(b => b(0) & 0xFF).toSet
+
+  /** EBCDIC (cp037): three structural counts no ASCII-compatible
+    * charset can mimic. ASCII space 0x20 NEVER appears (EBCDIC space
+    * is 0x40), letters/digits all live in the 0x81+ zones, and
+    * separators are 0x6B (comma) / 0x25 (LF). Text files accept on
+    * the space signal (0x40 at space frequency), numeric CSVs on the
+    * comma+digit signal; both additionally require ≥70% of bytes in
+    * EBCDIC text zones, which an ASCII file that merely lacks spaces
+    * (an email-address list, say) can't reach — its letters are all
+    * < 0x80.
+    */
+  private[sources] def isEbcdic(bytes: Array[Byte]): Boolean = {
+    val n = bytes.length
+    if (n < 16) return false
+    var sp20 = 0
+    var sp40 = 0
+    var comma = 0
+    var digit = 0
+    var text = 0
+    var i = 0
+    while (i < n) {
+      val v = bytes(i) & 0xFF
+      if (v == 0x20) sp20 += 1
+      else if (v == 0x40) sp40 += 1
+      else if (v == 0x6B) comma += 1
+      else {
+        if (v >= 0xF0 && v <= 0xF9) digit += 1
+        if ((v >= 0x81 && v <= 0x89) || (v >= 0x91 && v <= 0x99) ||
+          (v >= 0xA2 && v <= 0xA9) || (v >= 0xC1 && v <= 0xC9) ||
+          (v >= 0xD1 && v <= 0xD9) || (v >= 0xE2 && v <= 0xE9) ||
+          (v >= 0xF0 && v <= 0xF9)) text += 1
+      }
+      i += 1
+    }
+    val zoneOk = (text + sp40 + comma) * 10 >= n * 7
+    val spaceSignal = sp40 * 20 >= n // ≥5% EBCDIC spaces
+    val numericSignal = comma * 50 >= n && digit * 10 >= n * 3
+    sp20 == 0 && zoneOk && (spaceSignal || numericSignal)
+  }
 
   private[sources] def detectCyrillic(bytes: Array[Byte]): Option[String] = {
     val n = bytes.length

@@ -68,6 +68,22 @@ class EncodingDetectorSpec extends AnyFunSuite {
     assert(detectBytes("id,名前\n1,かなテスト\n2,日本語データ"
       .getBytes("Shift_JIS")) == ShiftJis)
   }
+  test("ebcdic detects structurally; ascii-without-spaces does not") {
+    val txt = "id,name\n1,ALPHA BRAVO ledger 01\n2,CHARLIE DELTA batch 02"
+    assert(detectBytes(txt.getBytes("IBM037")) == Cp037)
+    // numeric mainframe export: no spaces, commas+digits carry it
+    val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
+    assert(detectBytes(num.getBytes("IBM037")) == Cp037)
+    // an ASCII file that merely lacks 0x20 (email list with @ at
+    // space-like frequency) must NOT read as EBCDIC — its letters
+    // are below 0x80, failing the text-zone gate
+    val emails = "email\n" + (1 to 20).map(i => s"user$i@example.com")
+      .mkString("\n")
+    assert(detectBytes(emails.getBytes("US-ASCII")) == Latin1)
+    // cyrillic text (has 0x20 spaces) keeps its own verdict
+    assert(detectBytes("id,имя\n1,проверка данных"
+      .getBytes("windows-1251")) == Cp1251)
+  }
   test("utf-8 sequence truncated by the sniff window still validates") {
     val full = ("a" * 10 + "é").getBytes("UTF-8")
     val cut = java.util.Arrays.copyOf(full, full.length - 1)
