@@ -130,10 +130,15 @@ object TextQueries {
     * corpus is persisted once instead of re-running the tokenizer
     * regex for each of the three consumers.
     */
-  def fluency(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir, "documents")
+  def fluency(spark: SparkSession, dir: String,
+      persist: Boolean = true): DataFrame = {
+    // persist=false exists for graft.tools.DriveFluencyProbe's
+    // with/without comparison — production callers keep the default
+    val t0 = Tables(spark, dir, "documents")
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = if (persist)
+      t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else t0
     val bigrams = bigramArray(col("w"))
     val docBi = t.select(col("doc_id"), explode(bigrams).as("bigram"))
     val uniCnt = t.select(explode(col("w")).as("w1"))
@@ -252,7 +257,7 @@ object TextQueries {
     "text_langid" -> (langid _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_fingerprint" -> (fingerprints _),
-    "text_fluency" -> (fluency _),
+    "text_fluency" -> ((s, d) => fluency(s, d)),
     "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),
     "text_corpus_stats" -> (corpusStats _)
   )

@@ -146,6 +146,12 @@ object CsvUploader {
     */
   private def sparkCharset(encoding: String): String = encoding match {
     case EncodingDetector.Cp1252 => EncodingDetector.Latin1
+    case EncodingDetector.Cp037Lf =>
+      throw new IllegalArgumentException(
+        "cp037 with LF (0x25) record terminators is detected but not " +
+          "decodable: Java's IBM037 charset never encodes any character " +
+          "to 0x25, so no lineSep can split the records — transcode the " +
+          "file to UTF-8 (or 0x15-terminated cp037) first")
     case EncodingDetector.ShiftJis => "Shift_JIS"
     case EncodingDetector.Utf32BE => "UTF-32"
     case EncodingDetector.Utf32LE =>
@@ -171,10 +177,13 @@ object CsvUploader {
     * splits on the full sequence.
     */
   /** Charsets outside Spark's default CSV allowlist, admitted through
-    * the `spark.sql.legacy.javaCharsets` escape hatch. All are
-    * split-safe for a distributed decode: their multi-byte trail
-    * bytes are ≥ 0x40 (SJIS) / ≥ 0xA1 (EUC family), so a raw 0x0A is
-    * always a real newline (unlike UTF-16).
+    * the `spark.sql.legacy.javaCharsets` escape hatch. The CJK and
+    * Cyrillic entries are split-safe for a distributed decode because
+    * their multi-byte trail bytes are ≥ 0x40 (SJIS) / ≥ 0xA1 (EUC
+    * family), so a raw 0x0A is always a real newline (unlike UTF-16).
+    * cp037 is on the list for a DIFFERENT reason: it contains no
+    * 0x0A at all, and readRaw gives it an explicit charset-encoded
+    * lineSep ("\n" -> 0x15 under Java's IBM037) instead.
     */
   private def needsLegacyCharset(encoding: String): Boolean =
     encoding == EncodingDetector.ShiftJis ||
@@ -213,9 +222,9 @@ object CsvUploader {
       .option("sep", delimiter)
       .option("inferSchema", "false")
     // UTF-16/32 AND EBCDIC need the explicit lineSep: Spark encodes
-    // "\n" in the declared charset (0x25 in cp037), so records split
-    // on the real newline bytes instead of a raw 0x0A that a
-    // non-ASCII-compatible stream never contains.
+    // it in the declared charset ("\n" → 0x15 under Java's IBM037),
+    // so records split on the real terminator bytes instead of a raw
+    // 0x0A that a non-ASCII-compatible stream never contains.
     val df = (if (encoding.startsWith("UTF-16") ||
         encoding.startsWith("UTF-32") ||
         encoding == EncodingDetector.Cp037) reader.option("lineSep", "\n")

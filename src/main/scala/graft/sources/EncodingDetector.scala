@@ -74,7 +74,17 @@ object EncodingDetector {
   val Gbk = "GBK"
   val Cp1251 = "windows-1251"
   val Koi8R = "KOI8-R"
+  /** cp037 with NL (0x15) record terminators — the JVM charset's own
+    * newline convention (`"\n".getBytes("IBM037")` = 0x15), so the
+    * decode splits records with an encoded lineSep.
+    */
   val Cp037 = "IBM037"
+  /** cp037 with LF (0x25) record terminators. Java's IBM037 DECODES
+    * 0x25 to '\n' but never ENCODES any character to 0x25, so no
+    * lineSep can match it — detected for a loud transcode error
+    * instead of a one-giant-line parse.
+    */
+  val Cp037Lf = "IBM037:LF"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -119,19 +129,30 @@ object EncodingDetector {
     // valid UTF-8, so UTF-16LE ASCII text would pass as UTF-8.
     val utf16 = detectUtf16NoBom(bytes)
     if (utf16.isDefined) return utf16.get
+    lazy val cyrillic = detectCyrillic(bytes)
     if (isValidUtf8(bytes, truncated)) {
       // ascii → latin-1 widening, mirroring the reference.
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
     } else if (isEbcdic(bytes)) {
       // Must run BEFORE the Cyrillic check: EBCDIC digits (0xF0–0xF9)
       // collide with cp1251 lowercase р–щ, so a digit-heavy EBCDIC
-      // file would otherwise pass the Cyrillic profile.
-      Cp037
-    } else if (detectCyrillic(bytes).isDefined) {
+      // file would otherwise pass the Cyrillic profile. Mainframe
+      // exports terminate records with either NL (0x15 — what the
+      // JVM charset itself writes) or LF (0x25); report which one
+      // carries THIS stream, because only 0x15 is reachable by an
+      // encoded lineSep (see [[Cp037Lf]]).
+      var lf25 = 0
+      var nl15 = 0
+      bytes.foreach { b =>
+        if (b == 0x25.toByte) lf25 += 1
+        else if (b == 0x15.toByte) nl15 += 1
+      }
+      if (lf25 > nl15) Cp037Lf else Cp037
+    } else if (cyrillic.isDefined) {
       // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are
       // single high bytes, so even-length letter runs structurally
       // mimic EUC high+high pairs.
-      detectCyrillic(bytes).get
+      cyrillic.get
     } else if (isShiftJis(bytes, truncated)) {
       ShiftJis
     } else if (isEucFamily(bytes, truncated)) {

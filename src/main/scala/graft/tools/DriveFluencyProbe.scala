@@ -37,23 +37,10 @@ object DriveFluencyProbe {
       t.select(col("doc_id"), explode(bigramArray(col("w"))).as("bigram"))
         .count()
     }
-    def fluencyNoPersist(): DataFrame = {
-      val bigrams = bigramArray(col("w"))
-      val docBi = t.select(col("doc_id"), explode(bigrams).as("bigram"))
-      val uniCnt = t.select(explode(col("w")).as("w1"))
-        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val biCnt = t.select(explode(bigrams).as("bigram"))
-        .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-      val perBigram = biCnt
-        .withColumn("w1", split(col("bigram"), " ").getItem(0))
-        .join(uniCnt, Seq("w1"))
-        .select(col("bigram"), col("c2"), col("c1"))
-      docBi.join(perBigram, Seq("bigram"))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("c2")).cast("double") / sum(col("c1")).cast("double"))
-          .as("fluency"), count(lit(1)).as("n_bigrams"))
+    time("full fluency WITHOUT persist") {
+      graft.operators.TextQueries.fluency(spark, dir, persist = false)
+        .count()
     }
-    time("full fluency WITHOUT persist") { fluencyNoPersist().count() }
     time("full fluency as shipped (persisted)") {
       spark.catalog.clearCache()
       graft.operators.TextQueries.fluency(spark, dir).count()

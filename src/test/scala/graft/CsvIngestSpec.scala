@@ -71,6 +71,12 @@ class EncodingDetectorSpec extends AnyFunSuite {
   test("ebcdic detects structurally; ascii-without-spaces does not") {
     val txt = "id,name\n1,ALPHA BRAVO ledger 01\n2,CHARLIE DELTA batch 02"
     assert(detectBytes(txt.getBytes("IBM037")) == Cp037)
+    // Java's IBM037 writes newline as NL 0x15 — that IS the Cp037
+    // verdict above. The LF-0x25 convention is detected separately:
+    // no character encodes to 0x25, so it can only fail loudly.
+    val lf25 = txt.getBytes("IBM037")
+      .map(b => if (b == 0x15.toByte) 0x25.toByte else b)
+    assert(detectBytes(lf25) == Cp037Lf)
     // numeric mainframe export: no spaces, commas+digits carry it
     val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
     assert(detectBytes(num.getBytes("IBM037")) == Cp037)
@@ -164,6 +170,19 @@ class TypeInferenceSpec extends AnyFunSuite with SparkTestBase {
 }
 
 class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
+
+  test("cp037 with LF-0x25 terminators fails loudly, never one-line-parses") {
+    val dir = scratch("ebcdic_lf25")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val body = "id,name\n1,ALPHA LEDGER 01\n2,BRAVO LEDGER 02"
+    val lf25 = body.getBytes(Charset.forName("IBM037"))
+      .map(b => if (b == 0x15.toByte) 0x25.toByte else b)
+    Files.write(Paths.get(s"$dir/ledger.csv"), lf25)
+    val res = CsvUploader.upload(db, s"$dir/ledger.csv", Some("ledger"))
+    assert(res.error.isDefined, "0x25-terminated cp037 must error")
+    assert(res.error.get.contains("transcode"), res.error.get)
+    assert(!db.tableExists("ledger"))
+  }
 
   test("upload error is captured in progress, not thrown (ref :217-221)") {
     val dir = scratch("uploader_err")

@@ -35,6 +35,10 @@ def build(con, copies=100, shards=32):
       ) TO '{PROBE}/documents.parquet'
         (FORMAT PARQUET, PARTITION_BY shard, OVERWRITE_OR_IGNORE)
     """)
+    # manifest gates reuse: a killed COPY leaves a partial shard set
+    # that would silently shrink every measurement
+    with open(f"{PROBE}/documents.parquet/_GRAFT_PROBE", "w") as f:
+        f.write(f"copies={copies} shards={shards}\n")
 
 
 def main():
@@ -43,7 +47,7 @@ def main():
     oracles = json.load(open(oracle_path))
     con = duckdb.connect()
     con.sql("PRAGMA threads=32")
-    if not glob.glob(f"{PROBE}/documents.parquet/*/*.parquet"):
+    if not os.path.exists(f"{PROBE}/documents.parquet/_GRAFT_PROBE"):
         build(con)
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{PROBE}/documents.parquet/*/*.parquet')")
