@@ -676,6 +676,59 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(theta.size == 9) // everything except base-1 and base+2000
   }
 
+  test("range join equals the theta join on a seeded random sweep " +
+      "(negative and beyond-double magnitudes included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val w = 1000L
+    // bases exercise: zero, negative epochs, and ±4e18 where double
+    // binning rounds
+    val bases = Seq(0L, -5000000L, 4000000000000000000L,
+      -4000000000000000000L)
+    val iv = (1 to 100).map { i =>
+      val base = bases(rnd.nextInt(bases.length))
+      val lo = base + rnd.nextLong() % 10000L
+      (i.toLong, lo, lo + 1 + rnd.nextInt(w.toInt - 1))
+    }.toDF("iv_id", "lo", "hi")
+    val pts = (1 to 500).map { _ =>
+      val base = bases(rnd.nextInt(bases.length))
+      base + rnd.nextLong() % 12000L
+    }.toDF("p")
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select("p", "iv_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap // keep multiplicity
+    val binned = keys(operators.RangeJoin.rangeJoin(
+      pts, "p", iv, "lo", "hi", binWidth = w))
+    val theta = keys(pts.join(iv,
+      col("p") >= col("lo") && col("p") < col("hi")))
+    assert(binned == theta,
+      s"binned ${binned.size} keys vs theta ${theta.size}")
+    assert(theta.nonEmpty, "sweep produced no matches — generator broken")
+  }
+
+  test("order-statistics histogram equals a plain sorted reference " +
+      "on a seeded random sweep") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { _ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(40).toLong)
+    }
+    val df = rows.toDF("g", "v")
+    val hist = operators.OrderStats.histogram(df, Seq("g"), "v")
+    val got = hist.groupBy(col("g"))
+      .agg(operators.OrderStats.pick(50, "v").as("p50"),
+        operators.OrderStats.pick(90, "v").as("p90"),
+        operators.OrderStats.pick(99, "v").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def pick(p: Int) = sorted(((sorted.length * p + 99) / 100) - 1)
+      g -> (pick(50), pick(90), pick(99))
+    }
+    assert(got == want)
+  }
+
   test("range join rejects intervals wider than the bin width") {
     import spark.implicits._
     val iv = Seq((1L, 0L, 200L)).toDF("id", "lo", "hi")
