@@ -221,6 +221,34 @@ object CsvQueries {
     eucFixture(spark, sfDir, "encoding_ebcdic", " batch 01 ledger",
       "name_tag", "IBM037")
 
+  /** A13: JSONL upload — typed primitives, absent-field NULLs, and a
+    * NESTED object round-tripped through the upload pipeline (struct
+    * columns are exactly what the CSV engine can't represent). The
+    * fixture derives from orders; the oracle recomputes every output
+    * column, nested fields included, from the original parquet.
+    */
+  def jsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("jsonl_ingest", sfDir)
+    val db = freshDb(spark, "jsonl_ingest", sfDir)
+    Tables(spark, sfDir, "orders").select(
+        col("o_orderkey"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        (col("o_orderkey") % 2 === 0).as("flag"),
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(concat(lit("n"), col("o_orderkey"))).as("note"),
+        struct(col("o_orderstatus").as("status"),
+          (col("o_orderkey") % 5).as("bucket")).as("meta"))
+      .write.mode("overwrite").json(s"$dir/orders_jsonl")
+    val res = graft.sources.JsonlUploader.upload(
+      db, s"$dir/orders_jsonl", Some("orders_json"))
+    require(res.error.isEmpty, s"jsonl upload failed: ${res.error}")
+    db.read(res.tableName).select(
+      col("o_orderkey"), col("o_totalprice"), col("odate"), col("flag"),
+      col("note"), col("meta.status").as("meta_status"),
+      col("meta.bucket").as("meta_bucket"))
+  }
+
   /** A5: filename → table name (strip one ".csv") + conflict
     * suffixing _2, _3 on repeated upload.
     */
@@ -412,6 +440,16 @@ object CsvQueries {
         |  n_name || ' проверка данных' AS name_ru,
         |  'KOI8-R' AS encoding
         |FROM nation""".stripMargin,
+    "jsonl_ingest" ->
+      """SELECT o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  (o_orderkey % 2 = 0) AS flag,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE 'n' || o_orderkey END AS note,
+        |  o_orderstatus AS meta_status,
+        |  o_orderkey % 5 AS meta_bucket
+        |FROM orders""".stripMargin,
     "csv_encoding_ebcdic" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |  n_name || ' batch 01 ledger' AS name_tag,
@@ -445,6 +483,7 @@ object CsvQueries {
     "csv_encoding_cp1251" -> (csvEncodingCp1251 _),
     "csv_encoding_koi8r" -> (csvEncodingKoi8r _),
     "csv_encoding_ebcdic" -> (csvEncodingEbcdic _),
+    "jsonl_ingest" -> (jsonlIngest _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _),
     "csv_progress_sql" -> (csvProgressSql _)

@@ -171,6 +171,32 @@ class TypeInferenceSpec extends AnyFunSuite with SparkTestBase {
 
 class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
 
+  test("jsonl upload: naming, conflict suffix, malformed-line error") {
+    import graft.sources.JsonlUploader
+    assert(JsonlUploader.tableNameForFile("docs.jsonl") == "docs")
+    assert(JsonlUploader.tableNameForFile("docs.json.gz") == "docs")
+    assert(JsonlUploader.tableNameForFile("weird.jsonl.jsonl") == "weird.jsonl")
+    val dir = scratch("jsonl_up")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/docs.jsonl"),
+      "{\"id\": 1, \"t\": \"a\"}\n{\"id\": 2}\n".getBytes)
+    val r1 = JsonlUploader.upload(db, s"$dir/docs.jsonl")
+    assert(r1.error.isEmpty && r1.tableName == "docs" && r1.rowsDone == 2)
+    // absent field → NULL, types native
+    val got = db.read("docs")
+    assert(got.schema("id").dataType.simpleString == "bigint")
+    assert(got.filter(col("t").isNull).count() == 1)
+    // second upload of the same name → conflict suffix
+    val r2 = JsonlUploader.upload(db, s"$dir/docs.jsonl")
+    assert(r2.tableName == "docs_2")
+    // malformed line → loud error captured in progress, no table
+    Files.write(Paths.get(s"$dir/bad.jsonl"),
+      "{\"id\": 1}\nnot json at all{{{\n".getBytes)
+    val r3 = JsonlUploader.upload(db, s"$dir/bad.jsonl")
+    assert(r3.error.isDefined && r3.error.get.contains("malformed"))
+    assert(!db.tableExists("bad"))
+  }
+
   test("cp037 with LF-0x25 terminators fails loudly, never one-line-parses") {
     val dir = scratch("ebcdic_lf25")
     val db = GraftDatabase(spark, s"$dir/db")
