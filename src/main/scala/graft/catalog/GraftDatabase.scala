@@ -35,13 +35,19 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def tableExists(table: String): Boolean =
     fs.exists(new Path(tablePath(table)))
 
-  /** Filename → table name: strip exactly one trailing ".csv"
-    * (reference __init__.py:117-119 — "weird ~ file.csv.csv" becomes
-    * "weird ~ file.csv").
+  /** Filename → table name: strip a trailing ".gz" first, then
+    * exactly ONE of `extensions` (reference __init__.py:117-119 —
+    * "weird ~ file.csv.csv" becomes "weird ~ file.csv"). One
+    * authority for every format's uploader: CSV uses the default,
+    * JSONL passes its own extension list.
     */
-  def tableNameForFile(fileName: String): String = {
+  def tableNameForFile(fileName: String,
+      extensions: Seq[String] = Seq(".csv")): String = {
     val base = new Path(fileName).getName
-    if (base.endsWith(".csv")) base.dropRight(4) else base
+    val ungz = if (base.endsWith(".gz")) base.dropRight(3) else base
+    extensions.find(ungz.endsWith)
+      .map(e => ungz.dropRight(e.length))
+      .getOrElse(ungz)
   }
 
   /** Conflict resolution: append _2, _3, … until free (reference

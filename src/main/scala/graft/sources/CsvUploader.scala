@@ -47,13 +47,16 @@ object CsvUploader {
     val spark = db.spark
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytesTodo = fs.getContentSummary(p).getLength
     val base = tableName.getOrElse(db.tableNameForFile(csvPath))
     val resolved = db.resolveTableName(base)
     val started = java.time.Instant.now().toString
 
-    db.progress.start(taskId, resolved, bytesTodo, started)
+    // size lookup inside the error envelope: a missing path must land
+    // in _csv_progress_.error like every other failure, not throw
+    var bytesTodo = 0L
     try {
+      bytesTodo = fs.getContentSummary(p).getLength
+      db.progress.start(taskId, resolved, bytesTodo, started)
       val encoding = detectEncoding(spark, csvPath, sniffBytes)
       withLegacyCharsets(spark, needsLegacyCharset(encoding)) {
         val raw =

@@ -30,17 +30,10 @@ object JsonlUploader {
       schema: Seq[(String, String)],
       error: Option[String])
 
-  /** Filename → table name: strip exactly ONE trailing `.jsonl` or
-    * `.json` (mirroring the reference's strip-one-`.csv` rule), gzip
-    * suffix first.
+  /** The JSONL extension list for [[GraftDatabase.tableNameForFile]]
+    * — one naming authority shared with the CSV path.
     */
-  def tableNameForFile(path: String): String = {
-    val base = new Path(path).getName
-    val ungz = if (base.endsWith(".gz")) base.dropRight(3) else base
-    if (ungz.endsWith(".jsonl")) ungz.dropRight(6)
-    else if (ungz.endsWith(".json")) ungz.dropRight(5)
-    else ungz
-  }
+  val Extensions: Seq[String] = Seq(".jsonl", ".json")
 
   def upload(
       db: GraftDatabase,
@@ -51,13 +44,16 @@ object JsonlUploader {
     val spark = db.spark
     val p = new Path(jsonlPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytesTodo = fs.getContentSummary(p).getLength
-    val base = tableName.getOrElse(tableNameForFile(jsonlPath))
+    val base = tableName.getOrElse(
+      db.tableNameForFile(jsonlPath, Extensions))
     val resolved = db.resolveTableName(base)
     val started = java.time.Instant.now().toString
 
-    db.progress.start(taskId, resolved, bytesTodo, started)
+    // size lookup inside the error envelope, like the CSV path
+    var bytesTodo = 0L
     try {
+      bytesTodo = fs.getContentSummary(p).getLength
+      db.progress.start(taskId, resolved, bytesTodo, started)
       val df = spark.read.json(jsonlPath)
       if (df.schema.isEmpty)
         throw new IllegalArgumentException(
@@ -69,11 +65,13 @@ object JsonlUploader {
         throw new IllegalArgumentException(
           s"malformed JSON lines under $jsonlPath (corrupt-record " +
             "column present) — fix or drop the bad lines and re-upload")
-      val rows = df.count()
       new graft.catalog.ProgressReporter(db, taskId, resolved, bytesTodo,
         progressIntervalMs).around {
         db.write(df, resolved, SaveMode.ErrorIfExists)
       }
+      // count the WRITTEN parquet (footer-stats scan), not the JSON —
+      // the input is read twice total (inference + load), like CSV
+      val rows = db.read(resolved).count()
       db.progress.complete(taskId, resolved, bytesTodo, rows)
       UploadResult(db.name, resolved, taskId, rows, bytesTodo,
         df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),

@@ -173,11 +173,15 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
 
   test("jsonl upload: naming, conflict suffix, malformed-line error") {
     import graft.sources.JsonlUploader
-    assert(JsonlUploader.tableNameForFile("docs.jsonl") == "docs")
-    assert(JsonlUploader.tableNameForFile("docs.json.gz") == "docs")
-    assert(JsonlUploader.tableNameForFile("weird.jsonl.jsonl") == "weird.jsonl")
     val dir = scratch("jsonl_up")
     val db = GraftDatabase(spark, s"$dir/db")
+    val ext = JsonlUploader.Extensions
+    assert(db.tableNameForFile("docs.jsonl", ext) == "docs")
+    assert(db.tableNameForFile("docs.json.gz", ext) == "docs")
+    assert(db.tableNameForFile("weird.jsonl.jsonl", ext) == "weird.jsonl")
+    // missing path lands in the error envelope, never throws
+    val r0 = JsonlUploader.upload(db, s"$dir/nope.jsonl")
+    assert(r0.error.isDefined)
     Files.write(Paths.get(s"$dir/docs.jsonl"),
       "{\"id\": 1, \"t\": \"a\"}\n{\"id\": 2}\n".getBytes)
     val r1 = JsonlUploader.upload(db, s"$dir/docs.jsonl")

@@ -19,8 +19,16 @@ def load(path):
     if "queries" in d and isinstance(d["queries"], dict):
         return {k: float(v) for k, v in d["queries"].items()}
     if "tail" in d:  # driver BENCH_r*.json: parse what the tail kept
+        t = d["tail"]
+        # scope the scan to the queries object so header fields
+        # ("value", "queries_measured") never count as query timings
+        i = t.find('"queries":{')
+        if i >= 0:
+            j = t.find("}", i)
+            t = t[i:j if j >= 0 else len(t)]
         return {k: float(v) for k, v in
-                re.findall(r'"([a-z0-9_]+)":([0-9.]+)', d["tail"])}
+                re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', t)
+                if k not in ("value", "queries_measured")}
     raise SystemExit(f"{path}: no queries or tail field")
 
 
@@ -29,21 +37,33 @@ def main():
         raise SystemExit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    shared = sorted(set(old) & set(new))
+    # Bench writes -1 for a query that threw: the worst regression of
+    # all — report it first and keep it out of the totals
+    failed = sorted(k for k in set(old) & set(new)
+                    if new[k] < 0 and old[k] >= 0)
+    for k in failed:
+        print(f"  FAILED {k:32} {old[k]:7.2f}s -> error")
+    shared = sorted(k for k in set(old) & set(new)
+                    if old[k] >= 0 and new[k] >= 0)
     print(f"shared {len(shared)}  only-old {len(set(old)-set(new))}"
           f"  only-new {len(set(new)-set(old))}")
     tot_old = sum(old[k] for k in shared)
     tot_new = sum(new[k] for k in shared)
-    print(f"shared totals: {tot_old:.1f}s -> {tot_new:.1f}s"
-          f"  ({tot_new/tot_old:.2f}x)")
+    ratio = f"  ({tot_new/tot_old:.2f}x)" if tot_old > 0 else ""
+    print(f"shared totals: {tot_old:.1f}s -> {tot_new:.1f}s{ratio}")
     flagged = [(k, old[k], new[k]) for k in shared
-               if old[k] > 0 and
+               if old[k] > 0 and new[k] > 0 and
                (new[k] / old[k] > thresh or old[k] / new[k] > thresh)]
     flagged.sort(key=lambda r: -(r[2] / r[1]))
     for k, o, n in flagged:
         tag = "SLOWER" if n > o else "faster"
         print(f"  {tag} {k:32} {o:7.2f}s -> {n:7.2f}s  ({n/o:.2f}x)")
-    if not flagged:
+    # a 0.000 on either side is below the clock's resolution, not a
+    # ratio — call it out instead of dividing by it
+    zeros = [k for k in shared if (old[k] == 0) != (new[k] == 0)]
+    for k in zeros:
+        print(f"  ~zero  {k:32} {old[k]:7.3f}s -> {new[k]:7.3f}s")
+    if not flagged and not failed and not zeros:
         print(f"  no per-query change beyond {thresh}x")
 
 
