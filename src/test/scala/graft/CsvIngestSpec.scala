@@ -201,6 +201,24 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(!db.tableExists("bad"))
   }
 
+  test("jsonl upload unions schemas across files (A11 twin, native)") {
+    import graft.sources.JsonlUploader
+    val dir = scratch("jsonl_evolve")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.write(Paths.get(s"$dir/in/part1.jsonl"),
+      "{\"id\": 1, \"name\": \"a\"}\n".getBytes)
+    Files.write(Paths.get(s"$dir/in/part2.jsonl"),
+      "{\"id\": 2, \"name\": \"b\", \"score\": 1.5}\n".getBytes)
+    val res = JsonlUploader.upload(db, s"$dir/in", Some("docs"))
+    assert(res.error.isEmpty && res.rowsDone == 2)
+    val got = db.read("docs")
+    assert(got.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(got.schema("score").dataType.simpleString == "double")
+    // the file without the late column reads NULL there
+    assert(got.filter(col("score").isNull).count() == 1)
+  }
+
   test("cp037 with LF-0x25 terminators fails loudly, never one-line-parses") {
     val dir = scratch("ebcdic_lf25")
     val db = GraftDatabase(spark, s"$dir/db")
