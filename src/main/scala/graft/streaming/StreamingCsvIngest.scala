@@ -51,19 +51,10 @@ object StreamingCsvIngest {
     val stringSchema = StructType(
       staticRaw.columns.map(StructField(_, StringType, nullable = true)))
 
-    // Resume state: a restarted query continues the task's cumulative
-    // count, and batches whose seq (= batchId+1) was already recorded
-    // are replays — their data is re-published idempotently but not
-    // re-counted.
-    val (maxSeqAtStart, already): (Long, Long) =
-      if (db.progress.exists)
-        db.progress.current().filter(col("id") === taskId)
-          .select(col("seq"), col("rows_done")).collect()
-          .headOption.map(r => (r.getLong(0), r.getLong(1)))
-          .getOrElse((-1L, 0L))
-      else (-1L, 0L)
-    if (maxSeqAtStart < 0L) db.progress.start(taskId, table, bytesTodo = 0L)
-    val counter = new java.util.concurrent.atomic.AtomicLong(already)
+    // Resume state + exactly-once publish live in [[IngestPublish]]
+    // (shared with the JSONL twin).
+    val (maxSeqAtStart, counter) =
+      IngestPublish.resumeState(db, taskId, table)
 
     spark.readStream
       .option("header", "true").option("encoding", encoding)
@@ -73,33 +64,9 @@ object StreamingCsvIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", db.tablePath(s"_checkpoint_$table"))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val typed = TypeInference.applyTypes(batch, types)
-        val dest = new Path(db.tablePath(table))
-        val staging = new Path(db.tablePath(s"_staging_$table"),
-          batchId.toString)
-        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(staging, true)
-        typed.write.mode("overwrite").parquet(staging.toString)
-        // Row count from the staged parquet (footer metadata scan) —
-        // counting `batch` directly would recompute the CSV source.
-        val n = spark.read.parquet(staging.toString).count()
-        // Idempotent publish: clear any files from an earlier attempt
-        // of this batch, then rename the staged files in under a
-        // batchId-unique prefix.
-        val prefix = f"b$batchId%019d-"
-        fs.mkdirs(dest)
-        fs.listStatus(dest).filter(_.getPath.getName.startsWith(prefix))
-          .foreach(s => fs.delete(s.getPath, false))
-        fs.listStatus(staging)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach(f =>
-            fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName)))
-        fs.delete(staging, true)
-        if (batchId + 1 > maxSeqAtStart) {
-          val total = counter.addAndGet(n)
-          db.progress.update(taskId, table, bytesTodo = 0L, bytesDone = 0L,
-            rowsDone = total, seq = batchId + 1)
-        }
+        IngestPublish.publishBatch(db, table, taskId,
+          TypeInference.applyTypes(batch, types), batchId,
+          maxSeqAtStart, counter)
       }
       .start()
   }

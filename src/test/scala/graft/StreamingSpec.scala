@@ -331,6 +331,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G2-jsonl: streaming JSONL ingest appends per batch via the " +
+      "shared exactly-once publish") {
+    val dir = scratch("stream_jsonl")
+    val inDir = s"$dir/incoming"
+    Files.createDirectories(Paths.get(inDir))
+    Files.write(Paths.get(s"$inDir/part1.jsonl"),
+      "{\"id\": 1, \"t\": \"a\"}\n{\"id\": 2, \"t\": \"b\"}\n".getBytes)
+    val db = GraftDatabase(spark, s"$dir/db")
+
+    val q1 = graft.streaming.StreamingJsonlIngest.start(
+      db, inDir, "docs", "task-j1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(db.read("docs").count() == 2)
+
+    // new file → restart (AvailableNow) picks up only the new file
+    // via the checkpoint, appends, bumps progress
+    Files.write(Paths.get(s"$inDir/part2.jsonl"),
+      "{\"id\": 3, \"t\": \"c\"}\n".getBytes)
+    val q2 = graft.streaming.StreamingJsonlIngest.start(
+      db, inDir, "docs", "task-j1")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val docs = db.read("docs")
+    assert(docs.count() == 3)
+    assert(docs.schema("id").dataType.simpleString == "bigint")
+    val prog = db.progress.current().filter(col("id") === "task-j1")
+      .select("rows_done").collect().map(_.getLong(0))
+    assert(prog.head >= 1L)
+  }
+
   test("G7: the binned range join runs stream-static, incrementally, " +
       "unchanged") {
     import spark.implicits._
