@@ -14,6 +14,15 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Size post-shuffle partitions by BYTES (advisory 64 MB), not by
+    // cluster width: parallelismFirst=true re-expands every tiny
+    // shuffle to defaultParallelism tasks, so a 32-core local session
+    // pays 32 task dispatches per sub-MB stage (measured ~25% of
+    // sub-second query wall time at sf0.1). Spark's own docs
+    // recommend parallelismFirst=false on busy clusters; at real
+    // scale partitions land at the advisory size either way.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")

@@ -40,6 +40,15 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     * "weird ~ file.csv.csv" becomes "weird ~ file.csv"). One
     * authority for every format's uploader: CSV uses the default,
     * JSONL passes its own extension list.
+    *
+    * INTENTIONAL divergence from the reference for gzip inputs:
+    * gzip upload itself is a graft extension (A12 — the reference
+    * accepts only plain `.csv`/no-extension files, __init__.py:70),
+    * so "dogs.csv.gz" has no reference-defined mapping; we map it to
+    * "dogs" (the table a user re-uploading the uncompressed file
+    * would get) rather than the literal "dogs.csv.gz" the reference's
+    * strip-one-".csv" rule would produce if it ever saw the name.
+    * Plain `.csv` names behave byte-for-byte like the reference.
     */
   def tableNameForFile(fileName: String,
       extensions: Seq[String] = Seq(".csv")): String = {

@@ -27,6 +27,29 @@ object GraftFunctions {
       seed: Long = 42L): Column =
     toCol(MinHashSignature(toExpr(tokens), k, shingleSize, seed))
 
+  /** MinHash signature (k perms) over already-hashed shingles
+    * (`array<long>`) — skips the tokenize/re-hash pass when hashed
+    * shingle arrays are already materialized.
+    */
+  def minhashFromHashes(hashes: Column, k: Int = 128,
+      seed: Long = 42L): Column =
+    toCol(MinHashFromHashes(toExpr(hashes), k, seed))
+
+  /** |a ∩ b| of two sorted `array<long>` columns (merge pass, no
+    * allocation).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    toCol(SortedIntersectSize(toExpr(a), toExpr(b)))
+
+  /** AllPairs prefix of a hashed-shingle array under the
+    * (approx-df, hash) global order (Count-Min Sketch rarity). Exact
+    * for candidate generation under any sketch contents; see
+    * [[expressions.PrefixByRarity]].
+    */
+  def prefixByRarity(sh: Column, serializedCms: Array[Byte],
+      threshold: Double): Column =
+    toCol(PrefixByRarity(toExpr(sh), serializedCms, threshold))
+
   /** Random-hyperplane LSH bit signature of an embedding. */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
     toCol(HyperplaneSignature(toExpr(vec), planes))
@@ -40,6 +63,30 @@ object GraftFunctions {
     */
   def bloomMightContain(c: Column, serializedBloom: Array[Byte]): Column =
     toCol(BloomMightContain(toExpr(c), serializedBloom))
+
+  /** Bloom probe against a per-row serialized-filter column, with a
+    * per-(task, bucket) deserialization cache. Value/filter contents
+    * are xxhash64 longs. Positives need exact verification.
+    */
+  def bloomProbeBucketed(valueHash: Column, bucket: Column,
+      filterBin: Column): Column =
+    toCol(BloomProbeBucketed(toExpr(valueHash), toExpr(bucket),
+      toExpr(filterBin)))
+
+  /** Aggregate a long-hash column into a serialized Bloom filter
+    * (binary) — Spark's own BloomFilterAggregate, exposed as a
+    * Column so per-GROUP filters can be built in one aggregation
+    * (the bucketed-index build; [[bloomProbeBucketed]] probes it).
+    */
+  def bloomAgg(valueHash: Column, expectedItems: Long,
+      fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(toExpr(valueHash), Literal(expectedItems),
+        Literal(numBits)).toAggregateExpression())
+  }
 
   /** Z-order (Morton) curve value of 2–8 non-negative long columns. */
   def zorder(cols: Column*): Column =

@@ -160,6 +160,228 @@ case class MinHashSignature(child: Expression, k: Int, shingleSize: Int,
     copy(child = c)
 }
 
+/** Bloom membership probe against a PER-ROW serialized filter column
+  * — the bucketed complement of [[BloomMightContain]] for filters too
+  * large to embed in one plan (its documented ~tens-of-MB ceiling).
+  * The probed value and the filter contents are 64-bit hashes
+  * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]'s
+  * putLong form); `bucket` keys a per-task deserialization cache, so
+  * a filter is decoded once per (task, bucket) instead of once per
+  * row — co-partitioning the probe side by bucket bounds the cache at
+  * one filter per task, which is the point: each executor holds only
+  * its buckets' slices of an index whose TOTAL size exceeds what any
+  * single task closure could ship.
+  */
+case class BloomProbeBucketed(valueHash: Expression, bucket: Expression,
+    filterBin: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = valueHash
+  override def second: Expression = bucket
+  override def third: Expression = filterBin
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe_bucketed"
+
+  @transient private lazy val cache =
+    new java.util.HashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+
+  def probe(v: Long, b: Long, bin: Array[Byte]): Boolean = {
+    var f = cache.get(b)
+    if (f == null) {
+      f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bin))
+      cache.put(b, f)
+    }
+    f.mightContainLong(v)
+  }
+
+  override def nullSafeEval(v: Any, b: Any, bin: Any): Any =
+    probe(v.asInstanceOf[Long], b.asInstanceOf[Long],
+      bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, bin) => {
+      val ref = ctx.addReferenceObj("bloomProbeBucketed", this,
+        classOf[BloomProbeBucketed].getName)
+      s"${ev.value} = $ref.probe($v, $b, $bin);"
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(valueHash = f, bucket = s, filterBin = t)
+}
+
+/** MinHash signature over an ALREADY-HASHED shingle array
+  * (`array<long>`, the [[graft.operators.Dedup]] `sh` form): the k
+  * affine permutations run directly over the 64-bit shingle hashes,
+  * so a pipeline that has materialized hashed shingles (for AllPairs
+  * prefixes / exact verify) never tokenizes or re-hashes the corpus a
+  * second time to band it. Same LSH family and banding math as
+  * [[MinHashSignature]] — only the base hash differs (the column's
+  * xxhash64 values instead of a private xxh64 over shingle strings),
+  * which changes signature VALUES but not collision probabilities;
+  * C4's contract is exact-pair-set equivalence, not signature parity.
+  */
+case class MinHashFromHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(k > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_from_hashes"
+
+  private val Prime = (1L << 61) - 1
+
+  @transient private lazy val (as, bs) = {
+    val r = new java.util.Random(seed)
+    val a = Array.fill(k)(r.nextLong() | 1L)
+    val b = Array.fill(k)(r.nextLong())
+    (a, b)
+  }
+
+  def compute(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
+      var p = 0
+      while (p < k) {
+        val h = ((as(p) * base + bs(p)) & Long.MaxValue) % Prime
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("minhashFromHashes", this,
+        classOf[MinHashFromHashes].getName)
+      s"${ev.value} = $ref.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Size of the intersection of two SORTED `array<long>` columns — a
+  * single merge pass, no intermediate array allocation. The Jaccard
+  * verify step's replacement for `size(array_intersect(a, b))` (which
+  * builds a hash set AND an output array per pair); union size derives
+  * as |a| + |b| − |a∩b| for set-valued arrays. Inputs MUST be sorted
+  * ascending ([[graft.operators.Dedup]] `sh` arrays are, by
+  * construction via sort_array).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("sortedIntersect", this,
+        classOf[SortedIntersectSize].getName)
+      s"${ev.value} = $ref.count($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** AllPairs prefix of a hashed-shingle array (`array<long>`) under
+  * the global order (approx document frequency, h): the first
+  * |s| − ⌈τ·|s|⌉ + 1 elements — the RAREST shingles, rarity read
+  * from a Count-Min Sketch over the corpus's shingle stream. One
+  * pass, emitted map-side — replaces the explode → df-join → per-doc
+  * rank window of the textbook formulation with zero shuffles on the
+  * corpus-shingle frame (the sketch itself builds in one shuffle-free
+  * map pass; CMS is mergeable).
+  *
+  * Correctness does NOT depend on the sketch: the prefix lemma ("two
+  * sets with Jaccard ≥ τ share a prefix element") holds under ANY
+  * fixed total order on shingles, and (estimate(h), h) is a
+  * deterministic total order whatever the sketch's collision
+  * pattern. Estimation error only moves candidates between the
+  * generate and verify stages; the verified output is exact either
+  * way. The graded df order is what keeps candidate counts near the
+  * exact-AllPairs minimum — a binary hot/cold approximation (one
+  * Bloom filter over df ≥ 2) measured 220k+ candidate pairs at sf0.1
+  * where this produces a few thousand, because near-dup cluster
+  * members are mostly-shared-shingle documents whose prefixes then
+  * ordered by raw hash instead of rarity.
+  */
+case class PrefixByRarity(child: Expression, cmsBytes: Array[Byte],
+    threshold: Double) extends UnaryExpression {
+
+  require(threshold > 0.0 && threshold <= 1.0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_prefix_by_rarity"
+
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(cmsBytes)
+
+  def compute(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    val p = n - math.ceil(n * threshold).toInt + 1
+    if (n == 0 || p <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) { hs(i) = sh.getLong(i); idx(i) = i; i += 1 }
+    val est = new Array[Long](n)
+    i = 0
+    while (i < n) { est(i) = cms.estimateCount(hs(i)); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(est(a), est(b))
+        if (c != 0) c else java.lang.Long.compare(hs(a), hs(b))
+      }
+    })
+    val out = new Array[Long](math.min(p, n))
+    i = 0
+    while (i < out.length) { out(i) = hs(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ref = ctx.addReferenceObj("prefixByRarity", this,
+        classOf[PrefixByRarity].getName)
+      s"${ev.value} = $ref.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Karp–Rabin rolling hash of a string's UTF-8 bytes (wrapping 64-bit
   * polynomial, base 1000003) — the cheap engine-native document
   * fingerprint (SURVEY §2.E4 production path).

@@ -172,7 +172,8 @@ object CsvQueries {
     * text against the original UTF-8.
     */
   private def eucFixture(spark: SparkSession, sfDir: String, qname: String,
-      suffix: String, colName: String, charset: String): DataFrame = {
+      suffix: String, colName: String, charset: String,
+      byteTransform: Array[Byte] => Array[Byte] = identity): DataFrame = {
     val dir = scratch(qname, sfDir)
     val db = freshDb(spark, qname, sfDir)
     val rows = Tables(spark, sfDir, "nation")
@@ -183,7 +184,7 @@ object CsvQueries {
     val body = (s"n_nationkey,$colName" +: rows.toSeq).mkString("\n")
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/nations.csv"),
-      body.getBytes(Charset.forName(charset)))
+      byteTransform(body.getBytes(Charset.forName(charset))))
     val res = CsvUploader.upload(db, s"$dir/nations.csv")
     db.read(res.tableName).withColumn("encoding", lit(res.encoding))
   }
@@ -220,6 +221,26 @@ object CsvQueries {
   def csvEncodingEbcdic(spark: SparkSession, sfDir: String): DataFrame =
     eucFixture(spark, sfDir, "encoding_ebcdic", " batch 01 ledger",
       "name_tag", "IBM037")
+
+  /** A1 (EBCDIC member punctuation scoring): cp500 moves '[' / ']'
+    * to 0x4A / 0x5A — bytes cp037 decodes as '¢' / '!'. The bracket
+    * suffix forces the differ-byte scorer to pick cp500, and the
+    * round-trip proves the whole decode.
+    */
+  def csvEncodingCp500(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_cp500", " [b500] ledger",
+      "name_tag", "IBM500")
+
+  /** A1 (EBCDIC, LF-0x25 convention): a real-world cp1047 export
+    * terminates records with LF 0x25 (Java's IBM1047 charset itself
+    * writes '\n' as 0x15 — the fixture transposes, as a mainframe
+    * would). Detected via the terminator convention + 1047-consistent
+    * punctuation, decoded distributed with the NEL lineSep.
+    */
+  def csvEncodingCp1047(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_cp1047", " [b1047] ledger",
+      "name_tag", "IBM1047",
+      byteTransform = _.map(b => if (b == 0x15.toByte) 0x25.toByte else b))
 
   /** A13: JSONL upload — typed primitives, absent-field NULLs, and a
     * NESTED object round-tripped through the upload pipeline (struct
@@ -455,6 +476,16 @@ object CsvQueries {
         |  n_name || ' batch 01 ledger' AS name_tag,
         |  'IBM037' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_cp500" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' [b500] ledger' AS name_tag,
+        |  'IBM500' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_cp1047" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' [b1047] ledger' AS name_tag,
+        |  'IBM1047' AS encoding
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -483,6 +514,8 @@ object CsvQueries {
     "csv_encoding_cp1251" -> (csvEncodingCp1251 _),
     "csv_encoding_koi8r" -> (csvEncodingKoi8r _),
     "csv_encoding_ebcdic" -> (csvEncodingEbcdic _),
+    "csv_encoding_cp500" -> (csvEncodingCp500 _),
+    "csv_encoding_cp1047" -> (csvEncodingCp1047 _),
     "jsonl_ingest" -> (jsonlIngest _),
     "csv_table_conflict" -> (csvTableConflict _),
     "csv_progress" -> (csvProgress _),

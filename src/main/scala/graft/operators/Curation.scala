@@ -180,6 +180,66 @@ object Curation {
       .unionByName(verifiedNew.select(col("doc_id"), col("source")))
   }
 
+  /** Bucketed Bloom index over an old corpus's content hashes: ONE
+    * aggregation producing `nBuckets` rows of (bucket, bloom bytes).
+    * This is the C15 shape past the plan-embedded filter's documented
+    * ~tens-of-MB ceiling ([[graft.functions.expressions.BloomMightContain]]):
+    * the index TOTAL can be arbitrarily large because no single task
+    * ever ships it whole — a probe joins batch→bucket first, so each
+    * task decodes only the filters of the buckets it actually sees
+    * (exactly one, when the batch is co-partitioned by bucket). At
+    * real scale this table is built once per ingest epoch and stored;
+    * expectedItemsPerBucket then comes from the ledger, not a count.
+    */
+  def bucketedBloomIndex(old: DataFrame, nBuckets: Int,
+      expectedItemsPerBucket: Long, fpp: Double = 0.01): DataFrame =
+    old.select(pmod(xxhash64(col("text")), lit(nBuckets)).as("bucket"),
+        xxhash64(col("text")).as("th"))
+      .groupBy(col("bucket"))
+      .agg(graft.functions.GraftFunctions
+        .bloomAgg(col("th"), expectedItemsPerBucket, fpp).as("bloom"))
+
+  /** [[incrementalNewOf]] with a bucketed Bloom prefilter — same
+    * exact output, built for old corpora whose filter no longer fits
+    * one plan. The batch joins the (tiny, nBuckets-row) index on its
+    * content-hash bucket, probes map-side through the per-(task,
+    * bucket) cache, and only Bloom positives reach the exact verify
+    * anti-join — the filter decides join SIZE, never membership
+    * (hash collisions land on the verify side too, so exactness is
+    * untouched).
+    */
+  def incrementalNewBucketedOf(old: DataFrame, fresh: DataFrame,
+      nBuckets: Int = 16, fpp: Double = 0.01): DataFrame = {
+    val perBucket = math.max(old.count() / nBuckets, 1L)
+    val idx = bucketedBloomIndex(old, nBuckets, perBucket, fpp)
+    val flagged = fresh
+      .withColumn("__b", pmod(xxhash64(col("text")), lit(nBuckets)))
+      .withColumn("__th", xxhash64(col("text")))
+      .join(idx, col("__b") === idx("bucket"), "left_outer")
+      // NULL text → NULL hash → no bucket row → NULL probe: keep the
+      // row as definitely-new, matching the oracle's NOT EXISTS
+      .withColumn("maybe_seen", coalesce(
+        graft.functions.GraftFunctions.bloomProbeBucketed(
+          col("__th"), col("bucket"), col("bloom")), lit(false)))
+    val definiteNew = flagged.filter(!col("maybe_seen"))
+    val verifiedNew = flagged.filter(col("maybe_seen"))
+      .join(old.select(col("text")).distinct(), Seq("text"), "left_anti")
+    definiteNew.select(col("doc_id"), col("source"))
+      .unionByName(verifiedNew.select(col("doc_id"), col("source")))
+  }
+
+  /** C15 (bucketed form) over the same old/new split as
+    * [[incrementalNew]] — oracle-identical by construction.
+    */
+  def incrementalNewBucketed(spark: SparkSession, dir: String,
+      nBuckets: Int = 16, fpp: Double = 0.01): DataFrame = {
+    val oldSources = (0 to 9).map("src" + _)
+    val d = docs(spark, dir)
+    incrementalNewBucketedOf(
+      d.filter(col("source").isin(oldSources: _*)),
+      d.filter(!col("source").isin(oldSources: _*)), nBuckets, fpp)
+  }
+
   // ---------------------------------------------------------------
   // E8: PII detection + redaction
   // ---------------------------------------------------------------
@@ -383,6 +443,12 @@ object Curation {
          |WHERE n.source NOT IN ($oldSrcList)
          |  AND NOT EXISTS (SELECT 1 FROM documents o
          |    WHERE o.source IN ($oldSrcList) AND o.text = n.text)""".stripMargin,
+    // bucketed C15: same contract, same oracle
+    "curate_incremental_new_bucketed" ->
+      s"""SELECT n.doc_id, n.source FROM documents n
+         |WHERE n.source NOT IN ($oldSrcList)
+         |  AND NOT EXISTS (SELECT 1 FROM documents o
+         |    WHERE o.source IN ($oldSrcList) AND o.text = n.text)""".stripMargin,
     "curate_pii_redact" -> piiRedactSql,
     "curate_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
@@ -423,6 +489,8 @@ object Curation {
     "curate_domain_mix" -> (domainMix _),
     "curate_mix_report" -> (mixReport _),
     "curate_incremental_new" -> ((s, d) => incrementalNew(s, d)),
+    "curate_incremental_new_bucketed" ->
+      ((s, d) => incrementalNewBucketed(s, d)),
     "curate_pii_redact" -> (piiRedactQuery _),
     "curate_repetition" -> (repetition _),
     "curate_length_band" -> ((s, d) => lengthBand(s, d))

@@ -78,16 +78,36 @@ object Dedup {
       col("doc_id"),
       sort_array(transform(col("shingles"), s => xxhash64(s))).as("sh"))
 
+  /** The sorted hashed-shingle array as a column over a text column —
+    * for callers (the cleaning composite) that fold the shingle
+    * arrays into an existing persisted frame instead of building a
+    * second corpus-scale cache.
+    */
+  private[operators] def shingleHashColumn(text: Column): Column =
+    sort_array(transform(shingleArray(tokens(text), 3), s => xxhash64(s)))
+
   /** C3: exact n-gram Jaccard pairs ≥ τ via AllPairs prefix
-    * filtering: order shingles by ascending global document
-    * frequency and index only each doc's first |s| − ⌈τ·|s|⌉ + 1
-    * shingles (the rarest ones). Two sets with Jaccard ≥ τ must share
-    * a prefix shingle under a common global order, so candidate
-    * generation is exact — and the hot shingles that make a naive
-    * inverted-index join quadratic never enter the index at all
-    * (60 s → ~3 s at sf0.1; the skew only worsens at 100 TB).
-    * Candidates are then verified with exact Jaccard over the full
-    * shingle arrays.
+    * filtering: order shingles under a fixed global order that sorts
+    * corpus-hot shingles LAST, and index only each doc's first
+    * |s| − ⌈τ·|s|⌉ + 1 shingles (the rarest ones). Two sets with
+    * Jaccard ≥ τ must share a prefix shingle under any common global
+    * order, so candidate generation is exact — and the hot shingles
+    * that make a naive inverted-index join quadratic never enter the
+    * index at all (60 s → ~3 s at sf0.1; the skew only worsens at
+    * 100 TB). Candidates are then verified with exact Jaccard over
+    * the full shingle arrays.
+    *
+    * The global order is (df̂(h), h) where df̂ is a Count-Min-Sketch
+    * estimate of the shingle's document frequency — a deterministic
+    * total order whatever the sketch's collision pattern, so
+    * exactness never rests on it (see
+    * [[graft.functions.expressions.PrefixByRarity]]). vs the
+    * textbook explode → df-join → per-doc rank window: NO
+    * corpus-scale shuffle remains before the candidate join — the
+    * sketch builds in one shuffle-free map pass and prefixes are
+    * computed map-side from the cached sorted arrays. (The window
+    * formulation re-shuffled the exploded corpus twice and fully
+    * sorted each doc_id partition.)
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
@@ -100,23 +120,30 @@ object Dedup {
     */
   def ngramJaccardOf(docsIn: DataFrame,
       threshold: Double = 0.8): DataFrame = {
-    // The hashed-shingle frame feeds four plan branches (frequency,
-    // prefix, and both verify sides) — persist it once instead of
+    // The hashed-shingle frame feeds the hot-set build, the prefix
+    // branch and both verify sides — persist it once instead of
     // re-tokenizing the corpus per branch. Long arrays cache in a few
     // bytes per shingle; MEMORY_AND_DISK spills at cluster scale.
     val docs = docShingleHashesOf(docsIn)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = docs.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
-    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
-    // Any consistent global order works for the prefix lemma; rarity
-    // order (df asc) minimizes candidates.
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df_cnt").asc, col("shingle").asc)
-    val prefix = ex.join(freq, Seq("shingle"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id"), col("shingle"))
+    val out = ngramJaccardOfHashed(docs, threshold)
+    // Register hygiene only AFTER ngramJaccardOfHashed's eager
+    // hot-set jobs have run — those actions consume `docs` too, and
+    // an earlier registration would drop the cache before the
+    // caller's real action.
+    graft.CacheHygiene.unpersistAfterUse(docs)
+    out
+  }
+
+  /** [[ngramJaccardOf]] over an already-persisted hashed-shingle
+    * frame (doc_id, sh sorted array<long>) — the entry the cleaning
+    * composite and minhash share when the arrays are already cached.
+    */
+  private[operators] def ngramJaccardOfHashed(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val prefix = docs.select(col("doc_id"),
+      explode(prefixByRarity(col("sh"), raritySketch(docs), threshold))
+        .as("shingle"))
     val cands = prefix.select(col("doc_id").as("doc_id_a"), col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_id_b"), col("shingle")),
         Seq("shingle"))
@@ -126,17 +153,36 @@ object Dedup {
     verifyJaccard(cands, docs, threshold)
   }
 
+  /** Serialized Count-Min Sketch of shingle document frequencies —
+    * the order-key source for [[ngramJaccardOfHashed]]'s prefixes.
+    * ONE shuffle-free map pass (partial sketches merge at the
+    * driver; ~1 MB at eps=1e-4/conf=0.99), run eagerly at plan-build
+    * time; it doubles as the materialization of the shared shingle
+    * cache. CMS overestimates are deterministic, so the induced
+    * shingle order stays a fixed total order — exactness never
+    * depends on sketch accuracy, only candidate-count economy does
+    * (see PrefixByRarity).
+    */
+  private def raritySketch(docs: DataFrame, eps: Double = 1e-4,
+      confidence: Double = 0.99): Array[Byte] =
+    docs.select(explode(col("sh")).as("h"))
+      .stat.countMinSketch("h", eps, confidence, 42)
+      .toByteArray
+
   /** Exact-Jaccard verification of candidate pairs over hashed
-    * shingle sets (shared by C3 and C4).
+    * shingle sets (shared by C3 and C4). |a∩b| is a merge pass over
+    * the sorted arrays (no per-pair intersection/union allocation);
+    * |a∪b| = |a| + |b| − |a∩b| since the arrays are sets.
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
     val sa = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
     cands.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter",
+        sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
@@ -148,15 +194,23 @@ object Dedup {
     * τ≥0.8 pair is ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸ — the verified output is
     * the exact-Jaccard pair set w.p. ~1 (that equivalence IS the
     * oracle).
+    *
+    * The k permutations run over the SAME cached hashed-shingle
+    * arrays the verify step reads ([[MinHashFromHashes]]), so the
+    * corpus is tokenized/shingled exactly once — the earlier
+    * string-side [[minhashSignature]] pass re-tokenized everything a
+    * second time (measured 1.8 s → 1.1 s at sf0.1).
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8,
       k: Int = 128, bands: Int = 32,
       maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
-    val docs = docShingleHashes(spark, dir)
-    val sigs = Tables(spark, dir, "documents").select(
+    val docs = graft.CacheHygiene.unpersistAfterUse(
+      docShingleHashes(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigs = docs.select(
       col("doc_id"),
-      minhashSignature(tokens(col("text")), k, 3, 42L).as("sig"))
+      minhashFromHashes(col("sh"), k, 42L).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -27,17 +27,30 @@ object Pipeline {
       .withColumn("pred_lang", langId(col("text")))
       .filter(col("quality") >= minQuality && col("pred_lang") === lang)
 
-    // exact dedup on normalized content, canonical = lowest doc_id
+    // Exact dedup on normalized content, canonical = lowest doc_id.
+    // The C1 shape — ONE map-side-combinable hash aggregation keyed
+    // on the fingerprint — not a min-over-window, which shuffles the
+    // same rows and then fully SORTS every fp partition (the r4 bench
+    // put that sort at ~1 s of the composite's 3.3 s at sf0.1).
     val canonical = docs
-      .withColumn("fp", fingerprint(col("text")))
-      .withColumn("keep_id", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"))
-      // Feeds BOTH the anti-join's kept side and the whole AllPairs
-      // shingle pipeline (itself multi-branch) — without this persist
-      // the regex gates and the dedup window re-execute per branch,
-      // and the composite ran 3× its most expensive component.
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("text"), col("pred_lang"), col("quality")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.pred_lang").as("pred_lang"), col("r.quality").as("quality"))
+      // The hashed-shingle arrays ride in the SAME cache as the
+      // survivor rows: the composite needs both the AllPairs input
+      // (doc_id, sh) and the kept-side columns, and materializing
+      // them as one persisted frame costs one columnar-cache build
+      // instead of two (ngramJaccardOf's internal cache + a text
+      // cache — measured ~0.5 s of the composite at sf0.1).
+      .withColumn("sh", Dedup.shingleHashColumn(col("text")))
+      // Feeds the anti-join's kept side and every branch of the
+      // AllPairs pipeline — without this persist the regex gates and
+      // the dedup aggregation re-execute per branch, and the
+      // composite ran 3× its most expensive component. Released
+      // after the consuming action.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Near-dup removal: pairs over the gated, exact-deduped survivors
@@ -45,9 +58,12 @@ object Pipeline {
     // scale the gates drop a large fraction of the corpus, and
     // shingling what you already discarded is wasted shuffle); drop
     // the higher id of every Jaccard pair.
-    val dupIds = Dedup.ngramJaccardOf(
-        canonical.select(col("doc_id"), col("text")), nearDupThreshold)
+    val dupIds = Dedup.ngramJaccardOfHashed(
+        canonical.select(col("doc_id"), col("sh")), nearDupThreshold)
       .select(col("doc_id_b").as("doc_id")).distinct()
+    // After ngramJaccardOfHashed's eager sketch job (which consumes
+    // the canonical cache) — see the ordering note in ngramJaccardOf.
+    graft.CacheHygiene.unpersistAfterUse(canonical)
     canonical.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         wsTokenCount(col("text")).as("n_tokens"))

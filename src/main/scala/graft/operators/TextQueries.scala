@@ -51,13 +51,22 @@ object TextQueries {
     * compare. Top-3 per doc with a (score desc, term asc) total
     * order.
     *
-    * Shape at scale: one explode + two hash aggregations + a
+    * Shape at scale: ONE explode + two hash aggregations + a
     * term-keyed join that AQE sizes at runtime — NO broadcast hint:
     * on a web-scale corpus the distinct-term table is 10⁸–10⁹ rows
     * and a forced broadcast is a guaranteed OOM, while at small scale
-    * AQE broadcasts it anyway. The corpus size N rides in as a 1-row
-    * aggregate cross join (single-row broadcast), not a separate
-    * driver-side count() action.
+    * AQE broadcasts it anyway. df derives from tf (tf's keys ARE the
+    * distinct (doc, term) pairs), so the corpus is tokenized and
+    * exploded exactly once — the tf shuffle feeds both its consumers
+    * through exchange reuse (no persist needed: both branches sit in
+    * ONE plan, and ReuseExchange dedups the identical shuffle). The
+    * per-doc top-3 runs through the H5 [[graft.plans.TopKPerGroup]]
+    * node (bounded per-partition heaps; only ≤ 3·partitions rows per
+    * doc cross the exchange) instead of a rank window, which sorted
+    * the full (doc, term) frame; the 3-row-per-doc rank column then
+    * costs only a window over the survivors. The corpus size N rides
+    * in as a 1-row aggregate cross join (single-row broadcast), not a
+    * separate driver-side count() action.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
@@ -67,18 +76,18 @@ object TextQueries {
         .as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df_, Seq("term"))
       .crossJoin(nDf)
       .withColumn("tfidf",
         col("tf").cast("double") * (col("__n_docs") / col("df").cast("double")))
       .drop("__n_docs")
+    val top = graft.plans.TopKPerGroup(scored, 3, Seq("doc_id"),
+      Seq("tfidf" -> true, "term" -> false))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
   }
 
@@ -128,7 +137,9 @@ object TextQueries {
     * shuffles through exactly one join — c2 and c1 are functions of
     * the bigram alone, so the pre-join loses nothing. The tokenized
     * corpus is persisted once instead of re-running the tokenizer
-    * regex for each of the three consumers.
+    * regex for each of the three consumers, and released after the
+    * consuming action (CacheHygiene) so repeated calls in a
+    * long-lived session don't strand corpus-scale cache entries.
     */
   def fluency(spark: SparkSession, dir: String,
       persist: Boolean = true): DataFrame = {
@@ -137,7 +148,8 @@ object TextQueries {
     val t0 = Tables(spark, dir, "documents")
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("w"))
     val t = if (persist)
-      t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheHygiene.unpersistAfterUse(
+        t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else t0
     val bigrams = bigramArray(col("w"))
     val docBi = t.select(col("doc_id"), explode(bigrams).as("bigram"))

@@ -57,6 +57,15 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  // Row-local operator: partitioning/ordering of the child survive
+  // (the final phase only drops rows within each partition). Without
+  // this the default UnknownPartitioning forces a redundant exchange
+  // under any downstream operator keyed on the same group columns
+  // (e.g. a rank window over the ≤k survivors).
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
     val orderE = order

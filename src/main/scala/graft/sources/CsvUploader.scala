@@ -151,9 +151,11 @@ object CsvUploader {
     case EncodingDetector.Cp1252 => EncodingDetector.Latin1
     case EncodingDetector.Cp037Lf =>
       throw new IllegalArgumentException(
-        "cp037 with LF (0x25) record terminators is detected but not " +
-          "decodable: Java's IBM037 charset never encodes any character " +
-          "to 0x25, so no lineSep can split the records — transcode the " +
+        "cp037-punctuated stream with LF (0x25) record terminators " +
+          "detected: Java's IBM037 charset never encodes any character " +
+          "to 0x25 (no lineSep can split the records), and the stream's " +
+          "punctuation is cp037-specific so the IBM1047 decode that " +
+          "handles 0x25 terminators would garble it — transcode the " +
           "file to UTF-8 (or 0x15-terminated cp037) first")
     case EncodingDetector.ShiftJis => "Shift_JIS"
     case EncodingDetector.Utf32BE => "UTF-32"
@@ -195,7 +197,9 @@ object CsvUploader {
       encoding == EncodingDetector.Gbk ||
       encoding == EncodingDetector.Cp1251 ||
       encoding == EncodingDetector.Koi8R ||
-      encoding == EncodingDetector.Cp037
+      encoding == EncodingDetector.Cp037 ||
+      encoding == EncodingDetector.Cp500 ||
+      encoding == EncodingDetector.Cp1047
 
   /** Run `body` with the legacy-charset escape hatch on, restoring
     * the previous session value afterwards — a one-off Shift-JIS
@@ -225,12 +229,18 @@ object CsvUploader {
       .option("sep", delimiter)
       .option("inferSchema", "false")
     // UTF-16/32 AND EBCDIC need the explicit lineSep: Spark encodes
-    // it in the declared charset ("\n" → 0x15 under Java's IBM037),
-    // so records split on the real terminator bytes instead of a raw
-    // 0x0A that a non-ASCII-compatible stream never contains.
-    val df = (if (encoding.startsWith("UTF-16") ||
+    // it in the declared charset ("\n" → 0x15 under Java's IBM037/
+    // IBM500), so records split on the real terminator bytes instead
+    // of a raw 0x0A that a non-ASCII-compatible stream never
+    // contains. cp1047's real-world convention terminates records
+    // with LF 0x25, which Java's IBM1047 maps to U+0085 (NEL) — so
+    // NEL is the lineSep that encodes to the right byte there.
+    val df = (if (encoding == EncodingDetector.Cp1047)
+        reader.option("lineSep", "\u0085")
+      else if (encoding.startsWith("UTF-16") ||
         encoding.startsWith("UTF-32") ||
-        encoding == EncodingDetector.Cp037) reader.option("lineSep", "\n")
+        encoding == EncodingDetector.Cp037 ||
+        encoding == EncodingDetector.Cp500) reader.option("lineSep", "\n")
       else reader).csv(csvPath)
     if (encoding == EncodingDetector.Cp1252) {
       import org.apache.spark.sql.functions.{col, translate}

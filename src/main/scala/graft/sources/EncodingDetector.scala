@@ -45,15 +45,19 @@ import org.apache.spark.sql.SparkSession
   * [[EucFamily]] verdict and the loud upload failure (wrong-member
   * decode = fluent-looking garbage, worse than an error).
   *
-  * EBCDIC (cp037) is caught structurally: ASCII space 0x20 never
-  * appears (EBCDIC space is 0x40) and letters/digits live ≥ 0x81 —
-  * counts no ASCII-compatible charset produces.
+  * EBCDIC is caught structurally: ASCII space 0x20 never appears
+  * (EBCDIC space is 0x40) and letters/digits live ≥ 0x81 — counts no
+  * ASCII-compatible charset produces. The member (cp037 / cp500 /
+  * cp1047 — identical in every letter/digit/space position) is then
+  * picked by record-terminator convention (NL 0x15 vs LF 0x25) plus
+  * punctuation-byte scoring against the JVM's own charset tables
+  * ([[pickEbcdicMember]]).
   *
   * Remaining undetectable without a full charset_normalizer port
   * (documented gap): cp125x variants other than 1251/1252, EBCDIC
-  * codepages other than 037, and kana-free pure-kanji Shift-JIS.
-  * Those decode as latin-1 mojibake, like any non-statistical
-  * sniffer would.
+  * codepages outside the 037/500/1047 family, and kana-free
+  * pure-kanji Shift-JIS. Those decode as latin-1 mojibake, like any
+  * non-statistical sniffer would.
   */
 object EncodingDetector {
 
@@ -79,10 +83,27 @@ object EncodingDetector {
     * decode splits records with an encoded lineSep.
     */
   val Cp037 = "IBM037"
-  /** cp037 with LF (0x25) record terminators. Java's IBM037 DECODES
-    * 0x25 to '\n' but never ENCODES any character to 0x25, so no
-    * lineSep can match it — detected for a loud transcode error
-    * instead of a one-giant-line parse.
+  /** cp500 (International) — same letter/digit/space zones as cp037,
+    * different punctuation positions ('[' at 0x4A, ']' at 0x5A, '!'
+    * at 0x4F). Structurally identical to cp037; the member is picked
+    * by punctuation-byte scoring ([[pickEbcdicMember]]).
+    */
+  val Cp500 = "IBM500"
+  /** cp1047 (Latin-1/Open Systems) — the codepage whose REAL-WORLD
+    * convention terminates records with LF 0x25. Java's IBM1047
+    * charset maps 0x25 ↔ U+0085 (NEL) and keeps '\n' at 0x15, so a
+    * 0x25-terminated stream decodes distributed with an explicit
+    * NEL lineSep (CsvUploader.readRaw) — the case that used to be
+    * the loud [[Cp037Lf]] error is now a working decode whenever the
+    * stream's punctuation is 1047-consistent.
+    */
+  val Cp1047 = "IBM1047"
+  /** cp037-punctuated stream with LF (0x25) record terminators.
+    * Java's IBM037 DECODES 0x25 to '\n' but never ENCODES any
+    * character to 0x25, so no lineSep can match it — detected for a
+    * loud transcode error instead of a one-giant-line parse. Only
+    * reported when the stream carries cp037-specific punctuation
+    * (otherwise the cp1047 decode is byte-identical and is used).
     */
   val Cp037Lf = "IBM037:LF"
 
@@ -137,17 +158,26 @@ object EncodingDetector {
       // Must run BEFORE the Cyrillic check: EBCDIC digits (0xF0–0xF9)
       // collide with cp1251 lowercase р–щ, so a digit-heavy EBCDIC
       // file would otherwise pass the Cyrillic profile. Mainframe
-      // exports terminate records with either NL (0x15 — what the
-      // JVM charset itself writes) or LF (0x25); report which one
-      // carries THIS stream, because only 0x15 is reachable by an
-      // encoded lineSep (see [[Cp037Lf]]).
+      // exports terminate records with either NL (0x15 — the cp037/
+      // cp500 convention and what the JVM charsets themselves write)
+      // or LF (0x25 — cp1047's); the terminator picks the candidate
+      // set, then punctuation-byte scoring picks the member (cp037 /
+      // cp500 / cp1047 share every letter/digit/space position and
+      // differ ONLY at a handful of punctuation bytes).
       var lf25 = 0
       var nl15 = 0
       bytes.foreach { b =>
         if (b == 0x25.toByte) lf25 += 1
         else if (b == 0x15.toByte) nl15 += 1
       }
-      if (lf25 > nl15) Cp037Lf else Cp037
+      if (lf25 > nl15) {
+        // 0x25-terminated: decodable ONLY through IBM1047 (the one
+        // JVM charset with an encodable char at 0x25 — NEL). If the
+        // stream's punctuation scores strictly cp037, that decode
+        // would garble it → keep the loud Cp037Lf error.
+        if (pickEbcdicMember(bytes, Seq(Cp1047, Cp037)) == Cp037) Cp037Lf
+        else Cp1047
+      } else pickEbcdicMember(bytes, Seq(Cp037, Cp500))
     } else if (cyrillic.isDefined) {
       // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are
       // single high bytes, so even-length letter runs structurally
@@ -302,6 +332,40 @@ object EncodingDetector {
     val spaceSignal = sp40 * 20 >= n // ≥5% EBCDIC spaces
     val numericSignal = comma * 50 >= n && digit * 10 >= n * 3
     sp20 == 0 && zoneOk && (spaceSignal || numericSignal)
+  }
+
+  /** Bytes whose decode differs across the EBCDIC members, computed
+    * from the JVM's own charset tables at class load (record
+    * terminators excluded — they're the candidate-set signal, not a
+    * member signal).
+    */
+  private lazy val ebcdicDifferBytes: Set[Int] =
+    (0 to 0xFF).filter { v =>
+      Seq(Cp037, Cp500, Cp1047)
+        .map(cs => new String(Array(v.toByte), cs)).distinct.size > 1
+    }.toSet -- Set(0x15, 0x25)
+
+  /** Pick the EBCDIC member whose decode of the stream's
+    * punctuation-differ bytes yields printable ASCII ('[' ']' '^' '!'
+    * '|') rather than Latin-1 oddities ('¢' '¬' 'Ý' '¨') — real CSV
+    * punctuation is ASCII; a cent-sign-dense ledger is not. Ties
+    * (including NO differ bytes present — the common all-alnum
+    * export, where every candidate decodes identically) keep the
+    * candidate order's head.
+    */
+  private[sources] def pickEbcdicMember(bytes: Array[Byte],
+      candidates: Seq[String]): String = {
+    val present = bytes.iterator.map(_ & 0xFF)
+      .filter(ebcdicDifferBytes.contains).toArray
+    if (present.isEmpty) return candidates.head
+    val scored = candidates.map { cs =>
+      cs -> present.count { v =>
+        val c = new String(Array(v.toByte), cs).charAt(0)
+        c >= '!' && c <= '~'
+      }
+    }
+    val best = scored.maxBy(_._2)._2
+    scored.find(_._2 == best).get._1
   }
 
   private[sources] def detectCyrillic(bytes: Array[Byte]): Option[String] = {

@@ -25,14 +25,39 @@ import graft.operators.Ann
   */
 object StreamingAnn {
 
+  /** A running-index handle: `results` is the streaming result frame
+    * to start a query on; `close()` releases the persisted static
+    * index when the serving query stops. Without the explicit
+    * release, every serve setup in a long-lived session would strand
+    * a corpus-scale cached frame (the operator can't unpersist
+    * itself — the cache must outlive every micro-batch of a query
+    * whose lifetime only the caller knows).
+    */
+  final case class IvfServing(results: DataFrame,
+      private val cachedIndex: DataFrame) extends AutoCloseable {
+    override def close(): Unit = cachedIndex.unpersist(blocking = false)
+  }
+
   /** Serve a query stream `(ts, query_id, qe)` against the
     * `embeddings` table of `dir`. Emits `(window_start, query_id,
     * neighbor_id, rank, sim)` per closed window (append mode).
+    * Convenience form of [[serveIvfManaged]] — in a long-lived
+    * session prefer the managed form and `close()` it when the
+    * serving query stops, or the static index cache persists for the
+    * session lifetime.
     */
   def serveIvf(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10, nCells: Int = 16, iters: Int = 3, nProbe: Int = 2,
       window: String = "5 minutes", watermark: String = "10 minutes")
-      : DataFrame = {
+      : DataFrame =
+    serveIvfManaged(spark, dir, queries, k, nCells, iters, nProbe,
+      window, watermark).results
+
+  /** [[serveIvf]] with the cache-release handle. */
+  def serveIvfManaged(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nCells: Int = 16, iters: Int = 3, nProbe: Int = 2,
+      window: String = "5 minutes", watermark: String = "10 minutes")
+      : IvfServing = {
     val corpus = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -49,7 +74,7 @@ object StreamingAnn {
 
     // stream-static equi-join on cell, then the watermark-bounded
     // windowed top-k: only q·k survivors per window hold state
-    probes.join(assigned, Seq("cell"))
+    val out = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim",
         graft.functions.GraftFunctions.cosineSimilarity(
@@ -62,5 +87,6 @@ object StreamingAnn {
       .select(col("window_start"), col("query_id"),
         col("s.id").as("neighbor_id"), (col("idx") + 1).as("rank"),
         col("s.score").as("sim"))
+    IvfServing(out, corpus)
   }
 }

@@ -71,12 +71,25 @@ class EncodingDetectorSpec extends AnyFunSuite {
   test("ebcdic detects structurally; ascii-without-spaces does not") {
     val txt = "id,name\n1,ALPHA BRAVO ledger 01\n2,CHARLIE DELTA batch 02"
     assert(detectBytes(txt.getBytes("IBM037")) == Cp037)
-    // Java's IBM037 writes newline as NL 0x15 — that IS the Cp037
-    // verdict above. The LF-0x25 convention is detected separately:
-    // no character encodes to 0x25, so it can only fail loudly.
+    // LF-0x25 terminators are cp1047's real-world convention; with
+    // no member-specific punctuation the cp1047 decode is
+    // byte-identical to cp037's, so the DECODABLE verdict wins
+    // (Java's IBM1047 maps 0x25 ↔ NEL, giving a workable lineSep).
     val lf25 = txt.getBytes("IBM037")
       .map(b => if (b == 0x15.toByte) 0x25.toByte else b)
-    assert(detectBytes(lf25) == Cp037Lf)
+    assert(detectBytes(lf25) == Cp1047)
+    // ...but cp037-SPECIFIC punctuation ('[' 0xBA, ']' 0xBB, '^'
+    // 0xB0 — all garbage under 1047) + 0x25 terminators has no
+    // correct decode: the loud error verdict stays.
+    val punct = "id,name\n1,ALPHA [BRAVO] ledger ^01\n2,CHARLIE [DELTA] x"
+    val lf25p = punct.getBytes("IBM037")
+      .map(b => if (b == 0x15.toByte) 0x25.toByte else b)
+    assert(detectBytes(lf25p) == Cp037Lf)
+    // member scoring: cp500 brackets (0x4A/0x5A) pick cp500; cp1047
+    // brackets under LF-0x25 pick cp1047
+    assert(detectBytes(punct.getBytes("IBM500")) == Cp500)
+    assert(detectBytes(punct.getBytes("IBM1047")
+      .map(b => if (b == 0x15.toByte) 0x25.toByte else b)) == Cp1047)
     // numeric mainframe export: no spaces, commas+digits carry it
     val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
     assert(detectBytes(num.getBytes("IBM037")) == Cp037)
@@ -219,17 +232,32 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(col("score").isNull).count() == 1)
   }
 
-  test("cp037 with LF-0x25 terminators fails loudly, never one-line-parses") {
+  test("LF-0x25 ebcdic: plain text uploads via cp1047; cp037-punctuated " +
+      "streams fail loudly, never one-line-parse") {
     val dir = scratch("ebcdic_lf25")
     val db = GraftDatabase(spark, s"$dir/db")
+    // plain alnum content: cp1047 decode is byte-identical to cp037's
+    // outside the terminators, so the upload now WORKS (NEL lineSep)
     val body = "id,name\n1,ALPHA LEDGER 01\n2,BRAVO LEDGER 02"
     val lf25 = body.getBytes(Charset.forName("IBM037"))
       .map(b => if (b == 0x15.toByte) 0x25.toByte else b)
     Files.write(Paths.get(s"$dir/ledger.csv"), lf25)
     val res = CsvUploader.upload(db, s"$dir/ledger.csv", Some("ledger"))
-    assert(res.error.isDefined, "0x25-terminated cp037 must error")
-    assert(res.error.get.contains("transcode"), res.error.get)
-    assert(!db.tableExists("ledger"))
+    assert(res.error.isEmpty, s"cp1047 decode should work: ${res.error}")
+    assert(res.encoding == "IBM1047")
+    val got = db.read("ledger").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "ALPHA LEDGER 01"), (2L, "BRAVO LEDGER 02")))
+    // cp037-specific punctuation + 0x25 terminators: no correct
+    // decode exists — loud error, never a one-giant-line parse
+    val punct = "id,name\n1,ALPHA [LEDGER] 01\n2,BRAVO [LEDGER] ^02"
+    val lf25p = punct.getBytes(Charset.forName("IBM037"))
+      .map(b => if (b == 0x15.toByte) 0x25.toByte else b)
+    Files.write(Paths.get(s"$dir/ledger2.csv"), lf25p)
+    val res2 = CsvUploader.upload(db, s"$dir/ledger2.csv", Some("ledger2"))
+    assert(res2.error.isDefined, "cp037-punctuated 0x25 stream must error")
+    assert(res2.error.get.contains("transcode"), res2.error.get)
+    assert(!db.tableExists("ledger2"))
   }
 
   test("upload error is captured in progress, not thrown (ref :217-221)") {

@@ -70,6 +70,46 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got2.toSeq == ((1000L until 1100L) :+ 3000L).toSeq)
   }
 
+  test("bucketed bloom index: exact past the single-plan filter ceiling") {
+    import spark.implicits._
+    // An old corpus big enough that a SINGLE plan-embedded filter is
+    // the wrong shape (the per-bucket index shards it): 50k rows
+    // across 8 buckets. Exactness must match the plain C15 and the
+    // brute-force anti-join, including under a terrible fpp.
+    val old = (0 until 50000).map(i => (i.toLong, "old", s"doc text $i"))
+      .toDF("doc_id", "source", "text")
+    val fresh = ((1000000 until 1000100)
+        .map(i => (i.toLong, "new", s"fresh text $i"))
+      ++ (2000000 until 2000050)
+        .map(i => (i.toLong, "new", s"doc text ${i - 2000000}"))
+      :+ ((3000000L, "new", null.asInstanceOf[String])))
+      .toDF("doc_id", "source", "text")
+    val want = Curation.incrementalNewOf(old, fresh)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = Curation.incrementalNewBucketedOf(old, fresh, nBuckets = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    val gotBadFpp = Curation
+      .incrementalNewBucketedOf(old, fresh, nBuckets = 8, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gotBadFpp == want, "false positives must be verified away")
+    // the index itself: one filter per non-empty bucket, and every
+    // old content hash probes positive in its own bucket's filter
+    val idx = Curation.bucketedBloomIndex(old, 8, 50000 / 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(idx.size == 8)
+    val filters = idx.map { case (b, bytes) =>
+      b -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    val hashes = old.select(
+        pmod(xxhash64(col("text")), lit(8)).as("b"),
+        xxhash64(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashes.forall { case (b, h) => filters(b).mightContainLong(h) },
+      "bucketed bloom false negative")
+  }
+
   test("pii redaction: all four classes redacted, counts exact, idempotent") {
     import spark.implicits._
     val s = "call 555-123-4567 or mail a.b@x.io from 10.1.2.3 ssn 123-45-6789"

@@ -126,6 +126,88 @@ class ExpressionSpec extends AnyFunSuite with SparkTestBase {
       assert(resid(i.toLong).sameElements(want), s"vec $i")
     }
   }
+
+  test("sorted-intersect-size equals array_intersect on sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (i, a, b)
+    }
+    val got = rows.toDF("i", "a", "b")
+      .select(col("i"), sortedIntersectSize(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
+    // and it stays inside whole-stage codegen (a scan-backed frame —
+    // a local Seq plans as LocalTableScan with no codegen stage)
+    val plan = spark.range(10)
+      .select(sortedIntersectSize(
+        sequence(lit(1L), col("id") + 1), sequence(lit(2L), col("id") + 2)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(500))
+  }
+
+  test("minhash-from-hashes matches the jaccard of the hash sets") {
+    import spark.implicits._
+    val s1 = (0 until 50).map(i => i.toLong * 1000003L).sorted
+    val s2 = (10 until 60).map(i => i.toLong * 1000003L).sorted // 40/60 overlap
+    val m = Seq(("a", s1), ("b", s2)).toDF("id", "sh")
+      .select(col("id"), minhashFromHashes(col("sh"), 128, 42L).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val est = m("a").zip(m("b")).count { case (x, y) => x == y } / 128.0
+    val trueJ = s1.toSet.intersect(s2.toSet).size.toDouble /
+      s1.toSet.union(s2.toSet).size
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+    // empty shingle set → all-sentinel signature (same as the
+    // string-side MinHashSignature for sub-shingle docs)
+    val empty = Seq(("e", Seq.empty[Long])).toDF("id", "sh")
+      .select(minhashFromHashes(col("sh"), 8, 42L))
+      .head().getSeq[Long](0)
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
+  test("prefix-by-rarity: exact candidate lemma under any sketch") {
+    import spark.implicits._
+    // corpus with a genuinely near-dup pair + unrelated docs
+    val docs = Seq(
+      (1L, (0 until 20).map(i => 100L + i)),            // near-dup of 2
+      (2L, (0 until 20).map(i => 100L + i) :+ 999L),    // jaccard 20/21
+      (3L, (0 until 20).map(i => 500L + i)),
+      (4L, (0 until 15).map(i => 700L + i))
+    ).map { case (id, sh) => (id, sh.sorted) }
+    val df = docs.toDF("doc_id", "sh")
+    val cms = df.select(explode(col("sh")).as("h"))
+      .stat.countMinSketch("h", 1e-4, 0.99, 42).toByteArray
+    val tau = 0.8
+    val prefixes = df
+      .select(col("doc_id"), prefixByRarity(col("sh"), cms, tau).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // prefix size contract: |s| - ceil(tau*|s|) + 1 rarest shingles
+    docs.foreach { case (id, sh) =>
+      val want = sh.size - math.ceil(sh.size * tau).toInt + 1
+      assert(prefixes(id).size == want, s"doc $id")
+    }
+    // the lemma: the tau-similar pair MUST share a prefix shingle —
+    // with a garbage sketch too (order changes, exactness doesn't)
+    assert(prefixes(1L).intersect(prefixes(2L)).nonEmpty)
+    val garbage = org.apache.spark.util.sketch.CountMinSketch
+      .create(0.5, 0.5, 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    garbage.writeTo(bos)
+    val g = df.select(col("doc_id"),
+        prefixByRarity(col("sh"), bos.toByteArray, tau).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(g(1L).intersect(g(2L)).nonEmpty,
+      "prefix lemma must hold under a degenerate sketch")
+    // empty input → empty prefix
+    val e = Seq((9L, Seq.empty[Long])).toDF("doc_id", "sh")
+      .select(prefixByRarity(col("sh"), cms, tau)).head().getSeq[Long](0)
+    assert(e.isEmpty)
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

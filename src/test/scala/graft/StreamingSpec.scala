@@ -301,9 +301,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
-    val out = graft.streaming.StreamingAnn.serveIvf(spark, sf,
+    // managed form: the static index cache is released on close()
+    val serving = graft.streaming.StreamingAnn.serveIvfManaged(spark, sf,
       mem.toDF().toDF("ts", "query_id", "qe"))
-    val q = out.writeStream.outputMode("append")
+    val q = serving.results.writeStream.outputMode("append")
       .format("memory").queryName("ann_serve_out").start()
     try {
       mem.addData(qvecs.toSeq.map { case (id, v) =>
@@ -328,7 +329,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .toSet
       assert(got == want, s"stream ${got.size} vs batch ${want.size}")
-    } finally q.stop()
+    } finally { q.stop(); serving.close() }
   }
 
   test("G2-jsonl: streaming JSONL ingest appends per batch via the " +

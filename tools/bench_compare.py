@@ -3,6 +3,7 @@
 
 Usage:
   python3 tools/bench_compare.py <old.json> <new.json> [threshold]
+  python3 tools/bench_compare.py --gate <old.json> <new.json>
 
 Accepts either a bench_full.json (one JSON object) or a driver
 BENCH_r*.json (numbers recovered from its stdout `tail`). Prints
@@ -10,8 +11,26 @@ per-query ratios beyond the threshold (default 1.5x either way) and
 the shared-query totals. The host VM shows ±10s scheduling jitter on
 sub-second queries — trust min-of-2 protocol totals and repeated
 offenders, not single-run ratios.
+
+--gate: regression gate for the headline queries (the BENCH stdout
+subset) — exit 1 if any headline query regresses >30% AND >0.3s
+absolute (the absolute floor keeps sub-second jitter from tripping
+it), or if any previously-passing query now errors. Run it before
+committing perf-sensitive changes:
+  sbt "runMain graft.Bench" && \
+  python3 tools/bench_compare.py --gate BENCH_r04.json bench_full.json
 """
 import sys, json, re
+
+# the Bench stdout headline subset — the queries the gate protects
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "dedup_exact", "text_token_stats",
+    "csv_ingest_mixed", "q_top_orders_per_customer", "q_events_sessionize",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
+    "ann_topk_exact", "ann_pq", "ann_hnsw", "text_tfidf_top_terms",
+    "curate_contamination", "pipeline_clean_corpus", "mm_frames",
+    "layout_zorder"]
 
 
 def load(path):
@@ -32,7 +51,28 @@ def load(path):
     raise SystemExit(f"{path}: no queries or tail field")
 
 
+def gate(old, new):
+    bad = []
+    for k in HEADLINE:
+        if k not in old or k not in new:
+            continue
+        if old[k] >= 0 and new[k] < 0:
+            bad.append(f"FAILED {k}: {old[k]:.2f}s -> error")
+        elif old[k] > 0 and new[k] > old[k] * 1.3 and new[k] - old[k] > 0.3:
+            bad.append(f"REGRESSED {k}: {old[k]:.2f}s -> {new[k]:.2f}s"
+                       f" ({new[k]/old[k]:.2f}x)")
+    if bad:
+        print("bench regression gate FAILED:")
+        for b in bad:
+            print("  " + b)
+        sys.exit(1)
+    print(f"bench regression gate OK ({sum(1 for k in HEADLINE if k in old and k in new)} headline queries checked)")
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--gate":
+        gate(load(sys.argv[2]), load(sys.argv[3]))
+        return
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])

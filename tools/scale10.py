@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""10x scaled bench evidence (VERDICT r4 #4): the sf0.1 board cannot
+separate Spark's fixed per-stage overhead from real throughput, so
+this harness replicates the sf0.1 tables 10x (key-offset copies,
+SHARDED parquet — the single-file layout serializes both engines, see
+SURVEY §6) and times the headline queries in BOTH engines over the
+same scaled data.
+
+Usage:
+  python3 tools/scale10.py build          # materialize target/scale10
+  python3 tools/scale10.py duckdb [oracleSqlJson]
+                                          # DuckDB twins -> json on stdout
+  python3 tools/scale10.py merge <spark_bench_full.json> <duckdb.json>
+                                          # -> BENCH_SCALE10.json
+Spark side (between duckdb and merge):
+  SPARK_GRAFT_SF_DIR=/root/repo/target/scale10 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_ONLY=<SCALE10 list> sbt -batch "runMain graft.Bench"
+
+Replication semantics: copy k offsets every primary/foreign key by
+k * (max(parent key) + 1), so each copy is a self-consistent shard of
+the star schema joining the SAME (unscaled) region/nation dims —
+result cardinalities scale ~10x and join semantics are preserved.
+Text/embedding payloads are copied VERBATIM: duplication-heavy
+corpora are exactly what crawl-scale dedup faces, so the dedup
+queries scale SUPERLINEARLY (pair counts grow with duplication^2) —
+for both engines alike; that is the point of a like-for-like probe.
+Timestamps keep their original parquet physical type (events is
+TIMESTAMP(NANOS)) via pyarrow with store-schema v2.6.
+"""
+import sys, json, os, time, glob
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT = "/root/repo/target/scale10"
+COPIES = 10
+SHARDS_PER_COPY = 2  # 10 copies x 2 = 20 files per table
+
+# unscaled dims are copied through once
+UNSCALED = ["region", "nation"]
+# table -> {column: offset_parent} ; offset for a parent = its own
+# max(key)+1 read from the ORIGINAL table
+KEYS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part",
+                 "l_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "events:user_id"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+PRIMARY = {"customer": "c_custkey", "supplier": "s_suppkey",
+           "part": "p_partkey", "orders": "o_orderkey",
+           "events": "event_id", "documents": "doc_id",
+           "embeddings": "vec_id"}
+
+# the scaled headline set: every like-for-like operator family, no
+# csv_*/jsonl rows (those time fixture-file synthesis, not the tables)
+SCALE10 = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "dedup_exact", "dedup_exact_hash",
+    "text_token_stats", "q_top_orders_per_customer", "q_events_sessionize",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_edit_distance", "dedup_simhash", "dedup_embedding",
+    "ann_topk_exact", "text_tfidf_top_terms", "text_fluency",
+    "text_fingerprint", "curate_contamination", "curate_repetition",
+    "pipeline_clean_corpus", "pipeline_pack", "q_percentiles",
+    "q_median_quantity"]
+
+
+def parent_offset(name):
+    if ":" in name:  # table:column
+        t, c = name.split(":")
+    else:
+        t, c = name, PRIMARY[name]
+    tbl = pq.read_table(f"{SF_DIR}/{t}.parquet", columns=[c])
+    return pc.max(tbl[c]).as_py() + 1
+
+
+def build():
+    os.makedirs(OUT, exist_ok=True)
+    for t in UNSCALED:
+        d = f"{OUT}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pq.read_table(f"{SF_DIR}/{t}.parquet"),
+                       f"{d}/part-0.parquet", version="2.6")
+        print(f"[scale10] {t}: copied (unscaled dim)")
+    offs = {}
+    for t, keys in KEYS.items():
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        d = f"{OUT}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        for old in glob.glob(f"{d}/*.parquet"):
+            os.remove(old)
+        for k in range(COPIES):
+            out = tbl
+            for colname, parent in keys.items():
+                if parent not in offs:
+                    offs[parent] = parent_offset(parent)
+                if k > 0:
+                    idx = out.schema.get_field_index(colname)
+                    shifted = pc.add(out[colname],
+                                     pa.scalar(k * offs[parent],
+                                               type=out[colname].type))
+                    out = out.set_column(idx, out.schema.field(idx), shifted)
+            n = out.num_rows
+            step = (n + SHARDS_PER_COPY - 1) // SHARDS_PER_COPY
+            for s in range(SHARDS_PER_COPY):
+                chunk = out.slice(s * step, step)
+                if chunk.num_rows:
+                    pq.write_table(chunk, f"{d}/part-{k}-{s}.parquet",
+                                   version="2.6")
+        print(f"[scale10] {t}: {tbl.num_rows} -> {tbl.num_rows * COPIES}"
+              f" rows in {COPIES * SHARDS_PER_COPY} shards")
+    with open(f"{OUT}/_SCALE10", "w") as f:
+        f.write(f"copies={COPIES} shards_per_copy={SHARDS_PER_COPY}\n")
+
+
+def duckdb_run(oracle_path):
+    import duckdb
+    con = duckdb.connect()
+    con.sql("PRAGMA threads=32")
+    for t in UNSCALED + list(KEYS):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{OUT}/{t}.parquet/*.parquet')")
+    oracles = json.load(open(oracle_path))
+    queries, total = {}, 0.0
+    for name in SCALE10:
+        if name not in oracles:
+            print(f"[scale10] {name}: no oracle, skipped", file=sys.stderr)
+            continue
+        sql = oracles[name]
+        try:
+            con.sql(sql).fetchall()  # warmup
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                rows = con.sql(sql).fetchall()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
+            total += best
+            print(f"[scale10-duckdb] {name}: {best:.3f}s ({len(rows)} rows)",
+                  file=sys.stderr)
+        except Exception as e:
+            queries[name] = -1.0
+            print(f"[scale10-duckdb] {name}: ERROR {e}", file=sys.stderr)
+    out = {"engine": f"duckdb-{duckdb.__version__}", "sf": OUT,
+           "protocol": "warmup + min-of-2, fully materialized",
+           "metric": "total", "value": round(total, 3), "unit": "sec",
+           "queries": queries}
+    print(json.dumps(out))
+    return out
+
+
+def merge(spark_path, duck_path):
+    sp = json.load(open(spark_path))["queries"]
+    du = json.load(open(duck_path))["queries"]
+    rows = {}
+    for k in SCALE10:
+        s, d = sp.get(k), du.get(k)
+        rows[k] = {"spark_sec": s, "duckdb_sec": d,
+                   "ratio": (round(s / d, 2)
+                             if s and d and s > 0 and d > 0 else None)}
+    shared = [k for k in SCALE10
+              if rows[k]["spark_sec"] and rows[k]["duckdb_sec"]
+              and rows[k]["spark_sec"] > 0 and rows[k]["duckdb_sec"] > 0]
+    out = {
+        "scale": f"10x sf0.1 ({COPIES} key-offset copies, sharded)",
+        "spark_total_sec": round(sum(sp[k] for k in shared), 3),
+        "duckdb_total_sec": round(sum(du[k] for k in shared), 3),
+        "queries": rows,
+    }
+    with open("BENCH_SCALE10.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
+    if cmd == "build":
+        build()
+    elif cmd == "duckdb":
+        oracle = (sys.argv[2] if len(sys.argv) > 2
+                  else "target/verify_local/oracle_sql.json")
+        duckdb_run(oracle)
+    elif cmd == "merge":
+        merge(sys.argv[2], sys.argv[3])
+    else:
+        raise SystemExit(__doc__)
