@@ -14,15 +14,19 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    // Size post-shuffle partitions by BYTES (advisory 64 MB), not by
-    // cluster width: parallelismFirst=true re-expands every tiny
-    // shuffle to defaultParallelism tasks, so a 32-core local session
-    // pays 32 task dispatches per sub-MB stage (measured ~25% of
-    // sub-second query wall time at sf0.1). Spark's own docs
-    // recommend parallelismFirst=false on busy clusters; at real
-    // scale partitions land at the advisory size either way.
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    // Size post-shuffle partitions by BYTES, not by cluster width:
+    // parallelismFirst=true re-expands every tiny shuffle to
+    // defaultParallelism tasks, so a 32-core local session pays 32
+    // task dispatches per sub-MB stage (measured ~25% of sub-second
+    // query wall time at sf0.1). The advisory size is the tension
+    // knob: bytes misprice CPU-heavy stages (a small-bytes shuffle
+    // into an expensive verify join wants width), so the default
+    // stays modest and both knobs are env-overridable for operators
+    // whose workloads skew one way.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8MB"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")

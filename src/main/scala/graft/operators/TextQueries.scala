@@ -63,8 +63,8 @@ object TextQueries {
     * per-doc top-3 runs through the H5 [[graft.plans.TopKPerGroup]]
     * node (bounded per-partition heaps; only ≤ 3·partitions rows per
     * doc cross the exchange) instead of a rank window, which sorted
-    * the full (doc, term) frame; the 3-row-per-doc rank column then
-    * costs only a window over the survivors. The corpus size N rides
+    * the full (doc, term) frame — and the node emits the rank column
+    * natively, so no window stage remains at all. The corpus size N rides
     * in as a 1-row aggregate cross join (single-row broadcast), not a
     * separate driver-side count() action.
     */
@@ -82,12 +82,8 @@ object TextQueries {
       .withColumn("tfidf",
         col("tf").cast("double") * (col("__n_docs") / col("df").cast("double")))
       .drop("__n_docs")
-    val top = graft.plans.TopKPerGroup(scored, 3, Seq("doc_id"),
-      Seq("tfidf" -> true, "term" -> false))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term").asc)
-    top.withColumn("rank", row_number().over(w))
+    graft.plans.TopKPerGroup(scored, 3, Seq("doc_id"),
+        Seq("tfidf" -> true, "term" -> false), rankCol = Some("rank"))
       .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Ascending, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -27,29 +27,52 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * this form keeps whole rows (no score/id projection), emits them in
   * rank order, and needs no array explode on the way out.
   */
+/** `rankAttr`: when set, the final phase ALSO emits the within-group
+  * rank (1-based, in `order`) as a trailing int column — callers that
+  * need the rank in their output (E5's per-doc top-3) then skip the
+  * rank window over the survivors entirely, and with it the window's
+  * sort+exchange stage. The attribute is fixed at construction so
+  * optimizer copies preserve its exprId (a lazily regenerated
+  * attribute would orphan parent references).
+  */
 case class TopKPerGroupPlan(k: Int, groupExprs: Seq[Expression],
-    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+    order: Seq[SortOrder], child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0)
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rank is GENERATED here, not consumed — without this the
+  // reflective `references` treats the constructor attribute as an
+  // input and CheckAnalysis rejects the plan (missing attribute).
+  override def producedAttributes
+      : org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
     copy(child = c)
 }
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupPlan(k, group, order, child) =>
+    case TopKPerGroupPlan(k, group, order, child, rankAttr) =>
       val partial = TopKPerGroupExec(k, group, order, planLater(child),
         partial = true)
-      TopKPerGroupExec(k, group, order, partial, partial = false) :: Nil
+      TopKPerGroupExec(k, group, order, partial, partial = false,
+        rankAttr) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
-    order: Seq[SortOrder], child: SparkPlan, partial: Boolean)
+    order: Seq[SortOrder], child: SparkPlan, partial: Boolean,
+    rankAttr: Option[Attribute] = None)
     extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  require(rankAttr.isEmpty || !partial,
+    "rank emission is a final-phase concern")
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes
+      : org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
@@ -69,16 +92,17 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
     val orderE = order
-    val outAttrs = output
+    val inAttrs = child.output
+    val rankA = rankAttr
     val limit = k
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(groupE, outAttrs)
-      val rankOrd = GenerateOrdering.generate(orderE, outAttrs)
+      val keyProj = UnsafeProjection.create(groupE, inAttrs)
+      val rankOrd = GenerateOrdering.generate(orderE, inAttrs)
       // Identity projection: the child isn't guaranteed to emit
       // UnsafeRows (RDD-backed scans emit GenericInternalRow), so
       // normalize instead of casting. No-op copy cost for columnar/
       // codegen children, which already produce UnsafeRow.
-      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      val toUnsafe = UnsafeProjection.create(inAttrs, inAttrs)
       // Per-group bounded heap; head = current worst survivor
       // (reverse rank order), so a better row evicts it in O(log k).
       val heaps =
@@ -98,10 +122,26 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         }
       }
       import scala.jdk.CollectionConverters._
+      val emit: Iterator[UnsafeRow] => Iterator[InternalRow] = rankA match {
+        case None => it => it
+        case Some(a) =>
+          // append the 1-based ordinal; the projection materializes
+          // the joined row into an UnsafeRow (buffer reuse per the
+          // standard operator iterator contract)
+          val proj = UnsafeProjection.create(
+            inAttrs :+ a, inAttrs :+ a)
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          val rankRow = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(1)
+          it => it.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, i + 1)
+            proj(joined(r, rankRow))
+          }
+      }
       heaps.values().iterator().asScala.flatMap { h =>
         val arr = h.toArray(new Array[UnsafeRow](h.size()))
         java.util.Arrays.sort(arr, rankOrd)
-        arr.iterator
+        emit(arr.iterator)
       }
     }
   }
@@ -124,11 +164,13 @@ object TopKPerGroup {
   }
 
   /** Top `k` rows per group of `groupCols`, ordered by `orderBy`
-    * (column name → descending?). Output = input schema, rows emitted
-    * in rank order within each group.
+    * (column name → descending?). Output = input schema (+ an int
+    * `rankCol` when requested), rows emitted in rank order within
+    * each group.
     */
   def apply(df: DataFrame, k: Int, groupCols: Seq[String],
-      orderBy: Seq[(String, Boolean)]): DataFrame = {
+      orderBy: Seq[(String, Boolean)],
+      rankCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     register(spark)
     val lp = GraftColumnBridge.analyzed(df)
@@ -138,6 +180,9 @@ object TopKPerGroup {
     val order = orderBy.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
-    GraftColumnBridge.ofRows(spark, TopKPerGroupPlan(k, group, order, lp))
+    val rankAttr = rankCol.map(n => AttributeReference(n,
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
+    GraftColumnBridge.ofRows(spark,
+      TopKPerGroupPlan(k, group, order, lp, rankAttr))
   }
 }
