@@ -291,6 +291,48 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // C19: duplicated-ngram fraction (cross-document repetition)
+  // ---------------------------------------------------------------
+
+  /** C19: per-document duplicated-ngram fraction — what share of a
+    * document's positional n-gram SLOTS is covered by n-grams that
+    * also occur in at least one OTHER document. The corpus-level
+    * repetition signal (E9 is within-document) that published
+    * pipelines threshold to drop boilerplate-heavy documents before
+    * training; near-identical docs score ≈ 1, unique prose ≈ 0.
+    *
+    * Shape at scale: the E5 template — ONE tokenize+explode, a
+    * (doc, gram) count whose shuffle feeds BOTH consumers through
+    * exchange reuse (per-doc slot totals AND the distinct-doc
+    * frequency per gram — tf's keys ARE the distinct pairs), then a
+    * vocabulary-sized join AQE sizes at runtime. No broadcast hints,
+    * nothing quadratic; integer counts with one final double
+    * division keep it hash-portable.
+    */
+  def dupNgrams(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    dupNgramsOf(docs(spark, dir), n)
+
+  /** [[dupNgrams]] over an arbitrary (doc_id, text) frame. */
+  def dupNgramsOf(d: DataFrame, n: Int = 5): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val slots = when(size(toks) >= n, Dedup.shingleSlots(toks, n))
+      .otherwise(array().cast("array<string>"))
+    val g = d.select(col("doc_id"), explode(slots).as("gram"))
+    val tf = g.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("gram"))
+      .agg(count(lit(1)).as("ddf"))
+    tf.join(df_, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(when(col("ddf") >= 2, col("tf")).otherwise(lit(0L)))
+          .as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        (col("dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
+
+  // ---------------------------------------------------------------
   // E9: repetition scoring
   // ---------------------------------------------------------------
 
@@ -450,6 +492,22 @@ object Curation {
          |  AND NOT EXISTS (SELECT 1 FROM documents o
          |    WHERE o.source IN ($oldSrcList) AND o.text = n.text)""".stripMargin,
     "curate_pii_redact" -> piiRedactSql,
+    "curate_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+4], ' ')
+        |      for i in range(1, len(w) - 3)]) gram
+        |  FROM t WHERE len(w) >= 5),
+        |tf AS (SELECT doc_id, gram, COUNT(*) c FROM g GROUP BY 1, 2),
+        |df AS (SELECT gram, COUNT(*) ddf FROM tf GROUP BY 1),
+        |j AS (SELECT doc_id, SUM(c) n_grams,
+        |    SUM(CASE WHEN ddf >= 2 THEN c ELSE 0 END) dup_grams
+        |  FROM tf JOIN df USING (gram) GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(dup_grams AS BIGINT) AS dup_grams,
+        |  CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+        |FROM j""".stripMargin,
     "curate_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') w
         |  FROM documents),
@@ -492,6 +550,7 @@ object Curation {
     "curate_incremental_new_bucketed" ->
       ((s, d) => incrementalNewBucketed(s, d)),
     "curate_pii_redact" -> (piiRedactQuery _),
+    "curate_dup_ngrams" -> ((s, d) => dupNgrams(s, d)),
     "curate_repetition" -> (repetition _),
     "curate_length_band" -> ((s, d) => lengthBand(s, d))
   )

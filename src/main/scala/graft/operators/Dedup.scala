@@ -27,13 +27,19 @@ object Dedup {
     * the element_at formulation re-ran the regexp tokenizer ~n·w
     * times per row (measured 2.4 ms/row; this form is ~30× cheaper).
     */
-  private[operators] def shingleArray(toks: Column, w: Int): Column = {
+  private[operators] def shingleArray(toks: Column, w: Int): Column =
+    when(size(toks) >= w, array_distinct(shingleSlots(toks, w)))
+      .otherwise(array().cast("array<string>"))
+
+  /** POSITIONAL w-shingles (multiplicity kept) — the slot view the
+    * duplicated-ngram metric needs; [[shingleArray]] is the distinct
+    * set view the Jaccard machinery needs.
+    */
+  private[operators] def shingleSlots(toks: Column, w: Int): Column = {
     val len = size(toks) - (w - 1)
     val parts = (0 until w).map(j => slice(toks, lit(j + 1), len))
-    val zipped = parts.reduce((acc, p) =>
+    parts.reduce((acc, p) =>
       zip_with(acc, p, (x, y) => concat_ws(" ", x, y)))
-    when(size(toks) >= w, array_distinct(zipped))
-      .otherwise(array().cast("array<string>"))
   }
 
   /** C1: exact dedup — canonical representative (min doc_id) per

@@ -84,6 +84,61 @@ object CsvUploader {
     }
   }
 
+  /** Batch upload with bounded parallelism — the shape a corpus
+    * build actually ingests with (thousands of files per epoch; the
+    * reference's surface is one file per request). Semantics per
+    * file are EXACTLY [[upload]]'s: same naming, progress rows,
+    * inference, error capture.
+    *
+    * Concurrency design:
+    *   - Table names resolve SEQUENTIALLY up front (the `_2`/`_3`
+    *     suffix contract is arrival-order-dependent; resolving
+    *     inside the workers would race two same-named files into one
+    *     table).
+    *   - Each worker runs on its OWN `spark.newSession()` — same
+    *     SparkContext (one scheduler, shared executors), separate
+    *     SQLConf, so the scoped legacy-charset toggle of a Shift-JIS
+    *     upload can't yank the conf out from under a concurrent
+    *     UTF-8 decode. Progress bookkeeping is already
+    *     concurrency-safe (UUID-named single-row appends).
+    *   - `maxConcurrent` bounds DRIVER-side concurrency; Spark's
+    *     scheduler interleaves the resulting jobs across executors
+    *     (small uploads no longer serialize on per-job latency).
+    */
+  def uploadAll(db: GraftDatabase, csvPaths: Seq[String],
+      maxConcurrent: Int = 4, alter: Boolean = false,
+      sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
+      delimiter: String = ","): Seq[UploadResult] = {
+    val taken = scala.collection.mutable.Set.empty[String]
+    val named = csvPaths.map { p =>
+      val base = db.tableNameForFile(p)
+      var candidate = base
+      var i = 2
+      while (taken.contains(candidate) || db.tableExists(candidate)) {
+        candidate = s"${base}_$i"; i += 1
+      }
+      taken += candidate
+      (p, candidate)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, maxConcurrent))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = named.map { case (p, table) =>
+        scala.concurrent.Future {
+          val isolated = new graft.catalog.GraftDatabase(
+            db.spark.newSession(), db.path)
+          upload(isolated, p, Some(table), sniffBytes = sniffBytes,
+            delimiter = delimiter, alter = alter)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Sniff the first file of a path (file or directory of parts).
     * Gzip members (magic 1f 8b) are decompressed for the sniff —
     * Spark's reader handles `.gz` transparently downstream.

@@ -541,6 +541,37 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/out").count() == 20000)
   }
 
+  test("uploadAll: parallel batch keeps naming, charset isolation, progress") {
+    val dir = scratch("upload_all")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(s"$dir/a"))
+    Files.createDirectories(Paths.get(s"$dir/b"))
+    // two files with the SAME base name — suffix contract must hold
+    // under parallel submission (names resolve sequentially up front)
+    Files.write(Paths.get(s"$dir/a/dupe.csv"), "id,v\n1,x\n2,y".getBytes)
+    Files.write(Paths.get(s"$dir/b/dupe.csv"), "id,v\n3,z".getBytes)
+    // a legacy-charset member among plain files: the per-worker
+    // session isolates the scoped conf toggle from concurrent decodes
+    Files.write(Paths.get(s"$dir/a/kana.csv"),
+      "id,名前\n1,かなテスト\n2,日本語データ".getBytes(
+        Charset.forName("Shift_JIS")))
+    Files.write(Paths.get(s"$dir/a/plain.csv"), "id,n\n1,10\n2,20".getBytes)
+    val res = CsvUploader.uploadAll(db,
+      Seq(s"$dir/a/dupe.csv", s"$dir/b/dupe.csv", s"$dir/a/kana.csv",
+        s"$dir/a/plain.csv"), maxConcurrent = 4)
+    assert(res.forall(_.error.isEmpty), res.flatMap(_.error))
+    assert(res.map(_.tableName).toSet ==
+      Set("dupe", "dupe_2", "kana", "plain"))
+    assert(db.read("dupe").count() + db.read("dupe_2").count() == 3)
+    assert(res.find(_.tableName == "kana").get.encoding == "Shift_JIS")
+    assert(db.read("kana").columns.contains("名前"))
+    assert(db.read("plain").schema("n").dataType.simpleString == "bigint")
+    // one completed progress row per upload
+    val done = db.progress.current()
+      .filter(col("completed").isNotNull).count()
+    assert(done == 4L)
+  }
+
   test("progress tracker latest-state resolution") {
     val dir = scratch("progress_log")
     val db = GraftDatabase(spark, s"$dir/db")

@@ -110,6 +110,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "bucketed bloom false negative")
   }
 
+  test("duplicated-ngram fraction: copies score 1, unique prose 0") {
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, boiler),                                  // duplicated verbatim
+      (2L, boiler),
+      (3L, "purple monkeys debate quantum finance on tuesday evenings"),
+      (4L, s"$boiler unique tail here now honestly"),// half boilerplate
+      (5L, "too short")                              // < 5 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = Curation.dupNgramsOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 4L, 1.0)))
+    assert(got(3L) == ((4L, 0L, 0.0)))
+    // doc 4: 13 tokens -> 9 slots; the 4 slots fully inside the
+    // boilerplate prefix are shared with docs 1/2
+    assert(got(4L)._1 == 9L)
+    assert(got(4L)._2 == 4L)
+  }
+
   test("pii redaction: all four classes redacted, counts exact, idempotent") {
     import spark.implicits._
     val s = "call 555-123-4567 or mail a.b@x.io from 10.1.2.3 ssn 123-45-6789"
