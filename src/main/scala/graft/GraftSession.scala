@@ -26,7 +26,7 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
       sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8MB"))
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1MB"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")

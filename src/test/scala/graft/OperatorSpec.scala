@@ -550,6 +550,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bloom probe fell out of codegen:\n" + probe.take(2000))
   }
 
+  test("r5 rewrites keep their plan shapes: no windows, map-side prefix") {
+    // E5: the per-doc top-3 is the TopKPerGroup node with NATIVE rank
+    // emission — no window operator may appear anywhere in the plan
+    val tfidf = planOf(operators.TextQueries.tfidfTopTerms(spark, sf))
+    assert(tfidf.contains("TopKPerGroupFinal"), tfidf.take(2000))
+    assert(!tfidf.contains("Window"), "rank window crept back:\n" +
+      tfidf.take(2000))
+    // C3: candidate generation computes prefixes MAP-SIDE from the
+    // cached arrays (PrefixByRarity) — no window, no df-join rank
+    val ngram = planOf(operators.Dedup.ngramJaccard(spark, sf))
+    assert(ngram.contains("graft_prefix_by_rarity"), ngram.take(2000))
+    assert(ngram.contains("graft_sorted_intersect_size"), ngram.take(2000))
+    assert(!ngram.contains("Window"), "ngram pipeline regained a window:\n" +
+      ngram.take(2000))
+    // C4: signatures derive from the hashed-shingle arrays — the
+    // string-side tokenizing expression must NOT appear
+    val mh = planOf(operators.Dedup.minhashLsh(spark, sf))
+    assert(mh.contains("graft_minhash_from_hashes"), mh.take(2000))
+    assert(!mh.contains("graft_minhash("),
+      "minhash re-tokenizes the corpus:\n" + mh.take(2000))
+  }
+
   test("custom TopKPerGroup plans partial-heap before the exchange") {
     val df = plans.TopKPerGroup(
       Tables(spark, sf, "orders").select(col("o_custkey"), col("o_orderkey")),
