@@ -23,4 +23,38 @@ object StreamingDedup {
       // plain dropDuplicates would keep fingerprint state forever;
       // the WithinWatermark form is what actually bounds it
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** G9: streaming incremental novelty — C15's "which arriving
+    * documents are genuinely new against the already-ingested
+    * corpus" run AT INGEST instead of as a batch afterthought. The
+    * old corpus's Bloom filter is built ONCE (driver, bounded bytes)
+    * and probes every micro-batch MAP-SIDE, so the overwhelming
+    * majority of a fresh crawl never enters a join; only Bloom
+    * positives reach the stream-static LEFT ANTI verify against the
+    * old corpus's distinct content. Exact output, same contract as
+    * the batch operator: the filter sizes the join, never decides
+    * membership. Within-stream duplicates are [[dedupStream]]'s job
+    * (compose them); this operator's state is ZERO — both branches
+    * are stateless maps/joins, so no watermark is required.
+    */
+  def incrementalNoveltyStream(old: DataFrame, stream: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val nOld = math.max(old.count(), 1L)
+    val bloom = old.stat.bloomFilter("text", nOld, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // NULL text probes NULL → coalesce keeps the row as new, same
+    // three-valued-logic guard as the batch C15
+    val flagged = stream.withColumn("maybe_seen", coalesce(
+      graft.functions.GraftFunctions.bloomMightContain(col("text"), bytes),
+      lit(false)))
+    val definiteNew = flagged.filter(!col("maybe_seen"))
+    val verifiedNew = flagged.filter(col("maybe_seen"))
+      .join(old.select(col("text")).distinct(), Seq("text"), "left_anti")
+    definiteNew.drop("maybe_seen")
+      .unionByName(verifiedNew.drop("maybe_seen"))
+  }
 }

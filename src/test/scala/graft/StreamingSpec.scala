@@ -123,6 +123,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G9: streaming incremental novelty is exact against the old corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val old = (0 until 2000).map(i => s"old doc number $i").toDF("text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    // fpp deliberately terrible so Bloom false positives definitely
+    // occur and the stream-static anti-join must clean them up
+    val out = graft.streaming.StreamingDedup.incrementalNoveltyStream(
+      old, mem.toDF().toDF("ts", "doc_id", "text"), fpp = 0.5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      mem.addData(
+        (ts(0), 1L, "genuinely fresh material one"),
+        (ts(0), 2L, "old doc number 7"),       // retread: must drop
+        (ts(1), 3L, "genuinely fresh material two"))
+      q.processAllAvailable()
+      mem.addData(
+        (ts(2), 4L, "old doc number 1999"),    // retread, later batch
+        (ts(3), 5L, "still novel content here"))
+      q.processAllAvailable()
+      val got = spark.table("novelty_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("G6: streaming curation gates quality+lang, dedups, redacts PII") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
