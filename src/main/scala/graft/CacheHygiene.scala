@@ -23,8 +23,16 @@ object CacheHygiene {
   /** Arrange for `cached` (already persisted by the caller) to be
     * unpersisted after the next completed action that consumes it.
     * Returns `cached` for chaining.
+    *
+    * Listener events are delivered asynchronously, so an eager job
+    * the caller ran BEFORE this call (the dedup rarity sketch, a
+    * bloom build) could otherwise have its completion event arrive
+    * after registration and release the cache prematurely — the bus
+    * is drained first so registration is a real happens-after fence.
     */
   def unpersistAfterUse(cached: DataFrame): DataFrame = {
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      cached.sparkSession.sparkContext)
     val lm = cached.sparkSession.listenerManager
     val target = cached.queryExecution.analyzed
     val listener = new QueryExecutionListener {

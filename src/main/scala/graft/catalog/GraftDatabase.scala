@@ -60,12 +60,17 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   }
 
   /** Conflict resolution: append _2, _3, … until free (reference
-    * __init__.py:121-127).
+    * __init__.py:121-127). `reserved` extends the conflict set with
+    * names not yet on disk (a batch upload resolving several files
+    * up front) — ONE authority for the suffix contract, whatever the
+    * caller's concurrency.
     */
-  def resolveTableName(base: String): String = {
-    if (!tableExists(base)) return base
+  def resolveTableName(base: String,
+      reserved: Set[String] = Set.empty): String = {
+    def free(n: String) = !reserved.contains(n) && !tableExists(n)
+    if (free(base)) return base
     var suffix = 2
-    while (tableExists(s"${base}_$suffix")) suffix += 1
+    while (!free(s"${base}_$suffix")) suffix += 1
     s"${base}_$suffix"
   }
 

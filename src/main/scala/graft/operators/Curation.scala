@@ -210,20 +210,33 @@ object Curation {
     */
   def incrementalNewBucketedOf(old: DataFrame, fresh: DataFrame,
       nBuckets: Int = 16, fpp: Double = 0.01): DataFrame = {
-    val perBucket = math.max(old.count() / nBuckets, 1L)
-    val idx = bucketedBloomIndex(old, nBuckets, perBucket, fpp)
+    // The old corpus feeds three consumers (sizing count, index
+    // aggregation, verify anti-join) — persist it across them and
+    // release after the consuming action. At real scale neither the
+    // count nor the index build happens here at all (the index is a
+    // stored artifact and expected-items come from the ingest
+    // ledger, per bucketedBloomIndex's doc); this keeps the in-line
+    // form one-scan too.
+    val o = old.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBucket = math.max(o.count() / nBuckets, 1L)
+    val idx = bucketedBloomIndex(o, nBuckets, perBucket, fpp)
+    graft.CacheHygiene.unpersistAfterUse(o)
     val flagged = fresh
       .withColumn("__b", pmod(xxhash64(col("text")), lit(nBuckets)))
       .withColumn("__th", xxhash64(col("text")))
       .join(idx, col("__b") === idx("bucket"), "left_outer")
-      // NULL text → NULL hash → no bucket row → NULL probe: keep the
-      // row as definitely-new, matching the oracle's NOT EXISTS
+      // NULL text: xxhash64(NULL) is NOT null (it returns the seed),
+      // so a NULL-text row does carry a bucket and can even probe
+      // Bloom-positive — correctness comes from the verify anti-join,
+      // whose NULL-never-equals semantics always keeps the row (the
+      // oracle's NOT EXISTS contract). The coalesce guards only the
+      // genuinely-NULL probe of a bucket with no index row.
       .withColumn("maybe_seen", coalesce(
         graft.functions.GraftFunctions.bloomProbeBucketed(
           col("__th"), col("bucket"), col("bloom")), lit(false)))
     val definiteNew = flagged.filter(!col("maybe_seen"))
     val verifiedNew = flagged.filter(col("maybe_seen"))
-      .join(old.select(col("text")).distinct(), Seq("text"), "left_anti")
+      .join(o.select(col("text")).distinct(), Seq("text"), "left_anti")
     definiteNew.select(col("doc_id"), col("source"))
       .unionByName(verifiedNew.select(col("doc_id"), col("source")))
   }

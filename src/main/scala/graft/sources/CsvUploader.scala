@@ -109,27 +109,26 @@ object CsvUploader {
       maxConcurrent: Int = 4, alter: Boolean = false,
       sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
       delimiter: String = ","): Seq[UploadResult] = {
-    val taken = scala.collection.mutable.Set.empty[String]
-    val named = csvPaths.map { p =>
-      val base = db.tableNameForFile(p)
-      var candidate = base
-      var i = 2
-      while (taken.contains(candidate) || db.tableExists(candidate)) {
-        candidate = s"${base}_$i"; i += 1
-      }
-      taken += candidate
-      (p, candidate)
+    // one naming authority: GraftDatabase.resolveTableName with the
+    // batch's pending names in the reserved set
+    val named = csvPaths.foldLeft(Vector.empty[(String, String)]) {
+      (acc, p) =>
+        val resolved = db.resolveTableName(db.tableNameForFile(p),
+          reserved = acc.map(_._2).toSet)
+        acc :+ (p -> resolved)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, maxConcurrent))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // one isolated session PER WORKER (not per file): a
+    // thousands-of-files epoch reuses maxConcurrent SessionStates
+    val workerDb = ThreadLocal.withInitial[GraftDatabase](() =>
+      new GraftDatabase(db.spark.newSession(), db.path))
     try {
       val futures = named.map { case (p, table) =>
         scala.concurrent.Future {
-          val isolated = new graft.catalog.GraftDatabase(
-            db.spark.newSession(), db.path)
-          upload(isolated, p, Some(table), sniffBytes = sniffBytes,
+          upload(workerDb.get(), p, Some(table), sniffBytes = sniffBytes,
             delimiter = delimiter, alter = alter)
         }
       }
@@ -212,6 +211,7 @@ object CsvUploader {
           "punctuation is cp037-specific so the IBM1047 decode that " +
           "handles 0x25 terminators would garble it — transcode the " +
           "file to UTF-8 (or 0x15-terminated cp037) first")
+    case EncodingDetector.Cp1047Nl => EncodingDetector.Cp1047
     case EncodingDetector.ShiftJis => "Shift_JIS"
     case EncodingDetector.Utf32BE => "UTF-32"
     case EncodingDetector.Utf32LE =>
@@ -254,7 +254,8 @@ object CsvUploader {
       encoding == EncodingDetector.Koi8R ||
       encoding == EncodingDetector.Cp037 ||
       encoding == EncodingDetector.Cp500 ||
-      encoding == EncodingDetector.Cp1047
+      encoding == EncodingDetector.Cp1047 ||
+      encoding == EncodingDetector.Cp1047Nl
 
   /** Run `body` with the legacy-charset escape hatch on, restoring
     * the previous session value afterwards — a one-off Shift-JIS
@@ -295,7 +296,9 @@ object CsvUploader {
       else if (encoding.startsWith("UTF-16") ||
         encoding.startsWith("UTF-32") ||
         encoding == EncodingDetector.Cp037 ||
-        encoding == EncodingDetector.Cp500) reader.option("lineSep", "\n")
+        encoding == EncodingDetector.Cp500 ||
+        encoding == EncodingDetector.Cp1047Nl)
+        reader.option("lineSep", "\n")
       else reader).csv(csvPath)
     if (encoding == EncodingDetector.Cp1252) {
       import org.apache.spark.sql.functions.{col, translate}

@@ -98,6 +98,14 @@ object EncodingDetector {
     * stream's punctuation is 1047-consistent.
     */
   val Cp1047 = "IBM1047"
+  /** cp1047 punctuation with NL (0x15) record terminators — what
+    * Java's own IBM1047 charset WRITES (`"\n".getBytes("IBM1047")` =
+    * 0x15). Decodes like [[Cp037]]/[[Cp500]] (charset-encoded "\n"
+    * lineSep) but through the IBM1047 tables; without this member in
+    * the 0x15 candidate set, a Java-written 1047 file with brackets
+    * would silently decode as cp037 mojibake.
+    */
+  val Cp1047Nl = "IBM1047:NL"
   /** cp037-punctuated stream with LF (0x25) record terminators.
     * Java's IBM037 DECODES 0x25 to '\n' but never ENCODES any
     * character to 0x25, so no lineSep can match it — detected for a
@@ -177,7 +185,12 @@ object EncodingDetector {
         // would garble it → keep the loud Cp037Lf error.
         if (pickEbcdicMember(bytes, Seq(Cp1047, Cp037)) == Cp037) Cp037Lf
         else Cp1047
-      } else pickEbcdicMember(bytes, Seq(Cp037, Cp500))
+      } else pickEbcdicMember(bytes, Seq(Cp037, Cp500, Cp1047)) match {
+        // 0x15-terminated 1047 (Java's own IBM1047 newline): decode
+        // via the 1047 tables with the ordinary "\n" lineSep
+        case Cp1047 => Cp1047Nl
+        case m => m
+      }
     } else if (cyrillic.isDefined) {
       // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are
       // single high bytes, so even-length letter runs structurally

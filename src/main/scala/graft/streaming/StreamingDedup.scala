@@ -24,6 +24,17 @@ object StreamingDedup {
       // the WithinWatermark form is what actually bounds it
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** A running novelty filter: `results` is the streaming frame to
+    * start a query on; `close()` releases the persisted verify-side
+    * index when the query stops (same handle contract as
+    * [[StreamingAnn.IvfServing]] — the static side's lifetime only
+    * the caller knows).
+    */
+  final case class NoveltyServing(results: DataFrame,
+      private val cachedIndex: DataFrame) extends AutoCloseable {
+    override def close(): Unit = cachedIndex.unpersist(blocking = false)
+  }
+
   /** G9: streaming incremental novelty — C15's "which arriving
     * documents are genuinely new against the already-ingested
     * corpus" run AT INGEST instead of as a batch afterthought. The
@@ -31,16 +42,24 @@ object StreamingDedup {
     * and probes every micro-batch MAP-SIDE, so the overwhelming
     * majority of a fresh crawl never enters a join; only Bloom
     * positives reach the stream-static LEFT ANTI verify against the
-    * old corpus's distinct content. Exact output, same contract as
-    * the batch operator: the filter sizes the join, never decides
-    * membership. Within-stream duplicates are [[dedupStream]]'s job
-    * (compose them); this operator's state is ZERO — both branches
-    * are stateless maps/joins, so no watermark is required.
+    * old corpus's distinct content — which is persisted, because the
+    * static side of a stream-static join re-executes per micro-batch
+    * and re-scanning + re-distinct-ing the old corpus every batch
+    * would dwarf the map-side-probe savings. The Bloom build runs
+    * over the SAME persisted frame (its count sizes the filter), so
+    * the old corpus is scanned exactly once at setup. Exact output,
+    * same contract as the batch operator: the filter sizes the join,
+    * never decides membership. Within-stream duplicates are
+    * [[dedupStream]]'s job (compose them); this operator's streaming
+    * state is ZERO — both branches are stateless maps/joins, so no
+    * watermark is required.
     */
-  def incrementalNoveltyStream(old: DataFrame, stream: DataFrame,
-      fpp: Double = 0.01): DataFrame = {
-    val nOld = math.max(old.count(), 1L)
-    val bloom = old.stat.bloomFilter("text", nOld, fpp)
+  def incrementalNoveltyStreamManaged(old: DataFrame, stream: DataFrame,
+      fpp: Double = 0.01): NoveltyServing = {
+    val oldDistinct = old.select(col("text")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOld = math.max(oldDistinct.count(), 1L)
+    val bloom = oldDistinct.stat.bloomFilter("text", nOld, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
@@ -53,8 +72,18 @@ object StreamingDedup {
       lit(false)))
     val definiteNew = flagged.filter(!col("maybe_seen"))
     val verifiedNew = flagged.filter(col("maybe_seen"))
-      .join(old.select(col("text")).distinct(), Seq("text"), "left_anti")
-    definiteNew.drop("maybe_seen")
-      .unionByName(verifiedNew.drop("maybe_seen"))
+      .join(oldDistinct, Seq("text"), "left_anti")
+    NoveltyServing(
+      definiteNew.drop("maybe_seen")
+        .unionByName(verifiedNew.drop("maybe_seen")),
+      oldDistinct)
   }
+
+  /** Convenience form of [[incrementalNoveltyStreamManaged]] — in a
+    * long-lived session prefer the managed form and `close()` it
+    * when the query stops.
+    */
+  def incrementalNoveltyStream(old: DataFrame, stream: DataFrame,
+      fpp: Double = 0.01): DataFrame =
+    incrementalNoveltyStreamManaged(old, stream, fpp).results
 }

@@ -130,9 +130,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val mem = MemoryStream[(Timestamp, Long, String)]
     // fpp deliberately terrible so Bloom false positives definitely
     // occur and the stream-static anti-join must clean them up
-    val out = graft.streaming.StreamingDedup.incrementalNoveltyStream(
-      old, mem.toDF().toDF("ts", "doc_id", "text"), fpp = 0.5)
-    val q = out.writeStream.outputMode("append")
+    val serving = graft.streaming.StreamingDedup
+      .incrementalNoveltyStreamManaged(
+        old, mem.toDF().toDF("ts", "doc_id", "text"), fpp = 0.5)
+    val q = serving.results.writeStream.outputMode("append")
       .format("memory").queryName("novelty_out").start()
     try {
       mem.addData(
@@ -147,7 +148,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val got = spark.table("novelty_out").select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(got == Set(1L, 3L, 5L))
-    } finally q.stop()
+    } finally { q.stop(); serving.close() }
   }
 
   test("G6: streaming curation gates quality+lang, dedups, redacts PII") {

@@ -54,9 +54,15 @@ def load(path):
 def gate(old, new):
     bad = []
     for k in HEADLINE:
-        if k not in old or k not in new:
+        if k not in old:
+            # an OLD board predating the query: nothing to regress from
             continue
-        if old[k] >= 0 and new[k] < 0:
+        if k not in new:
+            # a query silently vanishing from the board is itself a
+            # regression — the gate must not degrade to a no-op as the
+            # lists drift (HEADLINE mirrors Bench.scala's headline Seq)
+            bad.append(f"MISSING {k}: present in old board, absent in new")
+        elif old[k] >= 0 and new[k] < 0:
             bad.append(f"FAILED {k}: {old[k]:.2f}s -> error")
         elif old[k] > 0 and new[k] > old[k] * 1.3 and new[k] - old[k] > 0.3:
             bad.append(f"REGRESSED {k}: {old[k]:.2f}s -> {new[k]:.2f}s"
