@@ -28,6 +28,8 @@ object GraftSession {
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1MB"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10MB"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // TIMESTAMP(NANOS) parquet (the events table) reads as raw

@@ -90,6 +90,9 @@ class EncodingDetectorSpec extends AnyFunSuite {
     assert(detectBytes(punct.getBytes("IBM500")) == Cp500)
     assert(detectBytes(punct.getBytes("IBM1047")
       .map(b => if (b == 0x15.toByte) 0x25.toByte else b)) == Cp1047)
+    // ...and a Java-written IBM1047 file (NL-0x15 newlines, 1047
+    // punctuation) must NOT fall back to cp037 mojibake
+    assert(detectBytes(punct.getBytes("IBM1047")) == Cp1047Nl)
     // numeric mainframe export: no spaces, commas+digits carry it
     val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
     assert(detectBytes(num.getBytes("IBM037")) == Cp037)
