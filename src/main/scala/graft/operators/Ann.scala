@@ -93,6 +93,9 @@ object Ann {
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = trainCentroids(e, nCells, iters)
+    // after the eager training sample (which consumes the cache);
+    // released when the caller's action completes
+    graft.CacheHygiene.unpersistAfterUse(e)
     val assigned = e.withColumn("cell", cellExpr(centroids, col("embedding")))
     // Explode each query into (query, probed cell) rows so the probe
     // is an EQUI-join on `cell` — a hash join whose cost is
@@ -111,6 +114,60 @@ object Ann {
       .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
     // Partial top-k per partition (H3 aggregator, as in D1): only
     // q·k scored rows cross the shuffle, not every candidate.
+    cands.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("sim"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+  }
+
+  /** D9: persisted IVF index lifecycle — build ONCE, serve many.
+    * Today's ivfTopk retrains the quantizer and re-assigns the corpus
+    * on every invocation; a production vector store builds the index
+    * at ingest and serves queries against the STORED artifact. The
+    * index is two plain parquet tables in a [[GraftDatabase]]:
+    * `<name>_centroids` (cell, centroid) — nCells rows, the bounded
+    * piece a server loads to plan probes — and `<name>_cells`
+    * (vec_id, embedding, cell), the corpus with its assignment
+    * materialized (at scale, written hive-partitioned by cell so a
+    * probe prunes to its cells' files; here plain parquet keeps the
+    * fixture simple while the probe is the same equi-join).
+    */
+  def buildIvfIndex(db: graft.catalog.GraftDatabase, e: DataFrame,
+      name: String, nCells: Int = 16, iters: Int = 3): Unit = {
+    val spark = db.spark
+    val cents = trainCentroids(e, nCells, iters)
+    import spark.implicits._
+    db.write(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid"),
+      s"${name}_centroids", org.apache.spark.sql.SaveMode.Overwrite)
+    db.write(e.withColumn("cell", cellExpr(cents, col("embedding"))),
+      s"${name}_cells", org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Serve top-k queries against a stored IVF index — no training,
+    * no corpus re-assignment; the centroids table (nCells rows,
+    * bounded by construction) loads to the driver to plan probe
+    * cells, and the probe is the same broadcast equi-join as
+    * [[ivfTopk]] over the stored assignment.
+    */
+  def ivfTopkFromIndex(db: graft.catalog.GraftDatabase, name: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val cents = db.read(s"${name}_centroids")
+      .orderBy(col("cell"))
+      .collect() // nCells rows — the quantizer, not the corpus
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = db.read(s"${name}_cells")
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id"), col("qe"),
+        explode(slice(sortedCellsExpr(cents, col("qe")), 1, nProbe))
+          .as("cell"))
+    val cands = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
     cands.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(k)(col("sim"), col("vec_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))

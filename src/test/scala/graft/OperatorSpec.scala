@@ -412,6 +412,32 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stored IVF index serves identically to the inline build") {
+    // build-once/serve-many lifecycle: the persisted index (centroids
+    // + assigned cells as plain parquet) must answer EXACTLY what the
+    // inline ivfTopk answers — same deterministic training, same
+    // probes, same tie-breaks — with no retraining at serve time
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("ivf_index") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Ann.buildIvfIndex(db, e, "emb")
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val served = rows(Ann.ivfTopkFromIndex(db, "emb", queries))
+    val inline = rows(Ann.ivfTopk(spark, sf))
+    assert(served == inline)
+    // the index is plain parquet: both tables readable, centroid
+    // table bounded at nCells rows
+    assert(db.read("emb_centroids").count() == 16L)
+    assert(db.read("emb_cells").columns.contains("cell"))
+    // rebuild overwrites cleanly (the ingest-epoch path)
+    Ann.buildIvfIndex(db, e, "emb")
+    assert(rows(Ann.ivfTopkFromIndex(db, "emb", queries)) == inline)
+  }
+
   test("IVF probe is a hash equi-join, not a nested loop") {
     val plan = Ann.ivfTopk(spark, sf)
       .queryExecution.executedPlan.toString
