@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -20,6 +23,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheHygiene {
 
+  // Spark's CacheManager keys entries by the canonicalized plan, so
+  // two invocations of the same operator SHARE one cache entry. A
+  // stale listener (from a call whose frame was never actioned — a
+  // plan-only inspection) must not clobber a newer call's live cache:
+  // each registration takes a token per canonical plan, and only the
+  // CURRENT token's listener may unpersist. Older listeners just
+  // unregister when they match.
+  private val tokens = new ConcurrentHashMap[Int, Long]()
+  private val counter = new AtomicLong()
+
   /** Arrange for `cached` (already persisted by the caller) to be
     * unpersisted after the next completed action that consumes it.
     * Returns `cached` for chaining.
@@ -35,13 +48,19 @@ object CacheHygiene {
       cached.sparkSession.sparkContext)
     val lm = cached.sparkSession.listenerManager
     val target = cached.queryExecution.analyzed
+    val key = target.canonicalized.semanticHash()
+    val token = counter.incrementAndGet()
+    tokens.put(key, token)
     val listener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
         val consumed =
           try qe.analyzed.exists(_.sameResult(target))
           catch { case _: Throwable => false }
         if (consumed) {
-          cached.unpersist(blocking = false)
+          // only the latest registration for this plan owns the
+          // (shared) cache entry; a stale listener silently retires
+          if (tokens.remove(key, token))
+            cached.unpersist(blocking = false)
           lm.unregister(this)
         }
       }

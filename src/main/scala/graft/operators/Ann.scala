@@ -136,13 +136,19 @@ object Ann {
   def buildIvfIndex(db: graft.catalog.GraftDatabase, e: DataFrame,
       name: String, nCells: Int = 16, iters: Int = 3): Unit = {
     val spark = db.spark
-    val cents = trainCentroids(e, nCells, iters)
+    // training (eager sample) and the assignment write both consume
+    // the corpus plan — persist across the two so an expensive
+    // upstream (joins/filters, not just a bare scan) executes once;
+    // released after the write action
+    val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(ep, nCells, iters)
+    graft.CacheHygiene.unpersistAfterUse(ep)
     import spark.implicits._
     db.write(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid"),
       s"${name}_centroids", org.apache.spark.sql.SaveMode.Overwrite)
-    db.write(e.withColumn("cell", cellExpr(cents, col("embedding"))),
+    db.write(ep.withColumn("cell", cellExpr(cents, col("embedding"))),
       s"${name}_cells", org.apache.spark.sql.SaveMode.Overwrite)
   }
 

@@ -211,13 +211,17 @@ object Curation {
   def incrementalNewBucketedOf(old: DataFrame, fresh: DataFrame,
       nBuckets: Int = 16, fpp: Double = 0.01): DataFrame = {
     // The old corpus feeds three consumers (sizing count, index
-    // aggregation, verify anti-join) — persist it across them and
-    // release after the consuming action. At real scale neither the
-    // count nor the index build happens here at all (the index is a
-    // stored artifact and expected-items come from the ingest
-    // ledger, per bucketedBloomIndex's doc); this keeps the in-line
-    // form one-scan too.
-    val o = old.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // aggregation, verify anti-join) — persist a DERIVED distinct-
+    // text frame across them (never the caller's own `old` frame:
+    // Spark's cache keys by canonical plan, so persisting/releasing
+    // the caller's frame would clobber a cache the caller may hold).
+    // Distinct texts are also the better expected-items basis for
+    // the filters (duplicate rows don't inflate them). At real scale
+    // neither the count nor the index build happens here at all (the
+    // index is a stored artifact and expected-items come from the
+    // ingest ledger, per bucketedBloomIndex's doc).
+    val o = old.select(col("text")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perBucket = math.max(o.count() / nBuckets, 1L)
     val idx = bucketedBloomIndex(o, nBuckets, perBucket, fpp)
     graft.CacheHygiene.unpersistAfterUse(o)
@@ -236,7 +240,7 @@ object Curation {
           col("__th"), col("bucket"), col("bloom")), lit(false)))
     val definiteNew = flagged.filter(!col("maybe_seen"))
     val verifiedNew = flagged.filter(col("maybe_seen"))
-      .join(o.select(col("text")).distinct(), Seq("text"), "left_anti")
+      .join(o, Seq("text"), "left_anti") // o IS the distinct-text frame
     definiteNew.select(col("doc_id"), col("source"))
       .unionByName(verifiedNew.select(col("doc_id"), col("source")))
   }

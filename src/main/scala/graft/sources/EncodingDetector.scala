@@ -185,11 +185,28 @@ object EncodingDetector {
         // would garble it → keep the loud Cp037Lf error.
         if (pickEbcdicMember(bytes, Seq(Cp1047, Cp037)) == Cp037) Cp037Lf
         else Cp1047
-      } else pickEbcdicMember(bytes, Seq(Cp037, Cp500, Cp1047)) match {
-        // 0x15-terminated 1047 (Java's own IBM1047 newline): decode
-        // via the 1047 tables with the ordinary "\n" lineSep
-        case Cp1047 => Cp1047Nl
-        case m => m
+      } else {
+        // 0x15-terminated: cp037/cp500 territory. cp1047 joins the
+        // candidate set only when BOTH its bracket bytes appear
+        // (0xAD '[' AND 0xBD ']') — under cp037/cp500 those decode
+        // as the REAL accented letters Ý and ¨, so a lone 0xAD in an
+        // Icelandic name must not flip a genuine cp037 file into
+        // bracket mojibake; paired brackets in CSV text are the 1047
+        // signal, a Ý-AND-¨ text is not.
+        var ad = false
+        var bd = false
+        bytes.foreach { b =>
+          if (b == 0xAD.toByte) ad = true
+          else if (b == 0xBD.toByte) bd = true
+        }
+        val candidates =
+          if (ad && bd) Seq(Cp037, Cp500, Cp1047) else Seq(Cp037, Cp500)
+        pickEbcdicMember(bytes, candidates) match {
+          // 0x15-terminated 1047 (Java's own IBM1047 newline): decode
+          // via the 1047 tables with the ordinary "\n" lineSep
+          case Cp1047 => Cp1047Nl
+          case m => m
+        }
       }
     } else if (cyrillic.isDefined) {
       // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are

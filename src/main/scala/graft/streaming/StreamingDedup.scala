@@ -55,9 +55,12 @@ object StreamingDedup {
     * watermark is required.
     */
   def incrementalNoveltyStreamManaged(old: DataFrame, stream: DataFrame,
-      fpp: Double = 0.01): NoveltyServing = {
-    val oldDistinct = old.select(col("text")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fpp: Double = 0.01, persistIndex: Boolean = true): NoveltyServing = {
+    val distinctTexts = old.select(col("text")).distinct()
+    val oldDistinct =
+      if (persistIndex)
+        distinctTexts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else distinctTexts
     val nOld = math.max(oldDistinct.count(), 1L)
     val bloom = oldDistinct.stat.bloomFilter("text", nOld, fpp)
     val bytes = {
@@ -79,11 +82,15 @@ object StreamingDedup {
       oldDistinct)
   }
 
-  /** Convenience form of [[incrementalNoveltyStreamManaged]] — in a
-    * long-lived session prefer the managed form and `close()` it
-    * when the query stops.
+  /** Convenience form of [[incrementalNoveltyStreamManaged]] — with
+    * NO persistent index (there is no handle to release it through,
+    * and a leaked corpus-scale cache per call is worse than the
+    * per-batch re-scan). In a long-lived session prefer the managed
+    * form, which persists the verify index and `close()`s it when
+    * the query stops.
     */
   def incrementalNoveltyStream(old: DataFrame, stream: DataFrame,
       fpp: Double = 0.01): DataFrame =
-    incrementalNoveltyStreamManaged(old, stream, fpp).results
+    incrementalNoveltyStreamManaged(old, stream, fpp,
+      persistIndex = false).results
 }

@@ -12,8 +12,13 @@ object GraftListenerBridge {
   /** Block until all currently-queued listener events have been
     * delivered, or the timeout elapses (best effort — a timeout just
     * means the caller keeps the tiny premature-release window).
+    * Interruption is preserved for the caller; fatal errors are not
+    * swallowed.
     */
   def drainListenerBus(sc: SparkContext, timeoutMs: Long = 5000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: Throwable => () }
+    catch {
+      case _: java.util.concurrent.TimeoutException => ()
+      case _: InterruptedException => Thread.currentThread().interrupt()
+    }
 }

@@ -93,6 +93,11 @@ class EncodingDetectorSpec extends AnyFunSuite {
     // ...and a Java-written IBM1047 file (NL-0x15 newlines, 1047
     // punctuation) must NOT fall back to cp037 mojibake
     assert(detectBytes(punct.getBytes("IBM1047")) == Cp1047Nl)
+    // but a genuine cp037 file whose only 1047-differ byte is the
+    // accented letter Ý (0xAD — '[' under 1047) must NOT flip: the
+    // 1047 candidate needs the bracket PAIR
+    val nordic = "id,name\n1,SIGURÝN LEDGER 01\n2,BRAVO LEDGER 02"
+    assert(detectBytes(nordic.getBytes("IBM037")) == Cp037)
     // numeric mainframe export: no spaces, commas+digits carry it
     val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
     assert(detectBytes(num.getBytes("IBM037")) == Cp037)
