@@ -58,6 +58,26 @@ object GraftFunctions {
   def rollingHash64(c: Column): Column =
     toCol(RollingHash64(toExpr(c)))
 
+  /** Single-pass whitespace collapse+trim — byte-identical to
+    * `trim(regexp_replace(c, "\\s+", " "))` without the regex engine
+    * (see [[graft.functions.expressions.CollapseWs]]).
+    */
+  def collapseWs(c: Column): Column =
+    toCol(CollapseWs(toExpr(c)))
+
+  /** All positional word n-grams for n ∈ [minN, maxN] in one byte
+    * scan — tokenization byte-exact with `\S+`
+    * (see [[graft.functions.expressions.WsNgrams]]).
+    */
+  def wsNgrams(c: Column, minN: Int, maxN: Int): Column =
+    toCol(WsNgrams(toExpr(c), minN, maxN))
+
+  /** Per-document repetition statistics struct in one map pass
+    * (see [[graft.functions.expressions.RepetitionStats]]).
+    */
+  def repetitionStats(c: Column): Column =
+    toCol(RepetitionStats(toExpr(c)))
+
   /** Bloom-filter membership probe (serialized filter baked into the
     * plan; map-side, codegen'd). Positives need exact verification.
     */

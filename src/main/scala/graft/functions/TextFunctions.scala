@@ -111,11 +111,11 @@ object TextFunctions {
     * 64-bit key.
     */
   def fingerprint(c: Column): Column =
-    md5(to_binary(lower(trim(regexp_replace(c, "\\s+", " "))), lit("utf-8")))
+    md5(to_binary(lower(GraftFunctions.collapseWs(c)), lit("utf-8")))
 
   /** 64-bit engine-native fingerprint (xxhash64) over the same
     * normalization — the cheap production variant of [[fingerprint]].
     */
   def fingerprint64(c: Column): Column =
-    xxhash64(lower(trim(regexp_replace(c, "\\s+", " "))))
+    xxhash64(lower(GraftFunctions.collapseWs(c)))
 }

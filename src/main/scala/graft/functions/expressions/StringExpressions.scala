@@ -1,0 +1,272 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass whitespace normalization (SURVEY.md §2.E4): collapse
+  * every run of ASCII whitespace to one space and strip leading /
+  * trailing runs — byte-for-byte what
+  * `trim(regexp_replace(c, "\\s+", " "))` produces, without the
+  * regex engine, the UTF8String→java.lang.String round-trip, or the
+  * two intermediate allocations that chain costs per row.
+  *
+  * The whitespace set is Java's `\s` = {0x09..0x0D, 0x20} — all
+  * single-byte in UTF-8, and a multi-byte codepoint's continuation
+  * bytes have the high bit set, so a pure byte scan can never split
+  * or misread one. (Unicode spaces like U+00A0 are NOT collapsed —
+  * same as the regex form this replaces and the DuckDB oracle's
+  * `\s`.)
+  */
+case class CollapseWs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_collapse_ws"
+
+  def collapse(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    // fast path: already normalized (single interior 0x20s only, no
+    // edge whitespace) — return the input untouched, zero allocation
+    var dirty = false
+    var prevWs = true // leading ws counts as dirty
+    while (i < n && !dirty) {
+      val c = b(i)
+      val ws = c == 0x20 || (c >= 0x09 && c <= 0x0D)
+      if (ws && (prevWs || c != 0x20)) dirty = true
+      else { prevWs = ws; i += 1 }
+    }
+    if (!dirty && !prevWs) return s
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == 0x20 || (c >= 0x09 && c <= 0x0D)) {
+        if (o > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { out(o) = 0x20; o += 1; pendingSpace = false }
+        out(o) = c
+        o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  override def nullSafeEval(v: Any): Any = collapse(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("collapseWs", this,
+        classOf[CollapseWs].getName)
+      s"${ev.value} = $ref.collapse($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** All positional word n-grams for n ∈ [minN, maxN] in one byte scan
+  * (SURVEY.md §2.E9/E5): tokenize on ASCII whitespace — byte-exact
+  * with `regexp_extract_all(c, "\\S+")`, since Java's `\S` is the
+  * complement of {0x09..0x0D, 0x20} and UTF-8 continuation bytes
+  * never collide with it — then emit each n-gram as the
+  * space-joined token run, unigrams first, multiplicities kept.
+  *
+  * Replaces the regex engine (UTF8String→String→Matcher→per-match
+  * allocation) AND the `zip_with`/`concat_ws` bigram chain —
+  * higher-order functions are CodegenFallback, so every element pair
+  * paid an interpreted lambda dispatch; this is one tight loop over
+  * the raw bytes, copying each n-gram's span directly (tokens of one
+  * n-gram are adjacent in the source, but possibly separated by
+  * multi-char whitespace runs, so spans are re-joined with single
+  * spaces rather than sliced verbatim).
+  */
+case class WsNgrams(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression {
+
+  require(minN >= 1 && maxN >= minN)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ws_ngrams"
+
+  def grams(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    // token spans
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    var total = 0
+    var g = minN
+    while (g <= maxN) { total += math.max(0, nTok - g + 1); g += 1 }
+    val out = new Array[AnyRef](total)
+    var o = 0
+    g = minN
+    while (g <= maxN) {
+      var t = 0
+      val last = nTok - g
+      while (t <= last) {
+        if (g == 1) {
+          out(o) = UTF8String.fromBytes(b, starts(t), ends(t) - starts(t))
+        } else {
+          var len = g - 1
+          var j = 0
+          while (j < g) { len += ends(t + j) - starts(t + j); j += 1 }
+          val gb = new Array[Byte](len)
+          var p = 0
+          j = 0
+          while (j < g) {
+            if (j > 0) { gb(p) = 0x20; p += 1 }
+            val tl = ends(t + j) - starts(t + j)
+            System.arraycopy(b, starts(t + j), gb, p, tl)
+            p += tl
+            j += 1
+          }
+          out(o) = UTF8String.fromBytes(gb)
+        }
+        o += 1
+        t += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = grams(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("wsNgrams", this,
+        classOf[WsNgrams].getName)
+      s"${ev.value} = $ref.grams($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-document repetition statistics in one pass (SURVEY.md §2.E9):
+  * `struct(n_uni, m_uni, n_bi, d_bi, m_bi)` = (token count, top-token
+  * multiplicity, bigram-slot count, distinct bigrams, top-bigram
+  * multiplicity); null when the document has fewer than two tokens
+  * (no bigram slot — the oracle's inner join drops those rows).
+  *
+  * Repetition metrics are functions of ONE document alone; a SQL
+  * engine has to phrase them as corpus-wide explode → GROUP BY
+  * (doc, gram) → GROUP BY doc, shuffling every gram of the corpus
+  * twice. Here the mode/distinct counts come from a per-row local
+  * hash table instead, so the operator is a pure map — zero
+  * exchanges at any scale, and per-row memory bounded by the single
+  * largest document (the same working set the SQL form's final
+  * per-doc group holds). Tokenization is the [[WsNgrams]] byte scan
+  * (`\S+`-exact).
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_uni", "m_uni", "n_bi", "d_bi", "m_bi").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repetition_stats"
+
+  def stats(s: UTF8String): Any = {
+    val b = s.getBytes
+    val n = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    if (nTok < 2) return null
+    val uni = new java.util.HashMap[UTF8String, Array[Int]]()
+    var mUni = 0
+    i = 0
+    while (i < nTok) {
+      val t = UTF8String.fromBytes(b, starts(i), ends(i) - starts(i))
+      var c = uni.get(t)
+      if (c == null) { c = Array(0); uni.put(t, c) }
+      c(0) += 1
+      if (c(0) > mUni) mUni = c(0)
+      i += 1
+    }
+    val bi = new java.util.HashMap[UTF8String, Array[Int]]()
+    var mBi = 0
+    i = 0
+    while (i < nTok - 1) {
+      val len = ends(i) - starts(i) + ends(i + 1) - starts(i + 1) + 1
+      val gb = new Array[Byte](len)
+      val l0 = ends(i) - starts(i)
+      System.arraycopy(b, starts(i), gb, 0, l0)
+      gb(l0) = 0x20
+      System.arraycopy(b, starts(i + 1), gb, l0 + 1,
+        ends(i + 1) - starts(i + 1))
+      val t = UTF8String.fromBytes(gb)
+      var c = bi.get(t)
+      if (c == null) { c = Array(0); bi.put(t, c) }
+      c(0) += 1
+      if (c(0) > mBi) mBi = c(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok.toLong, mUni.toLong, (nTok - 1).toLong,
+        bi.size().toLong, mBi.toLong))
+  }
+
+  override def nullSafeEval(v: Any): Any = stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("repStats", this,
+        classOf[RepetitionStats].getName)
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.stats($s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -395,30 +395,34 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
-  /** [[repetition]] over an arbitrary (doc_id, text) frame. */
-  def repetitionOf(d: DataFrame): DataFrame = {
-    val base = d.select(col("doc_id"),
-      Dedup.tokens(lower(col("text"))).as("w"))
-    def stats(grams: DataFrame, pfx: String): DataFrame =
-      grams.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as(s"n_$pfx"),
-          count(lit(1)).as(s"d_$pfx"),
-          max(col("c")).as(s"m_$pfx"))
-    val uni = stats(base.select(col("doc_id"),
-      explode(col("w")).as("g")), "uni")
-    val bi = stats(base.select(col("doc_id"),
-      explode(bigramArray(col("w"))).as("g")), "bi")
-    uni.join(bi, Seq("doc_id"))
+  /** [[repetition]] over an arbitrary (doc_id, text) frame.
+    *
+    * Shape at scale: repetition metrics are functions of ONE
+    * document alone, so this is a PURE MAP — one scan, zero
+    * exchanges. The [[graft.functions.expressions.RepetitionStats]]
+    * expression computes each doc's token/bigram mode and distinct
+    * counts in a per-row local hash table (bounded by the largest
+    * single document — the same working set the SQL formulation's
+    * final per-doc group holds). The earlier explode → GROUP BY
+    * (doc, gram) → GROUP BY doc form shuffled every gram of the
+    * corpus twice and its DuckDB ratio WORSENED 3.7×→9.6× from sf0.1
+    * to 10× (VERDICT r5) — the per-gram shuffle rows were the
+    * anti-scaling cost, not the tokenize. Docs with fewer than two
+    * tokens yield a null stats struct and are dropped — same rows as
+    * the oracle's inner join.
+    */
+  def repetitionOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .repetitionStats(lower(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("doc_id"),
-        (col("m_uni").cast("double") / col("n_uni").cast("double"))
+        (col("s.m_uni").cast("double") / col("s.n_uni").cast("double"))
           .as("top_word_frac"),
-        ((col("n_bi") - col("d_bi")).cast("double")
-          / col("n_bi").cast("double")).as("dup_2gram_frac"),
-        (col("m_bi").cast("double") / col("n_bi").cast("double"))
+        ((col("s.n_bi") - col("s.d_bi")).cast("double")
+          / col("s.n_bi").cast("double")).as("dup_2gram_frac"),
+        (col("s.m_bi").cast("double") / col("s.n_bi").cast("double"))
           .as("top_2gram_frac"))
-  }
 
   // ---------------------------------------------------------------
   // Oracles

@@ -35,14 +35,25 @@ object TextQueries {
       StopwordProfiles.map { case (l, _) => col(s"c_$l") }: _*)
   }
 
-  /** E4: normalized md5 fingerprint + duplicate-group size. */
+  /** E4: normalized md5 fingerprint + duplicate-group size.
+    *
+    * Shape at scale: ONE scan computing the fingerprint (a codegen'd
+    * single-pass whitespace collapse + md5 — no regex engine), then
+    * `count(*) OVER (PARTITION BY fingerprint)` — one shuffle, no
+    * join. The previous self-join formulation scanned the corpus
+    * twice (the aggregate side and the probe side each recomputed
+    * the normalization+hash) and shuffled both sides; the window
+    * buffers one fingerprint group at a time (spilling
+    * ExternalAppendOnlyUnsafeRowArray), so even a 10⁸-copy viral
+    * boilerplate group can't OOM an executor — which a
+    * collect_list+explode one-pass variant would.
+    */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
-    val groups = d.groupBy(col("fingerprint"))
-      .agg(count(lit(1)).as("n_same"))
-    d.join(groups, Seq("fingerprint"))
-      .select(col("doc_id"), col("fingerprint"), col("n_same"))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
   }
 
   /** E5: TF-IDF top terms per document. idf is the raw N/df ratio

@@ -208,6 +208,86 @@ class ExpressionSpec extends AnyFunSuite with SparkTestBase {
       .select(prefixByRarity(col("sh"), cms, tau)).head().getSeq[Long](0)
     assert(e.isEmpty)
   }
+
+  test("collapseWs ≡ trim(regexp_replace(\\s+, ' ')) on edge inputs") {
+    import spark.implicits._
+    val inputs = Seq("", " ", "a", " a ", "a  b", "\ta\n\nb \r c  ",
+      "  \t ", "héllo   wörld ", "中 文  空格", "ab", "one two",
+      "already clean", " lead", "trail ", "a\r\n\r\nb")
+    val df = inputs.toDF("s").select(
+      collapseWs(col("s")).as("got"),
+      trim(regexp_replace(col("s"), "\\s+", " ")).as("want"))
+    df.collect().foreach(r =>
+      assert(r.getString(0) == r.getString(1), s"input=${r}"))
+    // null propagates
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(collapseWs(col("s"))).head().isNullAt(0))
+  }
+
+  test("wsNgrams ≡ regexp tokens ++ zip_with bigrams") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{wsTokens, bigramArray}
+    val inputs = Seq("", " ", "one", "one two", "one  two\tthree",
+      " a b c d ", "x\ny z", "dup dup dup")
+    val df = inputs.toDF("s").select(
+      wsNgrams(col("s"), 1, 2).as("got"),
+      concat(wsTokens(col("s")),
+        bigramArray(wsTokens(col("s")))).as("want"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"row=$r")
+    }
+    // trigram-only form: minN == maxN
+    val tri = Seq("a b c d").toDF("s")
+      .select(wsNgrams(col("s"), 3, 3)).head().getSeq[String](0)
+    assert(tri == Seq("a b c", "b c d"))
+  }
+
+  test("repetitionStats ≡ the explode/group-by formulation; null below 2 tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the cat sat on the mat the cat",
+      2L -> "a a a a",
+      3L -> "all distinct words here",
+      4L -> "single",
+      5L -> "",
+      6L -> "x y x y x y")
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), repetitionStats(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getStruct(1)))).toMap
+    // reference: count maps in plain Scala
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 2) assert(got(id).isEmpty, s"doc $id")
+      else {
+        val s = got(id).get
+        val uni = toks.groupBy(identity).view.mapValues(_.size)
+        val bis = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val bi = bis.groupBy(identity).view.mapValues(_.size)
+        assert(s.getLong(0) == toks.size.toLong, s"n_uni doc $id")
+        assert(s.getLong(1) == uni.values.max.toLong, s"m_uni doc $id")
+        assert(s.getLong(2) == bis.size.toLong, s"n_bi doc $id")
+        assert(s.getLong(3) == bi.size.toLong, s"d_bi doc $id")
+        assert(s.getLong(4) == bi.values.max.toLong, s"m_bi doc $id")
+      }
+    }
+  }
+
+  test("E9 repetition is a pure map: zero exchanges in the plan") {
+    val plan = operators.Curation.repetition(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("graft_repetition_stats"), plan.take(2000))
+  }
+
+  test("E4 fingerprint plan: single scan, no join, window by fingerprint") {
+    val plan = operators.TextQueries.fingerprints(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      plan.take(2000))
+    assert(plan.contains("graft_collapse_ws"), plan.take(2000))
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
