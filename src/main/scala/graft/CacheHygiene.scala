@@ -30,8 +30,23 @@ object CacheHygiene {
   // each registration takes a token per canonical plan, and only the
   // CURRENT token's listener may unpersist. Older listeners just
   // unregister when they match.
-  private val tokens = new ConcurrentHashMap[Int, Long]()
+  //
+  // Keyed by the canonicalized PLAN (structural equality — the same
+  // relation CacheManager itself keys by), not its 32-bit
+  // semanticHash: a hash collision between two different cached
+  // frames would let the newer registration overwrite the older's
+  // token, so the older cache would never be unpersisted — precisely
+  // the leak class this module exists to prevent.
+  private val tokens = new ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]()
   private val counter = new AtomicLong()
+
+  /** A listener whose frame is never actioned self-retires (and
+    * releases the orphaned persist) once this old, instead of staying
+    * registered for the session lifetime. Checked on event delivery,
+    * so retirement rides the next completed action of ANY query.
+    */
+  private val StaleRetireNs = 30L * 60 * 1000 * 1000 * 1000
 
   /** Arrange for `cached` (already persisted by the caller) to be
     * unpersisted after the next completed action that consumes it.
@@ -48,10 +63,11 @@ object CacheHygiene {
       cached.sparkSession.sparkContext)
     val lm = cached.sparkSession.listenerManager
     val target = cached.queryExecution.analyzed
-    val key = target.canonicalized.semanticHash()
+    val key = target.canonicalized
     val token = counter.incrementAndGet()
     tokens.put(key, token)
     val listener = new QueryExecutionListener {
+      private val registeredAt = System.nanoTime()
       private def maybeRelease(qe: QueryExecution): Unit = {
         val consumed =
           try qe.analyzed.exists(_.sameResult(target))
@@ -59,6 +75,13 @@ object CacheHygiene {
         if (consumed) {
           // only the latest registration for this plan owns the
           // (shared) cache entry; a stale listener silently retires
+          if (tokens.remove(key, token))
+            cached.unpersist(blocking = false)
+          lm.unregister(this)
+        } else if (System.nanoTime() - registeredAt > StaleRetireNs) {
+          // never-actioned frame: release the orphaned persist (cold
+          // recompute if someone actions it later — correct, and
+          // better than a session-lifetime cache + listener leak)
           if (tokens.remove(key, token))
             cached.unpersist(blocking = false)
           lm.unregister(this)

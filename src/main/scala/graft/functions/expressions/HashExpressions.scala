@@ -183,8 +183,23 @@ case class BloomProbeBucketed(valueHash: Expression, bucket: Expression,
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_probe_bucketed"
 
+  // Bounded LRU, not an unbounded map: if the probe side is NOT
+  // co-partitioned by bucket (e.g. the index joined as a broadcast,
+  // so every task sees every bucket), an unbounded cache would
+  // accumulate the ENTIRE deserialized index per task — the exact
+  // single-plan ceiling this expression exists to break. The bound
+  // caps worst-case per-task memory at MaxCached filters; the
+  // co-partitioned fast path (one bucket per task) never evicts.
+  private val MaxCached = 4
+
   @transient private lazy val cache =
-    new java.util.HashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+    new java.util.LinkedHashMap[Long,
+        org.apache.spark.util.sketch.BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long,
+            org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size() > MaxCached
+    }
 
   def probe(v: Long, b: Long, bin: Array[Byte]): Boolean = {
     var f = cache.get(b)

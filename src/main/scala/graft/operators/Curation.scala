@@ -228,6 +228,16 @@ object Curation {
     val flagged = fresh
       .withColumn("__b", pmod(xxhash64(col("text")), lit(nBuckets)))
       .withColumn("__th", xxhash64(col("text")))
+      // Co-partition the batch by bucket BEFORE the (broadcast-sized)
+      // index join: the nBuckets-row index broadcasts, so without
+      // this every task would stream rows of every bucket through
+      // BloomProbeBucketed's per-task cache — decoding (bounded-LRU:
+      // re-decoding) filters per bucket switch. Partitioned by __b,
+      // each task touches exactly the buckets hashed to it (one,
+      // when partitions ≥ buckets) and the cache never evicts. The
+      // exchange carries only the fresh BATCH (the small side of an
+      // incremental ingest), never the old corpus.
+      .repartition(col("__b"))
       .join(idx, col("__b") === idx("bucket"), "left_outer")
       // NULL text: xxhash64(NULL) is NOT null (it returns the seed),
       // so a NULL-text row does carry a bucket and can even probe

@@ -132,9 +132,24 @@ object CsvUploader {
             delimiter = delimiter, alter = alter)
         }
       }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration.Inf)
+      // Await each future INDIVIDUALLY — Future.sequence fails fast,
+      // so one worker dying on a fatal Throwable (OOM,
+      // NoClassDefFound — upload() only catches Exception) would
+      // throw away the whole batch's results, including uploads that
+      // already completed and WROTE tables, while remaining workers
+      // kept running past pool.shutdown(). Per-file outcomes survive
+      // instead: a fatal worker yields an error-carrying result row.
+      named.zip(futures).map { case ((_, table), f) =>
+        scala.util.Try(scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)) match {
+          case scala.util.Success(r) => r
+          case scala.util.Failure(t) =>
+            UploadResult(db.name, table, taskId = "", rowsDone = 0L,
+              bytesTodo = 0L, encoding = "",
+              types = Seq.empty, error = Some(
+                s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage)}"))
+        }
+      }
     } finally pool.shutdown()
   }
 

@@ -382,20 +382,29 @@ object EncodingDetector {
     * (including NO differ bytes present — the common all-alnum
     * export, where every candidate decodes identically) keep the
     * candidate order's head.
+    *
+    * Scoring is over DISTINCT differ bytes, and a non-head candidate
+    * needs at least TWO distinct printable-decoding differ bytes to
+    * displace the head — a genuine cp037 file whose only differ byte
+    * is '¢' (0x4A, a currency column, however many occurrences) must
+    * not flip to cp500 on that single letter of evidence. This
+    * mirrors the 0xAD/0xBD bracket-PAIR gate that admits cp1047 to
+    * the candidate set at all.
     */
   private[sources] def pickEbcdicMember(bytes: Array[Byte],
       candidates: Seq[String]): String = {
     val present = bytes.iterator.map(_ & 0xFF)
-      .filter(ebcdicDifferBytes.contains).toArray
+      .filter(ebcdicDifferBytes.contains).toSet
     if (present.isEmpty) return candidates.head
-    val scored = candidates.map { cs =>
-      cs -> present.count { v =>
-        val c = new String(Array(v.toByte), cs).charAt(0)
-        c >= '!' && c <= '~'
-      }
+    def printable(cs: String): Int = present.count { v =>
+      val c = new String(Array(v.toByte), cs).charAt(0)
+      c >= '!' && c <= '~'
     }
-    val best = scored.maxBy(_._2)._2
-    scored.find(_._2 == best).get._1
+    val scored = candidates.map(cs => cs -> printable(cs))
+    val (bestCs, bestScore) = scored.maxBy(_._2) // first max: head keeps ties
+    if (bestCs != candidates.head &&
+      (bestScore < 2 || bestScore <= scored.head._2)) candidates.head
+    else bestCs
   }
 
   private[sources] def detectCyrillic(bytes: Array[Byte]): Option[String] = {

@@ -98,6 +98,13 @@ class EncodingDetectorSpec extends AnyFunSuite {
     // 1047 candidate needs the bracket PAIR
     val nordic = "id,name\n1,SIGURÝN LEDGER 01\n2,BRAVO LEDGER 02"
     assert(detectBytes(nordic.getBytes("IBM037")) == Cp037)
+    // likewise cp037 vs cp500: a genuine cp037 file whose only
+    // member-differ byte is '¢' (0x4A, a currency column — however
+    // many occurrences) must NOT flip to cp500 just because cp500
+    // decodes that one byte as printable '['; displacing the head
+    // takes TWO distinct printable differ bytes (the bracket pair)
+    val cents = "id,amt\n1,5¢ OFF LEDGER\n2,9¢ OFF LEDGER\n3,2¢ OFF X"
+    assert(detectBytes(cents.getBytes("IBM037")) == Cp037)
     // numeric mainframe export: no spaces, commas+digits carry it
     val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
     assert(detectBytes(num.getBytes("IBM037")) == Cp037)

@@ -108,6 +108,13 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(hashes.forall { case (b, h) => filters(b).mightContainLong(h) },
       "bucketed bloom false negative")
+    // the probe side is co-partitioned by bucket BEFORE the index
+    // join (the nBuckets-row index broadcasts, so without this every
+    // task would decode every bucket's filter through the per-task
+    // cache — the single-plan ceiling again, per executor)
+    val plan = Curation.incrementalNewBucketedOf(old, fresh, nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__b"), plan.take(3000))
   }
 
   test("duplicated-ngram fraction: copies score 1, unique prose 0") {
