@@ -85,6 +85,36 @@ object CsvQueries {
     verdicts.toDF("column_name", "inferred_type")
   }
 
+  /** A2 (ragged rows): the reference builds each record as
+    * `dict(zip(headers, row))` (`__init__.py:180`) — a row with MORE
+    * fields than the header silently drops the extras, and a row
+    * with FEWER yields only the present keys (missing columns →
+    * NULL). Spark's PERMISSIVE CSV parse has the same contract
+    * (extra tokens ignored, missing tokens null-padded); this query
+    * pins the equivalence end-to-end through the upload pipeline on
+    * a file that exercises both directions plus a one-field row.
+    */
+  def csvRaggedRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("ragged_rows", sfDir)
+    val db = freshDb(spark, "ragged_rows", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map { r =>
+        val k = r.getInt(0)
+        val name = r.getString(1)
+        if (k % 3 == 0) s"$k,$name,note$k,EXTRA,MORE" // extras dropped
+        else if (k % 3 == 1) s"$k,$name" // short row: note → NULL
+        else s"$k,$name,note$k"
+      }
+      .sorted
+    val body = ("n_nationkey,n_name,note" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/ragged.csv"), body.getBytes("UTF-8"))
+    val res = CsvUploader.upload(db, s"$dir/ragged.csv", Some("ragged"))
+    db.read(res.tableName)
+  }
+
   /** A1: a latin-1 file (é = 0xE9, invalid as standalone UTF-8) must
     * be detected as ISO-8859-1 and decode losslessly.
     */
@@ -486,6 +516,11 @@ object CsvQueries {
         |  n_name || ' [b1047] ledger' AS name_tag,
         |  'IBM1047' AS encoding
         |FROM nation""".stripMargin,
+    "csv_ragged_rows" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 3 = 1 THEN NULL
+        |       ELSE 'note' || CAST(n_nationkey AS VARCHAR) END AS note
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -504,6 +539,7 @@ object CsvQueries {
     "csv_ingest_typed" -> (csvIngestTyped _),
     "csv_ingest_mixed" -> (csvIngestMixed _),
     "csv_infer_types" -> (csvInferTypes _),
+    "csv_ragged_rows" -> (csvRaggedRows _),
     "csv_encoding_detect" -> (csvEncodingDetect _),
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),

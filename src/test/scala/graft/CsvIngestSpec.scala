@@ -199,6 +199,29 @@ class TypeInferenceSpec extends AnyFunSuite with SparkTestBase {
 
 class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
 
+  test("ragged rows follow dict(zip(headers, row)): extras dropped, short rows null-filled (ref :180)") {
+    val dir = scratch("ragged")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/ragged.csv"), Seq(
+      "id,name,note",
+      "1,alpha,n1",
+      "2,bravo,n2,EXTRA1,EXTRA2", // more fields than the header
+      "3,charlie",                // one field short
+      "4",                        // only one field
+      "5,echo,n5").mkString("\n").getBytes("UTF-8"))
+    val r = graft.sources.CsvUploader.upload(db, s"$dir/ragged.csv")
+    assert(r.error.isEmpty && r.rowsDone == 5)
+    val got = db.read(r.tableName)
+    // header defines the schema — extras never create columns
+    assert(got.columns.toSeq == Seq("id", "name", "note"))
+    val byId = got.collect().map(row => row.getLong(0) ->
+      (Option(row.getString(1)), Option(row.getString(2)))).toMap
+    assert(byId(2L) == (Some("bravo"), Some("n2")), "extras dropped")
+    assert(byId(3L) == (Some("charlie"), None), "short row null-fills")
+    assert(byId(4L) == (None, None), "one-field row keeps present key only")
+    assert(byId(5L) == (Some("echo"), Some("n5")))
+  }
+
   test("jsonl upload: naming, conflict suffix, malformed-line error") {
     import graft.sources.JsonlUploader
     val dir = scratch("jsonl_up")
