@@ -78,6 +78,13 @@ object GraftFunctions {
   def repetitionStats(c: Column): Column =
     toCol(RepetitionStats(toExpr(c)))
 
+  /** Distinct word n-grams (n ∈ [minN, maxN]) of one document with
+    * multiplicities, in one map pass
+    * (see [[graft.functions.expressions.TermCounts]]).
+    */
+  def termCounts(c: Column, minN: Int = 1, maxN: Int = 1): Column =
+    toCol(TermCounts(toExpr(c), minN, maxN))
+
   /** Bloom-filter membership probe (serialized filter baked into the
     * plan; map-side, codegen'd). Positives need exact verification.
     */

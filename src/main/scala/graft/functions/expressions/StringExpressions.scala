@@ -171,6 +171,115 @@ case class WsNgrams(child: Expression, minN: Int, maxN: Int)
     copy(child = c)
 }
 
+/** Distinct whitespace tokens of ONE document with their
+  * multiplicities, as `array<struct<term string, tf bigint>>` in
+  * first-occurrence order (SURVEY.md §2.E5).
+  *
+  * Term frequency is a within-document statistic — the corpus-wide
+  * `explode → GROUP BY (doc, term)` formulation shuffles every token
+  * of the corpus to compute something each row already contains.
+  * Emitting (term, tf) per row instead makes the downstream document
+  * frequency a tiny vocabulary-sized aggregation (distinct terms per
+  * doc ARE the df events) and keeps each document's pairs contiguous
+  * in its scan partition, so a following per-doc top-k reduces fully
+  * map-side. Tokenization is the [[WsNgrams]] byte scan
+  * (`\S+`-exact); counts use UTF8String equality = byte equality,
+  * same as SQL string grouping.
+  */
+case class TermCounts(child: Expression, minN: Int = 1, maxN: Int = 1)
+    extends UnaryExpression {
+
+  require(minN >= 1 && maxN >= minN)
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  def counts(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var gramN = minN
+    while (gramN <= maxN) {
+      var t = 0
+      val last = nTok - gramN
+      while (t <= last) {
+        val g =
+          if (gramN == 1)
+            UTF8String.fromBytes(b, starts(t), ends(t) - starts(t))
+          else {
+            var len = gramN - 1
+            var j = 0
+            while (j < gramN) { len += ends(t + j) - starts(t + j); j += 1 }
+            val gb = new Array[Byte](len)
+            var p = 0
+            j = 0
+            while (j < gramN) {
+              if (j > 0) { gb(p) = 0x20; p += 1 }
+              val tl = ends(t + j) - starts(t + j)
+              System.arraycopy(b, starts(t + j), gb, p, tl)
+              p += tl
+              j += 1
+            }
+            UTF8String.fromBytes(gb)
+          }
+        val cnt = m.get(g)
+        if (cnt == null) m.put(g, Array(1L)) else cnt(0) += 1L
+        t += 1
+      }
+      gramN += 1
+    }
+    val out = new Array[AnyRef](m.size())
+    val it = m.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = counts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("termCounts", this,
+        classOf[TermCounts].getName)
+      s"${ev.value} = $ref.counts($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Per-document repetition statistics in one pass (SURVEY.md §2.E9):
   * `struct(n_uni, m_uni, n_bi, d_bi, m_bi)` = (token count, top-token
   * multiplicity, bigram-slot count, distinct bigrams, top-bigram

@@ -62,33 +62,35 @@ object TextQueries {
     * compare. Top-3 per doc with a (score desc, term asc) total
     * order.
     *
-    * Shape at scale: ONE explode + two hash aggregations + a
-    * term-keyed join that AQE sizes at runtime — NO broadcast hint:
-    * on a web-scale corpus the distinct-term table is 10⁸–10⁹ rows
-    * and a forced broadcast is a guaranteed OOM, while at small scale
-    * AQE broadcasts it anyway. df derives from tf (tf's keys ARE the
-    * distinct (doc, term) pairs), so the corpus is tokenized and
-    * exploded exactly once — the tf shuffle feeds both its consumers
-    * through exchange reuse (no persist needed: both branches sit in
-    * ONE plan, and ReuseExchange dedups the identical shuffle). The
-    * per-doc top-3 runs through the H5 [[graft.plans.TopKPerGroup]]
-    * node (bounded per-partition heaps; only ≤ 3·partitions rows per
-    * doc cross the exchange) instead of a rank window, which sorted
-    * the full (doc, term) frame — and the node emits the rank column
-    * natively, so no window stage remains at all. The corpus size N rides
-    * in as a 1-row aggregate cross join (single-row broadcast), not a
-    * separate driver-side count() action.
+    * Shape at scale: term frequency is a WITHIN-document statistic,
+    * so the (doc, term) counts come from the codegen'd
+    * [[graft.functions.expressions.TermCounts]] map pass — the
+    * corpus-token explode + GROUP BY (doc, term) exchange (formerly
+    * the biggest stage) doesn't exist. Document frequency aggregates
+    * the exploded distinct-pairs stream map-side into a
+    * vocabulary-sized table; the df join is AQE-sized with NO
+    * broadcast hint (on a web-scale corpus the term table is
+    * 10⁸–10⁹ rows and a forced broadcast is a guaranteed OOM; at
+    * small scale AQE broadcasts it anyway). When AQE does broadcast,
+    * each document's pairs stay contiguous in their scan partition,
+    * so the H5 [[graft.plans.TopKPerGroup]] partial phase sees
+    * complete doc groups and reduces to ≤3 rows per doc before its
+    * exchange; under a sort-merge df join the partial phase's
+    * runtime degrade handles the scattered layout instead. The node
+    * emits the rank column natively — no window stage anywhere. The
+    * corpus size N rides in as a 1-row aggregate cross join
+    * (single-row broadcast), not a separate driver-side count().
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val nDf = d.agg(count(lit(1)).cast("double").as("__n_docs"))
-    val toks = d.select(col("doc_id"),
-      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-        .as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df_, Seq("term"))
+    val pairs = d
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.termCounts(col("text")))
+          .as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val df_ = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = pairs.join(df_, Seq("term"))
       .crossJoin(nDf)
       .withColumn("tfidf",
         col("tf").cast("double") * (col("__n_docs") / col("df").cast("double")))
@@ -136,43 +138,58 @@ object TextQueries {
     * partition order, and a real perplexity's log/exp would pull in
     * libm — neither hash-matches across engines.
     *
-    * Shape at scale: two count tables (bigram, unigram — vocabulary-
-    * sized, AQE-sized joins, NO broadcast hints) + one explode over
-    * the corpus; every aggregation map-side combines. The count
-    * tables join each other FIRST (both vocabulary-sized) into one
-    * per-bigram (c2, c1) lookup, so the corpus-scale doc-bigram side
-    * shuffles through exactly one join — c2 and c1 are functions of
-    * the bigram alone, so the pre-join loses nothing. The tokenized
-    * corpus is persisted once instead of re-running the tokenizer
-    * regex for each of the three consumers, and released after the
-    * consuming action (CacheHygiene) so repeated calls in a
-    * long-lived session don't strand corpus-scale cache entries.
+    * Shape at scale: per-document gram multiplicities come from the
+    * codegen'd [[graft.functions.expressions.TermCounts]] map pass,
+    * so every downstream stream carries DISTINCT (doc, gram) pairs
+    * weighted by tf instead of raw slots — Σ_slots c(g) ≡
+    * Σ_distinct tf·c(g), exact long arithmetic either way. The two
+    * count tables (bigram, unigram — vocabulary-sized, AQE-sized
+    * joins, NO broadcast hints) are weighted sums of those pairs,
+    * map-side combined to vocabulary size before their exchanges;
+    * they join each other FIRST (both vocabulary-sized) into one
+    * per-bigram (c2, c1) lookup, so the corpus-scale doc-pair side
+    * shuffles through exactly one join — and since each document's
+    * pairs stay contiguous in their scan partition, the final
+    * per-doc aggregation combines to one row per doc map-side. The
+    * per-doc count arrays are persisted across the three consumers
+    * and released after the consuming action (CacheHygiene) so
+    * long-lived sessions don't strand corpus-scale cache entries.
     */
   def fluency(spark: SparkSession, dir: String,
       persist: Boolean = true): DataFrame = {
     // persist=false exists for graft.tools.DriveFluencyProbe's
     // with/without comparison — production callers keep the default
+    val gf = graft.functions.GraftFunctions
     val t0 = Tables(spark, dir, "documents")
-      .select(col("doc_id"), wsTokens(lower(col("text"))).as("w"))
+      .select(col("doc_id"),
+        gf.termCounts(lower(col("text")), 1, 2).as("gc"))
     val t = if (persist)
       graft.CacheHygiene.unpersistAfterUse(
         t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else t0
-    val bigrams = bigramArray(col("w"))
-    val docBi = t.select(col("doc_id"), explode(bigrams).as("bigram"))
-    val uniCnt = t.select(explode(col("w")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val biCnt = t.select(explode(bigrams).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    // BOTH vocabulary tables from ONE explode+agg: unigrams and
+    // bigrams ride the same gram stream (a token never contains a
+    // space, a bigram always does — the E9 classification trick),
+    // and the two filters consume the same aggregated exchange
+    // (ReuseExchange dedups it).
+    val cnt = t.select(explode(col("gc")).as("p"))
+      .groupBy(col("p.term").as("g")).agg(sum(col("p.tf")).as("c"))
+    val uniCnt = cnt.filter(!col("g").contains(" "))
+      .select(col("g").as("w1"), col("c").as("c1"))
+    val biCnt = cnt.filter(col("g").contains(" "))
+      .select(col("g").as("bigram"), col("c").as("c2"))
     val perBigram = biCnt
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(uniCnt, Seq("w1"))
       .select(col("bigram"), col("c2"), col("c1"))
-    docBi.join(perBigram, Seq("bigram"))
+    t.select(col("doc_id"), explode(col("gc")).as("p"))
+      .filter(col("p.term").contains(" "))
+      .select(col("doc_id"), col("p.term").as("bigram"), col("p.tf").as("tf"))
+      .join(perBigram, Seq("bigram"))
       .groupBy(col("doc_id"))
-      .agg((sum(col("c2")).cast("double") / sum(col("c1")).cast("double"))
-        .as("fluency"),
-        count(lit(1)).as("n_bigrams"))
+      .agg((sum(col("tf") * col("c2")).cast("double")
+          / sum(col("tf") * col("c1")).cast("double")).as("fluency"),
+        sum(col("tf")).as("n_bigrams"))
   }
 
   private val profileSql: Map[String, String] = Map(

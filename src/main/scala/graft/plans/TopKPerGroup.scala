@@ -95,6 +95,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val inAttrs = child.output
     val rankA = rankAttr
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(groupE, inAttrs)
       val rankOrd = GenerateOrdering.generate(orderE, inAttrs)
@@ -103,23 +104,52 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       // normalize instead of casting. No-op copy cost for columnar/
       // codegen children, which already produce UnsafeRow.
       val toUnsafe = UnsafeProjection.create(inAttrs, inAttrs)
-      // Per-group bounded heap; head = current worst survivor
-      // (reverse rank order), so a better row evicts it in O(log k).
-      val heaps =
-        new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (it.hasNext) {
+      // k-slot survivor buffer (k is small — 1..100s): linear scan
+      // for the current worst beats a PriorityQueue's allocation and
+      // pointer chasing at these sizes, and half the partial phase's
+      // former cost WAS the per-group heap allocation.
+      final class Buf {
+        val rows = new Array[UnsafeRow](limit)
+        var n = 0
+        def offer(row: UnsafeRow): Unit = {
+          if (n < limit) { rows(n) = row.copy(); n += 1 }
+          else {
+            var worst = 0
+            var i = 1
+            while (i < limit) {
+              if (rankOrd.compare(rows(i), rows(worst)) > 0) worst = i
+              i += 1
+            }
+            if (rankOrd.compare(row, rows(worst)) < 0) rows(worst) = row.copy()
+          }
+        }
+        def sorted: Array[UnsafeRow] = {
+          val a = java.util.Arrays.copyOf(rows, n)
+          java.util.Arrays.sort(a, rankOrd)
+          a
+        }
+      }
+      val groups = new java.util.LinkedHashMap[UnsafeRow, Buf]()
+      // Adaptive partial phase: when group cardinality ≈ row
+      // cardinality within this partition (e.g. groups are docs and
+      // the rows arrive partitioned by (doc, term)), the partial
+      // reduction buys nothing — every row survives — while paying a
+      // map entry + row copy per row. Detect that at runtime and
+      // degrade to passthrough, exactly like a partial hash
+      // aggregation that stops combining when reduction is poor. The
+      // final phase (complete groups under ClusteredDistribution)
+      // never degrades, so results are exact either way.
+      var seen = 0L
+      var degraded = false
+      while (!degraded && it.hasNext) {
         val row = toUnsafe(it.next())
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit, rankOrd.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < limit) heap.add(row.copy())
-        else if (rankOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
+        var buf = groups.get(key)
+        if (buf == null) { buf = new Buf; groups.put(key.copy(), buf) }
+        buf.offer(row)
+        seen += 1
+        if (isPartial && (seen & 0x1FFF) == 0 &&
+          groups.size().toLong * 10 > seen * 9) degraded = true
       }
       import scala.jdk.CollectionConverters._
       val emit: Iterator[UnsafeRow] => Iterator[InternalRow] = rankA match {
@@ -138,11 +168,13 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
             proj(joined(r, rankRow))
           }
       }
-      heaps.values().iterator().asScala.flatMap { h =>
-        val arr = h.toArray(new Array[UnsafeRow](h.size()))
-        java.util.Arrays.sort(arr, rankOrd)
-        emit(arr.iterator)
-      }
+      val reduced = groups.values().iterator().asScala
+        .flatMap(b => emit(b.sorted.iterator))
+      // passthrough tail: rows after the degrade point go straight to
+      // the exchange (buffer-reuse contract: the consumer serializes
+      // before the next call, so no copy)
+      if (degraded) reduced ++ it.map(toUnsafe(_): InternalRow)
+      else reduced
     }
   }
 

@@ -1,12 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
-import graft.Tables
-import graft.functions.GraftFunctions
-
-/** Stage-by-stage probe of the E9 repetition pipeline (the r6
-  * anti-scaling investigation) — same role as DriveFluencyProbe.
+/** min-of-3 probe: fluency with vs without the persisted count
+  * arrays at the 10x board (r6 constant-factor hunt).
   */
 object RepPlan {
   def main(args: Array[String]): Unit = {
@@ -14,24 +9,19 @@ object RepPlan {
     val spark = graft.GraftSession.local(32)
     def time(label: String)(f: => Long): Unit = {
       var best = Long.MaxValue
-      var n = 0L
-      for (_ <- 1 to 2) {
+      for (_ <- 1 to 3) {
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        n = f
+        f
         best = math.min(best, System.nanoTime() - t0)
       }
-      println(f"[probe] $label%-40s ${best / 1e9}%7.2f s  (rows=$n)")
+      println(f"[probe] $label%-40s ${best / 1e9}%7.2f s")
     }
-    val d = Tables(spark, dir, "documents")
-    val g = d.select(col("doc_id"),
-      explode(GraftFunctions.wsNgrams(lower(col("text")), 1, 2)).as("g"))
-    time("explode grams only") { g.count() }
-    time("+ (doc,g) count") {
-      g.groupBy(col("doc_id"), col("g")).agg(count(lit(1))).count()
+    time("fluency persist=true") {
+      graft.operators.TextQueries.fluency(spark, dir).count()
     }
-    time("full repetition") {
-      graft.operators.Curation.repetitionOf(
-        d.select(col("doc_id"), col("text"))).count()
+    time("fluency persist=false") {
+      graft.operators.TextQueries.fluency(spark, dir, persist = false).count()
     }
     spark.stop()
   }
