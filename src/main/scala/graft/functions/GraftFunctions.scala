@@ -85,6 +85,12 @@ object GraftFunctions {
   def termCounts(c: Column, minN: Int = 1, maxN: Int = 1): Column =
     toCol(TermCounts(toExpr(c), minN, maxN))
 
+  /** All quality/language gate inputs in one byte pass
+    * (see [[graft.functions.expressions.GateStats]]).
+    */
+  def gateStats(c: Column): Column =
+    toCol(GateStats(toExpr(c)))
+
   /** Bloom-filter membership probe (serialized filter baked into the
     * plan; map-side, codegen'd). Positives need exact verification.
     */

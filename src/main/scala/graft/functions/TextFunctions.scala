@@ -85,10 +85,16 @@ object TextFunctions {
   /** Stopword-profile language ID: score each language, argmax with a
     * fixed tie-break ladder (profile order), 'und' when all zero.
     */
-  def langId(c: Column): Column = {
-    val counts = StopwordProfiles.map { case (lang, p) =>
+  def langId(c: Column): Column =
+    langIdFromCounts(StopwordProfiles.map { case (lang, p) =>
       lang -> stopwordCount(c, p)
-    }
+    })
+
+  /** The langId argmax ladder over already-computed per-language
+    * counts (shared by the regex and [[GraftFunctions.gateStats]]
+    * paths).
+    */
+  def langIdFromCounts(counts: Seq[(String, Column)]): Column = {
     val allZero = counts.map(_._2 === 0).reduce(_ && _)
     // lang wins when its count >= every later count and > every
     // earlier count has already been handled by ladder order.
@@ -104,6 +110,26 @@ object TextFunctions {
     }
     when(allZero, lit("und")).otherwise(ladder)
   }
+
+  /** [[qualityScore]] from a [[GraftFunctions.gateStats]] struct —
+    * identical arithmetic (same double terms, same evaluation order),
+    * with the seven regex passes replaced by the one-pass counts.
+    */
+  def qualityFromGate(g: Column): Column = {
+    val nTok = g.getField("n_ws").cast("double")
+    val stopRatio = g.getField("c_en").cast("double") / nTok
+    val punctRatio =
+      g.getField("n_punct").cast("double") / g.getField("n_chars").cast("double")
+    least(lit(1.0), nTok / lit(50.0)) * lit(0.4) +
+      least(lit(1.0), stopRatio * lit(8.0)) * lit(0.4) +
+      (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) * lit(0.2)
+  }
+
+  /** [[langId]] from a [[GraftFunctions.gateStats]] struct. */
+  def langIdFromGate(g: Column): Column =
+    langIdFromCounts(Seq(
+      "en" -> g.getField("c_en"), "de" -> g.getField("c_de"),
+      "es" -> g.getField("c_es"), "fr" -> g.getField("c_fr")))
 
   /** Normalized-content fingerprint: lower + collapse whitespace →
     * md5. Portable to any engine for verification; the production

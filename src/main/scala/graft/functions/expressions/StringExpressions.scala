@@ -280,6 +280,117 @@ case class TermCounts(child: Expression, minN: Int = 1, maxN: Int = 1)
     copy(child = c)
 }
 
+/** All quality/language gate inputs in ONE byte pass (SURVEY.md
+  * §2.C8/E2/E3): `struct(n_chars, n_ws, n_punct, c_en, c_de, c_es,
+  * c_fr)` = (character count, `\S+` token count, `[.,!?;:]` count,
+  * and the four `\b(stopwords)\b` profile counts). The regex
+  * formulation runs SEVEN `regexp_extract_all` passes per document —
+  * each a UTF8String→String conversion plus a java.util.regex
+  * traversal; this is one scan of the raw bytes.
+  *
+  * Fidelity notes, all pinned by spec against the regex forms:
+  * characters = non-continuation UTF-8 bytes; whitespace is Java's
+  * ASCII `\s`; `\b`/`\w` are ASCII in both Java and RE2, so a
+  * stopword match ≡ a maximal `[A-Za-z0-9_]` run equal to the word —
+  * every profile word is ≤4 ASCII bytes, so runs pack into an Int
+  * and membership is a switch over packed constants (case-sensitive,
+  * like the regex).
+  */
+case class GateStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_chars", "n_ws", "n_punct", "c_en", "c_de", "c_es", "c_fr")
+      .map(n => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_gate_stats"
+
+  // profiles packed as big-endian bytes of the ≤4-char word
+  @transient private lazy val packed: Array[java.util.HashMap[Integer, Integer]] = {
+    val profiles = Seq(
+      Seq("the", "and", "of", "to", "is", "in", "it", "a"),
+      Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+      Seq("el", "los", "las", "una", "es", "y", "que"),
+      Seq("le", "les", "et", "est", "une", "dans", "que"))
+    profiles.map { ws =>
+      val m = new java.util.HashMap[Integer, Integer]()
+      ws.foreach { w =>
+        var v = 0
+        w.getBytes("US-ASCII").foreach(b => v = (v << 8) | (b & 0xFF))
+        m.put(v, 1)
+      }
+      m
+    }.toArray
+  }
+
+  def stats(s: UTF8String): Any = {
+    val b = s.getBytes
+    val n = b.length
+    var chars = 0L
+    var ws = 0L
+    var punct = 0L
+    val c = new Array[Long](4)
+    var inTok = false // inside a \S+ run
+    var runV = 0      // packed bytes of current \w run (≤4 chars)
+    var runLen = 0    // -1 = run too long / non-candidate
+    def endRun(): Unit = {
+      if (runLen >= 1 && runLen <= 4) {
+        var p = 0
+        while (p < 4) {
+          if (packed(p).containsKey(runV)) c(p) += 1L
+          p += 1
+        }
+      }
+      runV = 0
+      runLen = 0
+    }
+    var i = 0
+    while (i < n) {
+      val v = b(i) & 0xFF
+      if ((v & 0xC0) != 0x80) chars += 1L
+      val isWs = v == 0x20 || (v >= 0x09 && v <= 0x0D)
+      if (!isWs && !inTok) { ws += 1L; inTok = true }
+      else if (isWs) inTok = false
+      if (v == '.' || v == ',' || v == '!' || v == '?' || v == ';' ||
+        v == ':') punct += 1L
+      // ≥0x80 continues a word run: Java's \b is Unicode-aware (é is
+      // a word char for boundary purposes even though \w is ASCII),
+      // so 'caféthe' must NOT count a 'the'. This matches Java for
+      // non-ASCII letters; non-ASCII PUNCTUATION adjacent to a
+      // stopword diverges (Java would boundary there) — and RE2's
+      // ASCII \b diverges from Java on BOTH, so outside ASCII there
+      // is no cross-engine-consistent answer anyway. The oracle
+      // corpus is ASCII, where all three definitions coincide.
+      val isWord = (v >= 'a' && v <= 'z') || (v >= 'A' && v <= 'Z') ||
+        (v >= '0' && v <= '9') || v == '_' || v >= 0x80
+      if (isWord) {
+        if (runLen >= 0) {
+          if (runLen < 4) { runV = (runV << 8) | v; runLen += 1 }
+          else runLen = -1 // too long: not a profile word
+        }
+      } else {
+        if (runLen != 0) { if (runLen > 0) endRun() else { runLen = 0; runV = 0 } }
+      }
+      i += 1
+    }
+    if (runLen > 0) endRun()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](chars, ws, punct, c(0), c(1), c(2), c(3)))
+  }
+
+  override def nullSafeEval(v: Any): Any = stats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("gateStats", this,
+        classOf[GateStats].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.stats($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Per-document repetition statistics in one pass (SURVEY.md §2.E9):
   * `struct(n_uni, m_uni, n_bi, d_bi, m_bi)` = (token count, top-token
   * multiplicity, bigram-slot count, distinct bigrams, top-bigram

@@ -22,10 +22,17 @@ object Pipeline {
   def cleanCorpus(spark: SparkSession, dir: String,
       minQuality: Double = 0.7, lang: String = "en",
       nearDupThreshold: Double = 0.8): DataFrame = {
+    // One-pass gates: GateStats folds the seven regex passes of
+    // qualityScore+langId into a single byte scan (same counts, same
+    // double arithmetic — spec-pinned); the corpus-scale part of the
+    // composite is exactly this projection, so its constant factor
+    // IS the pipeline's.
     val docs = Tables(spark, dir, "documents")
-      .withColumn("quality", qualityScore(col("text")))
-      .withColumn("pred_lang", langId(col("text")))
+      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+      .withColumn("quality", qualityFromGate(col("__g")))
+      .withColumn("pred_lang", langIdFromGate(col("__g")))
       .filter(col("quality") >= minQuality && col("pred_lang") === lang)
+      .drop("__g")
 
     // Exact dedup on normalized content, canonical = lowest doc_id.
     // The C1 shape — ONE map-side-combinable hash aggregation keyed

@@ -273,6 +273,49 @@ class ExpressionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gateStats ≡ the seven regex passes (edge inputs + real corpus)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val edge = Seq("", " ", "the", "the the the", "thé the caféthe",
+      "a_the_b the5 the", "und der das!", "le les et, est; une: dans?",
+      "el los las... una es y que", "no stopwords here",
+      "中文 the 空格 und", "punct.,!?;: only", "x", "_ _the_ the_")
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (edge ++ corpus).toDF("text").select(
+      gateStats(col("text")).as("g"),
+      length(col("text")).cast("long").as("w_chars"),
+      wsTokenCount(col("text")).cast("long").as("w_ws"),
+      punctCount(col("text")).cast("long").as("w_punct"),
+      stopwordCount(col("text"), StopwordProfiles(0)._2).cast("long").as("w_en"),
+      stopwordCount(col("text"), StopwordProfiles(1)._2).cast("long").as("w_de"),
+      stopwordCount(col("text"), StopwordProfiles(2)._2).cast("long").as("w_es"),
+      stopwordCount(col("text"), StopwordProfiles(3)._2).cast("long").as("w_fr"),
+      col("text"))
+    df.collect().foreach { r =>
+      val g = r.getStruct(0)
+      val want = (1 to 7).map(r.getLong)
+      val got = (0 until 7).map(g.getLong)
+      assert(got == want, s"text=${r.getString(8).take(60)}")
+    }
+    // the derived columns match the regex-formulated ones exactly.
+    // Zero-token texts excluded: BOTH formulations raise ANSI
+    // DIVIDE_BY_ZERO there (identical behavior, nothing to compare).
+    val nonDegenerate = (edge ++ corpus).filter(_.exists(c => !c.isWhitespace))
+    val d2 = nonDegenerate.toDF("text")
+      .withColumn("g", gateStats(col("text")))
+      .select(
+        qualityFromGate(col("g")).as("q2"), qualityScore(col("text")).as("q1"),
+        langIdFromGate(col("g")).as("l2"), langId(col("text")).as("l1"))
+      .collect()
+    d2.foreach { r =>
+      val q2 = if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+      val q1 = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+      assert(q2 == q1 || (q2.isNaN && q1.isNaN))
+      assert(r.getString(2) == r.getString(3))
+    }
+  }
+
   test("E9 repetition is a pure map: zero exchanges in the plan") {
     val plan = operators.Curation.repetition(spark, sf)
       .queryExecution.executedPlan.toString
