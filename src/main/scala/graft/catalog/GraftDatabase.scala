@@ -154,6 +154,29 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def readBucketed(table: String): DataFrame =
     spark.table(bucketedIdent(table))
 
+  /** Re-attach an existing bucketed layout to THIS session's catalog
+    * without rewriting a byte: the bucket metadata lives in the
+    * (session-scoped, in-memory) catalog, so a new JVM would
+    * otherwise see perfectly good bucket files as unregistered and
+    * rebuild them — a build-once layout must survive process
+    * restarts to be worth building. Returns false when the path has
+    * no data (caller then does the real [[writeBucketed]]).
+    */
+  def registerBucketed(table: String, bucketCol: String,
+      nBuckets: Int): Boolean = {
+    val ident = bucketedIdent(table)
+    if (spark.catalog.tableExists(ident)) return true
+    val p = new Path(tablePath(table))
+    if (!fs.exists(p)) return false
+    val schemaDdl = spark.read.parquet(tablePath(table)).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $ident ($schemaDdl) USING PARQUET
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+         |INTO $nBuckets BUCKETS
+         |LOCATION '${tablePath(table)}'""".stripMargin)
+    true
+  }
+
   /** Write a table hive-partitioned by `partCols`: scans filtered on
     * a partition column list only the matching directories
     * (PartitionFilters in the plan — zero I/O for pruned partitions).

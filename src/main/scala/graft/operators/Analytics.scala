@@ -100,6 +100,102 @@ object Analytics {
       .limit(10)
   }
 
+  /** H8-as-layout evidence: lineitem/orders bucketed on the orderkey
+    * join key, built ONCE per corpus dir and reused across
+    * invocations (the D9 build-once/serve-many shape — a bucketed
+    * layout is a storage decision, not per-query work; rebuild
+    * triggers only when the source row count changes or the session
+    * catalog is fresh; a layout from a previous process re-attaches
+    * without a rewrite). 16 buckets both sides → the fact-fact join
+    * reads co-located buckets and elides its exchanges entirely.
+    */
+  // once-per-JVM freshness memo: the row-count comparison is itself
+  // two table scans, which would otherwise tax EVERY invocation of a
+  // bucketed query with the check (a serving path must not re-audit
+  // its index per query — same policy as D9's persisted IVF)
+  private val bucketedReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def bucketedWarehouse(spark: SparkSession,
+      dir: String): graft.catalog.GraftDatabase = {
+    val key = new org.apache.hadoop.fs.Path(dir).getName
+    val db = graft.catalog.GraftDatabase(spark,
+      s"${CsvQueries.scratchRoot}/bucketed_$key/db")
+    if (!bucketedReady.contains(key)) {
+      Seq(("lineitem_b", "lineitem", "l_orderkey"),
+        ("orders_b", "orders", "o_orderkey")).foreach {
+        case (bt, src, bkey) =>
+          val srcDf = Tables(spark, dir, src)
+          // re-attach an on-disk layout from a previous process if
+          // present; rebuild only when absent or stale by row count
+          val fresh = db.registerBucketed(bt, bkey, 16) &&
+            (try db.readBucketed(bt).count() == srcDf.count()
+            catch { case _: Exception => false })
+          if (!fresh) db.writeBucketed(srcDf, bt, bkey, 16)
+      }
+      bucketedReady.add(key)
+      ()
+    }
+    db
+  }
+
+  /** B3 over the bucketed layout: same rows as [[q3ShippingPriority]]
+    * with the l⋈o exchange GONE — the bucketed scans are co-located
+    * on orderkey, the group-by's clustering is satisfied by the same
+    * partitioning (hash(l_orderkey) ⊆ the grouping keys), and the
+    * top-10 is a TakeOrdered. Customer joins however AQE sizes it
+    * (broadcast here; it grows with SF, so no hint). Zero shuffle
+    * exchanges in the plan — pinned by PlanSpec; this is the measured
+    * proof that B3's constant factor vs the single-process baseline
+    * is exchange materialization, i.e. layout, not plan shape.
+    */
+  def q3Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val db = bucketedWarehouse(spark, dir)
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = db.readBucketed("orders_b").filter(col("o_orderdate") < cutoff)
+    val l = db.readBucketed("lineitem_b").filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** B4 over the bucketed layout: same rows as [[q5RegionRevenue]];
+    * the fact-fact l⋈o join is exchange-free, every dim rides a
+    * broadcast, and the only shuffle left in the whole plan is the
+    * 25-row post-aggregation exchange on n_name. Pinned by PlanSpec.
+    */
+  def q5Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val db = bucketedWarehouse(spark, dir)
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val s = Tables(spark, dir, "supplier")
+    val c = Tables(spark, dir, "customer")
+    val o = db.readBucketed("orders_b")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = db.readBucketed("lineitem_b")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c,
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
   /** B4: six-table star join. Only the FIXED-cardinality dims carry a
     * broadcast() hint (region = 5 rows, nation = 25 at every scale
     * factor); supplier and customer grow with SF, so their join
@@ -514,6 +610,19 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.05
         |  AND l_quantity < 24.0""".stripMargin,
+    "q3_bucketed" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
@@ -527,6 +636,19 @@ object Analytics {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q5_bucketed" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
@@ -742,6 +864,8 @@ object Analytics {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q3_bucketed" -> (q3Bucketed _),
+    "q5_bucketed" -> (q5Bucketed _),
     "q_top_orders_per_customer" -> (topOrdersPerCustomer _),
     "q_top_orders_plan" -> (topOrdersPlanNode _),
     "q_orders_rollup" -> (ordersRollup _),

@@ -760,6 +760,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == Tables(spark, sf, "orders").count())
   }
 
+  test("q3/q5 bucketed variants: fact-fact join elides its exchanges") {
+    // q3: zero shuffle exchanges anywhere — the l⋈o join reads
+    // co-located buckets, the group-by's clustering is satisfied by
+    // the same partitioning, the top-10 is a TakeOrdered, and
+    // customer rides a broadcast
+    val q3 = operators.Analytics.q3Bucketed(spark, sf)
+    val p3 = planOf(q3)
+    assert(!p3.contains("Exchange hashpartitioning"),
+      "q3_bucketed must not shuffle:\n" + p3.take(3000))
+    assert(q3.collect().toSeq ==
+      operators.Analytics.q3ShippingPriority(spark, sf).collect().toSeq)
+    // q5: the only shuffle is the 25-row post-aggregation exchange
+    // on n_name
+    val q5 = operators.Analytics.q5Bucketed(spark, sf)
+    val p5 = planOf(q5)
+    assert(p5.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "q5_bucketed: exactly the final-agg exchange:\n" + p5.take(3000))
+    assert(q5.collect().map(_.getString(0)).sorted.toSeq ==
+      operators.Analytics.q5RegionRevenue(spark, sf)
+        .collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("ANALYZE stats gate the broadcast decision (large tables are " +
       "never force-broadcast)") {
     val db = graft.catalog.GraftDatabase(spark, scratch("stats_db"))
