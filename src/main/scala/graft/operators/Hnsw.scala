@@ -24,10 +24,10 @@ import graft.Tables
   * which is the whole point of the graph vs the O(n) brute scan.
   * Memory: one partition's vectors + adjacency must fit an executor
   * core, the same bound `spark.sql.files.maxPartitionBytes` already
-  * enforces for any columnar scan (adjacency adds ~M ints/node). The
-  * graphs here are ephemeral (rebuilt per run, like the IVF/PQ
-  * codebooks); persisting them would be a media-store write, not a
-  * different algorithm.
+  * enforces for any columnar scan (adjacency adds ~M ints/node).
+  * [[hnswTopk]] builds ephemeral graphs inline;
+  * [[buildHnswIndex]]/[[hnswTopkFromIndex]] persist them as blob
+  * rows and serve without rebuilding (the D9 lifecycle).
   *
   * Determinism (spec-pinned): insertion order is the partition
   * iterator's order, node levels derive from a splitmix64 hash of
@@ -182,6 +182,86 @@ object Hnsw {
       searchLayer(q, ep, 0, math.max(ef, k)).iterator
         .take(k).map { case (s, n) => (ids(n), s) }.toSeq
     }
+
+    // persisted-lifecycle hooks: adjacency out for serialization,
+    // adjacency in for a graph restored WITHOUT re-running inserts
+    // (levels recompute from the id hash — deterministic by design)
+    def exportAdj: Array[Array[Array[Int]]] = adj.map(_.map(_.toArray))
+    def exportEntry: Int = entry
+    def importAdj(adjIn: Array[Array[Array[Int]]], entryIn: Int): Unit = {
+      var n = 0
+      while (n < adjIn.length) {
+        var l = 0
+        while (l < adjIn(n).length) {
+          adj(n)(l).clear()
+          adj(n)(l) ++= adjIn(n)(l)
+          l += 1
+        }
+        n += 1
+      }
+      entry = entryIn
+    }
+  }
+
+  /** Compact binary snapshot of one partition's graph: header (node
+    * count, dim, m, entry) then per node (id, vector, per-layer
+    * neighbor lists). Vectors ride IN the blob — the graph is only
+    * searchable with them, and a serve task must not re-join the
+    * corpus to use its index.
+    */
+  private def serializeGraph(g: Graph, ids: Array[Long],
+      vecs: Array[Array[Double]], m: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(
+      new java.util.zip.GZIPOutputStream(bos))
+    val adj = g.exportAdj
+    out.writeInt(ids.length)
+    out.writeInt(if (vecs.isEmpty) 0 else vecs(0).length)
+    out.writeInt(m)
+    out.writeInt(g.exportEntry)
+    var n = 0
+    while (n < ids.length) {
+      out.writeLong(ids(n))
+      vecs(n).foreach(out.writeDouble)
+      out.writeInt(adj(n).length)
+      adj(n).foreach { layer =>
+        out.writeInt(layer.length)
+        layer.foreach(out.writeInt)
+      }
+      n += 1
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  private def deserializeGraph(bytes: Array[Byte]): Graph = {
+    val in = new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = in.readInt()
+    val dim = in.readInt()
+    val m = in.readInt()
+    val entry = in.readInt()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val adj = new Array[Array[Array[Int]]](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = in.readLong()
+      val v = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { v(d) = in.readDouble(); d += 1 }
+      vecs(i) = v
+      val layers = in.readInt()
+      adj(i) = Array.tabulate(layers) { _ =>
+        val cnt = in.readInt()
+        Array.fill(cnt)(in.readInt())
+      }
+      i += 1
+    }
+    in.close()
+    val g = new Graph(vecs, ids, m, 0)
+    g.importAdj(adj, entry)
+    g
   }
 
   /** Build one graph over a partition's rows and answer every query
@@ -228,6 +308,72 @@ object Hnsw {
     val cands = e.as[(Long, Seq[Float])]
       .mapPartitions(it =>
         partitionSearch(it, queries, k, m, efConstruction, efSearch))
+      .toDF("query_id", "neighbor_id", "sim")
+    cands.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+  }
+
+  /** Persisted HNSW lifecycle (VERDICT r5 #6): build each
+    * partition's graph ONCE and store it as a binary blob row in
+    * `<name>_graphs`; serving deserializes the blobs and searches —
+    * no O(n·ef·M) rebuild per query batch. Build stays shuffle-free
+    * (each executor serializes the partition it already holds);
+    * determinism (insertion order, hash levels, id tie-breaks) makes
+    * rebuild idempotent — spec-pinned.
+    */
+  def buildHnswIndex(db: graft.catalog.GraftDatabase, e: DataFrame,
+      name: String, m: Int = 8, efConstruction: Int = 64): Unit = {
+    val spark = db.spark
+    import spark.implicits._
+    val mm = m
+    val efc = efConstruction
+    val blobs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val ids = mutable.ArrayBuffer[Long]()
+        val vecs = mutable.ArrayBuffer[Array[Double]]()
+        it.foreach { case (id, v) =>
+          ids += id
+          vecs += normalize(v.toArray.map(_.toDouble))
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val g = new Graph(vecs.toArray, ids.toArray, mm, efc)
+          var i = 0
+          while (i < ids.length) { g.insert(i); i += 1 }
+          Iterator.single(serializeGraph(g, ids.toArray, vecs.toArray, mm))
+        }
+      }
+      .toDF("graph")
+    db.write(blobs, s"${name}_graphs", org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Serve top-k from stored graphs: queries broadcast in the
+    * closure, one deserialization per blob, same candidate merge as
+    * [[hnswTopk]].
+    */
+  def hnswTopkFromIndex(db: graft.catalog.GraftDatabase, name: String,
+      queries: DataFrame, k: Int = 10, efSearch: Int = 48): DataFrame = {
+    val spark = db.spark
+    import spark.implicits._
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, normalize(v.toArray.map(_.toDouble))) }
+      .sortBy(_._1)
+    val cands = db.read(s"${name}_graphs").select(col("graph"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap { blob =>
+        val g = deserializeGraph(blob)
+        qs.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k + 1, efSearch).iterator
+            .filter(_._1 != qid).take(k)
+            .map { case (nid, s) => (qid, nid, s) }
+        }
+      })
       .toDF("query_id", "neighbor_id", "sim")
     cands.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))

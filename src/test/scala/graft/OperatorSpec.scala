@@ -561,6 +561,44 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(Ann.ivfTopkFromIndex(db, "emb", queries)) == inline)
   }
 
+  test("stored PQ / IVF-PQ / HNSW indexes serve identically to their inline builds") {
+    // VERDICT r5 #6: the compressed and graph indexes get the same
+    // build-once/serve-many lifecycle as plain IVF — serving must
+    // answer EXACTLY what the inline (retrain-per-call) forms answer
+    // (deterministic training/insertion), and rebuild is idempotent
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("ann_index") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    // PQ
+    Pq.buildPqIndex(db, e, "pq")
+    val pqServed = rows(Pq.adcTopKFromIndex(db, "pq", queries))
+    assert(pqServed == rows(Pq.annPq(spark, sf)))
+    assert(db.read("pq_codebook").count() == 8L * 16L)
+    Pq.buildPqIndex(db, e, "pq")
+    assert(rows(Pq.adcTopKFromIndex(db, "pq", queries)) == pqServed)
+    // IVF-PQ
+    operators.IvfPq.buildIvfPqIndex(db, e, "ivfpq")
+    val ivfpqServed = rows(
+      operators.IvfPq.ivfPqTopkFromIndex(db, "ivfpq", queries))
+    assert(ivfpqServed == rows(operators.IvfPq.annIvfPq(spark, sf)))
+    assert(db.read("ivfpq_centroids").count() == 16L)
+    operators.IvfPq.buildIvfPqIndex(db, e, "ivfpq")
+    assert(rows(operators.IvfPq.ivfPqTopkFromIndex(db, "ivfpq", queries))
+      == ivfpqServed)
+    // HNSW: stored graphs must answer exactly what the inline
+    // per-partition build answers (same partitions → same graphs)
+    Hnsw.buildHnswIndex(db, e, "hnsw")
+    val hnswServed = rows(Hnsw.hnswTopkFromIndex(db, "hnsw", queries))
+    assert(hnswServed == rows(Hnsw.hnswTopk(spark, sf)))
+    Hnsw.buildHnswIndex(db, e, "hnsw")
+    assert(rows(Hnsw.hnswTopkFromIndex(db, "hnsw", queries)) == hnswServed)
+  }
+
   test("IVF probe is a hash equi-join, not a nested loop") {
     val plan = Ann.ivfTopk(spark, sf)
       .queryExecution.executedPlan.toString
