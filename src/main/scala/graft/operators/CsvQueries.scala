@@ -243,6 +243,38 @@ object CsvQueries {
     eucFixture(spark, sfDir, "encoding_koi8r", " проверка данных",
       "name_ru", "KOI8-R")
 
+  /** A1 (Greek): windows-1253 via the single-byte script profiles —
+    * the letter positions equal ISO-8859-7's, so this also covers
+    * ISO-8859-7 uploads.
+    */
+  def csvEncodingGreek(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_greek", " δοκιμή στοιχείων",
+      "name_el", "windows-1253")
+
+  /** A1 (Thai): TIS-620 via the single-byte script profiles. */
+  def csvEncodingThai(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_thai", " ทดสอบนามสกุลไทย",
+      "name_th", "TIS-620")
+
+  /** A1 (EBCDIC national variant, Germany/Austria): cp273 repurposes
+    * cp037's punctuation slots for umlauts/ß — umlaut-dense German
+    * text is the letters-tier signal that admits and picks the
+    * member ([[graft.sources.EncodingDetector.pickEbcdicMember]]).
+    */
+  def csvEncodingCp273(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_cp273", " prüfgröße älter übrig",
+      "name_de", "IBM273")
+
+  /** A1 (EBCDIC national variant, Denmark/Norway): cp277 — æ/ø/å in
+    * the punctuation slots. Lowercase æ/ø/å share their slots with
+    * cp273's ä/ö/ü (byte-identical streams — no sniffer can split
+    * them), so the fixture carries an Æ: its slot is '#' under
+    * cp273, which makes cp277 strictly win the letters tier.
+    */
+  def csvEncodingCp277(spark: SparkSession, sfDir: String): DataFrame =
+    eucFixture(spark, sfDir, "encoding_cp277", " Ærø løbenr årgang",
+      "name_da", "IBM277")
+
   /** A1 (EBCDIC): a cp037 mainframe export — space is 0x40, letters
     * ≥ 0x81, newline 0x25 — detected structurally and decoded with
     * the charset-encoded lineSep (a raw-0x0A split would see one
@@ -511,6 +543,26 @@ object CsvQueries {
         |  n_name || ' [b500] ledger' AS name_tag,
         |  'IBM500' AS encoding
         |FROM nation""".stripMargin,
+    "csv_encoding_greek" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' δοκιμή στοιχείων' AS name_el,
+        |  'windows-1253' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_thai" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' ทดสอบนามสกุลไทย' AS name_th,
+        |  'TIS-620' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_cp273" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' prüfgröße älter übrig' AS name_de,
+        |  'IBM273' AS encoding
+        |FROM nation""".stripMargin,
+    "csv_encoding_cp277" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' Ærø løbenr årgang' AS name_da,
+        |  'IBM277' AS encoding
+        |FROM nation""".stripMargin,
     "csv_encoding_cp1047" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |  n_name || ' [b1047] ledger' AS name_tag,
@@ -551,6 +603,10 @@ object CsvQueries {
     "csv_encoding_koi8r" -> (csvEncodingKoi8r _),
     "csv_encoding_ebcdic" -> (csvEncodingEbcdic _),
     "csv_encoding_cp500" -> (csvEncodingCp500 _),
+    "csv_encoding_greek" -> (csvEncodingGreek _),
+    "csv_encoding_thai" -> (csvEncodingThai _),
+    "csv_encoding_cp273" -> (csvEncodingCp273 _),
+    "csv_encoding_cp277" -> (csvEncodingCp277 _),
     "csv_encoding_cp1047" -> (csvEncodingCp1047 _),
     "jsonl_ingest" -> (jsonlIngest _),
     "csv_table_conflict" -> (csvTableConflict _),

@@ -267,8 +267,14 @@ object CsvUploader {
       encoding == EncodingDetector.Gbk ||
       encoding == EncodingDetector.Cp1251 ||
       encoding == EncodingDetector.Koi8R ||
+      encoding == EncodingDetector.Cp1253 ||
+      encoding == EncodingDetector.Cp1256 ||
+      encoding == EncodingDetector.Cp1255 ||
+      encoding == EncodingDetector.Tis620 ||
       encoding == EncodingDetector.Cp037 ||
       encoding == EncodingDetector.Cp500 ||
+      encoding == EncodingDetector.Cp273 ||
+      encoding == EncodingDetector.Cp277 ||
       encoding == EncodingDetector.Cp1047 ||
       encoding == EncodingDetector.Cp1047Nl
 
@@ -312,6 +318,8 @@ object CsvUploader {
         encoding.startsWith("UTF-32") ||
         encoding == EncodingDetector.Cp037 ||
         encoding == EncodingDetector.Cp500 ||
+        encoding == EncodingDetector.Cp273 ||
+        encoding == EncodingDetector.Cp277 ||
         encoding == EncodingDetector.Cp1047Nl)
         reader.option("lineSep", "\n")
       else reader).csv(csvPath)

@@ -53,11 +53,21 @@ import org.apache.spark.sql.SparkSession
   * punctuation-byte scoring against the JVM's own charset tables
   * ([[pickEbcdicMember]]).
   *
+  * Single-byte scripts (Cyrillic cp1251/KOI8-R, Greek cp1253,
+  * Arabic cp1256, Hebrew cp1255, Thai TIS-620) detect via per-script
+  * letter profiles with pairwise exclusive-byte margins
+  * ([[detectSingleByteScript]]); EBCDIC national variants cp273
+  * (German) / cp277 (Danish) join the member contest on a ≥3
+  * distinct national-letter gate and win on the letters scoring
+  * tier.
+  *
   * Remaining undetectable without a full charset_normalizer port
-  * (documented gap): cp125x variants other than 1251/1252, EBCDIC
-  * codepages outside the 037/500/1047 family, and kana-free
-  * pure-kanji Shift-JIS. Those decode as latin-1 mojibake, like any
-  * non-statistical sniffer would.
+  * (documented gap): cp125x variants beyond the implemented set,
+  * EBCDIC codepages outside 037/500/1047/273/277, kana-free
+  * pure-kanji Shift-JIS, and lowercase-only Danish cp277 (slot-
+  * identical to German cp273 — no byte-level signal exists; an
+  * Æ/Å/ø-distinct byte resolves it). Those decode as latin-1 or
+  * head-member mojibake, like any non-statistical sniffer would.
   */
 object EncodingDetector {
 
@@ -78,6 +88,16 @@ object EncodingDetector {
   val Gbk = "GBK"
   val Cp1251 = "windows-1251"
   val Koi8R = "KOI8-R"
+  /** Greek — also covers ISO-8859-7 streams (identical letter
+    * positions; they differ only in currency/punct rows).
+    */
+  val Cp1253 = "windows-1253"
+  /** Arabic. */
+  val Cp1256 = "windows-1256"
+  /** Hebrew. */
+  val Cp1255 = "windows-1255"
+  /** Thai. */
+  val Tis620 = "TIS-620"
   /** cp037 with NL (0x15) record terminators — the JVM charset's own
     * newline convention (`"\n".getBytes("IBM037")` = 0x15), so the
     * decode splits records with an encoded lineSep.
@@ -114,6 +134,15 @@ object EncodingDetector {
     * (otherwise the cp1047 decode is byte-identical and is used).
     */
   val Cp037Lf = "IBM037:LF"
+  /** cp273 (Germany/Austria) — cp037's punctuation slots repurposed
+    * for umlauts/ß; admitted to the member contest only on ≥3
+    * distinct national-letter bytes ([[pickEbcdicMember]] — cp500's
+    * bracket pair decodes as Ä/Ü, so a 2-distinct gate would flip
+    * bracketed cp500 files).
+    */
+  val Cp273 = "IBM273"
+  /** cp277 (Denmark/Norway) — æ/ø/å in the punctuation slots. */
+  val Cp277 = "IBM277"
 
   /** Detect the charset of a file readable through the Hadoop
     * FileSystem API (local, HDFS, S3A, …) — only the sniff window is
@@ -158,7 +187,7 @@ object EncodingDetector {
     // valid UTF-8, so UTF-16LE ASCII text would pass as UTF-8.
     val utf16 = detectUtf16NoBom(bytes)
     if (utf16.isDefined) return utf16.get
-    lazy val cyrillic = detectCyrillic(bytes)
+    lazy val script = detectSingleByteScript(bytes)
     if (isValidUtf8(bytes, truncated)) {
       // ascii → latin-1 widening, mirroring the reference.
       if (bytes.forall(b => (b & 0xFF) < 0x80)) Latin1 else Utf8
@@ -199,8 +228,25 @@ object EncodingDetector {
           if (b == 0xAD.toByte) ad = true
           else if (b == 0xBD.toByte) bd = true
         }
+        // national members join the contest only when the stream
+        // carries their letter signal: ≥2 DISTINCT bytes that decode
+        // to non-ASCII letters under the member but differ from
+        // cp037 — German umlaut text qualifies, a lone Ý or ¢ never
+        // does (the same pair-evidence rule as the 1047 brackets)
+        // ≥3 distinct national-letter bytes: cp500's bracket PAIR
+        // (0x4A/0x5A) decodes as Ä/Ü under cp273, so a 2-distinct
+        // gate would admit cp273 into every bracketed cp500 contest
+        // and the letters tier would flip it; three distinct letters
+        // is umlaut-text territory no punctuation pair reaches
+        val nationals = Seq(Cp273, Cp277).filter { cs =>
+          val differ = differBytesFor(Seq(Cp037, cs))
+          bytes.iterator.map(_ & 0xFF)
+            .filter(v => differ.contains(v) && nationalLetterAt(cs, v))
+            .toSet.size >= 3
+        }
         val candidates =
-          if (ad && bd) Seq(Cp037, Cp500, Cp1047) else Seq(Cp037, Cp500)
+          (if (ad && bd) Seq(Cp037, Cp500, Cp1047)
+          else Seq(Cp037, Cp500)) ++ nationals
         pickEbcdicMember(bytes, candidates) match {
           // 0x15-terminated 1047 (Java's own IBM1047 newline): decode
           // via the 1047 tables with the ordinary "\n" lineSep
@@ -208,11 +254,11 @@ object EncodingDetector {
           case m => m
         }
       }
-    } else if (cyrillic.isDefined) {
-      // Must run BEFORE the SJIS/EUC ladder: Cyrillic letters are
-      // single high bytes, so even-length letter runs structurally
-      // mimic EUC high+high pairs.
-      cyrillic.get
+    } else if (script.isDefined) {
+      // Must run BEFORE the SJIS/EUC ladder: Cyrillic/Greek/Arabic/
+      // Hebrew/Thai letters are single high bytes, so even-length
+      // letter runs structurally mimic EUC high+high pairs.
+      script.get
     } else if (isShiftJis(bytes, truncated)) {
       ShiftJis
     } else if (isEucFamily(bytes, truncated)) {
@@ -321,6 +367,24 @@ object EncodingDetector {
   private lazy val cp1251Profile = byteProfile("оеаинтсрвлкмдпу", Cp1251)
   private lazy val koi8Profile = byteProfile("оеаинтсрвлкмдпу", Koi8R)
 
+  /** Per-script letter profiles for the remaining single-byte
+    * codepages charset_normalizer identifies (reference
+    * `__init__.py:137`): Greek, Arabic, Hebrew, Thai. Each is the
+    * language's most frequent letters encoded through the JVM's own
+    * charset tables at class load — the cp1251/KOI8-R machinery
+    * generalized. ISO-8859-7 Greek decodes identically to
+    * windows-1253 at every letter position (they differ only in the
+    * currency/punct rows), so one verdict covers both; same for
+    * TIS-620 within windows-874.
+    */
+  private lazy val scriptProfiles: Seq[(String, Set[Int])] = Seq(
+    Cp1251 -> cp1251Profile,
+    Koi8R -> koi8Profile,
+    Cp1253 -> byteProfile("αετοινσρηυπκωάέήίόύώ", Cp1253),
+    Cp1256 -> byteProfile("اليمنوهترب", Cp1256),
+    Cp1255 -> byteProfile("יהולארתמשב", Cp1255),
+    Tis620 -> byteProfile("านรอกเงิมยลวด", Tis620))
+
   private def byteProfile(chars: String, charset: String): Set[Int] =
     chars.map(ch => String.valueOf(ch).getBytes(charset))
       .filter(_.length == 1).map(b => b(0) & 0xFF).toSet
@@ -364,16 +428,32 @@ object EncodingDetector {
     sp20 == 0 && zoneOk && (spaceSignal || numericSignal)
   }
 
-  /** Bytes whose decode differs across the EBCDIC members, computed
-    * from the JVM's own charset tables at class load (record
-    * terminators excluded — they're the candidate-set signal, not a
-    * member signal).
+  /** Bytes whose decode differs across a SPECIFIC candidate set,
+    * computed from the JVM's own charset tables (record terminators
+    * excluded — they're the candidate-set signal, not a member
+    * signal). Scoped per candidate set so admitting a national
+    * member (cp273/cp277) widens the contested bytes only for the
+    * streams that show its letters — a plain 037/500/1047 contest
+    * scores exactly the bytes it always did.
     */
-  private lazy val ebcdicDifferBytes: Set[Int] =
-    (0 to 0xFF).filter { v =>
-      Seq(Cp037, Cp500, Cp1047)
-        .map(cs => new String(Array(v.toByte), cs)).distinct.size > 1
-    }.toSet -- Set(0x15, 0x25)
+  private val differMemo =
+    scala.collection.concurrent.TrieMap[Seq[String], Set[Int]]()
+  private def differBytesFor(candidates: Seq[String]): Set[Int] =
+    differMemo.getOrElseUpdate(candidates,
+      (0 to 0xFF).filter { v =>
+        candidates.map(cs => new String(Array(v.toByte), cs))
+          .distinct.size > 1
+      }.toSet -- Set(0x15, 0x25))
+
+  /** True when `cs` decodes byte `v` to a non-ASCII letter — the
+    * national-variant signal: cp273/cp277 repurpose cp037's
+    * punctuation slots for umlauts/æøå, so REAL German/Danish text
+    * concentrates letter mass exactly on the differ bytes.
+    */
+  private def nationalLetterAt(cs: String, v: Int): Boolean = {
+    val c = new String(Array(v.toByte), cs).charAt(0)
+    c > 0x7F && Character.isLetter(c)
+  }
 
   /** Pick the EBCDIC member whose decode of the stream's
     * punctuation-differ bytes yields printable ASCII ('[' ']' '^' '!'
@@ -393,42 +473,101 @@ object EncodingDetector {
     */
   private[sources] def pickEbcdicMember(bytes: Array[Byte],
       candidates: Seq[String]): String = {
-    val present = bytes.iterator.map(_ & 0xFF)
-      .filter(ebcdicDifferBytes.contains).toSet
+    val differ = differBytesFor(candidates)
+    val counts = new Array[Int](256)
+    bytes.foreach(b => counts(b & 0xFF) += 1)
+    val present = differ.filter(counts(_) > 0)
     if (present.isEmpty) return candidates.head
-    def printable(cs: String): Int = present.count { v =>
-      val c = new String(Array(v.toByte), cs).charAt(0)
-      c >= '!' && c <= '~'
+    // Two scoring tiers. Letters tier: occurrences of differ bytes
+    // the member decodes to non-ASCII LETTERS — the national-variant
+    // signal (German text is umlaut-dense; a '{'-and-'}'-dense CSV is
+    // not text). Printable tier: distinct differ bytes decoding to
+    // printable ASCII — the 037/500/1047 punctuation signal. Both
+    // tiers gate on ≥2 distinct evidence bytes (the '¢'-column /
+    // Ý-name rule: one letter of evidence never flips a file).
+    case class S(lettersOcc: Long, lettersDistinct: Int, printable: Int)
+    def scoreOf(cs: String): S = {
+      var lo = 0L
+      var ld = 0
+      var pr = 0
+      present.foreach { v =>
+        val c = new String(Array(v.toByte), cs).charAt(0)
+        if (c > 0x7F && Character.isLetter(c)) { lo += counts(v); ld += 1 }
+        else if (c >= '!' && c <= '~') pr += 1
+      }
+      S(lo, ld, pr)
     }
-    val scored = candidates.map(cs => cs -> printable(cs))
-    val (bestCs, bestScore) = scored.maxBy(_._2) // first max: head keeps ties
-    if (bestCs != candidates.head &&
-      (bestScore < 2 || bestScore <= scored.head._2)) candidates.head
-    else bestCs
+    // letter evidence below the 2-distinct gate scores ZERO — a lone
+    // Ý-name (or ¢-column) must neither win nor BLOCK the printable
+    // tier for the member it happens to sit in
+    def eff(s: S): Long = if (s.lettersDistinct >= 2) s.lettersOcc else 0L
+    val scored = candidates.map(cs => cs -> scoreOf(cs))
+    scored.tail.foldLeft(scored.head) { case (best @ (_, bs), cand @ (_, cs2)) =>
+      val challengerWins = eff(cs2) > eff(bs) ||
+        (eff(cs2) == eff(bs) &&
+          cs2.printable > bs.printable && cs2.printable >= 2)
+      if (challengerWins) cand else best
+    }._1
   }
 
-  private[sources] def detectCyrillic(bytes: Array[Byte]): Option[String] = {
+  /** Single-byte script detection over the letter profiles
+    * ([[scriptProfiles]]): real text concentrates ≥35% of its
+    * non-ASCII mass on the language's top letters, while
+    * cross-script byte coincidences stay well under the winner —
+    * so the verdict needs BOTH the floor (7/20 of high bytes) and a
+    * 1.5× margin over the runner-up; anything ambiguous falls
+    * through to the western ladder. Same thresholds the
+    * cp1251/KOI8-R pair shipped with; profile order is the
+    * tie-break (fixed, like the langId ladder).
+    */
+  private[sources] def detectSingleByteScript(
+      bytes: Array[Byte]): Option[String] = {
     val n = bytes.length
     if (n == 0) return None
     var high = 0
-    var cp = 0
-    var koi = 0
+    val byteCounts = new Array[Int](256)
+    val hits = new Array[Int](scriptProfiles.length)
     var i = 0
     while (i < n) {
       val v = bytes(i) & 0xFF
       if (v >= 0x80) {
         high += 1
-        if (cp1251Profile.contains(v)) cp += 1
-        if (koi8Profile.contains(v)) koi += 1
+        byteCounts(v) += 1
+        var p = 0
+        while (p < scriptProfiles.length) {
+          if (scriptProfiles(p)._2.contains(v)) hits(p) += 1
+          p += 1
+        }
       }
       i += 1
     }
     if (high * 4 < n) return None // <25% non-ASCII: western ladder
-    val best = math.max(cp, koi)
-    val other = math.min(cp, koi)
-    if (best * 20 >= high * 7 && best * 2 >= other * 3)
-      Some(if (cp >= koi) Cp1251 else Koi8R)
-    else None
+    var bi = 0
+    var p = 1
+    while (p < hits.length) { if (hits(p) > hits(bi)) bi = p; p += 1 }
+    if (hits(bi) * 20 < high * 7) return None // floor: 35% of high bytes
+    // Pairwise confirmation on EXCLUSIVE bytes: single-byte letter
+    // ranges overlap heavily across scripts (Greek/Hebrew/Cyrillic
+    // all live in 0xE0–0xFF), so a global margin over total hits
+    // rejects real text for cross-profile coincidences. The winner
+    // must instead beat each challenger on the bytes where their
+    // profiles actually DIFFER — ≥2 distinct exclusive bytes and a
+    // 1.5× occurrence margin. For the disjoint cp1251/KOI8-R pair
+    // this is exactly the original margin rule.
+    val (wcs, wset) = scriptProfiles(bi)
+    val ok = scriptProfiles.indices.filter(_ != bi).forall { pi =>
+      val oset = scriptProfiles(pi)._2
+      var wOcc = 0L
+      var wDistinct = 0
+      var oOcc = 0L
+      (wset -- oset).foreach { v =>
+        val c = byteCounts(v)
+        if (c > 0) { wOcc += c; wDistinct += 1 }
+      }
+      (oset -- wset).foreach(v => oOcc += byteCounts(v))
+      wDistinct >= 2 && wOcc * 2 >= oOcc * 3
+    }
+    if (ok) Some(wcs) else None
   }
 
   /** Encode each character of `chars` in `charset` and keep the

@@ -105,6 +105,16 @@ class EncodingDetectorSpec extends AnyFunSuite {
     // takes TWO distinct printable differ bytes (the bracket pair)
     val cents = "id,amt\n1,5¢ OFF LEDGER\n2,9¢ OFF LEDGER\n3,2¢ OFF X"
     assert(detectBytes(cents.getBytes("IBM037")) == Cp037)
+    // national variants: umlaut-dense German text (≥3 distinct
+    // national-letter bytes) admits and picks cp273 on the letters
+    // tier; Danish with an Æ (the '#' slot under cp273) picks cp277
+    val german = "id,name\n1,GRÖSSE prüfung älter ßig\n2,BRAVO übrig"
+    assert(detectBytes(german.getBytes("IBM273")) == Cp273)
+    val danish = "id,name\n1,Ærø løbenr årgang\n2,BRAVO løbenr årgang"
+    assert(detectBytes(danish.getBytes("IBM277")) == Cp277)
+    // ...but a bracketed cp500 file must NOT flip to cp273 just
+    // because its bracket pair decodes as Ä/Ü there (the ≥3 gate)
+    assert(detectBytes(punct.getBytes("IBM500")) == Cp500)
     // numeric mainframe export: no spaces, commas+digits carry it
     val num = "k,v\n" + (1 to 20).map(i => s"$i,${i * 37}").mkString("\n")
     assert(detectBytes(num.getBytes("IBM037")) == Cp037)
@@ -117,6 +127,23 @@ class EncodingDetectorSpec extends AnyFunSuite {
     // cyrillic text (has 0x20 spaces) keeps its own verdict
     assert(detectBytes("id,имя\n1,проверка данных"
       .getBytes("windows-1251")) == Cp1251)
+  }
+  test("single-byte scripts: greek/arabic/hebrew/thai profiles detect; margins hold") {
+    val el = "id,name\n1,δοκιμή στοιχείων\n2,ποιότητα είναι καλή"
+    assert(detectBytes(el.getBytes("windows-1253")) == Cp1253)
+    // an ISO-8859-7 stream lands on the same (letter-identical) verdict
+    assert(detectBytes(el.getBytes("ISO-8859-7")) == Cp1253)
+    val ar = "id,name\n1,اختبار البيانات\n2,نوعية المحتوى هنا"
+    assert(detectBytes(ar.getBytes("windows-1256")) == Cp1256)
+    val he = "id,name\n1,בדיקה רשומה ישנה\n2,איכות הטקסט בסדר"
+    assert(detectBytes(he.getBytes("windows-1255")) == Cp1255)
+    val th = "id,name\n1,ทดสอบนามสกุลไทย\n2,ข้อมูลนามสกุลอย่างดี"
+    assert(detectBytes(th.getBytes("TIS-620")) == Tis620)
+    // russian must still resolve against the widened profile table
+    assert(detectBytes("id,имя\n1,проверка иванов слово"
+      .getBytes("windows-1251")) == Cp1251)
+    assert(detectBytes("id,имя\n1,проверка иванов слово"
+      .getBytes("KOI8-R")) == Koi8R)
   }
   test("utf-8 sequence truncated by the sniff window still validates") {
     val full = ("a" * 10 + "é").getBytes("UTF-8")

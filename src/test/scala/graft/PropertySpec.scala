@@ -42,7 +42,9 @@ class PropertySpec extends AnyFunSuite {
         EncodingDetector.ShiftJis, EncodingDetector.EucFamily,
         EncodingDetector.EucKr, EncodingDetector.EucJp,
         EncodingDetector.Gbk, EncodingDetector.Cp1251,
-        EncodingDetector.Koi8R).contains(v)
+        EncodingDetector.Koi8R, EncodingDetector.Cp1253,
+        EncodingDetector.Cp1256, EncodingDetector.Cp1255,
+        EncodingDetector.Tis620).contains(v)
     })
   }
 
