@@ -147,14 +147,22 @@ object Dedup {
     */
   private[operators] def ngramJaccardOfHashed(docs: DataFrame,
       threshold: Double): DataFrame = {
+    val w = docs.sparkSession.sparkContext.defaultParallelism
     val prefix = docs.select(col("doc_id"),
       explode(prefixByRarity(col("sh"), raritySketch(docs), threshold))
         .as("shingle"))
+    // Width-pinned like the verify joins (see [[verifyJaccard]]):
+    // this join's shuffle rows are 16 bytes each but its reduce side
+    // generates the candidate pairs — the operator's most
+    // CPU-intensive stage after verify, and exactly what byte-based
+    // coalescing starves under a relaxed advisory.
     val cands = prefix.select(col("doc_id").as("doc_id_a"), col("shingle"))
+      .repartition(w, col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_id_b"), col("shingle")),
         Seq("shingle"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"))
+      .repartition(w, col("doc_id_a"), col("doc_id_b"))
       .distinct()
     verifyJaccard(cands, docs, threshold)
   }
@@ -182,9 +190,35 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
+    // CPU-cost width pin (VERDICT r5 #8): the verify stage's rows are
+    // few BYTES (id pairs + hash arrays) but heavy CPU each (the
+    // sorted-merge intersection), so AQE's byte-based coalescing
+    // under a relaxed advisory serializes exactly this stage onto a
+    // couple of cores (measured 29.8 s at a 64 MB advisory vs 7.3 s
+    // at 1 MB on the 10× board). An explicit fixed-width repartition
+    // of the candidate pairs is exempt from AQE coalescing and pins
+    // the verify compute at cluster width regardless of the global
+    // advisory — the per-operator override bytes can't express. The
+    // docs side stays unhinted (broadcast while small, shuffle at
+    // scale). BOTH join exchanges need the pin: the sorted-merge
+    // intersection executes in the stage fed by the doc_id_b
+    // exchange, so pinning only the doc_id_a side leaves the
+    // CPU-heavy stage coalescable (ngram at the 64 MB advisory,
+    // 10× board: 29.8 s unpinned → 23.9 s doc_id_a only → 21.6 s
+    // both verify joins → 6.7 s once the pair-generation and
+    // distinct exchanges are pinned too — see the caller-side pins).
+    // Each repartition satisfies the next operator's distribution
+    // requirement exactly, so it replaces the planner's own exchange
+    // rather than adding one; at the default 1 MB advisory the
+    // pinned plans measure identical to the unpinned r5 board
+    // (ngram 7.3 s, minhash 2.9 s).
+    val w = cands.sparkSession.sparkContext.defaultParallelism
     val sa = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    cands.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+    cands.repartition(w, col("doc_id_a"))
+      .join(sa, Seq("doc_id_a"))
+      .repartition(w, col("doc_id_b"))
+      .join(sb, Seq("doc_id_b"))
       .withColumn("inter",
         sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard", col("inter") /
@@ -232,11 +266,20 @@ object Dedup {
     val pairsOf = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("a"), y.as("b")))))
-    val cands = banded.groupBy(col("band"), col("bucket"))
+    // Width-pinned ([[verifyJaccard]]): the reduce side of this
+    // aggregation explodes the in-bucket pairs — CPU-heavy on few
+    // bytes, the shape AQE's byte advisory coalesces away. The
+    // repartition satisfies the aggregate's distribution requirement
+    // so it replaces the planner's exchange; partial collect_set
+    // loses little (buckets are near-unique per map partition).
+    val w = spark.sparkContext.defaultParallelism
+    val cands = banded.repartition(w, col("band"), col("bucket"))
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(ids) >= 2 && size(ids) <= maxBucket)
       .select(explode(pairsOf).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .repartition(w, col("doc_id_a"), col("doc_id_b"))
       .distinct()
     verifyJaccard(cands, docs, threshold)
   }

@@ -759,6 +759,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "minhash re-tokenizes the corpus:\n" + mh.take(2000))
   }
 
+  test("C3/C4 width pins survive a relaxed AQE advisory") {
+    // VERDICT r5 #8: byte-based coalescing under a relaxed advisory
+    // serialized the CPU-heavy candidate/verify stages (29.8 s at a
+    // 64 MB advisory vs 7.3 s at 1 MB on the 10× board). The
+    // REPARTITION_BY_NUM pins are exempt from coalescing, so the
+    // final (verify) stage must keep cluster width no matter how
+    // large the advisory — on this tiny corpus an unpinned plan
+    // coalesces to a single partition.
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "256MB")
+    try {
+      val w = spark.sparkContext.defaultParallelism
+      assert(Dedup.ngramJaccard(spark, sf).rdd.getNumPartitions == w,
+        "ngram verify stage lost its width pin under a 256MB advisory")
+      assert(Dedup.minhashLsh(spark, sf).rdd.getNumPartitions == w,
+        "minhash verify stage lost its width pin under a 256MB advisory")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("custom TopKPerGroup plans partial-heap before the exchange") {
     val df = plans.TopKPerGroup(
       Tables(spark, sf, "orders").select(col("o_custkey"), col("o_orderkey")),
