@@ -68,7 +68,7 @@ SCALE10 = [
     "ann_topk_exact", "text_tfidf_top_terms", "text_fluency",
     "text_fingerprint", "curate_contamination", "curate_repetition",
     "pipeline_clean_corpus", "pipeline_pack", "q_percentiles",
-    "q_median_quantity"]
+    "q_median_quantity", "q3_bucketed", "q5_bucketed"]
 
 
 def parent_offset(name):
