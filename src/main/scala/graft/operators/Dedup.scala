@@ -147,9 +147,15 @@ object Dedup {
     */
   private[operators] def ngramJaccardOfHashed(docs: DataFrame,
       threshold: Double): DataFrame = {
-    val w = docs.sparkSession.sparkContext.defaultParallelism
+    // The sketch's totalCount is the corpus shingle total — a free
+    // cost signal for the width pins below (the sketch pass already
+    // ran eagerly; no extra job).
+    val sketch = raritySketch(docs)
+    val totalShingles = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch)).totalCount
+    val w = pinWidth(docs.sparkSession, totalShingles)
     val prefix = docs.select(col("doc_id"),
-      explode(prefixByRarity(col("sh"), raritySketch(docs), threshold))
+      explode(prefixByRarity(col("sh"), sketch, threshold))
         .as("shingle"))
     // Width-pinned like the verify joins (see [[verifyJaccard]]):
     // this join's shuffle rows are 16 bytes each but its reduce side
@@ -164,7 +170,23 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"))
       .repartition(w, col("doc_id_a"), col("doc_id_b"))
       .distinct()
-    verifyJaccard(cands, docs, threshold)
+    verifyJaccard(cands, docs, threshold, w)
+  }
+
+  /** Data-proportional width for the pinned exchanges: the stages'
+    * CPU cost tracks the corpus shingle volume (candidate counts and
+    * verify work both grow with it), so the pin scales from a
+    * single task on a toy corpus (32-task dispatch was ~25% of
+    * sub-second sf0.1 wall time — the cost the AQE byte advisory
+    * exists to avoid) up to full cluster width long before the data
+    * is large enough for coalescing to starve the stages. Clamped to
+    * defaultParallelism; rows-per-task is env-tunable for sweeps.
+    */
+  private def pinWidth(spark: SparkSession, costRows: Long): Int = {
+    val perTask = sys.env.getOrElse(
+      "SPARK_GRAFT_PIN_ROWS_PER_TASK", "49152").toLong
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (costRows + perTask - 1) / perTask)).toInt
   }
 
   /** Serialized Count-Min Sketch of shingle document frequencies —
@@ -189,30 +211,31 @@ object Dedup {
     * |a∪b| = |a| + |b| − |a∩b| since the arrays are sets.
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, w: Int): DataFrame = {
     // CPU-cost width pin (VERDICT r5 #8): the verify stage's rows are
     // few BYTES (id pairs + hash arrays) but heavy CPU each (the
     // sorted-merge intersection), so AQE's byte-based coalescing
     // under a relaxed advisory serializes exactly this stage onto a
     // couple of cores (measured 29.8 s at a 64 MB advisory vs 7.3 s
-    // at 1 MB on the 10× board). An explicit fixed-width repartition
-    // of the candidate pairs is exempt from AQE coalescing and pins
-    // the verify compute at cluster width regardless of the global
-    // advisory — the per-operator override bytes can't express. The
-    // docs side stays unhinted (broadcast while small, shuffle at
-    // scale). BOTH join exchanges need the pin: the sorted-merge
-    // intersection executes in the stage fed by the doc_id_b
-    // exchange, so pinning only the doc_id_a side leaves the
-    // CPU-heavy stage coalescable (ngram at the 64 MB advisory,
-    // 10× board: 29.8 s unpinned → 23.9 s doc_id_a only → 21.6 s
-    // both verify joins → 6.7 s once the pair-generation and
+    // at 1 MB on the 10× board). An explicit repartition of the
+    // candidate pairs is exempt from AQE coalescing and pins the
+    // verify compute at [[pinWidth]]'s data-proportional width
+    // regardless of the global advisory — the per-operator override
+    // bytes can't express. The docs side stays unhinted (broadcast
+    // while small, shuffle at scale). BOTH join exchanges need the
+    // pin: the sorted-merge intersection executes in the stage fed
+    // by the doc_id_b exchange, so pinning only the doc_id_a side
+    // leaves the CPU-heavy stage coalescable (ngram at the 64 MB
+    // advisory, 10× board: 29.8 s unpinned → 23.9 s doc_id_a only →
+    // 21.6 s both verify joins → 6.7 s once the pair-generation and
     // distinct exchanges are pinned too — see the caller-side pins).
     // Each repartition satisfies the next operator's distribution
     // requirement exactly, so it replaces the planner's own exchange
     // rather than adding one; at the default 1 MB advisory the
-    // pinned plans measure identical to the unpinned r5 board
-    // (ngram 7.3 s, minhash 2.9 s).
-    val w = cands.sparkSession.sparkContext.defaultParallelism
+    // data-proportional width matches what AQE chose for the r5
+    // board (ngram 7.3 s, minhash 2.9 s at 10×; a fixed full-width
+    // pin cost ~1 s of task dispatch at sf0.1 — the reason the
+    // width is proportional, not constant).
     val sa = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
     cands.repartition(w, col("doc_id_a"))
@@ -245,9 +268,18 @@ object Dedup {
       k: Int = 128, bands: Int = 32,
       maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
-    val docs = graft.CacheHygiene.unpersistAfterUse(
-      docShingleHashes(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val docs = docShingleHashes(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager corpus stats for the width pins — materializes the
+    // shingle cache the signatures and verify read anyway, so the
+    // only added cost is one job barrier. Hygiene registers AFTER
+    // this action (an earlier registration would treat it as the
+    // consuming action and drop the cache before the caller's).
+    val st = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("sh"))), lit(0L)).as("s")).head()
+    val wBand = pinWidth(spark, st.getLong(0) * bands)
+    val wVerify = pinWidth(spark, st.getLong(1))
+    graft.CacheHygiene.unpersistAfterUse(docs)
     val sigs = docs.select(
       col("doc_id"),
       minhashFromHashes(col("sh"), k, 42L).as("sig"))
@@ -272,16 +304,15 @@ object Dedup {
     // repartition satisfies the aggregate's distribution requirement
     // so it replaces the planner's exchange; partial collect_set
     // loses little (buckets are near-unique per map partition).
-    val w = spark.sparkContext.defaultParallelism
-    val cands = banded.repartition(w, col("band"), col("bucket"))
+    val cands = banded.repartition(wBand, col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(ids) >= 2 && size(ids) <= maxBucket)
       .select(explode(pairsOf).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
-      .repartition(w, col("doc_id_a"), col("doc_id_b"))
+      .repartition(wVerify, col("doc_id_a"), col("doc_id_b"))
       .distinct()
-    verifyJaccard(cands, docs, threshold)
+    verifyJaccard(cands, docs, threshold, wVerify)
   }
 
   /** C5: 60-bit SimHash fingerprints (one pass, md5 token hashes —

@@ -759,23 +759,43 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "minhash re-tokenizes the corpus:\n" + mh.take(2000))
   }
 
-  test("C3/C4 width pins survive a relaxed AQE advisory") {
+  test("C3/C4 width pins are data-proportional and survive a " +
+      "relaxed AQE advisory") {
     // VERDICT r5 #8: byte-based coalescing under a relaxed advisory
     // serialized the CPU-heavy candidate/verify stages (29.8 s at a
     // 64 MB advisory vs 7.3 s at 1 MB on the 10× board). The
-    // REPARTITION_BY_NUM pins are exempt from coalescing, so the
-    // final (verify) stage must keep cluster width no matter how
-    // large the advisory — on this tiny corpus an unpinned plan
-    // coalesces to a single partition.
+    // REPARTITION_BY_NUM pins are exempt from coalescing, so a
+    // corpus past the rows-per-task threshold must keep cluster
+    // width no matter how large the advisory — while a toy corpus
+    // must STAY narrow (a fixed full-width pin re-created the
+    // 32-task-dispatch overhead the byte advisory exists to avoid:
+    // +1 s per dedup query at sf0.1).
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "256MB")
     try {
       val w = spark.sparkContext.defaultParallelism
-      assert(Dedup.ngramJaccard(spark, sf).rdd.getNumPartitions == w,
-        "ngram verify stage lost its width pin under a 256MB advisory")
-      assert(Dedup.minhashLsh(spark, sf).rdd.getNumPartitions == w,
-        "minhash verify stage lost its width pin under a 256MB advisory")
+      // ~500 docs × 600 words → ~300k shingles ≥ w × 49152; each doc
+      // exists twice (ids i and i+500) so verified pairs are
+      // NON-EMPTY — a zero-row candidate set lets AQE collapse the
+      // whole tail to an empty relation (0 partitions) and the
+      // assertion would test nothing
+      val rng = new scala.util.Random(7)
+      import spark.implicits._
+      val base = (0 until 250).map { _ =>
+        Seq.fill(600)("w" + rng.nextInt(5000)).mkString(" ")
+      }
+      val big = (0 until 500).map { i =>
+        (i.toLong, base(i % 250))
+      }.toDF("doc_id", "text")
+      assert(Dedup.ngramJaccardOf(big).rdd.getNumPartitions == w,
+        "large-corpus ngram verify stage lost its width pin under a " +
+          "256MB advisory")
+      // the sf0.001 corpus is far below one task's worth of shingles
+      assert(Dedup.ngramJaccard(spark, sf).rdd.getNumPartitions < w,
+        "toy-corpus ngram plan should stay narrow (dispatch overhead)")
+      assert(Dedup.minhashLsh(spark, sf).rdd.getNumPartitions < w,
+        "toy-corpus minhash plan should stay narrow (dispatch overhead)")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
