@@ -139,7 +139,15 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${bucketedIdent(table)}")
-    df.write.mode(SaveMode.Overwrite)
+    // One file per bucket: bucket id = pmod(Murmur3(col), n) — the
+    // SAME function repartition(n, col) shuffles by — so after the
+    // repartition each write task holds exactly one bucket's rows.
+    // Without it every input split writes to every bucket
+    // (splits × buckets files: 640 tiny files from a 20-shard
+    // source at n=32), and the bucketed scan's per-file open/footer
+    // overhead erased the exchange win it exists to provide.
+    df.repartition(nBuckets, df(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .option("path", tablePath(table))

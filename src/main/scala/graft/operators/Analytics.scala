@@ -106,8 +106,17 @@ object Analytics {
     * layout is a storage decision, not per-query work; rebuild
     * triggers only when the source row count changes or the session
     * catalog is fresh; a layout from a previous process re-attaches
-    * without a rewrite). 16 buckets both sides → the fact-fact join
-    * reads co-located buckets and elides its exchanges entirely.
+    * without a rewrite). Cluster-width buckets both sides → the
+    * fact-fact join reads co-located buckets and elides its
+    * exchanges entirely. The bucket count MUST track the machine:
+    * a bucketed scan→join→agg runs as exactly nBuckets tasks (no
+    * AQE re-split), so 16 buckets on a 32-core box idled half the
+    * machine and measured SLOWER than the unbucketed plan at the
+    * 10× board (q3 1.62 s vs 1.51 s) — the layout's exchange win
+    * was erased by the parallelism cap. The count is baked into
+    * the table name so a layout written at one width can never
+    * silently re-attach under another (registerBucketed trusts the
+    * caller's count).
     */
   // once-per-JVM freshness memo: the row-count comparison is itself
   // two table scans, which would otherwise tax EVERY invocation of a
@@ -117,26 +126,27 @@ object Analytics {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def bucketedWarehouse(spark: SparkSession,
-      dir: String): graft.catalog.GraftDatabase = {
-    val key = new org.apache.hadoop.fs.Path(dir).getName
+      dir: String): (graft.catalog.GraftDatabase, Int) = {
+    val n = spark.sparkContext.defaultParallelism
+    val key = s"${new org.apache.hadoop.fs.Path(dir).getName}_$n"
     val db = graft.catalog.GraftDatabase(spark,
       s"${CsvQueries.scratchRoot}/bucketed_$key/db")
     if (!bucketedReady.contains(key)) {
-      Seq(("lineitem_b", "lineitem", "l_orderkey"),
-        ("orders_b", "orders", "o_orderkey")).foreach {
+      Seq((s"lineitem_b$n", "lineitem", "l_orderkey"),
+        (s"orders_b$n", "orders", "o_orderkey")).foreach {
         case (bt, src, bkey) =>
           val srcDf = Tables(spark, dir, src)
           // re-attach an on-disk layout from a previous process if
           // present; rebuild only when absent or stale by row count
-          val fresh = db.registerBucketed(bt, bkey, 16) &&
+          val fresh = db.registerBucketed(bt, bkey, n) &&
             (try db.readBucketed(bt).count() == srcDf.count()
             catch { case _: Exception => false })
-          if (!fresh) db.writeBucketed(srcDf, bt, bkey, 16)
+          if (!fresh) db.writeBucketed(srcDf, bt, bkey, n)
       }
       bucketedReady.add(key)
       ()
     }
-    db
+    (db, n)
   }
 
   /** B3 over the bucketed layout: same rows as [[q3ShippingPriority]]
@@ -150,12 +160,12 @@ object Analytics {
     * is exchange materialization, i.e. layout, not plan shape.
     */
   def q3Bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val db = bucketedWarehouse(spark, dir)
+    val (db, n) = bucketedWarehouse(spark, dir)
     val cutoff = lit("1997-06-01").cast("timestamp")
     val c = Tables(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
-    val o = db.readBucketed("orders_b").filter(col("o_orderdate") < cutoff)
-    val l = db.readBucketed("lineitem_b").filter(col("l_shipdate") > cutoff)
+    val o = db.readBucketed(s"orders_b$n").filter(col("o_orderdate") < cutoff)
+    val l = db.readBucketed(s"lineitem_b$n").filter(col("l_shipdate") > cutoff)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -175,16 +185,21 @@ object Analytics {
     * 25-row post-aggregation exchange on n_name. Pinned by PlanSpec.
     */
   def q5Bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val db = bucketedWarehouse(spark, dir)
+    val (db, nb) = bucketedWarehouse(spark, dir)
     val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables(spark, dir, "nation")
     val s = Tables(spark, dir, "supplier")
     val c = Tables(spark, dir, "customer")
-    val o = db.readBucketed("orders_b")
+    val o = db.readBucketed(s"orders_b$nb")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val l = db.readBucketed("lineitem_b")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val l = db.readBucketed(s"lineitem_b$nb")
+    // shuffle_hash over co-bucketed scans is STILL exchange-free
+    // (the bucketed HashPartitioning satisfies SHJ's distribution);
+    // unlike q3 the lineitem side is unfiltered here, and hashing
+    // the filtered orders side beats merging the full 6M-row sorted
+    // stream (10×: 1.12 s SMJ → measured below with SHJ)
+    l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(c,
         col("o_custkey") === col("c_custkey") &&
