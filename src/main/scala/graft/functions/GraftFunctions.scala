@@ -41,6 +41,16 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     toCol(SortedIntersectSize(toExpr(a), toExpr(b)))
 
+  /** E10 fast path: exact bigram-LM fluency of a text column in one
+    * byte pass against broadcast corpus gram counts (see
+    * [[expressions.FluencyScore]]). Null for <2-token docs.
+    */
+  def fluencyScore(text: Column,
+      counts: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]]): Column =
+    toCol(FluencyScore(toExpr(text), counts))
+
   /** AllPairs prefix of a hashed-shingle array under the
     * (approx-df, hash) global order (Count-Min Sketch rarity). Exact
     * for candidate generation under any sketch contents; see

@@ -280,6 +280,103 @@ case class TermCounts(child: Expression, minN: Int = 1, maxN: Int = 1)
     copy(child = c)
 }
 
+/** E10 fast path: score one document's bigram-LM fluency in a single
+  * byte pass against BROADCAST corpus count maps — the stats-gated
+  * twin of the join formulation in
+  * [[graft.operators.TextQueries.fluency]] (same gating idea as
+  * H13's ANALYZE-driven broadcast): when the aggregated vocabulary
+  * fits the driver bound, shipping it to every executor replaces the
+  * corpus-scale explode→join→re-aggregate tail with this one
+  * map-side projection. Numerator Σ_slots c2(w_i w_{i+1}) and
+  * denominator Σ_slots c1(w_i) accumulate as exact longs over the
+  * document's bigram slots — identical, term for term, to the join
+  * path's Σ_distinct tf·c — and the single long→double division at
+  * the end is the same arithmetic, so the two paths hash-match
+  * bit-for-bit. Returns null for documents with <2 tokens: the join
+  * path's inner join emits no pair row for them, and the caller's
+  * filter drops the nulls to keep the output sets identical.
+  *
+  * The maps ride a Spark [[org.apache.spark.broadcast.Broadcast]]
+  * (one copy per executor, torrent-distributed), NOT the expression's
+  * task binary — serializing `this` captures only the broadcast
+  * stub.
+  */
+case class FluencyScore(child: Expression,
+    counts: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, java.lang.Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fluency",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bigrams",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fluency_score"
+
+  def score(s: UTF8String): Any = {
+    val b = s.getBytes
+    val n = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    if (nTok < 2) return null
+    // one map serves both gram kinds: a unigram key never contains
+    // 0x20, a bigram key always does (the E9 classification trick)
+    val m = counts.value
+    var num = 0L
+    var den = 0L
+    var t = 0
+    while (t < nTok - 1) {
+      val l1 = ends(t) - starts(t)
+      // unigram lookup keys are zero-copy slices of the input bytes
+      val c1 = m.get(UTF8String.fromBytes(b, starts(t), l1))
+      if (c1 != null) den += c1.longValue()
+      val l2 = ends(t + 1) - starts(t + 1)
+      val gb = new Array[Byte](l1 + 1 + l2)
+      System.arraycopy(b, starts(t), gb, 0, l1)
+      gb(l1) = 0x20
+      System.arraycopy(b, starts(t + 1), gb, l1 + 1, l2)
+      val c2 = m.get(UTF8String.fromBytes(gb))
+      if (c2 != null) num += c2.longValue()
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](num.toDouble / den.toDouble, (nTok - 1).toLong))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("fluencyScore", this,
+        classOf[FluencyScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.score($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All quality/language gate inputs in ONE byte pass (SURVEY.md
   * §2.C8/E2/E3): `struct(n_chars, n_ws, n_punct, c_en, c_de, c_es,
   * c_fr)` = (character count, `\S+` token count, `[.,!?;:]` count,

@@ -156,24 +156,60 @@ object TextQueries {
     * long-lived sessions don't strand corpus-scale cache entries.
     */
   def fluency(spark: SparkSession, dir: String,
-      persist: Boolean = true): DataFrame = {
+      persist: Boolean = true,
+      maxBroadcastVocab: Int = sys.env.getOrElse(
+        "SPARK_GRAFT_FLUENCY_VOCAB_CAP", "262144").toInt): DataFrame = {
     // persist=false exists for graft.tools.DriveFluencyProbe's
-    // with/without comparison — production callers keep the default
+    // with/without comparison — production callers keep the default;
+    // maxBroadcastVocab=0 forces the join path (the equality spec's
+    // lever, and the knob for clusters whose executors are tighter
+    // on memory than the default ~tens-of-MB vocabulary bound)
     val gf = graft.functions.GraftFunctions
     val t0 = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         gf.termCounts(lower(col("text")), 1, 2).as("gc"))
+    // BOTH vocabulary tables from ONE explode+agg: unigrams and
+    // bigrams ride the same gram stream (a token never contains a
+    // space, a bigram always does — the E9 classification trick).
+    val cntOf = (src: DataFrame) => src.select(explode(col("gc")).as("p"))
+      .groupBy(col("p.term").as("g")).agg(sum(col("p.tf")).as("c"))
+    // Stats-gated fast path (H13's gating idea applied to a
+    // vocabulary): the aggregated gram counts are VOCABULARY-sized —
+    // corpus-scale explode in, ~|vocab| rows out — so when they fit
+    // the driver bound, broadcasting them lets FluencyScore produce
+    // each document's exact score in one byte pass: no per-doc count
+    // cache, no corpus-scale pair stream, no join, no re-aggregation
+    // (the 10× board measured 2.17 s for that tail vs 0.9 s for
+    // this shape). take(cap+1) bounds driver memory BEFORE the
+    // decision: if it returns more than cap rows the vocabulary is
+    // too big, and we fall through to the join plan — the shape that
+    // scales to a 100 TB natural-language vocabulary no driver can
+    // hold.
+    val vocab = if (maxBroadcastVocab > 0)
+      cntOf(t0).take(maxBroadcastVocab + 1) else Array.empty[org.apache.spark.sql.Row]
+    if (maxBroadcastVocab > 0 && vocab.length <= maxBroadcastVocab) {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        math.max(16, vocab.length * 2))
+      vocab.foreach { r =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
+      }
+      val bc = spark.sparkContext.broadcast(m)
+      return Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          gf.fluencyScore(lower(col("text")), bc).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"), col("s.fluency").as("fluency"),
+          col("s.n_bigrams").as("n_bigrams"))
+    }
     val t = if (persist)
       graft.CacheHygiene.unpersistAfterUse(
         t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else t0
-    // BOTH vocabulary tables from ONE explode+agg: unigrams and
-    // bigrams ride the same gram stream (a token never contains a
-    // space, a bigram always does — the E9 classification trick),
-    // and the two filters consume the same aggregated exchange
-    // (ReuseExchange dedups it).
-    val cnt = t.select(explode(col("gc")).as("p"))
-      .groupBy(col("p.term").as("g")).agg(sum(col("p.tf")).as("c"))
+    // the two filters consume the same aggregated exchange
+    // (ReuseExchange dedups it)
+    val cnt = cntOf(t)
     val uniCnt = cnt.filter(!col("g").contains(" "))
       .select(col("g").as("w1"), col("c").as("c1"))
     val biCnt = cnt.filter(col("g").contains(" "))

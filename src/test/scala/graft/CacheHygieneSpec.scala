@@ -44,7 +44,10 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
 
   test("operator-level: fluency leaves no resident cache behind") {
     spark.catalog.clearCache()
-    operators.TextQueries.fluency(spark, sf).count()
+    // maxBroadcastVocab=0 forces the JOIN path — the one that
+    // persists the per-doc count arrays (the broadcast fast path
+    // caches nothing and passes trivially)
+    operators.TextQueries.fluency(spark, sf, maxBroadcastVocab = 0).count()
     assert(eventually()(spark.sharedState.cacheManager.isEmpty),
       "fluency stranded a cached intermediate")
   }

@@ -331,6 +331,51 @@ class ExpressionSpec extends AnyFunSuite with SparkTestBase {
       plan.take(2000))
     assert(plan.contains("graft_collapse_ws"), plan.take(2000))
   }
+
+  test("E10 broadcast fast path ≡ join path, bit-for-bit") {
+    // The gated FluencyScore pass must reproduce the join
+    // formulation EXACTLY (same long sums, same single division) —
+    // including dropping <2-token docs, which the join path loses to
+    // its inner join and the fast path must null out. The corpus
+    // vocabulary (~1k grams) is far under the default cap, so the
+    // default call takes the broadcast path; maxBroadcastVocab=0
+    // forces the join plan on the same data.
+    val fast = operators.TextQueries.fluency(spark, sf)
+    assert(fast.queryExecution.executedPlan.toString
+        .contains("graft_fluency_score"),
+      "default call did not take the broadcast fast path")
+    val slow = operators.TextQueries
+      .fluency(spark, sf, maxBroadcastVocab = 0)
+    val f = fast.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val s = slow.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(f == s, {
+      val onlyF = (f.keySet -- s.keySet).take(3)
+      val onlyS = (s.keySet -- f.keySet).take(3)
+      val diff = f.keySet.intersect(s.keySet)
+        .filter(k => f(k) != s(k)).take(3)
+      s"fast-only=$onlyF join-only=$onlyS value-diffs=" +
+        diff.map(k => s"$k: ${f(k)} vs ${s(k)}").mkString(", ")
+    })
+    // <2-token docs score null (the corpus may contain none, so pin
+    // the edge on the expression directly): the join path emits no
+    // row for them and the caller's isNotNull filter must agree
+    import spark.implicits._
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    m.put(org.apache.spark.unsafe.types.UTF8String.fromString("a"), 7L)
+    m.put(org.apache.spark.unsafe.types.UTF8String.fromString("a a"), 3L)
+    val bc = spark.sparkContext.broadcast(m)
+    val scored = Seq("a", "", "  ", "a a a")
+      .toDF("t")
+      .select(col("t"), graft.functions.GraftFunctions
+        .fluencyScore(col("t"), bc).as("s"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(scored("a").isEmpty && scored("").isEmpty &&
+      scored("  ").isEmpty, s"short docs must score null: $scored")
+    assert(scored("a a a").nonEmpty, "2+ token doc must score")
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
