@@ -51,6 +51,17 @@ object GraftFunctions {
           java.lang.Long]]): Column =
     toCol(FluencyScore(toExpr(text), counts))
 
+  /** E5 fast path: per-doc top-k TF-IDF structs in one byte pass
+    * against a broadcast document-frequency map (see
+    * [[expressions.TfidfTop3]]).
+    */
+  def tfidfTop3(text: Column,
+      df: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]],
+      nDocs: Long, k: Int = 3): Column =
+    toCol(TfidfTop3(toExpr(text), df, nDocs, k))
+
   /** AllPairs prefix of a hashed-shingle array under the
     * (approx-df, hash) global order (Count-Min Sketch rarity). Exact
     * for candidate generation under any sketch contents; see

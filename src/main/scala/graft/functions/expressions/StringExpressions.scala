@@ -377,6 +377,104 @@ case class FluencyScore(child: Expression,
     copy(child = c)
 }
 
+/** E5 fast path: one document's top-k TF-IDF terms in a single byte
+  * pass against a BROADCAST document-frequency map — the same
+  * stats-gated twin [[FluencyScore]] is for E10. Per distinct term:
+  * tfidf = tf · (N / df), the double arithmetic in exactly the join
+  * path's order (`tf.cast(double) * (N.cast(double) / df.cast
+  * (double))`), so values hash-match bit-for-bit. Selection order is
+  * the H5 TopKPerGroup contract: tfidf desc, then term asc by binary
+  * (UTF8String byte) comparison; rank is the 1-based position.
+  * Returns the (term, rank, tfidf) structs in rank order — the
+  * caller explodes them; a doc with no tokens yields the empty
+  * array, matching the join path's absent rows.
+  */
+case class TfidfTop3(child: Expression,
+    df: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, java.lang.Long]],
+    nDocs: Long, k: Int = 3)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tfidf",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_tfidf_top3"
+
+  def top(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        val t = UTF8String.fromBytes(b, st, i - st)
+        val cnt = m.get(t)
+        if (cnt == null) m.put(t, Array(1L)) else cnt(0) += 1L
+      } else i += 1
+    }
+    val nD = nDocs.toDouble
+    val dfm = df.value
+    // bounded top-k selection: k is tiny (3), linear insertion wins
+    val terms = new Array[UTF8String](k)
+    val scores = new Array[Double](k)
+    var filled = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val dfv = dfm.get(e.getKey)
+      val score =
+        if (dfv == null) 0.0 // unreachable: df built from this corpus
+        else e.getValue()(0).toDouble * (nD / dfv.longValue().toDouble)
+      // position: after every entry that beats (score desc, term asc)
+      var p = filled
+      while (p > 0 && (scores(p - 1) < score ||
+          (scores(p - 1) == score &&
+            terms(p - 1).compareTo(e.getKey) > 0))) p -= 1
+      if (p < k) {
+        var q = math.min(filled, k - 1)
+        while (q > p) {
+          terms(q) = terms(q - 1); scores(q) = scores(q - 1); q -= 1
+        }
+        terms(p) = e.getKey
+        scores(p) = score
+        if (filled < k) filled += 1
+      }
+    }
+    val out = new Array[AnyRef](filled)
+    var o = 0
+    while (o < filled) {
+      out(o) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](terms(o), o + 1, scores(o)))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = top(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("tfidfTop3", this,
+        classOf[TfidfTop3].getName)
+      s"${ev.value} = $ref.top($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All quality/language gate inputs in ONE byte pass (SURVEY.md
   * §2.C8/E2/E3): `struct(n_chars, n_ws, n_punct, c_en, c_de, c_es,
   * c_fr)` = (character count, `\S+` token count, `[.,!?;:]` count,

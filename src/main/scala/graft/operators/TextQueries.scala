@@ -81,15 +81,41 @@ object TextQueries {
     * corpus size N rides in as a 1-row aggregate cross join
     * (single-row broadcast), not a separate driver-side count().
     */
-  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfTopTerms(spark: SparkSession, dir: String,
+      maxBroadcastVocab: Int = sys.env.getOrElse(
+        "SPARK_GRAFT_FLUENCY_VOCAB_CAP", "262144").toInt): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val nDf = d.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val gf = graft.functions.GraftFunctions
     val pairs = d
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.termCounts(col("text")))
-          .as("p"))
+        explode(gf.termCounts(col("text"))).as("p"))
       .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
     val df_ = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Stats-gated fast path — the same vocabulary-broadcast shape as
+    // E10's (see [[fluency]]): the df table is vocabulary-sized, so
+    // when take(cap+1) proves it fits the driver bound, TfidfTop3
+    // computes each document's exact top-3 in one byte pass (term
+    // counts, score, bounded selection — the H5 ordering contract)
+    // and the df join + TopKPerGroup exchange never exist. Web-scale
+    // vocabularies fall through to the join plan.
+    val vocab = if (maxBroadcastVocab > 0)
+      df_.take(maxBroadcastVocab + 1) else Array.empty[org.apache.spark.sql.Row]
+    if (maxBroadcastVocab > 0 && vocab.length <= maxBroadcastVocab) {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        math.max(16, vocab.length * 2))
+      vocab.foreach { r =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
+      }
+      val bc = spark.sparkContext.broadcast(m)
+      val nDocs = d.count()
+      return d.select(col("doc_id"),
+          explode(gf.tfidfTop3(col("text"), bc, nDocs)).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"),
+          col("e.rank").as("rank"), col("e.tfidf").as("tfidf"))
+    }
+    val nDf = d.agg(count(lit(1)).cast("double").as("__n_docs"))
     val scored = pairs.join(df_, Seq("term"))
       .crossJoin(nDf)
       .withColumn("tfidf",
@@ -327,7 +353,7 @@ object TextQueries {
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
-    "text_tfidf_top_terms" -> (tfidfTopTerms _),
+    "text_tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
     "text_fingerprint" -> (fingerprints _),
     "text_fluency" -> ((s, d) => fluency(s, d)),
     "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),

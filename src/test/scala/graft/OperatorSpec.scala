@@ -376,6 +376,31 @@ class ExpressionSpec extends AnyFunSuite with SparkTestBase {
       scored("  ").isEmpty, s"short docs must score null: $scored")
     assert(scored("a a a").nonEmpty, "2+ token doc must score")
   }
+
+  test("E5 broadcast fast path ≡ join path, bit-for-bit") {
+    // Same gating contract as E10: the default call must take the
+    // TfidfTop3 broadcast pass and reproduce the join+TopKPerGroup
+    // plan EXACTLY — values (tf·(N/df) in the same double order),
+    // ranks (tfidf desc, term asc binary), and row set.
+    val fast = operators.TextQueries.tfidfTopTerms(spark, sf)
+    assert(fast.queryExecution.executedPlan.toString
+        .contains("graft_tfidf_top3"),
+      "default call did not take the broadcast fast path")
+    val slow = operators.TextQueries
+      .tfidfTopTerms(spark, sf, maxBroadcastVocab = 0)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(2))
+    val f = fast.collect().map(r => key(r) -> (r.getString(1),
+      r.getDouble(3))).toMap
+    val s = slow.collect().map(r => key(r) -> (r.getString(1),
+      r.getDouble(3))).toMap
+    assert(f == s, {
+      val diff = (f.keySet ++ s.keySet)
+        .filter(k => f.get(k) != s.get(k)).take(5)
+      diff.map(k => s"$k: fast=${f.get(k)} join=${s.get(k)}")
+        .mkString(", ")
+    })
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
@@ -783,12 +808,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("r5 rewrites keep their plan shapes: no windows, map-side prefix") {
-    // E5: the per-doc top-3 is the TopKPerGroup node with NATIVE rank
-    // emission — no window operator may appear anywhere in the plan
-    val tfidf = planOf(operators.TextQueries.tfidfTopTerms(spark, sf))
+    // E5 join path (forced — the default is the r6 broadcast fast
+    // path): the per-doc top-3 is the TopKPerGroup node with NATIVE
+    // rank emission — no window operator may appear anywhere
+    val tfidf = planOf(operators.TextQueries
+      .tfidfTopTerms(spark, sf, maxBroadcastVocab = 0))
     assert(tfidf.contains("TopKPerGroupFinal"), tfidf.take(2000))
     assert(!tfidf.contains("Window"), "rank window crept back:\n" +
       tfidf.take(2000))
+    // E5 fast path: ONE scan, zero exchanges — the whole query is a
+    // generate over the codegen'd top-3 expression
+    val tfast = planOf(operators.TextQueries.tfidfTopTerms(spark, sf))
+    assert(tfast.contains("graft_tfidf_top3"), tfast.take(2000))
+    assert(!tfast.contains("Exchange"),
+      "broadcast fast path must not shuffle:\n" + tfast.take(2000))
+    assert(tfast.linesIterator.count(_.contains("FileScan")) == 1,
+      tfast.take(2000))
     // C3: candidate generation computes prefixes MAP-SIDE from the
     // cached arrays (PrefixByRarity) — no window, no df-join rank
     val ngram = planOf(operators.Dedup.ngramJaccard(spark, sf))
