@@ -596,6 +596,127 @@ object Dedup {
           .as("similarity"))
   }
 
+  /** Positional w-token window hashes of every document:
+    * (doc_id, pos, h) with pos 0-based — one codegen'd map pass
+    * (tokenize → slide → xxhash64; whole-stage CSE shares the
+    * tokenizer across the w slices). Docs shorter than w tokens
+    * contribute no rows. The shared scan under C20a/C20b.
+    */
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(
+        when(size(tokens(col("text"))) >= w,
+          transform(shingleSlots(tokens(col("text")), w), s => xxhash64(s)))
+          .otherwise(array().cast("array<bigint>")))
+        .as(Seq("pos", "h")))
+
+  /** C20a: exact-substring dedup pairs — documents sharing at least
+    * one verbatim run of w consecutive tokens, with the count of
+    * distinct shared windows (the document-granular form of Lee et
+    * al. 2022's ExactSubstr: near-dup detection by exact long-run
+    * overlap, the complement of C3's set-similarity view — Jaccard
+    * misses a long verbatim quote inside otherwise-different docs;
+    * this finds exactly that).
+    *
+    * Scale shape: inverted index on the 64-bit window hash — ONE
+    * corpus-scale shuffle (group by h, map-side combined), in-bucket
+    * pairs exploded map-side from the per-window doc set (the C4
+    * banding pattern). Windows occurring more than maxOcc times are
+    * boilerplate (site headers, license blocks) and are dropped
+    * BEFORE pair generation — the cap bounds the quadratic blowup a
+    * hot window would cause, and the oracle applies the identical
+    * cap so exactness is preserved, not approximated.
+    */
+  def substringPairs(spark: SparkSession, dir: String, w: Int = 12,
+      maxOcc: Int = 1000): DataFrame =
+    substringPairsOf(Tables(spark, dir, "documents"), w, maxOcc)
+
+  def substringPairsOf(docs: DataFrame, w: Int, maxOcc: Int): DataFrame = {
+    val ids = col("ids")
+    val pairsOf = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+    windowHashes(docs, w)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(col("occ") <= maxOcc && size(ids) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** C20b: duplicated-span coverage — for every document, how many
+    * of its tokens sit inside at least one w-token window that
+    * occurs elsewhere in the corpus (or again in the same doc). This
+    * is ExactSubstr's actual removal decision as a per-doc statistic:
+    * `dup_fraction` ≈ the fraction of the doc a span-level dedup
+    * pass would delete. Unlike C20a no pair set materializes — the
+    * shape is linear end to end: the window→count aggregation's
+    * exchange is REUSED by the duplicated-window join (same child,
+    * same h partitioning), coverage expands each duplicated window
+    * into its w positions map-side, and the per-doc distinct-count
+    * shuffles only duplicated positions.
+    */
+  def substringSpans(spark: SparkSession, dir: String,
+      w: Int = 12): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val wh = windowHashes(docs, w)
+    val dupH = wh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    val cover = wh.join(dupH, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("dup_toks"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_fraction",
+        col("n_dup_tokens").cast("double") / col("n_tokens"))
+  }
+
+  /** C21: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup: k-means-cluster the embedding space (deterministic
+    * bounded-sample Lloyd, the D2 quantizer), then exact cosine
+    * pairs WITHIN each cluster only. Near-semantic duplicates land
+    * in the same cell with probability →1 as similarity →1, so the
+    * all-pairs cost collapses from O(n²) to Σ|cell|² — the paper's
+    * trade: recall at the threshold is spec-pinned (planted dups +
+    * subset-of-C6 precision), not oracle-exact, same contract as
+    * D2/C7. At scale nClusters grows with the corpus (cells stay
+    * ~constant-sized), the assignment pass is one codegen'd map
+    * over broadcast centroid literals, and the self-join is an
+    * equi-join on `cell` — nothing quadratic in the corpus ever
+    * materializes.
+    */
+  def semanticPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nClusters: Int = 16,
+      iters: Int = 3): DataFrame =
+    semanticPairsOn(
+      Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      threshold, nClusters, iters)
+
+  /** [[semanticPairs]] over any (vec_id, embedding) frame. */
+  def semanticPairsOn(e: DataFrame, threshold: Double, nClusters: Int,
+      iters: Int): DataFrame = {
+    val cents = Ann.trainCentroids(e, nClusters, iters)
+    val assigned = e.withColumn("cell", Ann.cellExpr(cents, col("embedding")))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("sim"))
+  }
+
   /** CC oracle: transitive closure via recursive CTE (min reachable
     * id per node), over the same jaccard pair set.
     */
@@ -630,7 +751,44 @@ object Dedup {
        |JOIN documents a ON p.doc_id_a = a.doc_id
        |JOIN documents b ON p.doc_id_b = b.doc_id""".stripMargin
 
+  // C20 oracles share the window CTE: 1-based slice positions are an
+  // oracle-side detail (only counts are compared); the occurrence cap
+  // is applied IDENTICALLY on both sides, so C20a stays exact.
+  private val substringPairsOracle =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 11)) i
+      |        FROM tok WHERE len(t) >= 12),
+      |win AS (SELECT doc_id,
+      |          array_to_string(t[CAST(i AS INT):CAST(i + 11 AS INT)], ' ') w
+      |        FROM pos),
+      |ok AS (SELECT w FROM win GROUP BY w HAVING COUNT(*) <= 1000),
+      |wd AS (SELECT DISTINCT doc_id, w FROM win JOIN ok USING (w))
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  COUNT(*) AS n_shared
+      |FROM wd a JOIN wd b ON a.w = b.w AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  private val substringSpansOracle =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 11)) i
+      |        FROM tok WHERE len(t) >= 12),
+      |win AS (SELECT doc_id, i,
+      |          array_to_string(t[CAST(i AS INT):CAST(i + 11 AS INT)], ' ') w
+      |        FROM pos),
+      |dup AS (SELECT w FROM win GROUP BY w HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT win.doc_id, i + j AS p
+      |        FROM win JOIN dup USING (w), range(0, 12) r(j)),
+      |per AS (SELECT doc_id, COUNT(*) AS nd FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(per.nd, 0) AS BIGINT) AS n_dup_tokens,
+      |  CAST(COALESCE(per.nd, 0) AS DOUBLE)
+      |    / len(regexp_extract_all(d.text, '\S+')) AS dup_fraction
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_substring" -> substringPairsOracle,
+    "dedup_substring_spans" -> substringSpansOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_edit_distance" -> editDistOracle,
     "dedup_exact" ->
@@ -678,6 +836,9 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => nearDupClusters(s, d)),
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingPairs(s, d)),
-    "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d))
+    "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
+    "dedup_substring" -> ((s, d) => substringPairs(s, d)),
+    "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
+    "dedup_semantic" -> ((s, d) => semanticPairs(s, d))
   )
 }

@@ -503,6 +503,85 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(cid == id && sz == 1L)
     }
   }
+
+  test("exact-substring pairs find a shared 12-token run Jaccard misses") {
+    import spark.implicits._
+    // C20a's reason to exist: one verbatim 12-token quote inside
+    // otherwise-disjoint documents — far below the τ=0.8 set
+    // similarity C3 verifies, but exactly what ExactSubstr flags
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    val fillA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val fillB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, s"$fillA $run"), (2L, s"$run $fillB"),
+        (3L, (1 to 52).map(i => s"gamma$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringPairsOf(docs, 12, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)))
+    assert(Dedup.ngramJaccardOf(docs).collect().isEmpty)
+  }
+
+  test("substring pair generation drops windows above the occurrence cap") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, s"$run unique$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringPairsOf(docs, 12, 1000).count() == 10) // C(5,2)
+    assert(Dedup.substringPairsOf(docs, 12, 4).count() == 0)
+  }
+
+  test("duplicated-span coverage counts tokens under shared windows") {
+    import spark.implicits._
+    val dir = scratch("substr_spans")
+    val run = (1 to 12).map(i => s"dup$i").mkString(" ")
+    Seq((1L, s"$run ${(1 to 10).map(i => s"a$i").mkString(" ")}"),
+        (2L, s"${(1 to 10).map(i => s"b$i").mkString(" ")} $run"),
+        (3L, "tiny doc under twelve tokens here"),
+        (4L, s"$run $run")) // within-doc repeat also counts
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.substringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((22L, 12L)))
+    assert(out(2L) == ((22L, 12L)))
+    assert(out(3L) == ((6L, 0L)))
+    assert(out(4L) == ((24L, 24L)))
+  }
+
+  test("SemDeDup recalls planted near-dups with exact precision") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (v, i) => when(i === 0, v + lit(0.01f)).otherwise(v)).as("embedding"))
+    val all = e.union(planted)
+    val found = Dedup.semanticPairsOn(all, 0.99, nClusters = 8, iters = 3)
+      .select(col("vec_id_a"), col("vec_id_b")).as[(Long, Long)]
+      .collect().toSet
+    val wanted = e.select(col("vec_id")).as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val recall = wanted.count(found.contains).toDouble / wanted.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // precision is 1 by construction (within-cluster cosines are
+    // exact): every emitted pair must be in the exact ≥τ pair set
+    val a = all.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+    val b = all.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.99)
+      .select(col("vec_id_a"), col("vec_id_b")).as[(Long, Long)]
+      .collect().toSet
+    assert(found.subsetOf(exact))
+  }
+
+  test("SemDeDup is deterministic across invocations") {
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.semanticPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(run() == run())
+  }
 }
 
 class AnnSpec extends AnyFunSuite with SparkTestBase {
