@@ -82,7 +82,8 @@ object Bench {
       // one representative per family
       "csv_ingest_mixed", "q_top_orders_per_customer", "q_events_sessionize",
       "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
-      "ann_topk_exact", "ann_pq", "ann_hnsw", "text_tfidf_top_terms",
+      "dedup_substring", "ann_topk_exact", "ann_pq", "ann_hnsw",
+      "text_tfidf_top_terms",
       "curate_contamination", "pipeline_clean_corpus", "mm_frames",
       "layout_zorder")
     val resultMap = results.toMap

@@ -19,7 +19,7 @@ object SparkEntry {
       operators.IvfPq.queries ++ operators.Hnsw.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.RangeJoin.queries ++
-      operators.Pipeline.queries ++
+      operators.Pipeline.queries ++ operators.TextIndex.queries ++
       operators.Curation.queries ++ operators.Layout.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
@@ -28,6 +28,6 @@ object SparkEntry {
       operators.TextQueries.oracles ++ operators.Dedup.oracles ++
       operators.Ann.oracles ++ operators.Multimodal.oracles ++
       operators.AsOf.oracles ++ operators.RangeJoin.oracles ++
-      operators.Pipeline.oracles ++
+      operators.Pipeline.oracles ++ operators.TextIndex.oracles ++
       operators.Curation.oracles ++ operators.Layout.oracles
 }

@@ -584,6 +584,59 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class TextIndexSpec extends AnyFunSuite with SparkTestBase {
+  import graft.operators.TextIndex
+
+  private def fixtureDb(name: String) = {
+    import spark.implicits._
+    val db = graft.catalog.GraftDatabase(spark, scratch(name))
+    val docs = Seq(
+      (1L, "alpha batch merge omega"), // phrase present
+      (2L, "batch alpha merge omega"), // both terms, NOT adjacent
+      (3L, "batch merge batch merge"), // phrase twice
+      (4L, "alpha omega gamma delta")) // neither
+      .toDF("doc_id", "text")
+    TextIndex.buildIndex(db, "idx", docs, 4)
+    db
+  }
+
+  test("conjunctive search requires every term; phrase requires adjacency") {
+    val db = fixtureDb("ti_semantics")
+    val and = TextIndex.searchAll(db, "idx", Seq("batch", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(and == Map(1L -> 2L, 2L -> 2L, 3L -> 4L))
+    val phrase = TextIndex.searchPhrase(db, "idx", Seq("batch", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2 has both terms but never adjacent; doc 3 matches twice
+    assert(phrase == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("index rebuild is idempotent and serves identical results") {
+    import spark.implicits._
+    val db = graft.catalog.GraftDatabase(spark, scratch("ti_rebuild"))
+    val docs = Seq((1L, "x y z x y"), (2L, "y z q x y"))
+      .toDF("doc_id", "text")
+    TextIndex.buildIndex(db, "idx", docs, 2)
+    val first = TextIndex.searchPhrase(db, "idx", Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TextIndex.buildIndex(db, "idx", docs, 2) // clean rebuild
+    val second = TextIndex.searchPhrase(db, "idx", Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == second && first == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("search prunes the bucketed postings scan to the terms' buckets") {
+    val db = fixtureDb("ti_prune")
+    val plan = TextIndex.searchAll(db, "idx", Seq("batch"))
+      .queryExecution.executedPlan.toString
+    // bucket pruning must engage (strictly fewer than the 4 buckets)
+    val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+      .findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n${plan.take(2000)}")
+    assert(sel.get.group(1).toInt < 4, plan.take(2000))
+  }
+}
+
 class AnnSpec extends AnyFunSuite with SparkTestBase {
 
   test("IVF recall@10 vs exact top-10") {

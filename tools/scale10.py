@@ -68,7 +68,8 @@ SCALE10 = [
     "ann_topk_exact", "text_tfidf_top_terms", "text_fluency",
     "text_fingerprint", "curate_contamination", "curate_repetition",
     "pipeline_clean_corpus", "pipeline_pack", "q_percentiles",
-    "q_median_quantity", "q3_bucketed", "q5_bucketed"]
+    "q_median_quantity", "q3_bucketed", "q5_bucketed",
+    "dedup_substring", "dedup_substring_spans"]
 
 
 def parent_offset(name):
