@@ -30,16 +30,28 @@ import graft.Tables
   */
 object TextIndex {
 
-  /** Build (or rebuild) the postings artifact for `docs`. */
+  /** Build (or rebuild) the postings artifact for `docs`, plus the
+    * two ranking companions BM25 serving needs without ever
+    * re-reading the corpus: `<table>_len` (doc_id, dl) bucketed by
+    * doc_id — the join side of per-doc length normalization — and
+    * the 1-row `<table>_corpus` (n_docs, total_len). All three come
+    * out of ONE tokenize pass.
+    */
   def buildIndex(db: graft.catalog.GraftDatabase, table: String,
       docs: DataFrame, nBuckets: Int): Unit = {
-    val postings = docs
-      .select(col("doc_id"),
-        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "term")))
+    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+    val postings = tok
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"),
         count(lit(1)).as("tf"))
     db.writeBucketed(postings, table, "term", nBuckets)
+    val lens = tok.select(col("doc_id"),
+      size(col("__t")).cast("bigint").as("dl"))
+    db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets)
+    db.write(lens.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len")),
+      s"${table}_corpus", org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Conjunctive (AND) keyword search against the served index:
@@ -80,6 +92,59 @@ object TextIndex {
       .filter(col("n_matches") > 0)
   }
 
+  /** E13: BM25-ranked retrieval from the served index — top-k docs
+    * for a bag-of-terms query, k1=1.2, b=0.75, with a LOG-FREE
+    * rational idf `(N − df + 0.5)/(df + 0.5)` (the standard
+    * Robertson idf minus its ln wrapper: ln is engine-specific at
+    * the ulp level, while +,−,×,÷ are IEEE-deterministic, so the
+    * score doubles are bit-identical across engines — the same
+    * portability discipline as E10's integer-sums-one-division; ln
+    * is monotone, so per-term contributions keep BM25's ordering
+    * behavior).
+    *
+    * Serving cost ∝ the query terms' postings: each term is a
+    * bucket-pruned scan (doc_id, tf); candidates assemble with a
+    * full-outer join chain (absent term → tf 0, contribution 0);
+    * the dl normalization joins `<table>_len` on doc_id — the join
+    * input is already hash-partitioned by doc_id from the candidate
+    * join, and the len table's doc_id bucketing spares ITS exchange.
+    * N/total_len/df are scalar lookups (1-row stats table + a
+    * pruned count), embedded as literals. No corpus scan anywhere.
+    */
+  def searchRanked(db: graft.catalog.GraftDatabase, table: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val t = terms.distinct
+    val idx = db.readBucketed(table)
+    val stats = db.read(s"${table}_corpus").collect()(0)
+    val nD = stats.getAs[Long]("n_docs").toDouble
+    val lD = stats.getAs[Long]("total_len").toDouble
+    val dfMap = idx.filter(col("term").isin(t: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("df").toDouble).toMap
+    val parts = t.zipWithIndex.map { case (term, i) =>
+      idx.filter(col("term") === term)
+        .select(col("doc_id"), col("tf").cast("double").as(s"__tf$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val withLen = joined.join(
+      db.readBucketed(s"${table}_len")
+        .select(col("doc_id"), col("dl").cast("double").as("__dl")),
+      Seq("doc_id"))
+    // Pinned operation order — the oracle SQL parenthesizes
+    // identically; any reassociation breaks bit equality.
+    val bNorm = lit(1.2) * (lit(0.25) + ((lit(0.75) * col("__dl")) * lit(nD)) / lit(lD))
+    val score = t.zipWithIndex.map { case (term, i) =>
+      val df = dfMap.getOrElse(term, 0.0)
+      val idf = ((nD - df) + 0.5) / (df + 0.5)
+      val tf = coalesce(col(s"__tf$i"), lit(0.0))
+      (lit(idf) * (tf * lit(2.2))) / (tf + bNorm)
+    }.reduce(_ + _)
+    withLen.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ---- driver-contract fixtures: index built ONCE per corpus dir
   // per JVM into a scratch warehouse (the bucketedWarehouse memo
   // pattern — a persisted index is a storage decision, not per-query
@@ -97,8 +162,10 @@ object TextIndex {
     if (!indexReady.contains(key)) {
       val docs = Tables(spark, dir, "documents")
       val fresh = db.registerBucketed(table, "term", n) &&
-        (try db.readBucketed(table).select(col("doc_id")).distinct().count() ==
-          docs.count()
+        db.registerBucketed(s"${table}_len", "doc_id", n) &&
+        (try db.read(s"${table}_corpus").count() == 1 &&
+          db.readBucketed(table).select(col("doc_id")).distinct().count() ==
+            docs.count()
         catch { case _: Exception => false })
       if (!fresh) buildIndex(db, table, docs, n)
       indexReady.add(key)
@@ -124,7 +191,32 @@ object TextIndex {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
         |FROM pos
         |WHERE t[CAST(i AS INT)] = 'batch' AND t[CAST(i + 1 AS INT)] = 'merge'
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    // Identical parenthesization to searchRanked — bit-equal doubles.
+    "text_search_ranked" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t
+        |             FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+        |              CAST(SUM(len(t)) AS DOUBLE) l FROM tok),
+        |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) dl FROM tok),
+        |t1 AS (SELECT doc_id,
+        |         CAST(len(list_filter(t, x -> x = 'batch')) AS DOUBLE) tf
+        |       FROM tok WHERE list_contains(t, 'batch')),
+        |t2 AS (SELECT doc_id,
+        |         CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) tf
+        |       FROM tok WHERE list_contains(t, 'merge')),
+        |d1 AS (SELECT CAST(COUNT(*) AS DOUBLE) df FROM t1),
+        |d2 AS (SELECT CAST(COUNT(*) AS DOUBLE) df FROM t2),
+        |j AS (SELECT COALESCE(t1.doc_id, t2.doc_id) doc_id,
+        |        COALESCE(t1.tf, 0.0) tf1, COALESCE(t2.tf, 0.0) tf2
+        |      FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id)
+        |SELECT j.doc_id,
+        |  ((((st.n - d1.df) + 0.5) / (d1.df + 0.5)) * (tf1 * 2.2))
+        |    / (tf1 + 1.2 * (0.25 + ((0.75 * dl.dl) * st.n) / st.l))
+        |  + ((((st.n - d2.df) + 0.5) / (d2.df + 0.5)) * (tf2 * 2.2))
+        |    / (tf2 + 1.2 * (0.25 + ((0.75 * dl.dl) * st.n) / st.l)) AS score
+        |FROM j JOIN dl ON j.doc_id = dl.doc_id, st, d1, d2
+        |ORDER BY score DESC, j.doc_id LIMIT 20""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,6 +227,10 @@ object TextIndex {
     "text_search_phrase" -> ((s, d) => {
       val (db, t) = servedIndex(s, d)
       searchPhrase(db, t, Seq("batch", "merge"))
+    }),
+    "text_search_ranked" -> ((s, d) => {
+      val (db, t) = servedIndex(s, d)
+      searchRanked(db, t, Seq("batch", "merge"), 20)
     })
   )
 }

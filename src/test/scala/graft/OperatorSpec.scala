@@ -635,6 +635,33 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(sel.nonEmpty, s"no bucket pruning in plan:\n${plan.take(2000)}")
     assert(sel.get.group(1).toInt < 4, plan.take(2000))
   }
+
+  test("BM25 ranking: tf saturates, missing terms score 0, dl normalizes") {
+    import spark.implicits._
+    val db = graft.catalog.GraftDatabase(spark, scratch("ti_bm25"))
+    val docs = Seq(
+      (1L, "batch merge common common"), // both terms once, dl 4
+      (2L, "batch batch batch common"),  // one term thrice, dl 4
+      (3L, "common common common common"), // neither -> excluded
+      (4L, "merge common"))               // one term, short doc
+      .toDF("doc_id", "text")
+    TextIndex.buildIndex(db, "idx", docs, 2)
+    val got = TextIndex.searchRanked(db, "idx", Seq("batch", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // both-terms doc beats the tf=3 single-term doc (saturation);
+    // doc 3 (no query term) must be absent entirely
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)))
+    // hand-computed: N=4, L=14, df=2 for both terms -> idf = 1.0;
+    // doc1 = 2 * 2.2/(1 + 1.2*(0.25 + 0.75*4*4/14))
+    val b4 = 1.2 * (0.25 + ((0.75 * 4.0) * 4.0) / 14.0)
+    assert(got(0)._2 == (2.2 / (1.0 + b4)) * 2)
+    // rebuild serves identical rankings (idempotent artifacts)
+    TextIndex.buildIndex(db, "idx", docs, 2)
+    val again = TextIndex.searchRanked(db, "idx", Seq("batch", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == again.toSeq)
+  }
 }
 
 class AnnSpec extends AnyFunSuite with SparkTestBase {
