@@ -83,7 +83,7 @@ object Bench {
       "csv_ingest_mixed", "q_top_orders_per_customer", "q_events_sessionize",
       "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
       "dedup_substring", "ann_topk_exact", "ann_pq", "ann_hnsw",
-      "text_tfidf_top_terms",
+      "text_tfidf_top_terms", "text_search_ranked",
       "curate_contamination", "pipeline_clean_corpus", "mm_frames",
       "layout_zorder")
     val resultMap = results.toMap

@@ -162,6 +162,14 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   def readBucketed(table: String): DataFrame =
     spark.table(bucketedIdent(table))
 
+  /** Invalidate the cached file listing after files were added to a
+    * bucketed table's location outside the writer path (the G10
+    * rename-append) — a planned scan otherwise misses them.
+    */
+  def refreshBucketed(table: String): Unit =
+    if (spark.catalog.tableExists(bucketedIdent(table)))
+      spark.catalog.refreshTable(bucketedIdent(table))
+
   /** Re-attach an existing bucketed layout to THIS session's catalog
     * without rewriting a byte: the bucket metadata lives in the
     * (session-scoped, in-memory) catalog, so a new JVM would

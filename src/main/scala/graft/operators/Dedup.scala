@@ -637,6 +637,10 @@ object Dedup {
       maxOcc: Int = 1000): DataFrame =
     substringPairsOf(Tables(spark, dir, "documents"), w, maxOcc)
 
+  /** Probe access to the shared window-hash scan (tools only). */
+  private[graft] def windowHashesProbe(docs: DataFrame, w: Int): DataFrame =
+    windowHashes(docs, w)
+
   def substringPairsOf(docs: DataFrame, w: Int, maxOcc: Int): DataFrame = {
     val ids = col("ids")
     val pairsOf = flatten(transform(ids, (x, i) =>

@@ -39,19 +39,33 @@ object TextIndex {
     */
   def buildIndex(db: graft.catalog.GraftDatabase, table: String,
       docs: DataFrame, nBuckets: Int): Unit = {
+    val (postings, lens, stats) = batchArtifacts(docs, batchId = -1L)
+    db.writeBucketed(postings, table, "term", nBuckets)
+    db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets)
+    // batch-keyed stats rows (base build = batch −1): the streaming
+    // G10 append publishes one row per micro-batch and serving SUMS
+    // them, so corpus size never needs a read-modify-write (which a
+    // foreachBatch replay would double-apply)
+    db.write(stats, s"${table}_corpus", org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** The three per-batch index artifacts from ONE tokenize pass:
+    * positional postings, doc lengths, and the 1-row batch stats.
+    */
+  private[graft] def batchArtifacts(
+      docs: DataFrame, batchId: Long): (DataFrame, DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
     val postings = tok
       .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"),
         count(lit(1)).as("tf"))
-    db.writeBucketed(postings, table, "term", nBuckets)
     val lens = tok.select(col("doc_id"),
       size(col("__t")).cast("bigint").as("dl"))
-    db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets)
-    db.write(lens.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_len")),
-      s"${table}_corpus", org.apache.spark.sql.SaveMode.Overwrite)
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+      .select(lit(batchId).as("batch_id"), col("n_docs"), col("total_len"))
+    (postings, lens, stats)
   }
 
   /** Conjunctive (AND) keyword search against the served index:
@@ -116,7 +130,9 @@ object TextIndex {
     require(terms.nonEmpty, "empty query")
     val t = terms.distinct
     val idx = db.readBucketed(table)
-    val stats = db.read(s"${table}_corpus").collect()(0)
+    val stats = db.read(s"${table}_corpus")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len")).collect()(0)
     val nD = stats.getAs[Long]("n_docs").toDouble
     val lD = stats.getAs[Long]("total_len").toDouble
     val dfMap = idx.filter(col("term").isin(t: _*))
@@ -163,7 +179,7 @@ object TextIndex {
       val docs = Tables(spark, dir, "documents")
       val fresh = db.registerBucketed(table, "term", n) &&
         db.registerBucketed(s"${table}_len", "doc_id", n) &&
-        (try db.read(s"${table}_corpus").count() == 1 &&
+        (try db.read(s"${table}_corpus").count() >= 1 &&
           db.readBucketed(table).select(col("doc_id")).distinct().count() ==
             docs.count()
         catch { case _: Exception => false })

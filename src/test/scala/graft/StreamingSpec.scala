@@ -421,4 +421,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         (340L, "c", "w2"), (310L, "e", "w2")), s"got ${rows()}")
     } finally q.stop()
   }
+
+  test("G10: streamed index appends serve identically to a from-scratch build") {
+    import spark.implicits._
+    import graft.operators.TextIndex
+    import graft.streaming.StreamingTextIndex
+    implicit val sqlCtx = spark.sqlContext
+    val db = GraftDatabase(spark, scratch("sti_db"))
+    val base = Seq((1L, "alpha batch merge"), (2L, "batch merge batch"))
+      .toDF("doc_id", "text")
+    TextIndex.buildIndex(db, "idx", base, 2)
+    val late = Seq((3L, "batch merge omega"), (4L, "omega alpha"),
+      (5L, "merge batch merge batch"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingTextIndex.maintainIndex(db, "idx",
+        mem.toDF().toDF("doc_id", "text"), 2)
+      .option("checkpointLocation", scratch("sti_ck"))
+      .start()
+    try {
+      mem.addData(late(0), late(1))
+      q.processAllAvailable()
+      mem.addData(late(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    def served(d: GraftDatabase) = (
+      TextIndex.searchAll(d, "idx", Seq("batch", "merge"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      TextIndex.searchPhrase(d, "idx", Seq("batch", "merge"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      TextIndex.searchRanked(d, "idx", Seq("batch", "merge"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val streamed = served(db)
+    // a from-scratch build over the union corpus must serve the
+    // EXACT same results — BM25 doubles included (identical N, L,
+    // df, tf inputs → identical literals → bit-equal scores)
+    val db2 = GraftDatabase(spark, scratch("sti_db2"))
+    TextIndex.buildIndex(db2, "idx",
+      base.unionByName(late.toDF("doc_id", "text")), 2)
+    assert(streamed == served(db2))
+    assert(streamed._3.map(_._1).contains(5L)) // streamed doc is served
+    // bucket pruning survives the prefix-renamed appended files
+    val plan = TextIndex.searchAll(db, "idx", Seq("batch"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+    // foreachBatch replay converges: re-publishing batch 1 verbatim
+    // changes nothing
+    StreamingTextIndex.appendBatch(db, "idx",
+      Seq(late(2)).toDF("doc_id", "text"), 2, 1L)
+    assert(served(db) == streamed)
+  }
 }
