@@ -608,13 +608,28 @@ object Dedup {
     * tokenizer across the w slices). Docs shorter than w tokens
     * contribute no rows. The shared scan under C20a/C20b.
     */
-  private def windowHashes(docs: DataFrame, w: Int): DataFrame =
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame = {
+    // Hash each token ONCE, then fold the w consecutive token hashes
+    // pairwise through xxhash64(acc, next) — order-sensitive, equal
+    // windows ⇒ equal h, and overflow-free under ANSI (an arithmetic
+    // polynomial combine throws ARITHMETIC_OVERFLOW). The string
+    // form (concat_ws the w tokens, xxhash64 the window string)
+    // allocates a ~100-byte string per window and re-copies every
+    // token w times; on the 10× board that was 1.1 s of the 1.3 s
+    // scan stage, vs ~0.15 s for the tokenize regexp itself.
+    // Long-array zip_withs keep the whole pass primitive.
+    def win(toks: Column): Column = {
+      val th = transform(toks, t => xxhash64(t))
+      val len = size(th) - (w - 1)
+      val parts = (0 until w).map(j => slice(th, lit(j + 1), len))
+      parts.reduce((acc, p) => zip_with(acc, p, (a, b) => xxhash64(a, b)))
+    }
     docs.select(col("doc_id"),
       posexplode(
-        when(size(tokens(col("text"))) >= w,
-          transform(shingleSlots(tokens(col("text")), w), s => xxhash64(s)))
+        when(size(tokens(col("text"))) >= w, win(tokens(col("text"))))
           .otherwise(array().cast("array<bigint>")))
         .as(Seq("pos", "h")))
+  }
 
   /** C20a: exact-substring dedup pairs — documents sharing at least
     * one verbatim run of w consecutive tokens, with the count of
@@ -642,32 +657,48 @@ object Dedup {
     windowHashes(docs, w)
 
   def substringPairsOf(docs: DataFrame, w: Int, maxOcc: Int): DataFrame = {
-    val ids = col("ids")
-    val pairsOf = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
-    // Cap BEFORE any per-window doc set materializes: a one-column
-    // count pass filters hot windows first, and only then does the
-    // join + collect_set build doc sets — now provably ≤ maxOcc
-    // entries each. Folding the cap into a single
-    // filter-after-collect_set aggregation would be one stage less
-    // but its aggregation state is unbounded on exactly the
-    // boilerplate window the cap exists for (millions of docs
-    // sharing a license header = an OOM-sized set per such window).
-    // The count aggregation and the join probe shuffle the SAME
-    // child on h, so the exchange is planned once and reused; the
-    // second aggregation sits on already-partitioned rows and adds
-    // no exchange.
+    // One tokenize scan, all-codegen, no growing broadcast:
+    //
+    // - the (h, doc_id, cnt) aggregation is the ONLY consumer of the
+    //   window-hash scan, so the expensive tokenize+shingle pass runs
+    //   once; every later stage works on long-only rows. (The naive
+    //   two-branch formulation — occ-count branch + probe branch —
+    //   re-tokenizes the corpus per branch once AQE broadcasts the
+    //   cap side, which un-reuses the h-exchange the branches were
+    //   meant to share.)
+    // - the occurrence cap (occ counts ALL instances, intra-doc
+    //   repeats included, same as the oracle's HAVING COUNT(*)) is a
+    //   per-h sum over the distinct rows — the hot-window blowup is
+    //   filtered before any pair materializes, ≤ maxOcc² per window.
+    // - pair generation is a self-equi-join on h (the oracle's own
+    //   `wd a JOIN wd b` shape), NOT a per-window collect_set +
+    //   array-pair explode: collect_set plans as ObjectHashAggregate
+    //   — off the codegen path — and the self-join's broadcast
+    //   temptation is the real trap: the distinct side GROWS with
+    //   the corpus, and AQE happily built a 2.16M-row hashed
+    //   relation on the driver at the 10× board (the dominant 3 s).
+    //   The shuffle_hash hint keeps it a partitioned join, and both
+    //   sides plus the cap aggregation are the SAME exchange subtree
+    //   — ReuseExchange ships the distinct rows once.
     val wh = windowHashes(docs, w)
-    val okH = wh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val whc = wh.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    // occ as an analytic over the SAME lineage — a separate
+    // okH-branch formulation double-scans the corpus: the semi-join
+    // pushdown rewrites the probe side below its distinct agg, the
+    // two branches stop being identical subtrees, and ReuseExchange
+    // has nothing to dedupe (measured: 2 × 1.25 s tokenize stages at
+    // the 10× board).
+    val whd = whc
+      .withColumn("occ",
+        sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("occ") <= maxOcc && col("occ") >= 2)
-      .select(col("h"))
-    wh.join(okH, Seq("h"))
-      .groupBy(col("h"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(ids) >= 2)
-      .select(explode(pairsOf).as("p"))
-      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      .select(col("h"), col("doc_id"))
+    whd.select(col("h"), col("doc_id").as("doc_id_a"))
+      .join(whd.select(col("h"), col("doc_id").as("doc_id_b")).hint("shuffle_hash"),
+        Seq("h"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
