@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loader: one parquet file per TPC-H-ish table under a
   * scale-factor directory (see TESTDATA.md).
@@ -12,6 +14,38 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with an exact epoch-ms `ms` column, adaptive to how the
+    * generator stored `ts`. Three physical encodings have shipped:
+    * TIMESTAMP(NANOS) (readable only as raw bigint via `nanosAsLong`),
+    * naive timestamp[us] (Spark reads TIMESTAMP_NTZ), and
+    * UTC-adjusted timestamp (plain TIMESTAMP). All downstream time
+    * math stays in bigint epoch-ms so the DuckDB compare (epoch_ms(ts)
+    * treats naive as UTC) is deterministic under every encoding.
+    * Schema changes here broke the whole events family silently in r6
+    * — hence the dtype dispatch instead of a fixed cast.
+    */
+  def eventsWithMs(spark: SparkSession, sfDir: String): DataFrame = {
+    // Legacy flag must be set BEFORE the read so a NANOS file doesn't
+    // fail the scan outright; harmless for µs/NTZ files.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→TIMESTAMP casts interpret the wall clock in the session
+    // zone; the oracle's epoch_ms(ts) fixes that zone as UTC.
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = apply(spark, sfDir, "events")
+    val ms = df.schema("ts").dataType match {
+      case LongType          => expr("ts div 1000000")
+      case _: TimestampNTZType => expr("unix_millis(cast(ts as timestamp))")
+      case _: TimestampType  => expr("unix_millis(ts)")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other — expected nanos-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+    df.withColumn("ms", ms)
+  }
 
   // Note on input layout: the driver's test tables are ONE parquet
   // file with ONE row group — an unsplittable single-task scan. A

@@ -299,20 +299,12 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"))
   }
 
-  /** Events loader. The driver's parquet stores ts as
-    * TIMESTAMP(NANOS), which Spark 4 refuses outright
-    * ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` (a GraftSession default —
-    * set here too only for sessions built without the factory) reads
-    * it as raw nanoseconds and all downstream time math stays in
-    * exact bigint epoch-ms — which is also what makes the DuckDB
-    * compare deterministic (no ns-vs-µs truncation skew).
+  /** Events loader — dtype-adaptive epoch-ms derivation lives in
+    * [[graft.Tables.eventsWithMs]] (the generator's ts encoding has
+    * changed across rounds; see the note there).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events").withColumn("ms", expr("ts div 1000000"))
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsWithMs(spark, dir)
 
   /** B14: semi join with date arithmetic (TPC-H Q4 shape) — orders
     * with a late-shipping lineitem, counted per priority.

@@ -58,9 +58,7 @@ object AsOf {
     * both engines).
     */
   def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = Tables(spark, dir, "events")
-      .withColumn("ms", expr("ts div 1000000"))
+    val e = Tables.eventsWithMs(spark, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ms"))
     val w = Window.partitionBy(col("user_id"), col("ms"))
