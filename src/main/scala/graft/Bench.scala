@@ -26,7 +26,13 @@ object Bench {
     // (SPARK_GRAFT_ONLY=dedup_clusters,ann_pq); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // `*_check` entries are correctness-invariant rows (AnnChecks):
+    // each one re-runs an approximate op PLUS its exact twin and a
+    // reconciling join, so timing them would double-charge the ANN
+    // family and pad the board with non-operator rows. They stay on
+    // the Verify/CORRECTNESS surface only.
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(!_.endsWith("_check"))
       .filter(n => only.forall(_.contains(n)))
 
     // Cache is cleared per QUERY, not per pass: operators persist

@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TextQueries.queries ++ operators.Dedup.queries ++
       operators.Ann.queries ++ operators.Pq.queries ++
       operators.IvfPq.queries ++ operators.Hnsw.queries ++
+      operators.AnnChecks.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.RangeJoin.queries ++
       operators.Pipeline.queries ++ operators.TextIndex.queries ++
@@ -26,7 +27,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Analytics.oracles ++ operators.CsvQueries.oracles ++
       operators.TextQueries.oracles ++ operators.Dedup.oracles ++
-      operators.Ann.oracles ++ operators.Multimodal.oracles ++
+      operators.Ann.oracles ++ operators.AnnChecks.oracles ++
+      operators.Multimodal.oracles ++
       operators.AsOf.oracles ++ operators.RangeJoin.oracles ++
       operators.Pipeline.oracles ++ operators.TextIndex.oracles ++
       operators.Curation.oracles ++ operators.Layout.oracles
