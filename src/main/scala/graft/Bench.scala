@@ -47,8 +47,13 @@ object Bench {
       // this one — a full board otherwise charges late queries with
       // earlier queries' heap debt (isolated re-runs measured
       // 20-60% under their in-suite times; DuckDB's side has no
-      // equivalent cross-query tax to keep symmetric).
+      // equivalent cross-query tax to keep symmetric). The settle
+      // window lets the async janitors (ContextCleaner's
+      // broadcast/shuffle removal, listener-bus drain, GC reference
+      // processing) finish OFF the clock — they run on their own
+      // threads and were stealing cores from the timed region.
       System.gc()
+      Thread.sleep(250)
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => return -1.0 }
