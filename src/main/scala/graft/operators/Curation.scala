@@ -465,7 +465,77 @@ object Curation {
        |FROM p""".stripMargin
   }
 
+  /** C22: model-based quality scoring — a distilled LINEAR quality
+    * classifier (the fasttext-style filter every corpus build runs,
+    * e.g. CCNet/GPT-3's "looks like reference text" models) over six
+    * engineered features, as ONE codegen'd map pass. The model is a
+    * pinned weight vector; swapping in weights distilled from a real
+    * teacher changes no plumbing. The squash is the RATIONAL logistic
+    * 0.5 + 0.5·s/(1+|s|) — same monotone S-shape and 0.5-at-0
+    * decision point as the sigmoid, but exp() differs across engines
+    * at the ulp level while +,−,×,÷ are IEEE-exact, so scores are
+    * bit-identical to the oracle (E13's portability discipline).
+    *
+    * Scale shape: pure projection — no shuffle, no state; the filter
+    * composes into any scan (Catalyst pushes it into the parquet
+    * read when used as a gate).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{wsTokenCount, wsTokens,
+      punctCount, stopwordCount, StopwordProfiles}
+    val text = col("text")
+    val nTok = wsTokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    // Each feature is bounded to [0,1] with a fixed parenthesization
+    // mirrored in the oracle.
+    val fLen = least(lit(1.0), nTok / lit(200.0))
+    val fStop = least(lit(1.0),
+      stopwordCount(text, StopwordProfiles.head._2).cast("double")
+        / nTok * lit(8.0))
+    val fPunct = least(lit(1.0),
+      punctCount(text).cast("double") / nChars * lit(10.0))
+    val fUpper = least(lit(1.0),
+      size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+        / nChars * lit(5.0))
+    val fDigit = least(lit(1.0),
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+        / nChars * lit(5.0))
+    val fUniq = size(array_distinct(wsTokens(text))).cast("double") / nTok
+    val s = lit(-1.2) + fLen * lit(1.0) + fStop * lit(1.5) -
+      fPunct * lit(0.8) - fUpper * lit(0.6) - fDigit * lit(0.7) +
+      fUniq * lit(0.8)
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      (lit(0.5) + lit(0.5) * (s / (lit(1.0) + abs(s)))).as("quality_prob"),
+      (s >= lit(0.0)).as("keep_doc"))
+  }
+
+  private val qualityClassifierOracle = {
+    val en = "\\b(the|and|of|to|is|in|it|a)\\b"
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(len(regexp_extract_all(text, '$en')) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) AS n_uniq
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  -1.2 + LEAST(1.0, n_tok / 200.0) * 1.0
+       |       + LEAST(1.0, n_stop / n_tok * 8.0) * 1.5
+       |       - LEAST(1.0, n_punct / n_chars * 10.0) * 0.8
+       |       - LEAST(1.0, n_upper / n_chars * 5.0) * 0.6
+       |       - LEAST(1.0, n_digit / n_chars * 5.0) * 0.7
+       |       + n_uniq / n_tok * 0.8 AS s
+       |  FROM f)
+       |SELECT doc_id, 0.5 + 0.5 * (s / (1.0 + abs(s))) AS quality_prob,
+       |  s >= 0.0 AS keep_doc
+       |FROM s""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "curate_quality_classifier" -> qualityClassifierOracle,
     "curate_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
         |  FROM documents),
@@ -583,6 +653,7 @@ object Curation {
     "curate_pii_redact" -> (piiRedactQuery _),
     "curate_dup_ngrams" -> ((s, d) => dupNgrams(s, d)),
     "curate_repetition" -> (repetition _),
-    "curate_length_band" -> ((s, d) => lengthBand(s, d))
+    "curate_length_band" -> ((s, d) => lengthBand(s, d)),
+    "curate_quality_classifier" -> (qualityClassifier _)
   )
 }

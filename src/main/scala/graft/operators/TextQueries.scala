@@ -154,6 +154,33 @@ object TextQueries {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** E14: deterministic overlapping chunking — the fixed-window split
+    * a training/RAG pipeline runs before tokenization (context-window
+    * packing reads fixed-size pieces, retrieval indexes chunk
+    * granularity). Windows of `size` chars every `stride` chars
+    * (trailing overlap = size − stride carries context across the
+    * boundary); starts are 1, 1+stride, … ≤ max(len,1), so an empty
+    * document still yields its one (empty) chunk and every char
+    * belongs to ≥1 chunk.
+    *
+    * Scale shape: map + explode, strictly linear in corpus bytes, no
+    * shuffle — chunk rows inherit the scan's partitioning, ready for
+    * a downstream repartition-by-doc or direct write.
+    */
+  def chunks(spark: SparkSession, dir: String, size: Int = 400,
+      stride: Int = 300): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))))
+      .select(
+        col("doc_id"),
+        expr(s"(chunk_start - 1) div $stride").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"substring(text, chunk_start, $size)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+
   /** E10: statistical fluency under the corpus's own bigram model —
     * the cheap LM-style quality signal (a doc whose bigrams are
     * common corpus-wide reads as fluent; word salad scores low).
@@ -261,6 +288,15 @@ object TextQueries {
     "fr" -> "\\b(le|les|et|est|une|dans|que)\\b")
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, greatest(length(text), 1), 300)) AS chunk_start
+        |  FROM documents)
+        |SELECT doc_id, (chunk_start - 1) // 300 AS chunk_id,
+        |  chunk_start,
+        |  substr(text, CAST(chunk_start AS INT), 400) AS chunk_text,
+        |  length(substr(text, CAST(chunk_start AS INT), 400)) AS chunk_len
+        |FROM s""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
@@ -357,6 +393,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprints _),
     "text_fluency" -> ((s, d) => fluency(s, d)),
     "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),
-    "text_corpus_stats" -> (corpusStats _)
+    "text_corpus_stats" -> (corpusStats _),
+    "text_chunks" -> ((s, d) => chunks(s, d))
   )
 }

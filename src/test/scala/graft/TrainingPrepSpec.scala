@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the r7 training-prep additions: deterministic
+  * overlapping chunking (E14) and the distilled linear quality
+  * classifier (C22). The oracle rows pin engine parity; these pin
+  * the properties the oracle can't state.
+  */
+class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
+
+  test("chunks: full coverage, exact boundaries, lossless reassembly") {
+    val out = graft.operators.TextQueries.chunks(spark, sf)
+      .join(Tables(spark, sf, "documents").select(col("doc_id"),
+        col("text"), length(col("text")).as("len")), Seq("doc_id"))
+    // Last chunk ends exactly at the document's last char; first
+    // starts at 1; count matches the closed-form stride formula.
+    val bad = out.groupBy(col("doc_id"), col("len"))
+      .agg(max(col("chunk_start") + col("chunk_len") - 1).as("last_end"),
+        min(col("chunk_start")).as("first_start"),
+        count(lit(1)).as("n_chunks"))
+      .filter(col("last_end") =!= greatest(col("len"), lit(1)) ||
+        col("first_start") =!= 1 ||
+        col("n_chunks") =!=
+          expr("(greatest(len, 1) - 1) div 300 + 1"))
+      .count()
+    assert(bad == 0)
+    // Reassembly: the first `stride` chars of each chunk, in order,
+    // concatenate back to the document (the trailing overlap is
+    // context duplication, not data loss).
+    val rebuilt = out
+      .withColumn("piece", expr("substring(chunk_text, 1, 300)"))
+      .groupBy(col("doc_id"), col("text"))
+      .agg(concat_ws("", array_sort(
+        collect_list(struct(col("chunk_id"), col("piece"))))
+        .getField("piece")).as("rebuilt"))
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(rebuilt == 0)
+  }
+
+  test("quality classifier: bounded probs, threshold consistency, signal direction") {
+    import spark.implicits._
+    val out = graft.operators.Curation.qualityClassifier(spark, sf)
+    val n = out.count()
+    assert(out.filter(col("quality_prob") <= 0.0 ||
+      col("quality_prob") >= 1.0).count() == 0)
+    // keep_doc must be exactly prob >= 0.5 (s >= 0 ⇔ squash ≥ .5)
+    assert(out.filter(col("keep_doc") =!=
+      (col("quality_prob") >= 0.5)).count() == 0)
+    assert(n > 0)
+
+    // Direction: fluent English prose must outscore punctuation soup
+    // and digit dumps through the same plan.
+    val probe = Seq(
+      (1L, "the cat sat on the mat and it is a fine day in the sun " * 8),
+      (2L, "!!! ??? ;;; ::: ,,, ... !!! ??? ;;; ::: ,,, ... " * 8),
+      (3L, "123 456 789 012 345 678 901 234 567 890 " * 8)
+    ).toDF("doc_id", "text")
+    val tmp = scratch("qc_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scored = graft.operators.Curation.qualityClassifier(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > scored(2L))
+    assert(scored(1L) > scored(3L))
+  }
+}
