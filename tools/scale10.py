@@ -69,7 +69,8 @@ SCALE10 = [
     "text_fingerprint", "curate_contamination", "curate_repetition",
     "pipeline_clean_corpus", "pipeline_pack", "q_percentiles",
     "q_median_quantity", "q3_bucketed", "q5_bucketed",
-    "dedup_substring", "dedup_substring_spans"]
+    "dedup_substring", "dedup_substring_spans",
+    "text_chunks", "curate_quality_classifier"]
 
 
 def parent_offset(name):
