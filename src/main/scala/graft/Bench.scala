@@ -93,7 +93,8 @@ object Bench {
       // one representative per family
       "csv_ingest_mixed", "q_top_orders_per_customer", "q_events_sessionize",
       "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
-      "dedup_substring", "ann_topk_exact", "ann_pq", "ann_hnsw",
+      "dedup_substring", "dedup_lines", "text_encode_ids",
+      "ann_topk_exact", "ann_pq", "ann_hnsw",
       "text_tfidf_top_terms", "text_search_ranked",
       "curate_contamination", "pipeline_clean_corpus", "mm_frames",
       "layout_zorder")

@@ -510,6 +510,38 @@ object Curation {
       (s >= lit(0.0)).as("keep_doc"))
   }
 
+  /** C24: cross-source lexical overlap matrix — for every pair of
+    * sources, how many distinct 3-token shingles they share: the
+    * audit that catches one crawl slice being a mirror / re-scrape of
+    * another BEFORE both are weighted into a mixture (C14 rates
+    * assume sources are distinct populations; a hidden mirror
+    * double-counts its content at twice the intended rate). Shingle
+    * granularity rather than whole-document (C2's view) because
+    * mirrors rarely match byte-for-byte — boilerplate, dates, and
+    * encoding differ while the prose overlaps.
+    *
+    * Scale shape: distinct (source, shingle-hash) pairs — bounded by
+    * vocabulary × sources, NOT corpus size — then a self-equi-join on
+    * the hash. Per-shingle fan-out is ≤ C(|sources|, 2) however hot
+    * the shingle (both join sides carry at most one row per source
+    * per hash), so the output and the join volume are bounded by
+    * sources², independent of corpus bytes. Both join inputs are the
+    * SAME distinct subtree — one exchange, shipped once.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(Dedup.shingleArray(Dedup.tokens(col("text")), 3)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    sh.select(col("gh"), col("source").as("source_a"))
+      .join(sh.select(col("gh"), col("source").as("source_b"))
+        .hint("shuffle_hash"), Seq("gh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   private val qualityClassifierOracle = {
     val en = "\\b(the|and|of|to|is|in|it|a)\\b"
     s"""WITH f AS (SELECT doc_id,
@@ -536,6 +568,17 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "curate_quality_classifier" -> qualityClassifierOracle,
+    "curate_source_overlap" ->
+      """WITH t AS (SELECT source, regexp_extract_all(text, '\S+') w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in range(1, len(w) - 1)])) g
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "curate_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
         |  FROM documents),
@@ -654,6 +697,7 @@ object Curation {
     "curate_dup_ngrams" -> ((s, d) => dupNgrams(s, d)),
     "curate_repetition" -> (repetition _),
     "curate_length_band" -> ((s, d) => lengthBand(s, d)),
-    "curate_quality_classifier" -> (qualityClassifier _)
+    "curate_quality_classifier" -> (qualityClassifier _),
+    "curate_source_overlap" -> (sourceOverlap _)
   )
 }

@@ -773,6 +773,68 @@ object Dedup {
       .select(col("vec_id_a"), col("vec_id_b"), col("sim"))
   }
 
+  /** Consecutive w-token line segments of a token array — the
+    * deterministic segmentation the line-granular dedup pins its
+    * oracle on. A real crawl corpus passes newline-split lines
+    * through [[dedupLinesOf]] directly; the test corpus carries no
+    * newlines, so the segmentation stands in for them identically in
+    * both engines. ⌈n/w⌉ lines; the last may be short; empty token
+    * arrays yield no lines.
+    */
+  private def lineArray(toks: Column, w: Int): Column =
+    when(size(toks) >= 1,
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / w).cast("int")),
+        j => concat_ws(" ", slice(toks, j * w + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** C23: line-granular exact dedup — the CCNet paragraph-dedup /
+    * RefinedWeb line-wise filter: across the WHOLE corpus, every
+    * distinct line keeps exactly its first occurrence (min (doc_id,
+    * line_no) — "first" must be a global total order to be
+    * reproducible, not an encounter order) and every later copy is
+    * deleted, including within-document repeats. Documents are then
+    * reassembled from their surviving lines in order — the operator a
+    * crawl pipeline runs BEFORE document-level near-dedup, because
+    * boilerplate (headers, nav bars, license blocks) repeats at line
+    * granularity across documents that are nothing alike as wholes.
+    *
+    * Scale shape: lines are grouped on their 64-bit content hash, and
+    * the keep-first decision is `min(struct(doc_id, line_no, line))`
+    * inside that ONE map-side-combined aggregation — no join-back,
+    * no window. The surviving lines (≤ distinct lines) then shuffle
+    * once more on doc_id for reassembly; per-doc line totals ride a
+    * shuffle-free map pass on the document side of the final join.
+    * Hashed group keys carry the C1 collision contract (w.p.
+    * 1 − n²/2⁶⁵; the oracle groups raw line text, so a collision
+    * surfaces as a hash mismatch, never silently).
+    */
+  def dedupLines(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    dedupLinesOf(Tables(spark, dir, "documents"), w)
+
+  def dedupLinesOf(docs: DataFrame, w: Int): DataFrame = {
+    val segs = docs.select(col("doc_id"),
+        posexplode(lineArray(tokens(col("text")), w))
+          .as(Seq("line_no", "line")))
+    val kept = segs
+      .groupBy(xxhash64(col("line")).as("lh"))
+      .agg(min(struct(col("doc_id"), col("line_no"), col("line"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.line_no").as("line_no"),
+        col("f.line").as("line"))
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(lineArray(tokens(col("text")), w)).cast("bigint").as("n_lines"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** CC oracle: transitive closure via recursive CTE (min reachable
     * id per node), over the same jaccard pair set.
     */
@@ -842,7 +904,32 @@ object Dedup {
       |    / len(regexp_extract_all(d.text, '\S+')) AS dup_fraction
       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
 
+  // C23 oracle: same segmentation, keep-first via two-stage group
+  // (min doc, then min line_no within it) over the RAW line text —
+  // the collision check for the Spark side's hashed group keys.
+  private val dedupLinesOracle =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t
+      |             FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1),
+      |seg AS (SELECT doc_id, unnest(generate_series(0, (len(t) - 1) // 8)) j, t
+      |        FROM tok),
+      |lines AS (SELECT doc_id, j AS line_no,
+      |    array_to_string(t[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)], ' ') line
+      |  FROM seg),
+      |fst AS (SELECT line, MIN(doc_id) dmin FROM lines GROUP BY line),
+      |fln AS (SELECT l.line, f.dmin, MIN(l.line_no) lmin
+      |        FROM lines l JOIN fst f ON l.line = f.line AND l.doc_id = f.dmin
+      |        GROUP BY 1, 2),
+      |agg AS (SELECT dmin AS doc_id, COUNT(*) n_kept,
+      |          array_to_string(list(line ORDER BY lmin), ' ') clean_text
+      |        FROM fln GROUP BY dmin),
+      |tot AS (SELECT doc_id, CAST((len(t) - 1) // 8 + 1 AS BIGINT) n_lines FROM tok)
+      |SELECT t.doc_id, t.n_lines,
+      |  COALESCE(a.n_kept, 0) AS n_kept,
+      |  COALESCE(a.clean_text, '') AS clean_text
+      |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesOracle,
     "dedup_substring" -> substringPairsOracle,
     "dedup_substring_spans" -> substringSpansOracle,
     "dedup_clusters" -> clustersOracle,
@@ -893,6 +980,7 @@ object Dedup {
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
+    "dedup_lines" -> ((s, d) => dedupLines(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
     "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
     "dedup_semantic" -> ((s, d) => semanticPairs(s, d))

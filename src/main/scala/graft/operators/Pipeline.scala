@@ -137,7 +137,33 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Global deterministic shuffle order — the whole-corpus random
+    * permutation a training run consumes (batch i = rows i·b…(i+1)·b;
+    * shard boundaries must not correlate with source, time, or any
+    * document property). Position = 1-based rank under
+    * (md5(doc_id), doc_id): a cryptographic hash of the id alone, so
+    * the permutation is uniform w.r.t. every payload property,
+    * bit-reproducible months later on any cluster, and needs no RNG
+    * state. The same ordering drives
+    * [[graft.catalog.GraftDatabase.exportShuffled]]'s sharded write;
+    * this query form pins the arithmetic cross-engine.
+    *
+    * Scale shape: [[Ranks.globalRowNumber]] — range exchange +
+    * per-partition offsets; a bare `row_number()` window would
+    * funnel 100 TB through one task.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    Ranks.globalRowNumber(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h")),
+      Seq(col("h").asc, col("doc_id").asc), "pos")
+      .select(col("doc_id"), col("pos"))
+
   val oracles: Map[String, String] = Map(
+    "pipeline_shuffle" ->
+      """SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM documents""".stripMargin,
     "pipeline_sample_stratified" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
@@ -206,6 +232,7 @@ object Pipeline {
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_split" -> (deterministicSplit _),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
-    "pipeline_sample_stratified" -> ((s, d) => stratifiedSample(s, d))
+    "pipeline_sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
+    "pipeline_shuffle" -> (shuffleOrder _)
   )
 }

@@ -181,6 +181,68 @@ object TextQueries {
         expr(s"substring(text, chunk_start, $size)").as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
 
+  /** E15: corpus vocabulary — the fixed-size token inventory a
+    * tokenizer build pins before encoding: id = 1-based rank of the
+    * lowercased whitespace token under (occurrences DESC, term ASC),
+    * capped at `maxSize` (the vocab_size hyperparameter; everything
+    * below the cap is OOV). The order is total (term breaks count
+    * ties), so ids are bit-reproducible on any cluster.
+    *
+    * Scale shape: one explode → map-side-combined count (vocabulary-
+    * sized output), then [[Ranks.globalRowNumber]] — a range-exchange
+    * two-phase rank, NOT a single-partition `row_number()` window: a
+    * real web corpus's vocabulary (every typo, every number) runs to
+    * 10⁸+ terms, which must never funnel through one task.
+    */
+  def vocabulary(spark: SparkSession, dir: String,
+      maxSize: Int = 20): DataFrame =
+    vocabularyOf(Tables(spark, dir, "documents"), maxSize)
+
+  private[operators] def vocabularyOf(docs: DataFrame,
+      maxSize: Int): DataFrame = {
+    val counts = docs
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
+    Ranks.globalRowNumber(counts,
+        Seq(col("n_occurrences").desc, col("term").asc), "id")
+      .filter(col("id") <= maxSize)
+      .select(col("id"), col("term"), col("n_occurrences"))
+  }
+
+  /** E16: corpus encoding against the E15 vocabulary — each document
+    * becomes its token-id sequence (OOV → 0), plus token/OOV counts:
+    * the tokenize-to-ids pass that feeds sequence packing (C12) and
+    * training shards. Emitted as a space-joined id string so the
+    * cross-engine hash check covers the exact sequence.
+    *
+    * Scale shape: the corpus side is one posexplode; the vocabulary
+    * join is an equi-join on the term AQE sizes (broadcast while the
+    * capped vocab is small — which a capped vocab IS by construction);
+    * reassembly groups on doc_id, and doc-contiguous scan partitions
+    * let the collect_list partial phase build each doc's array
+    * map-side.
+    */
+  def encodeIds(spark: SparkSession, dir: String,
+      maxSize: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val v = vocabularyOf(docs, maxSize).select(col("term"), col("id"))
+    docs.select(col("doc_id"),
+        posexplode(
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as(Seq("p", "term")))
+      .join(v, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              struct(col("p"), coalesce(col("id"), lit(0L)).as("id")))),
+            s => s.getField("id").cast("string"))).as("encoded"))
+  }
+
   /** E10: statistical fluency under the corpus's own bigram model —
     * the cheap LM-style quality signal (a doc whose bigrams are
     * common corpus-wide reads as fluent; word salad scores low).
@@ -376,6 +438,28 @@ object TextQueries {
         |  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS fluency,
         |  COUNT(*) AS n_bigrams
         |FROM j GROUP BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) w
+        |             FROM documents),
+        |c AS (SELECT w, COUNT(*) c FROM tok GROUP BY w),
+        |v AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) id FROM c)
+        |SELECT id, w AS term, c AS n_occurrences FROM v WHERE id <= 20""".stripMargin,
+    "text_encode_ids" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') t
+        |             FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) w,
+        |          unnest(generate_series(1, len(t))) p FROM tok),
+        |c AS (SELECT w, COUNT(*) c FROM pos GROUP BY w),
+        |v AS (SELECT w, id FROM
+        |  (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) id FROM c)
+        |  WHERE id <= 20),
+        |e AS (SELECT doc_id, p, COALESCE(id, 0) id,
+        |        CASE WHEN id IS NULL THEN 1 ELSE 0 END oov
+        |      FROM pos LEFT JOIN v USING (w))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY p), ' ') AS encoded
+        |FROM e GROUP BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
@@ -394,6 +478,8 @@ object TextQueries {
     "text_fluency" -> ((s, d) => fluency(s, d)),
     "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),
     "text_corpus_stats" -> (corpusStats _),
-    "text_chunks" -> ((s, d) => chunks(s, d))
+    "text_chunks" -> ((s, d) => chunks(s, d)),
+    "text_vocab" -> ((s, d) => vocabulary(s, d)),
+    "text_encode_ids" -> ((s, d) => encodeIds(s, d))
   )
 }
