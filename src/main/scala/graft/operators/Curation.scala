@@ -542,6 +542,59 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** C26: corpus version diff — the audit between two builds of the
+    * same corpus: per source, how many documents were added, removed,
+    * changed, or untouched. A training-data release reviews exactly
+    * this table before swapping versions (a silent 30%-changed source
+    * means re-dedup and re-mix, not an incremental append).
+    *
+    * Scale shape: both sides reduce to (doc_id, source, content hash)
+    * map-side, then ONE co-partitioned full-outer equi-join on doc_id
+    * and a conditional aggregation per source — status never needs
+    * the text after the hash projection, so the join carries ~24-byte
+    * rows. Content equality via xxhash64 under the C1 collision
+    * contract (the oracle compares raw text, so a collision surfaces
+    * as a hash-check mismatch).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("src_old"),
+      xxhash64(col("text")).as("h_old"))
+    val n = newDocs.select(col("doc_id"), col("source").as("src_new"),
+      xxhash64(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
+  /** The C26 query pin: v2 of the corpus is derived deterministically
+    * in BOTH engines — every doc_id ≡ 0 (mod 89) deleted, every
+    * doc_id ≡ 0 (mod 97) edited, and a shifted copy of every
+    * doc_id ≡ 0 (mod 83) appended as a new document.
+    */
+  def corpusDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val edited = docs.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") % 83 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+        col("text"))
+    corpusDiff(docs, edited.unionByName(added))
+  }
+
   private val qualityClassifierOracle = {
     val en = "\\b(the|and|of|to|is|in|it|a)\\b"
     s"""WITH f AS (SELECT doc_id,
@@ -568,6 +621,26 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "curate_quality_classifier" -> qualityClassifierOracle,
+    "curate_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 89 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 83 = 0),
+        |j AS (SELECT COALESCE(n.source, o.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text = n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source""".stripMargin,
     "curate_source_overlap" ->
       """WITH t AS (SELECT source, regexp_extract_all(text, '\S+') w
         |  FROM documents),
@@ -698,6 +771,7 @@ object Curation {
     "curate_repetition" -> (repetition _),
     "curate_length_band" -> ((s, d) => lengthBand(s, d)),
     "curate_quality_classifier" -> (qualityClassifier _),
-    "curate_source_overlap" -> (sourceOverlap _)
+    "curate_source_overlap" -> (sourceOverlap _),
+    "curate_corpus_diff" -> (corpusDiffQuery _)
   )
 }

@@ -681,6 +681,14 @@ object Dedup {
     //   sides plus the cap aggregation are the SAME exchange subtree
     //   — ReuseExchange ships the distinct rows once.
     val wh = windowHashes(docs, w)
+    // (r7 probe, kept as a negative result: pre-clustering on h alone
+    // so the agg, occ-window, and pair join share ONE exchange made
+    // the 10× board WORSE — 5.2 s → 7.7 s width-pinned, 14.7 s
+    // AQE-sized — because it consolidates the complete agg, the occ
+    // sort, and the pair explosion into a single unpipelined stage
+    // and drops the partial agg. The two-exchange plan below keeps
+    // the partial combine and lets the window/join stage overlap the
+    // agg stage.)
     val whc = wh.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
     // occ as an analytic over the SAME lineage — a separate
@@ -690,6 +698,12 @@ object Dedup {
     // has nothing to dedupe (measured: 2 × 1.25 s tokenize stages at
     // the 10× board).
     val whd = whc
+      // (r7 probe: width-pinning this h exchange at cluster width —
+      // the C3/C4 verify-stage treatment — measured WORSE at the 10×
+      // board, 5.5 s → 7.9 s: at the 1 MB default advisory AQE
+      // already sizes these stages well, and the forced width only
+      // added dispatch; the pins pay off on CPU-dense VERIFY joins,
+      // not here. Kept unpinned.)
       .withColumn("occ",
         sum(col("cnt")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))

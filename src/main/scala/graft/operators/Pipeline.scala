@@ -114,6 +114,32 @@ object Pipeline {
       .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
   }
 
+  /** C12b: materialized packed sequences — the C12 bin assignment
+    * turned into the actual training rows: one row per (source, bin)
+    * with the member documents concatenated in doc_id order (the
+    * separator stands in for an EOS token; swapping in a real special
+    * token is a literal change). This is the last batch step before a
+    * shard write: `exportShuffled(packed)` streams straight to the
+    * trainer.
+    *
+    * Scale shape: the C12 window (hash-partitioned per source), one
+    * equi-join back to the text on doc_id (AQE-sized), then a
+    * (source, bin) aggregation whose collect_list holds ONE bin's
+    * documents — bounded by the token budget, never by corpus size,
+    * so no group can blow an executor.
+    */
+  def packConcat(spark: SparkSession, dir: String,
+      budget: Int = 4096): DataFrame =
+    packSequences(spark, dir, budget)
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text"))).as("packed_text"))
+
   /** Deterministic stratified sample: exactly `k` documents per
     * source, chosen by md5-of-id order — uniform within each stratum
     * (the hash is independent of any document property), reproducible
@@ -184,6 +210,19 @@ object Pipeline {
         |  FROM t)
         |SELECT source, doc_id, n_tokens, cum_tokens,
         |  (cum_tokens - 1) // 4096 AS bin FROM c""".stripMargin,
+    "pipeline_pack_concat" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |b AS (SELECT source, doc_id, n_tokens,
+        |    (cum_tokens - 1) // 4096 AS bin FROM c)
+        |SELECT b.source, b.bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(b.n_tokens) AS BIGINT) AS bin_tokens,
+        |  array_to_string(list(d.text ORDER BY b.doc_id), ' ') AS packed_text
+        |FROM b JOIN documents d USING (doc_id)
+        |GROUP BY b.source, b.bin""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH scored AS (SELECT doc_id, text,
         |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
@@ -232,6 +271,7 @@ object Pipeline {
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_split" -> (deterministicSplit _),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
+    "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),
     "pipeline_sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
     "pipeline_shuffle" -> (shuffleOrder _)
   )

@@ -126,6 +126,40 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Map(("srcA", "srcB") -> 2L))
   }
 
+  test("corpus diff: exact planted add/remove/change/unchanged counts") {
+    import spark.implicits._
+    val old = Seq((1L, "srcA", "x"), (2L, "srcA", "y"), (3L, "srcB", "z"))
+      .toDF("doc_id", "source", "text")
+    val neu = Seq((2L, "srcA", "y2"), (3L, "srcB", "z"), (4L, "srcB", "w"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Curation.corpusDiff(old, neu)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("srcA") == ((0L, 1L, 1L, 0L)))
+    assert(out("srcB") == ((1L, 0L, 0L, 1L)))
+  }
+
+  test("pack concat: bins bounded by budget, token-exact, order-preserving") {
+    val out = graft.operators.Pipeline.packConcat(spark, sf, budget = 512)
+    // C12's bound: a bin minus its FIRST member (which may straddle
+    // the boundary from the previous bin) fits strictly inside the
+    // budget — total = last_cum − prev_bin_last_cum, so
+    // total − first_member < budget always
+    val binned = graft.operators.Pipeline.packSequences(spark, sf, 512)
+    assert(binned.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tokens")).as("tot"),
+        min_by(col("n_tokens"), col("doc_id")).as("first_tok"))
+      .filter(col("tot") - col("first_tok") >= 512).count() == 0)
+    // the packed text carries exactly the bin's token count (separator
+    // adds no tokens)
+    assert(out.filter(
+      size(split(col("packed_text"), "\\s+")) =!= col("bin_tokens"))
+      .count() == 0)
+    // every document lands in exactly one bin
+    assert(binned.select("doc_id").distinct().count() == binned.count())
+    assert(out.agg(sum(col("n_docs"))).head().getLong(0) == binned.count())
+  }
+
   test("shuffled export: disjoint ordered hash ranges, reproducible") {
     val dir = scratch("export_shuffled")
     val db = catalog.GraftDatabase(spark, s"$dir/db")
