@@ -70,7 +70,11 @@ SCALE10 = [
     "pipeline_clean_corpus", "pipeline_pack", "q_percentiles",
     "q_median_quantity", "q3_bucketed", "q5_bucketed",
     "dedup_substring", "dedup_substring_spans",
-    "text_chunks", "curate_quality_classifier"]
+    "text_chunks", "curate_quality_classifier",
+    # round 7 additions
+    "dedup_lines", "text_vocab", "text_encode_ids",
+    "curate_source_overlap", "pipeline_shuffle",
+    "pipeline_pack_concat", "curate_corpus_diff"]
 
 
 def parent_offset(name):
