@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.RangeJoin.queries ++
       operators.Pipeline.queries ++ operators.TextIndex.queries ++
-      operators.Curation.queries ++ operators.Layout.queries
+      operators.Curation.queries ++ operators.Layout.queries ++
+      operators.Bpe.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.AsOf.oracles ++ operators.RangeJoin.oracles ++
       operators.Pipeline.oracles ++ operators.TextIndex.oracles ++
-      operators.Curation.oracles ++ operators.Layout.oracles
+      operators.Curation.oracles ++ operators.Layout.oracles ++
+      operators.Bpe.oracles
 }

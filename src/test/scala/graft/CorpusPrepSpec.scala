@@ -160,6 +160,40 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out.agg(sum(col("n_docs"))).head().getLong(0) == binned.count())
   }
 
+  test("bpe merges: hand-computed sequence on the classic corpus") {
+    import spark.implicits._
+    // Sennrich-style fixture: "low"×5 "lower"×2 "newest"×6 "widest"×3.
+    // Hand-derived merge order under (count DESC, left ASC, right ASC):
+    //   1. (e,s)  9   (newest 6 + widest 3; ties (s,t) 9, 'e' < 's')
+    //   2. (es,t) 9
+    //   3. (l,o)  7   (low 5 + lower 2; ties (o,w) 7, 'l' < 'o')
+    //   4. (lo,w) 7
+    //   5. (e,w)  6   (ties (n,e)/(w,est) 6, 'e' < 'n' < 'w')
+    val texts = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .mkString(" ")
+    val m = graft.operators.Bpe.learnMergesOf(spark,
+        Seq(texts).toDF("text"), nMerges = 5, minPair = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L), (5L, "e", "w", 6L)))
+  }
+
+  test("bpe merge pass: left-to-right non-overlap, determinism") {
+    import spark.implicits._
+    // "aaa" under (a,a) fuses the FIRST pair only
+    val out = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+      .select(graft.operators.Bpe.mergeOnce(col("syms"), "a", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+    // same corpus twice → identical merge table
+    val a = graft.operators.Bpe.learnMerges(spark, sf).collect().toSeq
+    val b = graft.operators.Bpe.learnMerges(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("shuffled export: disjoint ordered hash ranges, reproducible") {
     val dir = scratch("export_shuffled")
     val db = catalog.GraftDatabase(spark, s"$dir/db")
