@@ -138,7 +138,73 @@ object Bpe {
     first.crossJoin(shape)
   }
 
+  /** E18: segment the corpus with a learned merge table — the
+    * tokenizer's encode path at symbol granularity (id assignment is
+    * E16's vocabulary join, composable downstream). Merges apply in
+    * rank order per word, exactly as learned.
+    *
+    * Scale shape: merges apply over the DISTINCT-WORD vocabulary
+    * (the K chained fold passes run once per distinct word, not once
+    * per corpus token), then one AQE-sized join maps tokens to their
+    * symbol arrays and a per-doc aggregation reassembles in token
+    * order — the E16 encode shape with a vocabulary-side transform.
+    */
+  def segmentCorpus(spark: SparkSession, dir: String,
+      nMerges: Int = 10): DataFrame =
+    segmentCorpusOf(spark, Tables(spark, dir, "documents"), nMerges)
+
+  def segmentCorpusOf(spark: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val merges = learnMergesOf(spark, docs.select(col("text")), nMerges, 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val pos = docs.select(col("doc_id"),
+      posexplode(
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .as(Seq("p", "word")))
+    val vocab = pos.select(col("word")).distinct()
+      .withColumn("syms", merges.foldLeft(chars(col("word"))) {
+        case (acc, (l, r)) => mergeOnce(acc, l, r)
+      })
+    pos.join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(size(col("syms"))).as("n_symbols"),
+        concat_ws(" ", flatten(
+          transform(array_sort(collect_list(struct(col("p"), col("syms")))),
+            s => s.getField("syms")))).as("bpe_text"))
+  }
+
+  /** Driver-visible segmentation invariant: BPE is a partition of the
+    * word — symbols concatenate back to it losslessly, every word
+    * gets ≥1 symbol. DuckDB pins the vocabulary size and the expected
+    * booleans.
+    */
+  def segmentCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = learnMergesOf(spark, docs.select(col("text")), 10, 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val vocab = docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        .as("word")).distinct()
+      .withColumn("syms", merges.foldLeft(chars(col("word"))) {
+        case (acc, (l, r)) => mergeOnce(acc, l, r)
+      })
+    vocab.agg(
+      count(lit(1)).as("n_words"),
+      (count(lit(1)) ===
+        sum(when(concat_ws("", col("syms")) === col("word"), 1L)
+          .otherwise(0L))).as("all_lossless"),
+      (min(size(col("syms"))) >= 1).as("all_nonempty"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_segment_check" ->
+      """SELECT COUNT(DISTINCT w) AS n_words,
+        |  true AS all_lossless, true AS all_nonempty
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) w
+        |      FROM documents)""".stripMargin,
     "text_bpe_merges_check" ->
       """WITH w AS (SELECT w, COUNT(*) n FROM
         |    (SELECT unnest(regexp_extract_all(lower(text), '\S+')) w
@@ -156,6 +222,8 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> ((s, d) => learnMerges(s, d)),
-    "text_bpe_merges_check" -> (mergesCheck _)
+    "text_bpe_merges_check" -> (mergesCheck _),
+    "text_bpe_segment" -> ((s, d) => segmentCorpus(s, d)),
+    "text_bpe_segment_check" -> (segmentCheck _)
   )
 }

@@ -194,6 +194,25 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bpe segment: exact symbols under the learned merges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower newest widest"),
+      (2L, (Seq.fill(4)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    // corpus counts: low 5, lower 3, newest 7, widest 4 → same merge
+    // order as the classic fixture ((e,s),(es,t),(l,o),(lo,w),(e,w)
+    // lead; later merges only fuse further, so the 5-merge prefix
+    // drives the interesting splits); with all 10 merges "low" is one
+    // symbol and reassembly stays lossless — pinned exactly on doc 1
+    val out = graft.operators.Bpe.segmentCorpusOf(spark, docs, 5)
+      .filter(col("doc_id") === 1).head()
+    assert(out.getLong(1) == 4) // n_tokens
+    assert(out.getString(3) == "low low e r n ew est w i d est")
+    assert(out.getLong(2) == 11) // n_symbols
+  }
+
   test("shuffled export: disjoint ordered hash ranges, reproducible") {
     val dir = scratch("export_shuffled")
     val db = catalog.GraftDatabase(spark, s"$dir/db")
