@@ -86,31 +86,47 @@ object Bpe {
       minPair: Long): DataFrame = {
     val words = texts
       .select(explode(
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        TextQueries.lowerTokens(col("text")))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .select(chars(col("word")).as("syms"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    // Each round persists its rewritten vocabulary and releases the
+    // grandparent AFTER the round's argmax has materialized the child
+    // — so round k is always ONE fold pass over cached rows, never a
+    // replay of the k−1 earlier rewrites (an unpersisted chain made
+    // the loop O(K²) in fold passes and stacked K nested aggregate()
+    // expressions toward Catalyst's codegen depth limits).
+    var cur = words
+    var retired: DataFrame = null
     try {
-      var cur = words
       var done = false
       var k = 1
       while (k <= nMerges && !done) {
+        // materializes cur's cache as a side effect of the argmax
         val top = pairCounts(cur)
           .orderBy(col("n_occurrences").desc, col("left").asc,
             col("right").asc)
           .limit(1).collect()
+        if (retired != null) { retired.unpersist(blocking = false); retired = null }
         if (top.isEmpty || top(0).getLong(2) < minPair) done = true
         else {
           val (l, r, c) =
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((k, l, r, c))
-          cur = cur.withColumn("syms", mergeOnce(col("syms"), l, r))
+          val next = cur.withColumn("syms", mergeOnce(col("syms"), l, r))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          retired = cur // still cached — next is built from it lazily
+          cur = next
           k += 1
         }
       }
-    } finally words.unpersist(blocking = false)
+    } finally {
+      words.unpersist(blocking = false)
+      if (retired != null) retired.unpersist(blocking = false)
+      if (cur ne words) cur.unpersist(blocking = false)
+    }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "n_occurrences")
       .select(col("rank").cast("long"), col("left"), col("right"),
@@ -153,19 +169,31 @@ object Bpe {
       nMerges: Int = 10): DataFrame =
     segmentCorpusOf(spark, Tables(spark, dir, "documents"), nMerges)
 
-  def segmentCorpusOf(spark: SparkSession, docs: DataFrame,
+  /** Distinct-word vocabulary with the learned merges applied in rank
+    * order — the ONE segmentation definition [[segmentCorpusOf]] ships
+    * and [[segmentCheck]] audits (a private copy in the check would
+    * let it pass against a stale twin of the operator it exists to
+    * verify).
+    */
+  private def segmentVocab(spark: SparkSession, docs: DataFrame,
       nMerges: Int): DataFrame = {
     val merges = learnMergesOf(spark, docs.select(col("text")), nMerges, 2L)
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val pos = docs.select(col("doc_id"),
-      posexplode(
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
-        .as(Seq("p", "word")))
-    val vocab = pos.select(col("word")).distinct()
+    docs.select(explode(TextQueries.lowerTokens(col("text"))).as("word"))
+      .distinct()
       .withColumn("syms", merges.foldLeft(chars(col("word"))) {
         case (acc, (l, r)) => mergeOnce(acc, l, r)
       })
+  }
+
+  def segmentCorpusOf(spark: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val vocab = segmentVocab(spark, docs, nMerges)
+    val pos = docs.select(col("doc_id"),
+      posexplode(
+        TextQueries.lowerTokens(col("text")))
+        .as(Seq("p", "word")))
     pos.join(vocab, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -181,16 +209,7 @@ object Bpe {
     * booleans.
     */
   def segmentCheck(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val merges = learnMergesOf(spark, docs.select(col("text")), 10, 2L)
-      .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val vocab = docs.select(explode(
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
-        .as("word")).distinct()
-      .withColumn("syms", merges.foldLeft(chars(col("word"))) {
-        case (acc, (l, r)) => mergeOnce(acc, l, r)
-      })
+    val vocab = segmentVocab(spark, Tables(spark, dir, "documents"), 10)
     vocab.agg(
       count(lit(1)).as("n_words"),
       (count(lit(1)) ===

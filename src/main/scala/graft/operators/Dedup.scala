@@ -923,9 +923,9 @@ object Dedup {
   // the collision check for the Spark side's hashed group keys.
   private val dedupLinesOracle =
     """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t
-      |             FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1),
+      |             FROM documents),
       |seg AS (SELECT doc_id, unnest(generate_series(0, (len(t) - 1) // 8)) j, t
-      |        FROM tok),
+      |        FROM tok WHERE len(t) >= 1),
       |lines AS (SELECT doc_id, j AS line_no,
       |    array_to_string(t[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)], ' ') line
       |  FROM seg),
@@ -936,7 +936,8 @@ object Dedup {
       |agg AS (SELECT dmin AS doc_id, COUNT(*) n_kept,
       |          array_to_string(list(line ORDER BY lmin), ' ') clean_text
       |        FROM fln GROUP BY dmin),
-      |tot AS (SELECT doc_id, CAST((len(t) - 1) // 8 + 1 AS BIGINT) n_lines FROM tok)
+      |tot AS (SELECT doc_id, CAST(CASE WHEN len(t) = 0 THEN 0
+      |          ELSE (len(t) - 1) // 8 + 1 END AS BIGINT) n_lines FROM tok)
       |SELECT t.doc_id, t.n_lines,
       |  COALESCE(a.n_kept, 0) AS n_kept,
       |  COALESCE(a.clean_text, '') AS clean_text

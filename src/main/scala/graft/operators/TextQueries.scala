@@ -9,6 +9,15 @@ import graft.functions.TextFunctions._
 /** Text-analysis queries over `documents` (SURVEY.md §2.E). */
 object TextQueries {
 
+  /** Lowercased whitespace tokens — the ONE token definition the
+    * vocabulary/encoding/BPE family (E15–E18) shares; a tokenization
+    * tweak lands here once or the operators drift apart.
+    * [[Dedup.tokens]] is the un-lowered twin the dedup family uses.
+    */
+  private[graft] def lowerTokens(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
   /** E1: token counting — whitespace tokens + BPE-ish estimate. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").select(
@@ -201,8 +210,7 @@ object TextQueries {
   private[operators] def vocabularyOf(docs: DataFrame,
       maxSize: Int): DataFrame = {
     val counts = docs
-      .select(explode(
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+      .select(explode(lowerTokens(col("text")))
         .as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
     Ranks.globalRowNumber(counts,
@@ -229,8 +237,7 @@ object TextQueries {
     val docs = Tables(spark, dir, "documents")
     val v = vocabularyOf(docs, maxSize).select(col("term"), col("id"))
     docs.select(col("doc_id"),
-        posexplode(
-          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+        posexplode(lowerTokens(col("text")))
           .as(Seq("p", "term")))
       .join(v, Seq("term"), "left")
       .groupBy(col("doc_id"))

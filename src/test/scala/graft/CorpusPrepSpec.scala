@@ -21,7 +21,10 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       // within-doc repeat: both lines identical → second dropped
       (3L, "x1 y1 z1 w1 v1 u1 t1 s1 x1 y1 z1 w1 v1 u1 t1 s1"),
       // short doc (< 8 tokens) → one short line, unique
-      (4L, "lone short line")
+      (4L, "lone short line"),
+      // empty doc → zero lines, but still a result row (totality —
+      // the oracle must agree, so a parity break here fails loudly)
+      (5L, "")
     ).toDF("doc_id", "text")
     val out = graft.operators.Dedup.dedupLinesOf(docs, 8)
       .collect().map(r => r.getLong(0) ->
@@ -30,6 +33,7 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((2L, 1L, "q r s t u v w x")))
     assert(out(3L) == ((2L, 1L, "x1 y1 z1 w1 v1 u1 t1 s1")))
     assert(out(4L) == ((1L, 1L, "lone short line")))
+    assert(out(5L) == ((0L, 0L, "")))
   }
 
   test("line dedup: no duplicates ⇒ lossless identity") {
