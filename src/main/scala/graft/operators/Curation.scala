@@ -548,21 +548,33 @@ object Curation {
     * this table before swapping versions (a silent 30%-changed source
     * means re-dedup and re-mix, not an incremental append).
     *
-    * Scale shape: both sides reduce to (doc_id, source, content hash)
-    * map-side, then ONE co-partitioned full-outer equi-join on doc_id
-    * and a conditional aggregation per source — status never needs
-    * the text after the hash projection, so the join carries ~24-byte
-    * rows. Content equality via xxhash64 under the C1 collision
-    * contract (the oracle compares raw text, so a collision surfaces
-    * as a hash-check mismatch).
+    * Scale shape: a diff is a UNION-AGGREGATE, not a join — the same
+    * tag-union pattern as the as-of join (B12). Both sides reduce to
+    * (doc_id, source, content hash, side) map-side; the tagged union
+    * then groups once on doc_id, folding each document's ≤2 rows
+    * into one (h_old, h_new) pair. That is ONE exchange of ~24-byte
+    * rows where the earlier full-outer-join formulation paid an
+    * exchange per side plus the join machinery — at 100 TB the diff
+    * costs exactly one pass over both versions and one co-partition
+    * shuffle. doc_id is the per-version primary key (both shapes
+    * assume it). Content equality via xxhash64 under the C1
+    * collision contract (the oracle compares raw text, so a
+    * collision surfaces as a hash-check mismatch).
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), col("source").as("src_old"),
-      xxhash64(col("text")).as("h_old"))
-    val n = newDocs.select(col("doc_id"), col("source").as("src_new"),
-      xxhash64(col("text")).as("h_new"))
-    o.join(n, Seq("doc_id"), "full_outer")
-      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+    val o = oldDocs.select(col("doc_id"), col("source"),
+      xxhash64(col("text")).as("h"), lit(0).as("side"))
+    val n = newDocs.select(col("doc_id"), col("source"),
+      xxhash64(col("text")).as("h"), lit(1).as("side"))
+    o.unionByName(n)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("side") === 0, col("h"))).as("h_old"),
+        max(when(col("side") === 1, col("h"))).as("h_new"),
+        // new version's source wins for added/changed rows, matching
+        // the join shape's coalesce(src_new, src_old)
+        coalesce(max(when(col("side") === 1, col("source"))),
+          max(when(col("side") === 0, col("source")))).as("source"))
+      .select(col("source"),
         when(col("h_old").isNull, "added")
           .when(col("h_new").isNull, "removed")
           .when(col("h_old") === col("h_new"), "unchanged")
@@ -583,6 +595,7 @@ object Curation {
     * doc_id ≡ 0 (mod 97) edited, and a shifted copy of every
     * doc_id ≡ 0 (mod 83) appended as a new document.
     */
+
   def corpusDiffQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val edited = docs.filter(col("doc_id") % 89 =!= 0)

@@ -174,14 +174,17 @@ object Pipeline {
     * [[graft.catalog.GraftDatabase.exportShuffled]]'s sharded write;
     * this query form pins the arithmetic cross-engine.
     *
-    * Scale shape: [[Ranks.globalRowNumber]] — range exchange +
-    * per-partition offsets; a bare `row_number()` window would
-    * funnel 100 TB through one task.
+    * Scale shape: [[Ranks.hashOrderedRowNumber]] — the leading sort
+    * key is md5, a uniform hash, so the partition boundaries are
+    * analytic and the range-sampling job (a full extra run of the
+    * scan+hash upstream) is dropped; a bare `row_number()` window
+    * would funnel 100 TB through one task.
     */
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
-    Ranks.globalRowNumber(
+    Ranks.hashOrderedRowNumber(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h")),
+      col("h"),
       Seq(col("h").asc, col("doc_id").asc), "pos")
       .select(col("doc_id"), col("pos"))
 

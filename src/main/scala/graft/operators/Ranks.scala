@@ -42,10 +42,59 @@ object Ranks {
     val n = spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
+    zipRanked(sorted, out)
+  }
+
+  /** [[globalRowNumber]] specialized to a LEADING key that is a
+    * uniform hex-encoded hash (md5/sha — the deterministic-shuffle
+    * keys of C22/C12): the range boundaries of a uniform key are
+    * known analytically, so the sampling job `repartitionByRange`
+    * runs to discover them — a full extra execution of the upstream
+    * plan — is dropped entirely. Bucket = the key's first 15 hex
+    * digits (60 bits) divided into `n` equal-width contiguous
+    * ranges; bucket order IS lexicographic key order (fixed-width
+    * hex), and ties beyond the prefix stay inside one bucket, where
+    * the per-partition external sort (Spark's spillable
+    * `sortWithinPartitions`, not an in-memory array sort) orders
+    * them under the full `order`. Uniformity also makes the buckets
+    * balanced by construction — the very guarantee sampling only
+    * approximates.
+    *
+    * `hashKey` must be a fixed-width lowercase-hex NON-NULL column
+    * and must be the first element of `order`; rank output is
+    * identical to [[globalRowNumber]] on the same `order` (spec-
+    * pinned), only the job count differs.
+    */
+  def hashOrderedRowNumber(df: DataFrame, hashKey: Column,
+      order: Seq[Column], out: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, conv, substring}
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    // ceil-width so v/width < n for every v in [0, 2^60)
+    val width = (1L << 60) / n + 1
+    val b = "__graft_bucket"
+    val withB = df.withColumn(b,
+      (conv(substring(hashKey, 1, 15), 16, 10).cast(LongType) /
+        width).cast("int"))
+    val bIdx = withB.schema.fieldIndex(b)
+    val parted = withB.rdd
+      .map(r => (r.getInt(bIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    val sorted = spark.createDataFrame(parted, withB.schema)
+      .sortWithinPartitions(order: _*)
+      .drop(b)
+    zipRanked(sorted, out)
+  }
+
+  private def zipRanked(sorted: DataFrame, out: String): DataFrame = {
     val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
-    spark.createDataFrame(ranked, sorted.schema.add(out, LongType,
-      nullable = false))
+    sorted.sparkSession.createDataFrame(ranked,
+      sorted.schema.add(out, LongType, nullable = false))
   }
 }

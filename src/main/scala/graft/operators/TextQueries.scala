@@ -213,10 +213,26 @@ object TextQueries {
       .select(explode(lowerTokens(col("text")))
         .as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
-    Ranks.globalRowNumber(counts,
-        Seq(col("n_occurrences").desc, col("term").asc), "id")
-      .filter(col("id") <= maxSize)
-      .select(col("id"), col("term"), col("n_occurrences"))
+    val order = Seq(col("n_occurrences").desc, col("term").asc)
+    if (maxSize <= 65536) {
+      // vocab_size is a bounded hyperparameter, not data-proportional:
+      // below the gate the rank over the SURVIVORS is bounded too, so
+      // orderBy+limit plans as TakeOrderedAndProject (per-partition
+      // partial top-k, no full sort, no range-sampling job) and the
+      // id assignment is a window over ≤ maxSize rows — scale-correct
+      // because the cap, not the corpus, bounds the single task.
+      import org.apache.spark.sql.expressions.Window
+      counts.orderBy(order: _*).limit(maxSize)
+        .withColumn("id",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select(col("id"), col("term"), col("n_occurrences"))
+    } else {
+      // a full-vocabulary id table (10⁸+ terms on a web corpus) goes
+      // through the distributed two-phase rank instead
+      Ranks.globalRowNumber(counts, order, "id")
+        .filter(col("id") <= maxSize)
+        .select(col("id"), col("term"), col("n_occurrences"))
+    }
   }
 
   /** E16: corpus encoding against the E15 vocabulary — each document

@@ -77,6 +77,23 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       .except(again.select("id", "pos")).count() == 0)
   }
 
+  test("hash rank: analytic buckets equal the sampled range rank") {
+    import spark.implicits._
+    val df = (0 until 20000).map(_.toLong).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("h"))
+      .repartition(13)
+    val order = Seq(col("h").asc, col("id").asc)
+    val analytic = graft.operators.Ranks.hashOrderedRowNumber(
+      df, col("h"), order, "pos")
+    // identical ranks to the sampled-boundary two-phase rank
+    val sampled = graft.operators.Ranks.globalRowNumber(df, order, "pos")
+    assert(analytic.select("id", "pos")
+      .except(sampled.select("id", "pos")).count() == 0)
+    assert(analytic.count() == 20000)
+    // still a parallel plan, never a single funnel
+    assert(analytic.rdd.getNumPartitions > 1)
+  }
+
   test("vocabulary: cap, total order, and encode consistency") {
     val cap = 5
     val v = graft.operators.TextQueries.vocabulary(spark, sf, cap).collect()
