@@ -22,7 +22,7 @@ object SparkEntry {
       operators.AsOf.queries ++ operators.RangeJoin.queries ++
       operators.Pipeline.queries ++ operators.TextIndex.queries ++
       operators.Curation.queries ++ operators.Layout.queries ++
-      operators.Bpe.queries
+      operators.Bpe.queries ++ operators.LanguageModel.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
@@ -33,5 +33,5 @@ object SparkEntry {
       operators.AsOf.oracles ++ operators.RangeJoin.oracles ++
       operators.Pipeline.oracles ++ operators.TextIndex.oracles ++
       operators.Curation.oracles ++ operators.Layout.oracles ++
-      operators.Bpe.oracles
+      operators.Bpe.oracles ++ operators.LanguageModel.oracles
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** E19: corpus bigram language model + held-out perplexity scoring —
+  * the statistical quality filter a pretraining pipeline runs after
+  * the rule-based gates (E2/E10): train an add-k-smoothed bigram LM
+  * on one split of the corpus, score the held-out split by
+  * bits-per-bigram (cross-entropy; perplexity = 2^bits). Documents
+  * whose held-out cross-entropy is far above the corpus's own model
+  * are boilerplate, wrong-language, or garbled — the LM-filter signal
+  * of the published curation recipes (reference: the engine's quality
+  * gates at `__init__.py` score rows only structurally; this is the
+  * corpus-statistical extension).
+  *
+  * Exactness discipline (the repo's fluency/classifier rule —
+  * cross-engine hash equality forbids order-dependent double sums):
+  * every bigram's log-probability is quantized to integer MILLIBITS
+  * (round(-log2(p)·1000)) the moment it's computed from exact integer
+  * counts, per-document aggregation is then pure integer arithmetic
+  * in any partition order, and the single double division happens
+  * once at the end. The only cross-engine float surface is log2 of a
+  * bit-identical rational — a libm ulp difference flips a millibit
+  * only within ~1e-13 of a rounding boundary.
+  *
+  * Scale shape: training is one explode → map-side-combined count
+  * (bigram-vocabulary-sized output), context counts re-aggregate the
+  * MODEL (not the corpus), and scoring is two equi-joins of the
+  * exploded held-out side against vocabulary-sized tables — the same
+  * join geometry as E5/E10, AQE-sized (broadcast while the model is
+  * small, shuffle-hash at web-corpus vocabulary).
+  */
+object LanguageModel {
+
+  private def toks(c: Column): Column =
+    regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  /** Adjacent (w1, w2) pair structs of a token array. */
+  private def pairArr(t: Column): Column =
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  /** Held-out bits-per-bigram under the train split's add-0.5 bigram
+    * model. Split: doc_id % holdMod == 0 is scored, the rest train.
+    * p(w2|w1) = (c(w1,w2) + 0.5) / (c(w1,·) + 0.5·V), V = train's
+    * distinct-token count — unseen contexts degrade to 1/V, so every
+    * held-out bigram has a finite score. Documents with <2 tokens
+    * have no bigrams and no row, in both engines.
+    */
+  def perplexity(spark: SparkSession, dir: String,
+      holdMod: Int = 5): DataFrame =
+    perplexityOf(Tables(spark, dir, "documents"), holdMod)
+
+  /** [[perplexity]] over an arbitrary (doc_id, text) frame. */
+  def perplexityOf(docs: DataFrame, holdMod: Int = 5): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val train = d.filter(col("doc_id") % holdMod =!= 0)
+    val held = d.filter(col("doc_id") % holdMod === 0)
+
+    val c2 = train.select(explode(pairArr(col("t"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // context totals re-aggregate the vocabulary-sized model table,
+    // never the corpus
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = train.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+
+    val ev = held.select(col("doc_id"), explode(pairArr(col("t"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val p = (coalesce(col("c2"), lit(0L)) + lit(0.5)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + lit(0.5) * col("v"))
+    ev.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log2(p) * 1000).cast("long").as("mb"),
+        (coalesce(col("c2"), lit(0L)) === 0).cast("long").as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        (sum(col("mb")).cast("double") / (lit(1000.0) * count(lit(1))))
+          .as("bits_per_bigram"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> ((s, d) => perplexity(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "text_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 2),
+        |tr AS (SELECT t FROM d WHERE doc_id % 5 <> 0),
+        |ev AS (SELECT doc_id, t FROM d WHERE doc_id % 5 = 0),
+        |trb AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tr),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM trb GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |    (SELECT unnest(t) AS tok FROM tr) u),
+        |evb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg FROM ev),
+        |q AS (SELECT doc_id, COALESCE(c2.c2, 0) AS c2n,
+        |    COALESCE(c1.c1, 0) AS c1n, v.v AS v
+        |  FROM evb LEFT JOIN c2 USING (bg)
+        |  LEFT JOIN c1 ON split_part(evb.bg, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |m AS (SELECT doc_id,
+        |    CAST(ROUND(-log2((c2n + 0.5) / (c1n + 0.5 * v)) * 1000)
+        |      AS BIGINT) AS mb,
+        |    CASE WHEN c2n = 0 THEN 1 ELSE 0 END AS oov FROM q)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+        |  CAST(SUM(mb) AS DOUBLE) / (1000.0 * COUNT(*)) AS bits_per_bigram
+        |FROM m GROUP BY doc_id""".stripMargin)
+}

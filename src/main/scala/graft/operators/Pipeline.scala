@@ -188,7 +188,54 @@ object Pipeline {
       Seq(col("h").asc, col("doc_id").asc), "pos")
       .select(col("doc_id"), col("pos"))
 
+  /** C27: training-shard manifest — the release artifact a training
+    * run consumes: fixed-size shards cut from the C22 global shuffle
+    * order, each with its audit row (doc count, payload bytes, rank
+    * range, and min doc_id as a spot-check key). A data release ships
+    * this table next to the shards so a consumer can verify
+    * completeness (contiguous first_pos/last_pos, Σ n_docs = corpus)
+    * without re-reading the data.
+    *
+    * Scale shape: the rank rides [[Ranks.hashOrderedRowNumber]] with
+    * n_chars carried THROUGH the rank shuffle (~8 extra bytes/row)
+    * instead of a corpus-scale join back to the table afterwards;
+    * the manifest aggregation groups on shard_id — output rows =
+    * corpus/shardSize, map-side combinable. Shard id is exact
+    * integer floor-division (column `/` is double division — misbins
+    * above 2^53).
+    */
+  def shardManifest(spark: SparkSession, dir: String,
+      shardSize: Int = 100): DataFrame = {
+    val ranked = Ranks.hashOrderedRowNumber(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("h")),
+      col("h"),
+      Seq(col("h").asc, col("doc_id").asc), "pos")
+    val p0 = col("pos") - 1
+    ranked
+      .select(col("doc_id"), col("n_chars"), col("pos"),
+        call_function("div", p0 - pmod(p0, lit(shardSize.toLong)),
+          lit(shardSize.toLong))
+          .as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_shard_manifest" ->
+      """WITH r AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |  FROM documents)
+        |SELECT CAST((pos - 1) // 100 AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM r GROUP BY 1""".stripMargin,
     "pipeline_shuffle" ->
       """SELECT doc_id, ROW_NUMBER() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
@@ -276,6 +323,7 @@ object Pipeline {
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
     "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),
     "pipeline_sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
-    "pipeline_shuffle" -> (shuffleOrder _)
+    "pipeline_shuffle" -> (shuffleOrder _),
+    "pipeline_shard_manifest" -> ((s, d) => shardManifest(s, d))
   )
 }

@@ -147,6 +147,47 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Map(("srcA", "srcB") -> 2L))
   }
 
+  test("perplexity: fluent text scores below gibberish, exact OOV counts") {
+    import spark.implicits._
+    // train split (ids 1..9, none ≡0 mod 5) repeats one fluent
+    // pattern; held-out ids 10 and 15: one fluent doc, one of tokens
+    // the model never saw
+    val train = (1 to 9).filter(_ % 5 != 0)
+      .map(i => (i.toLong, "the cat sat on the mat"))
+    val held = Seq((10L, "the cat sat on the mat"),
+      (15L, "zx qv jk wp zx qv"))
+    val out = graft.operators.LanguageModel
+      .perplexityOf((train ++ held).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L, 15L))
+    val (nb10, oov10, bits10) = out(10L)
+    val (nb15, oov15, bits15) = out(15L)
+    assert(nb10 == 5 && oov10 == 0)
+    // every gibberish bigram is unseen
+    assert(nb15 == 5 && oov15 == 5)
+    // the model must prefer the text it was trained on
+    assert(bits10 < bits15)
+    // unseen context floor: p = 1/V exactly, V = 5 distinct train
+    // tokens → 1000·log2(5) millibits, averaged
+    assert(math.abs(bits15 - math.round(math.log(5) / math.log(2) * 1000)
+      / 1000.0) < 1e-9)
+  }
+
+  test("shard manifest: contiguous ranges, exact totals") {
+    val m = graft.operators.Pipeline.shardManifest(spark, sf, 64)
+      .collect().sortBy(_.getLong(0))
+    val total = Tables(spark, sf, "documents").count()
+    assert(m.map(_.getLong(1)).sum == total)
+    m.foreach { r =>
+      val (sid, n, first, last) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(first == sid * 64 + 1)
+      assert(last - first + 1 == n)
+      assert(n == 64 || last == total) // only the tail shard is short
+    }
+  }
+
   test("corpus diff: exact planted add/remove/change/unchanged counts") {
     import spark.implicits._
     val old = Seq((1L, "srcA", "x"), (2L, "srcA", "y"), (3L, "srcB", "z"))

@@ -74,7 +74,8 @@ SCALE10 = [
     # round 7 additions
     "dedup_lines", "text_vocab", "text_encode_ids",
     "curate_source_overlap", "pipeline_shuffle",
-    "pipeline_pack_concat", "curate_corpus_diff"]
+    "pipeline_pack_concat", "curate_corpus_diff",
+    "text_perplexity", "pipeline_shard_manifest"]
 
 
 def parent_offset(name):
