@@ -56,21 +56,32 @@ object LanguageModel {
 
   /** [[perplexity]] over an arbitrary (doc_id, text) frame. */
   def perplexityOf(docs: DataFrame, holdMod: Int = 5): DataFrame = {
-    val d = docs
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    val train = d.filter(col("doc_id") % holdMod =!= 0)
-    val held = d.filter(col("doc_id") % holdMod === 0)
+    val d = tokenized(docs)
+    val (c2, c1, v) = model(d.filter(col("doc_id") % holdMod =!= 0))
+    scoreAgainst(c2, c1, v, d.filter(col("doc_id") % holdMod === 0))
+  }
 
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+
+  /** Bigram counts, context totals, distinct-token count of a
+    * tokenized train split. Context totals re-aggregate the
+    * vocabulary-sized model table, never the corpus.
+    */
+  private def model(train: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c2 = train.select(explode(pairArr(col("t"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
-    // context totals re-aggregate the vocabulary-sized model table,
-    // never the corpus
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = train.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
+    (c2, c1, v)
+  }
 
+  private def scoreAgainst(c2: DataFrame, c1: DataFrame, v: DataFrame,
+      held: DataFrame): DataFrame = {
     val ev = held.select(col("doc_id"), explode(pairArr(col("t"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val p = (coalesce(col("c2"), lit(0L)) + lit(0.5)) /
@@ -87,6 +98,30 @@ object LanguageModel {
         (sum(col("mb")).cast("double") / (lit(1000.0) * count(lit(1))))
           .as("bits_per_bigram"))
   }
+
+  /** D9's build-once/serve-many lifecycle for the LM: persist the
+    * model as parquet artifacts (`{name}_bigrams` / `{name}_contexts`
+    * / `{name}_meta`) so scoring a new batch never re-trains — the
+    * production shape where one corpus-wide model scores every
+    * incoming crawl increment. Rebuild is idempotent (Overwrite).
+    */
+  def buildLmModel(db: graft.catalog.GraftDatabase, docs: DataFrame,
+      name: String): Unit = {
+    val (c2, c1, v) = model(tokenized(docs))
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    db.write(c2, s"${name}_bigrams", ow)
+    db.write(c1, s"${name}_contexts", ow)
+    db.write(v, s"${name}_meta", ow)
+  }
+
+  /** Score a (doc_id, text) frame against a stored [[buildLmModel]]
+    * artifact — identical output to the inline path on the same
+    * train/score frames (spec-pinned).
+    */
+  def perplexityFromModel(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame): DataFrame =
+    scoreAgainst(db.read(s"${name}_bigrams"), db.read(s"${name}_contexts"),
+      db.read(s"${name}_meta"), tokenized(docs))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_perplexity" -> ((s, d) => perplexity(s, d)))

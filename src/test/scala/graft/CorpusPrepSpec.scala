@@ -174,6 +174,23 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       / 1000.0) < 1e-9)
   }
 
+  test("lm lifecycle: served scores equal inline, rebuild idempotent") {
+    val db = graft.catalog.GraftDatabase(spark, scratch("lm_model") + "/db")
+    val docs = Tables(spark, sf, "documents")
+    val lm = graft.operators.LanguageModel
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    lm.buildLmModel(db, train, "lm")
+    val served = lm.perplexityFromModel(db, "lm", held)
+    val inline = lm.perplexityOf(docs)
+    assert(served.except(inline).count() == 0)
+    assert(inline.except(served).count() == 0)
+    // rebuild over the same corpus is a no-op for consumers
+    lm.buildLmModel(db, train, "lm")
+    assert(lm.perplexityFromModel(db, "lm", held)
+      .except(inline).count() == 0)
+  }
+
   test("shard manifest: contiguous ranges, exact totals") {
     val m = graft.operators.Pipeline.shardManifest(spark, sf, 64)
       .collect().sortBy(_.getLong(0))
