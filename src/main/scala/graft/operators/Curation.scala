@@ -529,16 +529,25 @@ object Curation {
     * SAME distinct subtree — one exchange, shipped once.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(spark, dir, "documents")
+    // ONE corpus-scale exchange: group straight by gram hash with a
+    // collect_set(source) whose partial phase dedupes map-side and
+    // whose state is bounded by the source inventory (10s–100s), not
+    // the corpus — then the ordered pairs unfold from each ≤|sources|
+    // set locally. The earlier shape (distinct → gh self-join) paid
+    // the distinct's exchange PLUS two join-side exchanges on gh.
+    val sets = Tables(spark, dir, "documents")
       .select(col("source"),
         explode(Dedup.shingleArray(Dedup.tokens(col("text")), 3)).as("g"))
-      .select(col("source"), xxhash64(col("g")).as("gh"))
-      .distinct()
-    sh.select(col("gh"), col("source").as("source_a"))
-      .join(sh.select(col("gh"), col("source").as("source_b"))
-        .hint("shuffle_hash"), Seq("gh"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+      .select(xxhash64(col("g")).as("gh"), col("source"))
+      .groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    sets
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
