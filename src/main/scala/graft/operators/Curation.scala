@@ -528,6 +528,45 @@ object Curation {
     * sources², independent of corpus bytes. Both join inputs are the
     * SAME distinct subtree — one exchange, shipped once.
     */
+  /** C28: token-budget subset selection — the mixture step that turns
+    * "we can afford B tokens from this source" into an exact document
+    * list: rank each source's documents by quality (E2's score, ties
+    * by doc_id — a total order), keep the maximal prefix whose
+    * cumulative token count fits the budget. Greedy-by-quality is the
+    * published recipe shape for fitting a token target; determinism
+    * makes the selection an auditable release artifact rather than a
+    * sampling accident.
+    *
+    * Scale shape: one scan computes (tokens, quality) per doc; the
+    * rank+cumsum is a per-source window — C12-pack's partitioning,
+    * parallel across sources (at 100 TB a single source's stream
+    * further shards by range-within-source exactly as C12 documents).
+    * Quality is ratio arithmetic of per-doc integer counts (no
+    * transcendentals), so the DESC ordering is bit-identical
+    * cross-engine; the cumulative sum is integer-exact.
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 5000): DataFrame =
+    tokenBudgetOf(docs(spark, dir), budget)
+
+  /** [[tokenBudget]] over an arbitrary (doc_id, source, text) frame. */
+  def tokenBudgetOf(d: DataFrame, budget: Long): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, wsTokenCount}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("q"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus-scale exchange: group straight by gram hash with a
     // collect_set(source) whose partial phase dedupes map-side and
@@ -663,6 +702,20 @@ object Curation {
         |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY source""".stripMargin,
+    "curate_token_budget" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
+        |  + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|it|a)\b')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) * 8.0) * 0.4
+        |  + (1.0 - LEAST(1.0, (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE)) * 10.0)) * 0.2 AS q
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens, CAST(SUM(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY q DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 5000""".stripMargin,
     "curate_source_overlap" ->
       """WITH t AS (SELECT source, regexp_extract_all(text, '\S+') w
         |  FROM documents),
@@ -794,6 +847,7 @@ object Curation {
     "curate_length_band" -> ((s, d) => lengthBand(s, d)),
     "curate_quality_classifier" -> (qualityClassifier _),
     "curate_source_overlap" -> (sourceOverlap _),
-    "curate_corpus_diff" -> (corpusDiffQuery _)
+    "curate_corpus_diff" -> (corpusDiffQuery _),
+    "curate_token_budget" -> ((s, d) => tokenBudget(s, d))
   )
 }

@@ -130,6 +130,21 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("n_oov") =!= col("count")).count() == 0)
   }
 
+  test("token budget: greedy-by-quality prefix, straddler dropped") {
+    import spark.implicits._
+    // srcA: high-quality doc 1 (55 tokens), lower-quality doc 2
+    // (40 tokens) — budget 60 keeps only the better one (doc 2
+    // straddles and is dropped, not truncated); srcB fits whole
+    val fluent = Seq.fill(5)("the cat and the dog is in it a of to").mkString(" ")
+    val choppy = Seq.fill(8)("xxxxx yyyyy zzzzz !!!!! ?????").mkString(" ")
+    val out = graft.operators.Curation.tokenBudgetOf(
+      Seq((1L, "srcA", fluent), (2L, "srcA", choppy),
+        (3L, "srcB", "the cat is a dog")).toDF("doc_id", "source", "text"),
+      budget = 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 55L, 3L -> 5L))
+  }
+
   test("source overlap: exact planted counts, ordered pairs") {
     import spark.implicits._
     val dir = scratch("overlap_probe")
