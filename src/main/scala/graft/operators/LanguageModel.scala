@@ -84,20 +84,40 @@ object LanguageModel {
       held: DataFrame): DataFrame = {
     val ev = held.select(col("doc_id"), explode(pairArr(col("t"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .crossJoin(broadcast(v))
+    scoreRows(ev, c2, c1, col("v"), Seq("doc_id"))
+  }
+
+  /** Join exploded (…, w1, w2, vExpr) rows against the model and fold
+    * to one scored row per `keys` — shared by the batch and streaming
+    * paths (the streaming side carries its event-time column through
+    * `keys` and embeds V as a literal, since a stream cannot
+    * cross-join a one-row static frame).
+    */
+  private[graft] def scoreRows(ev: DataFrame, c2: DataFrame, c1: DataFrame,
+      vExpr: Column, keys: Seq[String]): DataFrame = {
     val p = (coalesce(col("c2"), lit(0L)) + lit(0.5)) /
-      (coalesce(col("c1"), lit(0L)).cast("double") + lit(0.5) * col("v"))
+      (coalesce(col("c1"), lit(0L)).cast("double") + lit(0.5) * vExpr)
     ev.join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
-      .select(col("doc_id"),
-        round(-log2(p) * 1000).cast("long").as("mb"),
-        (coalesce(col("c2"), lit(0L)) === 0).cast("long").as("oov"))
-      .groupBy(col("doc_id"))
+      .select(keys.map(col) :+
+        round(-log2(p) * 1000).cast("long").as("mb") :+
+        (coalesce(col("c2"), lit(0L)) === 0).cast("long").as("oov"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("oov")).as("oov_bigrams"),
         (sum(col("mb")).cast("double") / (lit(1000.0) * count(lit(1))))
           .as("bits_per_bigram"))
   }
+
+  /** Tokenize + pair-explode a (…, doc_id, text) STREAM row set,
+    * keeping `carry` columns (event time). */
+  private[graft] def explodedPairs(docs: DataFrame,
+      carry: Seq[String]): DataFrame =
+    docs.select((carry :+ "doc_id").map(col) :+
+        explode(pairArr(toks(col("text")))).as("b"): _*)
+      .select((carry :+ "doc_id").map(col) :+
+        col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
 
   /** D9's build-once/serve-many lifecycle for the LM: persist the
     * model as parquet artifacts (`{name}_bigrams` / `{name}_contexts`

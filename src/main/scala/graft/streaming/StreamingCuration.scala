@@ -34,4 +34,29 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("ts"), col("doc_id"), col("pred_lang"), col("quality"),
         Curation.piiRedact(col("text")).as("clean_text"))
+
+  /** G11: streaming LM scoring — a (ts, doc_id, text) stream scored
+    * against a persisted E19 model (`buildLmModel` artifacts) with no
+    * re-training: the ingest-time statistical quality gate. The model
+    * joins are STREAM-STATIC (stateless — no state store, no
+    * watermark bound on the model side); the only stateful operator
+    * is the per-document fold, bounded by the `ts` watermark. V is
+    * embedded as a literal read once at plan build (a stream cannot
+    * cross-join a one-row static frame), matching D9's
+    * load-the-quantizer-not-the-corpus rule.
+    *
+    * Emits (ts, doc_id, n_bigrams, oov_bigrams, bits_per_bigram) in
+    * append mode once the watermark passes — identical arithmetic to
+    * the batch `perplexityFromModel` (spec-pinned).
+    */
+  def scorePerplexity(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val lm = graft.operators.LanguageModel
+    val c2 = db.read(s"${name}_bigrams")
+    val c1 = db.read(s"${name}_contexts")
+    val v = db.read(s"${name}_meta").collect()(0).getLong(0)
+    lm.scoreRows(
+      lm.explodedPairs(docs.withWatermark("ts", watermark), Seq("ts")),
+      c2, c1, lit(v), Seq("ts", "doc_id"))
+  }
 }

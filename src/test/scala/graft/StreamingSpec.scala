@@ -151,6 +151,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { q.stop(); serving.close() }
   }
 
+  test("G11: streamed LM scores equal the batch served scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.operators.LanguageModel
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("lm_stream") + "/db")
+    val docs = Tables(spark, sf, "documents")
+    lm.buildLmModel(db, docs.filter(col("doc_id") % 5 =!= 0), "lm")
+    val held = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (ts(0), r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCuration
+      .scorePerplexity(db, "lm", mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lm_stream_out").start()
+    try {
+      mem.addData(held.toSeq: _*)
+      q.processAllAvailable()
+      // advance the watermark past ts(0) so the append-mode fold
+      // emits the scored rows; the flush doc itself stays pending
+      mem.addData((ts(300), -1L, "flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("lm_stream_out")
+        .filter(col("doc_id") >= 0)
+        .select("doc_id", "n_bigrams", "oov_bigrams", "bits_per_bigram")
+      val want = lm.perplexityFromModel(db, "lm",
+        docs.filter(col("doc_id") % 5 === 0))
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+    } finally q.stop()
+  }
+
   test("G6: streaming curation gates quality+lang, dedups, redacts PII") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
