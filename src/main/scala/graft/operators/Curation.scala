@@ -567,6 +567,59 @@ object Curation {
         col("cum_tokens"))
   }
 
+  /** C29: cluster-balance mixing — the semantic counterpart of C14's
+    * source mixing: assign every embedding to a deterministic k-means
+    * cell (D2's quantizer machinery) and cap each cell at
+    * ceil(total/k) members, so no semantic cluster dominates the
+    * mixture (the published recipe for topic-balancing a crawl whose
+    * source labels don't track content). The report is the release
+    * audit: per cell, members found and members kept under the cap.
+    *
+    * Scale shape: training samples a driver-bounded subset (the D2
+    * contract — the quantizer is k·dim doubles, never the corpus);
+    * assignment is one codegen map pass; the report is a cell-keyed
+    * count (k rows). Approximate (k-means) ⇒ no SQL twin; the
+    * `_check` row pins the invariants DuckDB CAN verify: total
+    * membership equals the table count (no vector dropped or
+    * double-assigned) and the keep rule is exactly
+    * least(n_members, cap).
+    */
+  def clusterMix(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Ann.trainCentroids(e, k, iters)
+    val counts = e.withColumn("cell", Ann.cellExpr(cents, col("embedding")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    graft.CacheHygiene.unpersistAfterUse(e)
+    val tot = counts.agg(sum(col("n_members")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        least(col("n_members"),
+          ceil(col("total").cast("double") / k).cast("long")).as("n_kept"))
+  }
+
+  /** The C29 invariant row (AnnChecks discipline): the facts DuckDB
+    * can pin about an approximate clustering's report. */
+  def clusterMixCheck(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val m = clusterMix(spark, dir, k)
+    val tot = m.agg(sum(col("n_members")).as("total_members"))
+    m.crossJoin(broadcast(tot))
+      .select(col("total_members"), col("n_members"), col("n_kept"),
+        least(col("n_members"),
+          ceil(col("total_members").cast("double") / k).cast("long"))
+          .as("want_kept"))
+      .groupBy(col("total_members"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(when(col("n_kept") === col("want_kept"), 1).otherwise(0))
+          .as("rule_i"))
+      .select(col("total_members"),
+        (col("n_cells") >= 1 && col("n_cells") <= k).as("n_cells_ok"),
+        (col("rule_i") === 1).as("kept_rule_ok"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus-scale exchange: group straight by gram hash with a
     // collect_set(source) whose partial phase dedupes map-side and
@@ -702,6 +755,10 @@ object Curation {
         |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY source""".stripMargin,
+    "curate_cluster_mix_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total_members,
+        |  TRUE AS n_cells_ok, TRUE AS kept_rule_ok
+        |FROM embeddings""".stripMargin,
     "curate_token_budget" ->
       """WITH s AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -848,6 +905,8 @@ object Curation {
     "curate_quality_classifier" -> (qualityClassifier _),
     "curate_source_overlap" -> (sourceOverlap _),
     "curate_corpus_diff" -> (corpusDiffQuery _),
-    "curate_token_budget" -> ((s, d) => tokenBudget(s, d))
+    "curate_token_budget" -> ((s, d) => tokenBudget(s, d)),
+    "curate_cluster_mix" -> ((s, d) => clusterMix(s, d)),
+    "curate_cluster_mix_check" -> ((s, d) => clusterMixCheck(s, d))
   )
 }

@@ -183,4 +183,19 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     for ((s, n) <- keptBySrc if !Seq("src0", "src1", "src2", "src3").contains(s))
       assert(n < totalBySrc(s), s"downsampled $s kept all $n")
   }
+
+  test("cluster mix: deterministic report, caps and totals exact") {
+    val k = 8
+    val a = Curation.clusterMix(spark, sf, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Curation.clusterMix(spark, sf, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // fixed seeds, fixed tie-breaks
+    val total = Tables(spark, sf, "embeddings").count()
+    assert(a.map(_._2).sum == total) // every vector in exactly one cell
+    val cap = (total + k - 1) / k
+    a.foreach { case (_, n, kept) =>
+      assert(kept == math.min(n, cap))
+    }
+  }
 }
