@@ -158,12 +158,41 @@ object Ann {
     * cells, and the probe is the same broadcast equi-join as
     * [[ivfTopk]] over the stored assignment.
     */
+  /** The stored quantizer (nCells rows — never the corpus). */
+  private[graft] def loadCentroids(db: graft.catalog.GraftDatabase,
+      name: String): Array[Array[Double]] =
+    db.read(s"${name}_centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** D10: append new vectors to a stored IVF index under its FROZEN
+    * quantizer — incremental index maintenance on corpus append, the
+    * serving-infra shape where re-training (and re-assigning 100 TB)
+    * per increment is not an option. Assignment is the same
+    * deterministic literal-centroid expression as the base build, so
+    * an index maintained by appends is BIT-IDENTICAL to assigning
+    * the whole corpus in one pass with the same centroids
+    * (spec-pinned). The publish is the exactly-once staging-rename
+    * (G2/G10's contract): a replayed batch converges to one copy.
+    * Centroid drift management (periodic re-train + full re-assign)
+    * stays a batch compaction, exactly like C3/C4's near-dup pass in
+    * the streaming story.
+    */
+  def appendToIvfIndex(db: graft.catalog.GraftDatabase, name: String,
+      newVecs: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"negative batchId $batchId is reserved")
+    val cents = loadCentroids(db, name)
+    graft.streaming.IngestPublish.publishFiles(db, s"${name}_cells",
+      newVecs.select(col("vec_id"), col("embedding"))
+        .withColumn("cell", cellExpr(cents, col("embedding"))),
+      batchId)
+    ()
+  }
+
   def ivfTopkFromIndex(db: graft.catalog.GraftDatabase, name: String,
       queries: DataFrame, k: Int = 10, nProbe: Int = 2): DataFrame = {
-    val cents = db.read(s"${name}_centroids")
-      .orderBy(col("cell"))
-      .collect() // nCells rows — the quantizer, not the corpus
-      .map(_.getSeq[Double](1).toArray)
+    val cents = loadCentroids(db, name)
     val assigned = db.read(s"${name}_cells")
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -18,7 +18,7 @@ import graft.catalog.GraftDatabase
   * previous attempt died. Progress rows are keyed seq=batchId+1 and
   * replayed batches at-or-below the resume point don't re-count.
   */
-private[streaming] object IngestPublish {
+private[graft] object IngestPublish {
 
   /** Resume state for `taskId`: (max published seq, cumulative-row
     * counter primed with the recorded rows_done). Starts the progress
@@ -44,19 +44,31 @@ private[streaming] object IngestPublish {
   def publishBatch(db: GraftDatabase, table: String, taskId: String,
       typed: DataFrame, batchId: Long, maxSeqAtStart: Long,
       counter: java.util.concurrent.atomic.AtomicLong): Unit = {
-    val spark = typed.sparkSession
+    val n = publishFiles(db, table, typed, batchId)
+    if (batchId + 1 > maxSeqAtStart) {
+      val total = counter.addAndGet(n)
+      db.progress.update(taskId, table, bytesTodo = 0L, bytesDone = 0L,
+        rowsDone = total, seq = batchId + 1)
+    }
+  }
+
+  /** The progress-free core: stage `df` and rename its files into
+    * `table` under a batchId-unique prefix, deleting any files from
+    * an earlier attempt of the same batch first — a replay converges
+    * to exactly one copy. Returns the staged row count (parquet
+    * footer scan, no source recompute). Shared by ingest progress
+    * publishing and the index-maintenance appends (D10).
+    */
+  def publishFiles(db: GraftDatabase, table: String, df: DataFrame,
+      batchId: Long): Long = {
+    val spark = df.sparkSession
     val dest = new Path(db.tablePath(table))
     val staging = new Path(db.tablePath(s"_staging_$table"),
       batchId.toString)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true)
-    typed.write.mode("overwrite").parquet(staging.toString)
-    // Row count from the staged parquet (footer metadata scan) —
-    // counting the batch directly would recompute the source.
+    df.write.mode("overwrite").parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
-    // Idempotent publish: clear any files from an earlier attempt of
-    // this batch, then rename the staged files in under a
-    // batchId-unique prefix.
     val prefix = f"b$batchId%019d-"
     fs.mkdirs(dest)
     fs.listStatus(dest).filter(_.getPath.getName.startsWith(prefix))
@@ -66,10 +78,6 @@ private[streaming] object IngestPublish {
       .foreach(f =>
         fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName)))
     fs.delete(staging, true)
-    if (batchId + 1 > maxSeqAtStart) {
-      val total = counter.addAndGet(n)
-      db.progress.update(taskId, table, bytesTodo = 0L, bytesDone = 0L,
-        rowsDone = total, seq = batchId + 1)
-    }
+    n
   }
 }

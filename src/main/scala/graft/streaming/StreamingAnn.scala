@@ -89,4 +89,23 @@ object StreamingAnn {
         col("s.score").as("sim"))
     IvfServing(out, corpus)
   }
+
+  /** G12: streaming index maintenance — a (vec_id, embedding) stream
+    * appended into a stored D9 IVF index under its frozen quantizer
+    * (D10's append, driven by the stream's batch ids): the
+    * ingest-side half of a serving deployment, where new corpus
+    * vectors become searchable per micro-batch while re-training
+    * stays a periodic batch compaction. foreachBatch is
+    * at-least-once, so each batch publishes through the exactly-once
+    * staging-rename (a replay converges to one copy — same contract
+    * as G2/G10). Caller sets checkpoint/trigger and `.start()`s.
+    */
+  def maintainIvfIndex(db: graft.catalog.GraftDatabase, name: String,
+      vecStream: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        Ann.appendToIvfIndex(db, name, batch, batchId)
+    }
 }

@@ -151,6 +151,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { q.stop(); serving.close() }
   }
 
+  test("G12: stream-appended IVF index equals one-pass assignment, " +
+      "replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ann = graft.operators.Ann
+    val db = graft.catalog.GraftDatabase(spark, scratch("ivf_stream") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    ann.buildIvfIndex(db, e.filter(col("vec_id") % 3 === 0), "ivf")
+    val incr = (m: Int) => e.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingAnn
+      .maintainIvfIndex(db, "ivf", mem.toDF().toDF("vec_id", "embedding"))
+      .option("checkpointLocation", scratch("ivf_stream_ckpt"))
+      .start()
+    try {
+      mem.addData(incr(1).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(incr(2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // maintained index ≡ assigning the WHOLE corpus in one pass with
+    // the frozen quantizer
+    val cents = ann.loadCentroids(db, "ivf")
+    val expected = e.withColumn("cell",
+      ann.cellExpr(cents, col("embedding")))
+    val got = db.read("ivf_cells")
+    assert(got.count() == expected.count())
+    assert(got.select("vec_id", "cell")
+      .except(expected.select("vec_id", "cell")).count() == 0)
+    // a replayed batch converges to one copy, not two
+    ann.appendToIvfIndex(db, "ivf", incr(1).toSeq
+      .toDF("vec_id", "embedding"), batchId = 0L)
+    assert(db.read("ivf_cells").count() == expected.count())
+    // the maintained index serves: k distinct neighbors per query
+    val served = ann.ivfTopkFromIndex(db, "ivf",
+      e.filter(col("vec_id") < 3), k = 5)
+    assert(served.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
   test("G11: streamed LM scores equal the batch served scores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
