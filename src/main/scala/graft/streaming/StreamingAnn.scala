@@ -108,4 +108,44 @@ object StreamingAnn {
       (batch: DataFrame, batchId: Long) =>
         Ann.appendToIvfIndex(db, name, batch, batchId)
     }
+
+  /** G13: streaming serving for the COMPRESSED/GRAPH indexes — a
+    * (vec_id, embedding) query stream answered per micro-batch from
+    * the stored D4 PQ artifacts (ADC with per-query LUTs, exactly the
+    * batch algorithm — the LUT amortization is the point of PQ, so
+    * the serve keeps it rather than degrading to LUT-less scoring in
+    * a pure stream plan) and published exactly-once to
+    * `{name}_results` keyed by batch id. IVF streams through the
+    * in-plan window path (G8); PQ and HNSW serve per-batch because
+    * their query-side planning (LUT build / graph entry) is driver
+    * work by design — the D9 load-the-quantizer rule.
+    */
+  def servePqStream(db: graft.catalog.GraftDatabase, name: String,
+      queries: DataFrame, k: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        IngestPublish.publishFiles(db, s"${name}_results",
+          graft.operators.Pq.adcTopKFromIndex(db, name, batch, k)
+            .withColumn("batch_id", lit(batchId)),
+          batchId)
+        ()
+    }
+
+  /** G13 for the stored HNSW graphs — same per-batch serve +
+    * exactly-once publish contract as [[servePqStream]].
+    */
+  def serveHnswStream(db: graft.catalog.GraftDatabase, name: String,
+      queries: DataFrame, k: Int = 10, efSearch: Int = 48)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        IngestPublish.publishFiles(db, s"${name}_results",
+          graft.operators.Hnsw.hnswTopkFromIndex(db, name, batch, k,
+            efSearch).withColumn("batch_id", lit(batchId)),
+          batchId)
+        ()
+    }
 }

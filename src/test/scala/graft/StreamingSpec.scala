@@ -193,6 +193,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("count") =!= 5).count() == 0)
   }
 
+  test("G13: streamed PQ and HNSW serving equal their batch answers, " +
+      "replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = graft.catalog.GraftDatabase(spark, scratch("pq_serve") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.Pq.buildPqIndex(db, e, "pq")
+    graft.operators.Hnsw.buildHnswIndex(db, e, "hnsw")
+    val qvecs = e.filter(col("vec_id") < 4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def run(tag: String,
+        writer: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row])
+        : org.apache.spark.sql.DataFrame = {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = writer(mem.toDF().toDF("vec_id", "embedding"))
+        .option("checkpointLocation", scratch(s"${tag}_ckpt")).start()
+      try {
+        mem.addData(qvecs.take(2).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(qvecs.drop(2).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      db.read(s"${tag}_results")
+    }
+    val pqGot = run("pq",
+      graft.streaming.StreamingAnn.servePqStream(db, "pq", _))
+    val pqWant = graft.operators.Pq.adcTopKFromIndex(db, "pq",
+      qvecs.toSeq.toDF("vec_id", "embedding"))
+    assert(pqGot.drop("batch_id").except(pqWant).count() == 0)
+    assert(pqGot.count() == pqWant.count())
+    val hGot = run("hnsw",
+      graft.streaming.StreamingAnn.serveHnswStream(db, "hnsw", _))
+    val hWant = graft.operators.Hnsw.hnswTopkFromIndex(db, "hnsw",
+      qvecs.toSeq.toDF("vec_id", "embedding"))
+    assert(hGot.drop("batch_id").except(hWant).count() == 0)
+    assert(hGot.count() == hWant.count())
+    // a replayed batch converges to one copy of its results
+    graft.streaming.IngestPublish.publishFiles(db, "pq_results",
+      graft.operators.Pq.adcTopKFromIndex(db, "pq",
+        qvecs.take(2).toSeq.toDF("vec_id", "embedding"))
+        .withColumn("batch_id", lit(0L)), 0L)
+    assert(db.read("pq_results").count() == pqWant.count())
+  }
+
   test("G11: streamed LM scores equal the batch served scores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
