@@ -75,7 +75,13 @@ object LanguageModel {
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = train.select(explode(col("t")).as("tok"))
+    // V = distinct train tokens, derived from the MODEL rather than a
+    // second corpus-scale explode: every token of a ≥2-token document
+    // occurs in some bigram (as w1 unless last, as w2 unless first),
+    // and 1-token documents are excluded before the split — so
+    // distinct(w1 ∪ w2) IS the train token inventory, at
+    // vocabulary-sized cost.
+    val v = c2.select(explode(array(col("w1"), col("w2"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     (c2, c1, v)
   }
