@@ -125,6 +125,37 @@ object LanguageModel {
       .select((carry :+ "doc_id").map(col) :+
         col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
 
+  /** C30: curriculum ordering — the whole corpus self-scored under
+    * its own bigram model (train = score = all documents; every
+    * bigram is observed, so the score is a pure fluency/typicality
+    * measure) and ranked easy→hard into `stages` equal rank bands:
+    * the deterministic stage schedule a curriculum-training run
+    * consumes (stage 0 = most in-distribution text first). Rank ties
+    * break on doc_id, so the schedule is an auditable artifact.
+    *
+    * Scale shape: scoring is E19's geometry; the rank input is the
+    * doc-count-sized score frame (NOT the corpus — persisting it
+    * before the two-phase rank is bounded by docs × 16 bytes), and
+    * stage cut-points are exact integer floor-division of the rank.
+    */
+  def curriculum(spark: SparkSession, dir: String,
+      stages: Int = 4): DataFrame = {
+    val d = tokenized(Tables(spark, dir, "documents"))
+    val (c2, c1, v) = model(d)
+    val scored = scoreAgainst(c2, c1, v, d)
+      .select(col("doc_id"), col("bits_per_bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = Ranks.globalRowNumber(scored,
+      Seq(col("bits_per_bigram").asc, col("doc_id").asc), "pos")
+    graft.CacheHygiene.unpersistAfterUse(scored)
+    val tot = ranked.agg(count(lit(1)).as("total"))
+    val width = ceil(col("total").cast("double") / stages).cast("long")
+    val p0 = col("pos") - 1
+    ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("bits_per_bigram"), col("pos"),
+        call_function("div", p0 - pmod(p0, width), width).as("stage"))
+  }
+
   /** D9's build-once/serve-many lifecycle for the LM: persist the
     * model as parquet artifacts (`{name}_bigrams` / `{name}_contexts`
     * / `{name}_meta`) so scoring a new batch never re-trains — the
@@ -150,9 +181,41 @@ object LanguageModel {
       db.read(s"${name}_meta"), tokenized(docs))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_perplexity" -> ((s, d) => perplexity(s, d)))
+    "text_perplexity" -> ((s, d) => perplexity(s, d)),
+    "pipeline_curriculum" -> ((s, d) => curriculum(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 2),
+        |trb AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg FROM d),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM trb GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |    (SELECT unnest(t) AS tok FROM d) u),
+        |evb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg FROM d),
+        |q AS (SELECT doc_id, COALESCE(c2.c2, 0) AS c2n,
+        |    COALESCE(c1.c1, 0) AS c1n, v.v AS v
+        |  FROM evb LEFT JOIN c2 USING (bg)
+        |  LEFT JOIN c1 ON split_part(evb.bg, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |m AS (SELECT doc_id,
+        |    CAST(ROUND(-log2((c2n + 0.5) / (c1n + 0.5 * v)) * 1000)
+        |      AS BIGINT) AS mb FROM q),
+        |g AS (SELECT doc_id,
+        |    CAST(SUM(mb) AS DOUBLE) / (1000.0 * COUNT(*))
+        |      AS bits_per_bigram FROM m GROUP BY doc_id),
+        |r AS (SELECT doc_id, bits_per_bigram,
+        |    ROW_NUMBER() OVER (ORDER BY bits_per_bigram, doc_id) AS pos,
+        |    COUNT(*) OVER () AS total FROM g)
+        |SELECT doc_id, bits_per_bigram, pos,
+        |  (pos - 1) // CAST(CEIL(total / 4.0) AS BIGINT) AS stage
+        |FROM r""".stripMargin,
     "text_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t

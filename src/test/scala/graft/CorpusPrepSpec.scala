@@ -206,6 +206,25 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       .except(inline).count() == 0)
   }
 
+  test("curriculum: easy-to-hard stage bands, exact band sizes") {
+    val out = graft.operators.LanguageModel.curriculum(spark, sf, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    val total = out.length
+    val width = (total + 3) / 4
+    // stage = exact rank band
+    out.foreach { case (_, _, pos, stage) =>
+      assert(stage == (pos - 1) / width)
+    }
+    // bands are ordered by score: every stage-s doc scores <= every
+    // stage-(s+1) doc (ties broken by doc_id inside a band boundary)
+    val byStage = out.groupBy(_._4)
+    for (s <- byStage.keys.toSeq.sorted.init) {
+      assert(byStage(s).map(_._2).max <= byStage(s + 1).map(_._2).min)
+    }
+    assert(byStage.keys.toSeq.sorted == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("shard manifest: contiguous ranges, exact totals") {
     val m = graft.operators.Pipeline.shardManifest(spark, sf, 64)
       .collect().sortBy(_.getLong(0))
