@@ -148,7 +148,11 @@ object Ann {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid"),
       s"${name}_centroids", org.apache.spark.sql.SaveMode.Overwrite)
-    db.write(ep.withColumn("cell", cellExpr(cents, col("embedding"))),
+    // batch_id = -1 marks the base build (appends carry their real
+    // batch id — the lineage D11's drift report groups on); the
+    // negative id is reserved, same convention as the G10 text index
+    db.write(ep.withColumn("cell", cellExpr(cents, col("embedding")))
+        .withColumn("batch_id", lit(-1L)),
       s"${name}_cells", org.apache.spark.sql.SaveMode.Overwrite)
   }
 
@@ -185,9 +189,68 @@ object Ann {
     val cents = loadCentroids(db, name)
     graft.streaming.IngestPublish.publishFiles(db, s"${name}_cells",
       newVecs.select(col("vec_id"), col("embedding"))
-        .withColumn("cell", cellExpr(cents, col("embedding"))),
+        .withColumn("cell", cellExpr(cents, col("embedding")))
+        .withColumn("batch_id", lit(batchId)),
       batchId)
     ()
+  }
+
+  /** D11: centroid-drift report — the signal that decides when the
+    * G12 maintenance loop's periodic re-train actually runs: per
+    * cell, is the NEWEST appended batch sitting relatively farther
+    * from its centroid than the appends that came before it (a
+    * quantizer trained on yesterday's distribution mis-binning
+    * today's)? Population share alone can't see this; distance can.
+    *
+    * The baseline is PRIOR APPENDS, deliberately never the base
+    * population: quantizer-training members are systematically
+    * closer to the centroids they themselves defined — the classic
+    * train/holdout gap, measured at ~+20% mean distance for an
+    * in-distribution holdout against 16 cells × ~15 members
+    * (tools/DriftProbe) — so a base-relative monitor would cry drift
+    * on every perfectly clean increment. The first increment
+    * therefore CALIBRATES the monitor (no verdicts until a second
+    * batch lands), and every later batch is judged out-of-sample
+    * against out-of-sample. `minSupport` on both sides keeps
+    * sampling noise from triggering gratuitous re-trains (each one a
+    * full corpus re-assignment).
+    *
+    * Distances are quantized to integer MILLIs per vector (the E19
+    * discipline): per-cell means are exact integer ratios with one
+    * double division — deterministic in any partition order.
+    */
+  def ivfDrift(db: graft.catalog.GraftDatabase, name: String,
+      threshold: Double = 0.15, minSupport: Long = 10L): DataFrame = {
+    val cents = db.read(s"${name}_centroids")
+      .select(col("cell"), col("centroid").cast("array<float>").as("ce"))
+    val cells = db.read(s"${name}_cells")
+    // latest append batch (null when the index has no appends yet) —
+    // prod reads this from the publish ledger; one slim scan here
+    val latest = cells.agg(max(when(col("batch_id") >= 0,
+      col("batch_id"))).as("latest"))
+    val meanOf = (flag: Column, m: Column) =>
+      sum(when(flag, m)).cast("double") /
+        greatest(sum(when(flag, 1L).otherwise(0L)), lit(1L)).cast("double")
+    val isLatest = col("batch_id") === col("latest")
+    val isPrior = col("batch_id") >= 0 && col("batch_id") < col("latest")
+    cells
+      .join(broadcast(cents), Seq("cell"))
+      .crossJoin(broadcast(latest))
+      .select(col("cell"), col("batch_id"), col("latest"),
+        ((lit(1.0) - cosineSimilarity(col("embedding"), col("ce")))
+          * 1000).cast("long").as("dist_milli"))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("batch_id") === -1, 1L).otherwise(0L)).as("n_base"),
+        sum(when(isPrior, 1L).otherwise(0L)).as("n_prior"),
+        sum(when(isLatest, 1L).otherwise(0L)).as("n_latest"),
+        meanOf(isPrior, col("dist_milli")).as("prior_mean_milli"),
+        meanOf(isLatest, col("dist_milli")).as("latest_mean_milli"))
+      .withColumn("drifted",
+        coalesce(
+          col("n_prior") >= minSupport && col("n_latest") >= minSupport &&
+            col("latest_mean_milli") >
+              col("prior_mean_milli") * (1.0 + threshold),
+          lit(false)))
   }
 
   def ivfTopkFromIndex(db: graft.catalog.GraftDatabase, name: String,

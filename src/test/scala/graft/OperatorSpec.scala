@@ -790,6 +790,62 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(Ann.ivfTopkFromIndex(db, "emb", queries)) == inline)
   }
 
+  test("IVF drift report: clean appends quiet, perturbed appends flagged") {
+    import spark.implicits._
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("ivf_drift") + "/db")
+    // deterministic clustered corpus: 8 tight clusters around ±1
+    // pattern centers; OOD batches draw from DIFFERENT centers. (The
+    // real embeddings table is too small for stable per-cell means —
+    // ~8 vectors/cell — and cosine distances on unstructured data
+    // saturate near 1.0, compressing the drift signal.)
+    val dim = 32
+    def vec(label: Int, id: Long): Array[Float] = {
+      Array.tabulate(dim) { i =>
+        // multiplied-then-shifted so the center patterns carry no
+        // linear structure across labels (a plain mod-8 hash made
+        // label+100 the exact NEGATION of a trained center)
+        val ch = (label.toLong * 1299709L + i * 104729L) *
+          -7046029254386353131L
+        val center = if (((ch >>> 40) & 1L) == 0L) 1f else -1f
+        val h = (id * 6364136223846793005L + i * 1442695040888963407L) >>> 33
+        center + 0.4f * (((h % 1000L).toInt - 500) / 1000f)
+      }
+    }
+    def frame(ids: Range, label: Long => Int) =
+      ids.map(i => (i.toLong, vec(label(i.toLong), i.toLong)))
+        .toDF("vec_id", "embedding")
+    val ann = Ann
+    ann.buildIvfIndex(db, frame(0 until 2000, id => (id % 8).toInt),
+      "emb", nCells = 8)
+    // batch 0 CALIBRATES the monitor: the first increment has no
+    // out-of-sample baseline (the base population is excluded by
+    // design - train/holdout gap, see ivfDrift doc)
+    ann.appendToIvfIndex(db, "emb",
+      frame(2000 until 2500, id => (id % 8).toInt), batchId = 0L)
+    val cal = ann.ivfDrift(db, "emb").collect()
+    assert(!cal.exists(_.getBoolean(6)), "calibration batch flagged")
+    // batch 1: in-distribution increment, judged out-of-sample
+    // against out-of-sample: quiet
+    ann.appendToIvfIndex(db, "emb",
+      frame(2500 until 3000, id => (id % 8).toInt), batchId = 1L)
+    val clean = ann.ivfDrift(db, "emb").collect()
+    assert(clean.map(_.getLong(1)).sum == 2000 && // n_base
+      clean.map(_.getLong(2)).sum == 500 &&       // n_prior
+      clean.map(_.getLong(3)).sum == 500)         // n_latest
+    assert(!clean.exists(_.getBoolean(6)),
+      "clean increment flagged drifted: " + clean.map(r =>
+        (r.getInt(0), r.getAs[Any](4), r.getAs[Any](5))).mkString(","))
+    // batch 2: out-of-distribution - clusters around centers the
+    // quantizer never saw sit far from every trained centroid
+    ann.appendToIvfIndex(db, "emb",
+      frame(3000 until 3500, id => 100 + (id % 8).toInt), batchId = 2L)
+    val after = ann.ivfDrift(db, "emb").collect()
+    assert(after.exists(_.getBoolean(6)), s"perturbed appends not flagged: " +
+      after.map(r =>
+        (r.getInt(0), r.getAs[Any](4), r.getAs[Any](5))).mkString(","))
+  }
+
   test("stored PQ / IVF-PQ / HNSW indexes serve identically to their inline builds") {
     // VERDICT r5 #6: the compressed and graph indexes get the same
     // build-once/serve-many lifecycle as plain IVF — serving must
