@@ -51,6 +51,17 @@ object GraftFunctions {
           java.lang.Long]]): Column =
     toCol(FluencyScore(toExpr(text), counts))
 
+  /** E19 fast path: exact millibit bigram-LM score of a text column
+    * in one byte pass against broadcast model counts (see
+    * [[expressions.LmScore]]). Null for <2-token docs.
+    */
+  def lmScore(text: Column,
+      counts: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]],
+      v: Long): Column =
+    toCol(expressions.LmScore(toExpr(text), counts, v))
+
   /** E5 fast path: per-doc top-k TF-IDF structs in one byte pass
     * against a broadcast document-frequency map (see
     * [[expressions.TfidfTop3]]).

@@ -685,3 +685,104 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** E19 fast path: one document's exact millibit-quantized bigram-LM
+  * score in a single byte pass against BROADCAST model counts — the
+  * stats-gated twin [[FluencyScore]] is for E10, applied to
+  * perplexity scoring. One map serves contexts and bigrams (the E9
+  * trick: a context key never contains 0x20, a bigram key always
+  * does). Per bigram slot, the arithmetic replicates the join path's
+  * expression tree OPERATION FOR OPERATION so outputs hash-match
+  * bit-for-bit: p = (c2+0.5)/((double)c1 + 0.5·V); Spark's log2 is
+  * `StrictMath.log(x)/StrictMath.log(2)` (verified against the
+  * catalyst jar's Log2 codegen template) and Spark's round(double)
+  * is BigDecimal-valueOf HALF_UP — both reproduced literally. The
+  * quantized millibits then accumulate as exact longs, so the
+  * per-document fold is order-free, like the join path's sum.
+  * Returns null for <2-token documents (the join path emits no pair
+  * row for them).
+  */
+case class LmScore(child: Expression,
+    counts: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, java.lang.Long]],
+    v: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("oov",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_mb",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lm_score"
+
+  private val ln2 = java.lang.StrictMath.log(2)
+
+  def score(s: UTF8String): Any = {
+    val b = s.getBytes
+    val n = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    if (nTok < 2) return null
+    val m = counts.value
+    val halfV = 0.5 * v
+    var sumMb = 0L
+    var oov = 0L
+    var t = 0
+    while (t < nTok - 1) {
+      val l1 = ends(t) - starts(t)
+      val c1v = m.get(UTF8String.fromBytes(b, starts(t), l1))
+      val c1 = if (c1v != null) c1v.longValue() else 0L
+      val l2 = ends(t + 1) - starts(t + 1)
+      val gb = new Array[Byte](l1 + 1 + l2)
+      System.arraycopy(b, starts(t), gb, 0, l1)
+      gb(l1) = 0x20
+      System.arraycopy(b, starts(t + 1), gb, l1 + 1, l2)
+      val c2v = m.get(UTF8String.fromBytes(gb))
+      val c2 = if (c2v != null) c2v.longValue() else 0L
+      if (c2 == 0L) oov += 1L
+      val p = (c2 + 0.5) / (c1.toDouble + halfV)
+      val mb = -(java.lang.StrictMath.log(p) / ln2) * 1000.0
+      sumMb += java.math.BigDecimal.valueOf(mb)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((nTok - 1).toLong, oov, sumMb))
+  }
+
+  override def nullSafeEval(value: Any): Any =
+    score(value.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("lmScore", this,
+        classOf[LmScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.score($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

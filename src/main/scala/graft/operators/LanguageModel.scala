@@ -54,12 +54,22 @@ object LanguageModel {
       holdMod: Int = 5): DataFrame =
     perplexityOf(Tables(spark, dir, "documents"), holdMod)
 
-  /** [[perplexity]] over an arbitrary (doc_id, text) frame. */
-  def perplexityOf(docs: DataFrame, holdMod: Int = 5): DataFrame = {
+  /** [[perplexity]] over an arbitrary (doc_id, text) frame.
+    * `maxBroadcastModel = 0` forces the join path (the equality
+    * spec's lever, and the knob for memory-tight executors).
+    */
+  def perplexityOf(docs: DataFrame, holdMod: Int = 5,
+      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
     val d = tokenized(docs)
     val (c2, c1, v) = model(d.filter(col("doc_id") % holdMod =!= 0))
-    scoreAgainst(c2, c1, v, d.filter(col("doc_id") % holdMod === 0))
+    scoreAgainst(c2, c1, v,
+      docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % holdMod === 0),
+      maxBroadcastModel)
   }
+
+  private def defaultModelCap: Int = sys.env.getOrElse(
+    "SPARK_GRAFT_LM_MODEL_CAP", "262144").toInt
 
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("t"))
@@ -86,11 +96,53 @@ object LanguageModel {
     (c2, c1, v)
   }
 
+  /** Score a raw (doc_id, text) frame against a model. Stats-gated
+    * two-path split (H13's gating idea, the E5/E10 treatment): the
+    * bigram table is VOCABULARY-sized — corpus-scale explode in,
+    * ~|bigram vocab| rows out — so when `take(cap+1)` proves it fits
+    * the driver bound, ONE collect builds the broadcast map (context
+    * totals and V derive driver-side from the same rows — zero extra
+    * jobs) and every document scores in a single byte pass
+    * ([[graft.functions.expressions.LmScore]]): no explode, no model
+    * joins, no per-doc aggregation. Above the cap — a web corpus's
+    * bigram vocabulary — the distributed join path runs unchanged.
+    * The two paths are bit-identical (spec-pinned): LmScore
+    * replicates the join path's arithmetic operation for operation.
+    */
   private def scoreAgainst(c2: DataFrame, c1: DataFrame, v: DataFrame,
-      held: DataFrame): DataFrame = {
-    val ev = held.select(col("doc_id"), explode(pairArr(col("t"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .crossJoin(broadcast(v))
+      heldDocs: DataFrame, maxBroadcastModel: Int): DataFrame = {
+    if (maxBroadcastModel > 0) {
+      val rows = c2.take(maxBroadcastModel + 1)
+      if (rows.length <= maxBroadcastModel) {
+        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+        val m = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+          math.max(16, rows.length * 3))
+        val vocab = new java.util.HashSet[String](rows.length * 2)
+        rows.foreach { r =>
+          val (w1, w2, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          m.put(u8(w1 + " " + w2), java.lang.Long.valueOf(c))
+          // context totals fold from the SAME collected rows
+          val k1 = u8(w1)
+          val prev = m.get(k1)
+          m.put(k1, java.lang.Long.valueOf(
+            (if (prev == null) 0L else prev.longValue()) + c))
+          vocab.add(w1); vocab.add(w2); ()
+        }
+        val bc = heldDocs.sparkSession.sparkContext.broadcast(m)
+        val gf = graft.functions.GraftFunctions
+        return heldDocs
+          .select(col("doc_id"),
+            gf.lmScore(lower(col("text")), bc, vocab.size.toLong).as("s"))
+          .filter(col("s").isNotNull)
+          .select(col("doc_id"),
+            col("s.n_bigrams").as("n_bigrams"),
+            col("s.oov").as("oov_bigrams"),
+            (col("s.sum_mb").cast("double") /
+              (lit(1000.0) * col("s.n_bigrams"))).as("bits_per_bigram"))
+      }
+    }
+    val ev = explodedPairs(heldDocs, Nil).crossJoin(broadcast(v))
     scoreRows(ev, c2, c1, col("v"), Seq("doc_id"))
   }
 
@@ -140,9 +192,10 @@ object LanguageModel {
     */
   def curriculum(spark: SparkSession, dir: String,
       stages: Int = 4): DataFrame = {
-    val d = tokenized(Tables(spark, dir, "documents"))
-    val (c2, c1, v) = model(d)
-    val scored = scoreAgainst(c2, c1, v, d)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (c2, c1, v) = model(tokenized(docs))
+    val scored = scoreAgainst(c2, c1, v, docs, defaultModelCap)
       .select(col("doc_id"), col("bits_per_bigram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = Ranks.globalRowNumber(scored,
@@ -176,9 +229,11 @@ object LanguageModel {
     * train/score frames (spec-pinned).
     */
   def perplexityFromModel(db: graft.catalog.GraftDatabase, name: String,
-      docs: DataFrame): DataFrame =
+      docs: DataFrame,
+      maxBroadcastModel: Int = defaultModelCap): DataFrame =
     scoreAgainst(db.read(s"${name}_bigrams"), db.read(s"${name}_contexts"),
-      db.read(s"${name}_meta"), tokenized(docs))
+      db.read(s"${name}_meta"), docs.select(col("doc_id"), col("text")),
+      maxBroadcastModel)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_perplexity" -> ((s, d) => perplexity(s, d)),

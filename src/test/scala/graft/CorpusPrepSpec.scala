@@ -189,6 +189,17 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       / 1000.0) < 1e-9)
   }
 
+  test("lm fast path: broadcast byte-pass scores equal the join path " +
+      "bit-for-bit") {
+    val lm = graft.operators.LanguageModel
+    val docs = Tables(spark, sf, "documents")
+    val fast = lm.perplexityOf(docs) // model fits → broadcast path
+    val joins = lm.perplexityOf(docs, maxBroadcastModel = 0)
+    assert(fast.count() == joins.count())
+    assert(fast.except(joins).count() == 0)
+    assert(joins.except(fast).count() == 0)
+  }
+
   test("lm lifecycle: served scores equal inline, rebuild idempotent") {
     val db = graft.catalog.GraftDatabase(spark, scratch("lm_model") + "/db")
     val docs = Tables(spark, sf, "documents")
