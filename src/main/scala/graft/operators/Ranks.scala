@@ -66,8 +66,19 @@ object Ranks {
     * pinned), only the job count differs.
     */
   def hashOrderedRowNumber(df: DataFrame, hashKey: Column,
-      order: Seq[Column], out: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, conv, substring}
+      order: Seq[Column], out: String): DataFrame =
+    zipRanked(hashRangePartitioned(df, hashKey, order), out)
+
+  /** The analytic-boundary core, also usable on its own (H16's
+    * shuffled export): rows land in equal-width 60-bit-hash-prefix
+    * buckets — bucket index = partition index, so partition order IS
+    * lexicographic key order — and each partition runs Spark's
+    * spillable sort under the full `order`. Globally sorted output
+    * with no sampling job.
+    */
+  private[graft] def hashRangePartitioned(df: DataFrame, hashKey: Column,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{conv, substring}
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     // ceil-width so v/width < n for every v in [0, 2^60)
@@ -84,10 +95,9 @@ object Ranks {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
       .map(_._2)
-    val sorted = spark.createDataFrame(parted, withB.schema)
+    spark.createDataFrame(parted, withB.schema)
       .sortWithinPartitions(order: _*)
       .drop(b)
-    zipRanked(sorted, out)
   }
 
   private def zipRanked(sorted: DataFrame, out: String): DataFrame = {
