@@ -718,6 +718,11 @@ case class LmScore(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_lm_score"
 
+  // an empty model makes every probability infinite — a loud,
+  // immediate error beats a NumberFormatException deep in rounding
+  // (the repo's ambiguous-verdict rule)
+  require(v > 0, "empty LM model: the train split has no ≥2-token documents")
+
   private val ln2 = java.lang.StrictMath.log(2)
 
   def score(s: UTF8String): Any = {

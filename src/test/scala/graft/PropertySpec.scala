@@ -9,7 +9,7 @@ import graft.sources.EncodingDetector
   * distributed twins are pinned by the oracle queries; these cover
   * the input space no fixture enumerates).
   */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends AnyFunSuite with SparkTestBase {
 
   /** scalacheck without the scalatestplus shim (not on the cp). */
   private def check(p: Prop): Unit = {
@@ -141,6 +141,65 @@ class PropertySpec extends AnyFunSuite {
       val probe = BloomMightContain(Literal("x"), bos.toByteArray)
       members.forall(m =>
         probe.copy(child = Literal(m)).eval(null).asInstanceOf[Boolean])
+    })
+  }
+
+  test("lm score byte tokenizer agrees with string-split reference on " +
+      "arbitrary unicode docs and models") {
+    // the expression tokenizes raw UTF-8 bytes; the invariant under
+    // test is that the byte scan never splits a multi-byte codepoint
+    // and draws exactly java-\\s token boundaries — the arithmetic
+    // itself is pinned by the DuckDB oracle and the join-equality spec
+    val vocabGen = Gen.oneOf("a", "b", "cat", "dog", "中文", "héllo",
+      "naïve", "😀x", "x1", "!?")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \r ")
+    val docGen = for {
+      toks <- Gen.listOfN(8, vocabGen)
+      seps <- Gen.listOfN(8, sepGen)
+    } yield toks.zip(seps).map { case (t, sp) => t + sp }.mkString
+    val modelGen = Gen.nonEmptyListOf(for {
+      w1 <- vocabGen; w2 <- vocabGen; c <- Gen.chooseNum(1L, 50L)
+    } yield (w1, w2, c))
+    val sc = spark.sparkContext
+    check(Prop.forAllNoShrink(docGen, modelGen) { (text, model) =>
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+      val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+      val plain = scala.collection.mutable.Map[String, Long]()
+      model.foreach { case (w1, w2, c) =>
+        m.merge(u8(w1 + " " + w2), java.lang.Long.valueOf(c),
+          (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        m.merge(u8(w1), java.lang.Long.valueOf(c),
+          (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        plain(w1 + " " + w2) = plain.getOrElse(w1 + " " + w2, 0L) + c
+        plain(w1) = plain.getOrElse(w1, 0L) + c
+      }
+      val v = model.flatMap(t => Seq(t._1, t._2)).distinct.size.toLong
+      val expr = graft.functions.expressions.LmScore(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        sc.broadcast(m), v)
+      val got = expr.score(u8(text))
+      val toks = text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
+      if (toks.length < 2) got == null
+      else {
+        val row = got.asInstanceOf[
+          org.apache.spark.sql.catalyst.InternalRow]
+        var sum = 0L; var oov = 0L
+        toks.sliding(2).foreach { case Array(a, b) =>
+          val c2 = plain.getOrElse(a + " " + b, 0L)
+          val c1 = plain.getOrElse(a, 0L)
+          if (c2 == 0L) oov += 1
+          val pr = (c2 + 0.5) / (c1.toDouble + 0.5 * v)
+          val mb = -(java.lang.StrictMath.log(pr) /
+            java.lang.StrictMath.log(2)) * 1000.0
+          sum += java.math.BigDecimal.valueOf(mb)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .doubleValue().toLong
+          ()
+        }
+        row.getLong(0) == toks.length - 1 && row.getLong(1) == oov &&
+          row.getLong(2) == sum
+      }
     })
   }
 }
