@@ -75,7 +75,8 @@ SCALE10 = [
     "dedup_lines", "text_vocab", "text_encode_ids",
     "curate_source_overlap", "pipeline_shuffle",
     "pipeline_pack_concat", "curate_corpus_diff",
-    "text_perplexity", "pipeline_shard_manifest", "curate_token_budget"]
+    "text_perplexity", "pipeline_shard_manifest", "curate_token_budget",
+    "pipeline_curriculum"]
 
 
 def parent_offset(name):
