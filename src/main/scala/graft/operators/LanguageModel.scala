@@ -209,6 +209,41 @@ object LanguageModel {
         call_function("div", p0 - pmod(p0, width), width).as("stage"))
   }
 
+  /** C31: Moore-Lewis cross-entropy-difference selection (Moore &
+    * Lewis 2010; the CCNet-style domain filter) — every document
+    * scored under TWO bigram models, an in-domain target (here
+    * sources src0–src3, standing in for "known-good" text) and the
+    * full-corpus background; ml_score = bits_target −
+    * bits_background. A document that the target model predicts
+    * better than the background model (ml_score < 0) reads like the
+    * domain regardless of its own source label — the published
+    * recipe for mining domain-relevant text out of a general crawl.
+    *
+    * Exactness: both bits are E19's millibit-exact ratios, and their
+    * difference is one deterministic double subtraction —
+    * cross-engine hash-exact. Scale shape: two model trainings
+    * (vocabulary-sized outputs), two stats-gated scoring passes over
+    * the corpus, one doc-count-sized equi-join.
+    */
+  def mooreLewis(spark: SparkSession, dir: String,
+      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val targetSrcs = (0 to 3).map("src" + _)
+    val ids = docs.select(col("doc_id"), col("text"))
+    val (c2t, c1t, vt) =
+      model(tokenized(docs.filter(col("source").isin(targetSrcs: _*))))
+    val (c2b, c1b, vb) = model(tokenized(docs))
+    val st = scoreAgainst(c2t, c1t, vt, ids, maxBroadcastModel)
+      .select(col("doc_id"), col("bits_per_bigram").as("bits_target"))
+    val sb = scoreAgainst(c2b, c1b, vb, ids, maxBroadcastModel)
+      .select(col("doc_id"), col("bits_per_bigram").as("bits_background"))
+    st.join(sb, Seq("doc_id"))
+      .select(col("doc_id"), col("bits_target"), col("bits_background"),
+        (col("bits_target") - col("bits_background")).as("ml_score"),
+        (col("bits_target") - col("bits_background") < 0.0).as("keep_doc"))
+  }
+
   /** D9's build-once/serve-many lifecycle for the LM: persist the
     * model as parquet artifacts (`{name}_bigrams` / `{name}_contexts`
     * / `{name}_meta`) so scoring a new batch never re-trains — the
@@ -237,9 +272,50 @@ object LanguageModel {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_perplexity" -> ((s, d) => perplexity(s, d)),
-    "pipeline_curriculum" -> ((s, d) => curriculum(s, d)))
+    "pipeline_curriculum" -> ((s, d) => curriculum(s, d)),
+    "curate_moore_lewis" -> ((s, d) => mooreLewis(s, d)))
+
+  /** One model's DuckDB scoring chain (prefix `p`, train filter
+    * `where`) — the C31 oracle instantiates it twice over the shared
+    * tokenized `d` / exploded `evb` CTEs.
+    */
+  private def mlChain(p: String, where: String): String =
+    s"""t$p AS (SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS bg FROM d $where),
+       |c2$p AS (SELECT bg, COUNT(*) AS c2 FROM t$p GROUP BY 1),
+       |c1$p AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |    CAST(SUM(c2) AS BIGINT) AS c1 FROM c2$p GROUP BY 1),
+       |v$p AS (SELECT COUNT(DISTINCT tok) AS v FROM
+       |    (SELECT unnest(t) AS tok FROM d $where) u),
+       |q$p AS (SELECT e.doc_id, COALESCE(c2$p.c2, 0) AS c2n,
+       |    COALESCE(c1$p.c1, 0) AS c1n, v$p.v AS v
+       |  FROM evb e LEFT JOIN c2$p USING (bg)
+       |  LEFT JOIN c1$p ON split_part(e.bg, ' ', 1) = c1$p.w1
+       |  CROSS JOIN v$p),
+       |m$p AS (SELECT doc_id,
+       |    CAST(ROUND(-log2((c2n + 0.5) / (c1n + 0.5 * v)) * 1000)
+       |      AS BIGINT) AS mb FROM q$p),
+       |g$p AS (SELECT doc_id,
+       |    CAST(SUM(mb) AS DOUBLE) / (1000.0 * COUNT(*)) AS bits
+       |  FROM m$p GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curate_moore_lewis" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    regexp_extract_all(lower(text), '\\S+') AS t
+         |  FROM documents
+         |  WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 2),
+         |evb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS bg FROM d),
+         |${mlChain("tg",
+            "WHERE source IN ('src0','src1','src2','src3')")},
+         |${mlChain("bk", "")}
+         |SELECT gtg.doc_id, gtg.bits AS bits_target,
+         |  gbk.bits AS bits_background,
+         |  gtg.bits - gbk.bits AS ml_score,
+         |  (gtg.bits - gbk.bits) < 0.0 AS keep_doc
+         |FROM gtg JOIN gbk ON gtg.doc_id = gbk.doc_id""".stripMargin,
     "pipeline_curriculum" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t

@@ -200,6 +200,22 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(joins.except(fast).count() == 0)
   }
 
+  test("moore-lewis: complete coverage, exact score identity") {
+    val out = graft.operators.LanguageModel.mooreLewis(spark, sf)
+    val n = Tables(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(out.count() == n) // every ≥2-token doc scored under BOTH models
+    assert(out.filter(col("ml_score") =!=
+      col("bits_target") - col("bits_background")).count() == 0)
+    assert(out.filter(col("keep_doc") =!= (col("ml_score") < 0.0))
+      .count() == 0)
+    // both populations exist on this corpus: some docs read more like
+    // the target sources, some less — a degenerate all-true/all-false
+    // verdict would mean a broken model side
+    assert(out.filter(col("keep_doc")).count() > 0)
+    assert(out.filter(!col("keep_doc")).count() > 0)
+  }
+
   test("lm lifecycle: served scores equal inline, rebuild idempotent") {
     val db = graft.catalog.GraftDatabase(spark, scratch("lm_model") + "/db")
     val docs = Tables(spark, sf, "documents")
