@@ -41,6 +41,12 @@ object Bench {
     // inflated late-alphabet queries up to 10× (ann_pq 5.0 s in-suite
     // vs 0.48 s isolated). Clearing first makes each number the
     // operator's own cold-cache compute.
+    // Queries that threw during any measured pass, with the first
+    // exception seen: a -1.000 row must be explained on stderr and
+    // named in the stdout JSON, never silently carried into a
+    // cross-round comparison (ADVICE r6).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+
     def runOne(name: String): Double = {
       spark.catalog.clearCache()
       // GC fence: collect the PREVIOUS query's garbage before timing
@@ -56,11 +62,20 @@ object Bench {
       Thread.sleep(250)
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable =>
+          if (!failures.contains(name)) {
+            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[bench] $name FAILED (recorded -1.000):")
+            e.printStackTrace()
+          }
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     names.foreach(runOne) // warmup pass (discarded)
+    failures.clear()      // only measured-pass failures annotate the board
 
     // Two measured passes, per-query min: the host VM has visible
     // scheduling jitter (±10 s spikes on sub-second queries), and the
@@ -101,8 +116,16 @@ object Bench {
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
 
+    def jsonNames(ns: Iterable[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A row is "failed" iff its published value is the -1 sentinel
+    // (failed every measured pass); one flaky pass with a good twin
+    // still yields a real timing and is stderr-only.
+    val failedField =
+      s""","failed":${jsonNames(results.filter(_._2 < 0).map(_._1))}"""
+
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir","passes":"warmup+measured"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$failedField,"sf":"$sfDir","passes":"warmup+measured"}"""
     // best-effort sidecar: an unwritable CWD must not destroy the
     // measured run's stdout line (the driver-parsed artifact)
     try java.nio.file.Files.write(
@@ -113,7 +136,7 @@ object Bench {
         System.err.println(s"[bench] bench_full.json not written: $e")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)},"queries_measured":${results.size},"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)},"queries_measured":${results.size}$failedField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
     spark.stop()
   }
 }

@@ -709,6 +709,135 @@ object Curation {
     corpusDiff(docs, edited.unionByName(added))
   }
 
+  // ---------------------------------------------------------------
+  // E20: Gopher rule battery
+  // ---------------------------------------------------------------
+
+  /** The Gopher quality-rule stopword octet (Rae et al. 2021 §A1.1:
+    * a document must contain ≥2 of these to pass). */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** E20: the complete Gopher rule battery (Rae et al. 2021 Table A1
+    * — the published rule set behind MassiveText, reused by most
+    * open corpus builds since): per document, every rule's verdict
+    * plus the composite keep decision.
+    *
+    *  - word count in [50, 100 000]
+    *  - mean word length in [3, 10] chars
+    *  - symbol-to-word ratio (# or ...) ≤ 0.1
+    *  - ≥80 % of words contain ≥1 alphabetic character
+    *  - ≥2 distinct stopwords from the published octet
+    *  - ≤30 % of lines end in an ellipsis
+    *  - ≤90 % of lines start with a bullet
+    *
+    * E9 (repetition) and E2 (composite score) cover the other half
+    * of a Gopher-style filter; this operator is the rule gates.
+    *
+    * Exactness discipline: every threshold is evaluated by integer
+    * CROSS-MULTIPLICATION (3·n_words ≤ word_chars, 5·alpha ≥
+    * 4·n_words, …) — no division, no doubles, so the booleans are
+    * bit-identical across engines by construction.
+    *
+    * Scale shape: ONE codegen map pass over the corpus — regexp
+    * counts and array filters per row, zero shuffles, zero joins;
+    * the 100 TB cost is exactly one scan.
+    *
+    * The corpus fixture has no newlines/bullets, so (exactly like
+    * E8's PII planting) the query pin appends a deterministic
+    * per-doc multiline tail — computed identically in both engines —
+    * that exercises the line-granular rules in all four directions.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(docs(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        when(col("doc_id") % 4 === 0,
+          lit("- bullet one\n- bullet two\nplain tail"))
+          .when(col("doc_id") % 4 === 1, lit("to be continued..."))
+          .when(col("doc_id") % 4 === 2, lit("#### ## ####"))
+          .otherwise(lit("the plant and of that have with")))
+        .as("text")))
+
+  /** [[gopherRules]] over an arbitrary (doc_id, text) frame. */
+  def gopherRulesOf(d: DataFrame): DataFrame = {
+    val t = col("text")
+    val nWords = size(regexp_extract_all(t, lit("\\S+"), lit(0)))
+      .cast("long")
+    val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    // '#' or a literal three-dot run; leftmost non-overlapping
+    // matching is identical between java.util.regex and RE2 for this
+    // alternation ('....' → one '...' + an unmatched '.')
+    val nSymbols =
+      size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    // \S* can't cross whitespace, so matches align with tokens: one
+    // match per token containing ≥1 letter
+    val nAlphaWords =
+      size(regexp_extract_all(t, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+        .cast("long")
+    val nStops = gopherStops
+      .map(w => when(lower(t).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nEllipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val nBulletLines =
+      size(filter(lines, l => l.rlike("^[-•*]\\s"))).cast("long")
+    d.select(col("doc_id"), nWords.as("n_words"), nLines.as("n_lines"),
+        (nWords >= 50 && nWords <= 100000L).as("word_count_ok"),
+        (wordChars >= nWords * 3 && wordChars <= nWords * 10)
+          .as("mean_word_len_ok"),
+        (nSymbols * 10 <= nWords).as("symbol_ratio_ok"),
+        (nAlphaWords * 5 >= nWords * 4).as("alpha_ratio_ok"),
+        (nStops >= 2).as("stopwords_ok"),
+        (nEllipsisLines * 10 <= nLines * 3).as("ellipsis_ok"),
+        (nBulletLines * 10 <= nLines * 9).as("bullet_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("alpha_ratio_ok") &&
+          col("stopwords_ok") && col("ellipsis_ok") && col("bullet_ok"))
+  }
+
+  private val gopherOracle = {
+    val stopSum = gopherStops
+      .map(w => s"CASE WHEN regexp_matches(lower(t), '\\b$w\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH p AS (SELECT doc_id,
+       |  text || chr(10) || CASE CAST(doc_id % 4 AS INT)
+       |    WHEN 0 THEN '- bullet one' || chr(10) || '- bullet two'
+       |                 || chr(10) || 'plain tail'
+       |    WHEN 1 THEN 'to be continued...'
+       |    WHEN 2 THEN '#### ## ####'
+       |    ELSE 'the plant and of that have with' END AS t
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words,
+       |  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) AS wc,
+       |  CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |  CAST(len(regexp_extract_all(t, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS n_alpha,
+       |  $stopSum AS n_stop,
+       |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len([l for l in string_split(t, chr(10))
+       |    if regexp_matches(l, '(\\.\\.\\.|…)${"$"}')]) AS BIGINT) AS n_ell,
+       |  CAST(len([l for l in string_split(t, chr(10))
+       |    if regexp_matches(l, '^[-•*]\\s')]) AS BIGINT) AS n_bul
+       |  FROM p)
+       |SELECT doc_id, n_words, n_lines,
+       |  n_words BETWEEN 50 AND 100000 AS word_count_ok,
+       |  wc >= n_words * 3 AND wc <= n_words * 10 AS mean_word_len_ok,
+       |  n_sym * 10 <= n_words AS symbol_ratio_ok,
+       |  n_alpha * 5 >= n_words * 4 AS alpha_ratio_ok,
+       |  n_stop >= 2 AS stopwords_ok,
+       |  n_ell * 10 <= n_lines * 3 AS ellipsis_ok,
+       |  n_bul * 10 <= n_lines * 9 AS bullet_ok,
+       |  (n_words BETWEEN 50 AND 100000)
+       |    AND wc >= n_words * 3 AND wc <= n_words * 10
+       |    AND n_sym * 10 <= n_words AND n_alpha * 5 >= n_words * 4
+       |    AND n_stop >= 2 AND n_ell * 10 <= n_lines * 3
+       |    AND n_bul * 10 <= n_lines * 9 AS keep
+       |FROM m""".stripMargin
+  }
+
   private val qualityClassifierOracle = {
     val en = "\\b(the|and|of|to|is|in|it|a)\\b"
     s"""WITH f AS (SELECT doc_id,
@@ -734,6 +863,7 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "curate_gopher_rules" -> gopherOracle,
     "curate_quality_classifier" -> qualityClassifierOracle,
     "curate_corpus_diff" ->
       """WITH v2 AS (
@@ -902,6 +1032,7 @@ object Curation {
     "curate_dup_ngrams" -> ((s, d) => dupNgrams(s, d)),
     "curate_repetition" -> (repetition _),
     "curate_length_band" -> ((s, d) => lengthBand(s, d)),
+    "curate_gopher_rules" -> (gopherRules _),
     "curate_quality_classifier" -> (qualityClassifier _),
     "curate_source_overlap" -> (sourceOverlap _),
     "curate_corpus_diff" -> (corpusDiffQuery _),

@@ -198,4 +198,54 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       assert(kept == math.min(n, cap))
     }
   }
+
+  test("gopher rules: each gate flips at its published boundary") {
+    import spark.implicits._
+    def words(n: Int, w: String = "word"): String =
+      Seq.fill(n)(w).mkString(" ")
+    // base passes every gate: 60 4-char words incl. two stopwords
+    val base = "the and plant " + words(57)
+    val docs = Seq(
+      (1L, base),                                  // all gates pass
+      (2L, "the and " + words(40)),                // 42 words < 50
+      (3L, "of to " + words(58, "xx")),            // mean word len 2 < 3
+      (4L, "the and " + words(58, "anticonstitutionnellement")), // len > 10
+      (5L, base + " " + Seq.fill(7)("#").mkString(" ")), // 67 words, 7 '#' > 6.7
+      (6L, "the of " + words(58, "123456")),       // alpha words 2/60 < 80%
+      (7L, words(60, "blue")),                     // zero stopwords
+      (8L, base + "\nended...\nalso...\nplain one\nplain two"), // 2/5 ell > 30%
+      (9L, base + "\n- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10") // 10/11 bullets > 90%
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherRulesOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def ok(id: Long, colName: String): Boolean =
+      got(id).getAs[Boolean](colName)
+    assert(ok(1L, "keep"), "base doc must pass the whole battery")
+    assert(!ok(2L, "word_count_ok") && ok(2L, "mean_word_len_ok"))
+    assert(!ok(3L, "mean_word_len_ok") && ok(3L, "word_count_ok"))
+    assert(!ok(4L, "mean_word_len_ok"))
+    assert(!ok(5L, "symbol_ratio_ok") && ok(5L, "word_count_ok"))
+    assert(!ok(6L, "alpha_ratio_ok"))
+    assert(!ok(7L, "stopwords_ok") && ok(7L, "alpha_ratio_ok"))
+    assert(!ok(8L, "ellipsis_ok") && ok(8L, "bullet_ok"))
+    assert(!ok(9L, "bullet_ok") && ok(9L, "ellipsis_ok"))
+    for (id <- 2L to 9L) assert(!ok(id, "keep"), s"doc $id must fail keep")
+  }
+
+  test("gopher rules: integer cross-multiplication sits exactly on the boundary") {
+    import spark.implicits._
+    // 50 words of exactly 3 chars → mean = 3.0: inclusive bound keeps it;
+    // 5 symbols in 50 words → ratio exactly 0.1: inclusive bound keeps it
+    val txt = "the and " + Seq.fill(43)("abc").mkString(" ") +
+      " # # # # #"
+    val d = Seq((1L, txt)).toDF("doc_id", "text")
+    val r = Curation.gopherRulesOf(d).collect()(0)
+    assert(r.getAs[Long]("n_words") == 50L)
+    assert(r.getAs[Boolean]("word_count_ok"))
+    assert(r.getAs[Boolean]("symbol_ratio_ok"), "0.1 is ≤, not <")
+    // one more symbol tips it
+    val r2 = Curation.gopherRulesOf(
+      Seq((1L, txt + " #")).toDF("doc_id", "text")).collect()(0)
+    assert(!r2.getAs[Boolean]("symbol_ratio_ok"))
+  }
 }
