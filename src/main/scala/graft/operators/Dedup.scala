@@ -750,6 +750,80 @@ object Dedup {
         col("n_dup_tokens").cast("double") / col("n_tokens"))
   }
 
+  // ---------------------------------------------------------------
+  // C32: robust winnowing fingerprints (MOSS)
+  // ---------------------------------------------------------------
+
+  /** Portable 60-bit gram hash (md5 prefix — bit-identical in DuckDB
+    * via ('0x'||substr(md5(g),1,15))::BIGINT) for the oracle pin;
+    * xxhash64 is the production path. Winnowing SELECTION depends on
+    * hash VALUES (per-window minimum), not just equality, so the pin
+    * needs a cross-engine hash, not merely a collision-free one.
+    */
+  private def gramHash60(g: Column, portable: Boolean): Column =
+    if (portable) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    else xxhash64(g)
+
+  /** C32 core: robust-winnowing fingerprint selection (Schleimer,
+    * Wilkerson & Aiken 2003, the MOSS algorithm): hash every k-token
+    * gram, slide a w-window over the hash sequence, select each
+    * window's MINIMUM hash breaking ties to the RIGHTMOST position,
+    * and keep the distinct selections. Guarantee (the paper's): any
+    * shared token run of length ≥ w + k − 1 yields a shared
+    * fingerprint, while only ~2/(w+1) of grams are kept — a
+    * density-bounded sketch where C20a keeps every window.
+    *
+    * Scale shape: selection is ENTIRELY map-side — the per-window
+    * sliding minimum is a zip_with(least) reduction over w shifted
+    * slices of packed (h, −pos) structs (struct order = min hash,
+    * rightmost tie; the [[shingleSlots]] slice pattern — no lambda
+    * ever indexes an outer array, which would re-evaluate it per
+    * element). The corpus never shuffles; only the selected ~2n/(w+1)
+    * fingerprints leave the scan stage.
+    */
+  def winnowFingerprintsOf(d: DataFrame, k: Int, w: Int,
+      portableHash: Boolean = true): DataFrame = {
+    val toks = tokens(col("text"))
+    val th = when(size(toks) >= k,
+        transform(shingleSlots(toks, k), g => gramHash60(g, portableHash)))
+      .otherwise(array().cast("array<bigint>"))
+    val packed = d.select(col("doc_id"),
+      transform(th, (h, i) => struct(h.as("h"), (-i).as("np"))).as("s"))
+    val n = size(col("s"))
+    val len = n - (w - 1) // windows; guarded > 0 before any slice runs
+    val parts = (0 until w).map(j => slice(col("s"), lit(j + 1), len))
+    val mins = parts.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    packed.select(col("doc_id"),
+        explode(when(n >= w, array_distinct(mins))
+          .otherwise(slice(col("s"), 1, 0))).as("fp"))
+      .select(col("doc_id"), (-col("fp.np")).as("pos"), col("fp.h"))
+  }
+
+  /** C32: winnowing near-dup pairs — documents sharing ≥1 selected
+    * fingerprint + the count of distinct shared fingerprint hashes.
+    * Downstream is C20a's shape on the winnowed (≈2/(w+1)-density)
+    * stream: distinct (doc, h), a per-h distinct-doc occurrence cap
+    * (boilerplate fingerprints never enter pair generation) as an
+    * analytic over the SAME lineage, then a partitioned self-equi-join
+    * on h (shuffle_hash — the growing side must never broadcast).
+    */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 4,
+      w: Int = 4, maxOcc: Int = 1000,
+      portableHash: Boolean = true): DataFrame = {
+    val fp = winnowFingerprintsOf(Tables(spark, dir, "documents"), k, w,
+      portableHash)
+    val fph = fp.select(col("doc_id"), col("h")).distinct()
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") >= 2 && col("occ") <= maxOcc)
+      .select(col("h"), col("doc_id"))
+    fph.select(col("h"), col("doc_id").as("doc_id_a"))
+      .join(fph.select(col("h"), col("doc_id").as("doc_id_b"))
+        .hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** C21: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * dedup: k-means-cluster the embedding space (deterministic
     * bounded-sample Lloyd, the D2 quantizer), then exact cosine
@@ -943,7 +1017,40 @@ object Dedup {
       |  COALESCE(a.clean_text, '') AS clean_text
       |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // C32 oracle: identical 60-bit md5 gram hash, window-min via an
+  // analytic frame, rightmost tie via MAX(pos) among in-window rows
+  // matching the min, then C20a's capped self-join on the selected
+  // fingerprints. k=4, w=4 — the query pin's defaults.
+  private val winnowPairsOracle =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(generate_series(1, len(w) - 3)) AS pos,
+      |    unnest([('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT
+      |            for i in range(1, len(w) - 2)]) AS h
+      |  FROM t WHERE len(w) >= 4),
+      |mn AS (SELECT doc_id, pos AS ws,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM g),
+      |v AS (SELECT doc_id, ws, mh FROM mn WHERE ws + 3 <= ng),
+      |sel AS (SELECT v.doc_id, v.ws, MAX(g.pos) AS spos
+      |  FROM v JOIN g ON g.doc_id = v.doc_id
+      |    AND g.pos BETWEEN v.ws AND v.ws + 3 AND g.h = v.mh
+      |  GROUP BY v.doc_id, v.ws),
+      |fp AS (SELECT DISTINCT s.doc_id, g.h
+      |  FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.spos),
+      |occ AS (SELECT h FROM fp GROUP BY h
+      |  HAVING COUNT(*) BETWEEN 2 AND 1000)
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM fp a JOIN fp b USING (h) JOIN occ USING (h)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_winnow" -> winnowPairsOracle,
     "dedup_lines" -> dedupLinesOracle,
     "dedup_substring" -> substringPairsOracle,
     "dedup_substring_spans" -> substringSpansOracle,
@@ -997,6 +1104,7 @@ object Dedup {
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
     "dedup_lines" -> ((s, d) => dedupLines(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
+    "dedup_winnow" -> ((s, d) => winnowPairs(s, d)),
     "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
     "dedup_semantic" -> ((s, d) => semanticPairs(s, d))
   )

@@ -548,6 +548,71 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) == ((24L, 24L)))
   }
 
+  test("winnowing matches a brute-force reference incl. rightmost ties") {
+    import spark.implicits._
+    def md560(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def refWinnow(toks: Seq[String], k: Int, w: Int): Set[(Int, Long)] = {
+      val hs = toks.sliding(k).map(_.mkString(" ")).map(md560).toVector
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).map { i =>
+        val win = (i until i + w).map(j => (hs(j), j))
+        val m = win.minBy { case (h, j) => (h, -j) } // min h, RIGHTMOST pos
+        (m._2, m._1)
+      }.toSet
+    }
+    // doc 2 repeats a 2-token pattern, so equal hashes occur inside
+    // one window and the rightmost-tie rule actually decides
+    val d1 = (1 to 20).map(i => s"tok$i")
+    val d2 = Seq.fill(8)(Seq("ping", "pong")).flatten
+    val d3 = Seq("under", "four") // shorter than one window
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+      (3L, d3.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprintsOf(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, a) =>
+        id -> a.map(t => (t._2, t._3)).toSet }
+    assert(got(1L) == refWinnow(d1, 3, 4))
+    assert(got(2L) == refWinnow(d2, 3, 4))
+    assert(!got.contains(3L))
+  }
+
+  test("winnowing guarantee: a shared (w+k-1)-token run yields a pair") {
+    import spark.implicits._
+    val dir = scratch("winnow_pairs")
+    // k=4, w=4 ⇒ any shared run of ≥7 tokens must share a fingerprint
+    val run = (1 to 7).map(i => s"quote$i").mkString(" ")
+    Seq((1L, s"${(1 to 30).map(i => s"a$i").mkString(" ")} $run"),
+        (2L, s"$run ${(1 to 30).map(i => s"b$i").mkString(" ")}"),
+        (3L, (1 to 37).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the guarantee is hash-independent: it must hold on the portable
+    // md5 path (the oracle pin) AND the xxhash64 production path
+    for (portable <- Seq(true, false)) {
+      val pairs = Dedup.winnowPairs(spark, dir, portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSeq == Seq((1L, 2L)),
+        s"portable=$portable got ${pairs.toSeq}")
+    }
+  }
+
+  test("winnowing keeps a density-bounded subset of gram positions") {
+    import spark.implicits._
+    val toks = (1 to 400).map(i => s"w${i % 97}x$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val nGrams = toks.length - 3 // k=4
+    val nFp = Dedup.winnowFingerprintsOf(docs, k = 4, w = 4).count()
+    // expectation is 2/(w+1) = 0.4; assert a generous envelope that
+    // still proves selection (not pass-through) happened
+    assert(nFp < nGrams * 0.6, s"nFp=$nFp of $nGrams grams")
+    assert(nFp > nGrams * 0.2, s"nFp=$nFp of $nGrams grams")
+  }
+
   test("SemDeDup recalls planted near-dups with exact precision") {
     import spark.implicits._
     val e = Tables(spark, sf, "embeddings").limit(100)
