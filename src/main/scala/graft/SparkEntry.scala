@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TextQueries.queries ++ operators.Dedup.queries ++
       operators.Ann.queries ++ operators.Pq.queries ++
       operators.IvfPq.queries ++ operators.Hnsw.queries ++
+      operators.Pca.queries ++
       operators.AnnChecks.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.RangeJoin.queries ++

@@ -24,7 +24,8 @@ import graft.Tables
   * Floors are set with margin below the measured recalls at all three
   * SFs (tools/DriveRecallProbe, 2026-08: ivf .76-1.0, pq .34-.38,
   * ivfpq .34-.42, refine .74-.80, hnsw .98-1.0, lsh .67-.71,
-  * semantic .26-.29) — they catch structural regressions, not noise:
+  * semantic .26-.29, pca .76-1.0) — they catch structural
+  * regressions, not noise:
   * every path is deterministic (fixed seeds, fixed tie-breaks), so a
   * flip means the algorithm changed, not the dice.
   */
@@ -119,6 +120,10 @@ object AnnChecks {
       col("n_pairs"), col("n_score_matches"), col("recall_ok"))
   }
 
+  def pcaCheck(spark: SparkSession, dir: String): DataFrame =
+    recallCheck("pca", 10, 65,
+      Pca.annPcaRefined(spark, dir), Ann.topkExact(spark, dir))
+
   def embeddingLshCheck(spark: SparkSession, dir: String): DataFrame =
     pairCheck(Dedup.embeddingLsh(spark, dir),
       Dedup.embeddingPairs(spark, dir), 55)
@@ -163,6 +168,7 @@ object AnnChecks {
     "ann_pq_check" -> recallOracle("pq", 25),
     "ann_ivfpq_check" -> recallOracle("ivfpq", 25),
     "ann_hnsw_check" -> recallOracle("hnsw", 90),
+    "ann_pca_check" -> recallOracle("pca", 65),
     "ann_ivfpq_refine_check" ->
       """SELECT 'ivfpq_refine' AS method,
         |  (SELECT 10 * COUNT(*) FROM embeddings WHERE vec_id < 5) AS n_pairs,
@@ -177,6 +183,7 @@ object AnnChecks {
     "ann_pq_check" -> (pqCheck _),
     "ann_ivfpq_check" -> (ivfPqCheck _),
     "ann_hnsw_check" -> (hnswCheck _),
+    "ann_pca_check" -> (pcaCheck _),
     "ann_ivfpq_refine_check" -> ((s, d) => ivfPqRefineCheck(s, d)),
     "dedup_embedding_lsh_check" -> (embeddingLshCheck _),
     "dedup_semantic_check" -> (semanticCheck _)

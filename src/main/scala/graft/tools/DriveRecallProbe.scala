@@ -30,6 +30,9 @@ object DriveRecallProbe {
       r("ivfpq", IvfPq.annIvfPq(spark, dir))
       r("ivfpq_refine", IvfPq.annIvfPqRefined(spark, dir))
       r("hnsw", Hnsw.hnswTopk(spark, dir))
+      for (rr <- Seq(16, 24, 32); of <- Seq(4, 8))
+        r(s"pca r=$rr of=$of",
+          Pca.annPcaRefined(spark, dir, r = rr, overfetch = of))
 
       def vpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select(col("vec_id_a"), col("vec_id_b")).collect()

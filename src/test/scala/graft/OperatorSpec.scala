@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, Hnsw, Pq}
+import graft.operators.{Ann, Dedup, Hnsw, KMeans, Pca, Pq}
 
 class ExpressionSpec extends AnyFunSuite with SparkTestBase {
 
@@ -740,6 +740,84 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     // 2-of-16 cells probed: decent but lossy by design
     assert(recall >= 0.5, s"recall=$recall")
     assert(ivf.size == exact.size) // k fully filled from probed cells
+  }
+
+  test("PCA basis is orthonormal, variance-ordered, deterministic") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val sample = KMeans.sampleVectors(e, 65536)
+    val m1 = Pca.train(sample, 16)
+    val m2 = Pca.train(sample, 16)
+    assert(m1.components.map(_.toSeq).toSeq ==
+      m2.components.map(_.toSeq).toSeq, "basis must be reproducible")
+    assert(m1.variances.toSeq == m2.variances.toSeq)
+    for (i <- m1.components.indices; j <- i until m1.components.length) {
+      val dot = m1.components(i).zip(m1.components(j))
+        .map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"dot($i,$j)=$dot")
+    }
+    assert(m1.variances.sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1) - 1e-12), "variances must descend")
+    // each variance is the sample variance of the projection onto its
+    // component (the Rayleigh quotient the eigensolver promised)
+    val n = sample.length
+    val mean = m1.mean
+    m1.components.zip(m1.variances).foreach { case (c, lambda) =>
+      val projVar = sample.map { v =>
+        val p = v.indices.map(i => (v(i) - mean(i)) * c(i)).sum
+        p * p
+      }.sum / n
+      assert(math.abs(projVar - lambda) <= 1e-6 * math.max(1.0, lambda),
+        s"projVar=$projVar vs lambda=$lambda")
+    }
+  }
+
+  test("PCA explained variance grows with r; r=16 captures most energy") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val sample = KMeans.sampleVectors(e, 65536)
+    val m = Pca.train(sample, 64)
+    val total = m.variances.sum // full basis ⇒ total variance
+    val top16 = m.variances.take(16).sum
+    val top4 = m.variances.take(4).sum
+    assert(top4 < top16 && top16 <= total + 1e-9)
+    // reconstruction error with the top-16 basis = total − Σ top-16;
+    // verify that identity directly on the sample
+    val mean = m.mean
+    val comps = m.components.take(16)
+    val err = sample.map { v =>
+      val cent = v.indices.map(i => v(i) - mean(i))
+      val proj = comps.map(c => c.indices.map(i => cent(i) * c(i)).sum)
+      val rec = v.indices.map(i =>
+        comps.zip(proj).map { case (c, p) => c(i) * p }.sum)
+      v.indices.map(i => { val d = cent(i) - rec(i); d * d }).sum
+    }.sum / sample.length
+    assert(math.abs(err - (total - top16)) <=
+      1e-6 * math.max(1.0, total), s"err=$err vs ${total - top16}")
+  }
+
+  test("PCA-refined top-k clears the recall floor with exact scores") {
+    val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Pca.annPcaRefined(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(gotPairs.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+    // every emitted sim is the pair's exact cosine (the refine stage's
+    // contract) — recompute driver-side
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    got.foreach { case (q, nb, sim) =>
+      val a = vecs(q); val b = vecs(nb)
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb2 = math.sqrt(b.map(x => x * x).sum)
+      assert(math.abs(sim - dot / (na * nb2)) < 1e-9)
+    }
   }
 
   test("PQ codes are deterministic, in range, and beat mean-only MSE") {
