@@ -270,10 +270,80 @@ object LanguageModel {
       db.read(s"${name}_meta"), docs.select(col("doc_id"), col("text")),
       maxBroadcastModel)
 
+  /** C33: DSIR-style importance weighting (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection via Importance Resampling):
+    * documents scored by log p_target(f) − log p_background(f) under
+    * smoothed multinomial models over a HASHED n-gram feature space —
+    * every unigram and bigram hashed into one of m buckets, so both
+    * models are FIXED-m-row tables regardless of vocabulary (the
+    * paper's trick, and what separates this from C31's bigram-LM
+    * cross-entropy difference: a web corpus's n-gram vocabulary is
+    * unbounded, the hashed feature space never is).
+    *
+    * Exactness (E19's discipline): bucket probabilities are rationals
+    * of exact integer counts, each side's log2 is quantized to
+    * integer millibits AT THE BUCKET (m rows, not per occurrence),
+    * per-document weights are integer sums of bucket millibits in any
+    * partition order, one double division at the end.
+    *
+    * Scale shape: ONE corpus-scale aggregation — (bucket, is_target)
+    * counts — from which both model tables re-aggregate at ≤2m-row
+    * cost; the m-row bucket table (m=4096 · 16 B) broadcasts; scoring
+    * is one more corpus explode + broadcast probe + map-side-combined
+    * doc sum. The corpus shuffles only doc_id-keyed integer sums.
+    * Selection here is the deterministic threshold form (weight > 0 ⇔
+    * the target model predicts the doc better — C31's keep rule);
+    * the paper's Gumbel resampling adds noise the md5-bucket rule
+    * (C14) can supply when sampling proportionality matters.
+    */
+  def dsir(spark: SparkSession, dir: String, m: Int = 4096): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val targetSrcs = (0 to 3).map("src" + _)
+    val t = toks(col("text"))
+    val uni = docs.select(col("doc_id"), col("source"), explode(t).as("g"))
+    val bi = docs.select(col("doc_id"), col("source"),
+      explode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+    // portable bucket hash (md5 32-bit prefix mod m — the C14 rule):
+    // the oracle must land every gram in the SAME bucket
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m)
+          .as("b"))
+    val byTgt = feats
+      .groupBy(col("b"), col("source").isin(targetSrcs: _*).as("tgt"))
+      .agg(count(lit(1)).as("c"))
+    val tcounts = byTgt.filter(col("tgt"))
+      .select(col("b"), col("c").as("ct"))
+    val bcounts = byTgt.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val tt = tcounts.agg(sum(col("ct")).as("tt"))
+    val bt = bcounts.agg(sum(col("cb")).as("bt"))
+    val mbOf = (c: Column, tot: Column) =>
+      round(-log2((coalesce(c, lit(0L)).cast("double") + lit(0.5)) /
+        (tot.cast("double") + lit(0.5) * m)) * 1000).cast("long")
+    val buckets = spark.range(m).select(col("id").as("b"))
+      .join(tcounts, Seq("b"), "left")
+      .join(bcounts, Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(bt))
+      .select(col("b"),
+        (mbOf(col("cb"), col("bt")) - mbOf(col("ct"), col("tt")))
+          .as("l_mb"))
+    feats.join(broadcast(buckets), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("l_mb")).as("weight_mb"))
+      .select(col("doc_id"), col("n_feats"), col("weight_mb"),
+        (col("weight_mb").cast("double") / (lit(1000.0) * col("n_feats")))
+          .as("avg_mb_per_feat"),
+        (col("weight_mb") > 0).as("keep_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_perplexity" -> ((s, d) => perplexity(s, d)),
     "pipeline_curriculum" -> ((s, d) => curriculum(s, d)),
-    "curate_moore_lewis" -> ((s, d) => mooreLewis(s, d)))
+    "curate_moore_lewis" -> ((s, d) => mooreLewis(s, d)),
+    "curate_dsir" -> ((s, d) => dsir(s, d)))
 
   /** One model's DuckDB scoring chain (prefix `p`, train filter
     * `where`) — the C31 oracle instantiates it twice over the shared
@@ -300,6 +370,38 @@ object LanguageModel {
        |  FROM m$p GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curate_dsir" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '\S+') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, unnest(w) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g FROM t),
+        |fb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b FROM f),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM fb
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY b),
+        |bc AS (SELECT b, COUNT(*) AS cb FROM fb GROUP BY b),
+        |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tc),
+        |bt AS (SELECT CAST(SUM(cb) AS BIGINT) AS bt FROM bc),
+        |l AS (SELECT r.range AS b,
+        |    CAST(ROUND(-log2((COALESCE(bc.cb, 0) + 0.5)
+        |        / (bt.bt + 0.5 * 4096)) * 1000) AS BIGINT)
+        |    - CAST(ROUND(-log2((COALESCE(tc.ct, 0) + 0.5)
+        |        / (tt.tt + 0.5 * 4096)) * 1000) AS BIGINT) AS l_mb
+        |  FROM range(0, 4096) r
+        |  LEFT JOIN tc ON tc.b = r.range
+        |  LEFT JOIN bc ON bc.b = r.range
+        |  CROSS JOIN tt CROSS JOIN bt)
+        |SELECT fb.doc_id, COUNT(*) AS n_feats,
+        |  CAST(SUM(l.l_mb) AS BIGINT) AS weight_mb,
+        |  CAST(SUM(l.l_mb) AS DOUBLE) / (1000.0 * COUNT(*))
+        |    AS avg_mb_per_feat,
+        |  SUM(l.l_mb) > 0 AS keep_doc
+        |FROM fb JOIN l USING (b)
+        |GROUP BY fb.doc_id""".stripMargin,
     "curate_moore_lewis" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

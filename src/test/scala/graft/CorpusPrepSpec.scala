@@ -216,6 +216,35 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(!col("keep_doc")).count() > 0)
   }
 
+  test("dsir: hashed-feature weights favor target-like text") {
+    import spark.implicits._
+    val lm = graft.operators.LanguageModel
+    // full-corpus coverage: every ≥1-token doc gets a weight
+    val out = lm.dsir(spark, sf)
+    val n = Tables(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 1).count()
+    assert(out.count() == n)
+    // keep rule is exactly weight_mb > 0; the division is the only
+    // double and derives from the integer columns
+    assert(out.filter(col("keep_doc") =!= (col("weight_mb") > 0))
+      .count() == 0)
+    assert(out.filter(abs(col("avg_mb_per_feat") * 1000.0
+      * col("n_feats") - col("weight_mb")) > 1e-6).count() == 0)
+    // direction: docs FROM the target sources score higher on average
+    // than the rest (their n-grams define the target model)
+    val bySrc = out.join(Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("tgt",
+        col("source").isin((0 to 3).map("src" + _): _*))
+      .groupBy(col("tgt"))
+      .agg(avg(col("avg_mb_per_feat")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySrc(true) > bySrc(false),
+      s"target-mean ${bySrc(true)} vs rest ${bySrc(false)}")
+    // deterministic: same weights on a second run
+    assert(lm.dsir(spark, sf).except(out).count() == 0)
+  }
+
   test("lm lifecycle: served scores equal inline, rebuild idempotent") {
     val db = graft.catalog.GraftDatabase(spark, scratch("lm_model") + "/db")
     val docs = Tables(spark, sf, "documents")
