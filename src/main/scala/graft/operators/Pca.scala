@@ -192,6 +192,21 @@ object Pca {
     * refine and re-rank to top-k (D8's over-fetch/refine contract
     * with a PCA candidate space instead of ADC).
     */
+  /** (vec_id, embedding, z): the unit-normalized r-dim projection of
+    * an embedding frame under `model`. dot(v̂, c) = dot(v, c)/‖v‖ —
+    * the norm is computed once per row and referenced as an attribute
+    * inside the per-component rescale (an outer EXPRESSION in the
+    * lambda would re-evaluate per element).
+    */
+  private def projectedOf(e: DataFrame, model: PcaModel): DataFrame = {
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    e.withColumn("nrm", greatest(nrm, lit(1e-30)))
+      .select(col("vec_id"), col("embedding"),
+        transform(projectExpr(model, col("embedding")),
+          p => p / col("nrm")).as("z"))
+  }
+
   def annPcaRefined(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, r: Int = 32, overfetch: Int = 8,
       sampleN: Int = 65536): DataFrame = {
@@ -201,18 +216,19 @@ object Pca {
     val model = train(
       KMeans.sampleVectors(e, sampleN).map(normalize), r, center = false)
     graft.CacheHygiene.unpersistAfterUse(e)
-    // dot(v̂, c) = dot(v, c)/‖v‖ — norm computed once per row, then an
-    // attribute reference inside the per-component rescale (an outer
-    // EXPRESSION in the lambda would re-evaluate per element)
-    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val proj = e.withColumn("nrm", greatest(nrm, lit(1e-30)))
-      .select(col("vec_id"), col("embedding"),
-        transform(projectExpr(model, col("embedding")),
-          p => p / col("nrm")).as("z"))
+    val proj = projectedOf(e, model)
     val q = proj.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("z").as("qz"))
+    topkFromProjected(proj, q, k, overfetch)
+  }
+
+  /** Shared serve core: candidates by reduced-space dot, exact
+    * full-dimension cosine refine of the overfetch·k survivors.
+    * `proj` = (vec_id, embedding, z); `q` = (query_id, qe, qz).
+    */
+  private def topkFromProjected(proj: DataFrame, q: DataFrame, k: Int,
+      overfetch: Int): DataFrame = {
     val cands = proj.select(col("vec_id"), col("z"))
       .join(broadcast(q.select(col("query_id"), col("qz"))),
         col("vec_id") =!= col("query_id"))
@@ -224,7 +240,7 @@ object Pca {
       .select(col("query_id"), col("s.id").as("vec_id"))
     // exact refine: only q·overfetch·k candidate rows re-score
     cands
-      .join(e, Seq("vec_id"))
+      .join(proj.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qe"))), Seq("query_id"))
       .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
       .groupBy(col("query_id"))
@@ -232,6 +248,54 @@ object Pca {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+  }
+
+  /** D9 lifecycle for the PCA index: build ONCE — basis (r rows) +
+    * the projected corpus (vec_id, embedding, z) — serve many with no
+    * re-train and no corpus re-projection. The basis is unique
+    * (canonical signs, deterministic sample), so rebuilds are
+    * idempotent; `{name}_basis` is the bounded piece a server loads,
+    * `{name}_proj` the corpus-scale artifact the candidate scan reads.
+    */
+  def buildPcaIndex(db: graft.catalog.GraftDatabase, e: DataFrame,
+      name: String, r: Int = 32, sampleN: Int = 65536): Unit = {
+    val spark = db.spark
+    val ep = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = train(
+      KMeans.sampleVectors(ep, sampleN).map(normalize), r, center = false)
+    graft.CacheHygiene.unpersistAfterUse(ep)
+    import spark.implicits._
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    db.write(model.components.zip(model.variances).zipWithIndex
+      .map { case ((c, v), i) => (i, c.toSeq, v) }.toSeq
+      .toDF("comp_idx", "component", "variance"), s"${name}_basis", ow)
+    db.write(projectedOf(ep, model), s"${name}_proj", ow)
+  }
+
+  /** The stored basis (r rows — never the corpus). */
+  private def loadModel(db: graft.catalog.GraftDatabase,
+      name: String): PcaModel = {
+    val rows = db.read(s"${name}_basis").orderBy(col("comp_idx")).collect()
+    val comps = rows.map(_.getSeq[Double](1).toArray)
+    PcaModel(new Array[Double](comps(0).length), comps,
+      rows.map(_.getDouble(2)))
+  }
+
+  /** Serve top-k queries against a stored PCA index: queries project
+    * under the loaded basis (r literal folds on the tiny query side),
+    * candidates come from the STORED projection, refine reads the
+    * stored raw vectors — no training, no corpus projection.
+    */
+  def annPcaFromIndex(db: graft.catalog.GraftDatabase, name: String,
+      queries: DataFrame, k: Int = 10, overfetch: Int = 8): DataFrame = {
+    val model = loadModel(db, name)
+    val proj = db.read(s"${name}_proj")
+    val q = projectedOf(queries.select(col("vec_id"), col("embedding")),
+        model)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("z").as("qz"))
+    topkFromProjected(proj, q, k, overfetch)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

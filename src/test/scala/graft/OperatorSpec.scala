@@ -933,6 +933,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(Ann.ivfTopkFromIndex(db, "emb", queries)) == inline)
   }
 
+  test("stored PCA index serves identically to the inline build") {
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("pca_index") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Pca.buildPcaIndex(db, e, "emb")
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val served = rows(Pca.annPcaFromIndex(db, "emb", queries))
+    val inline = rows(Pca.annPcaRefined(spark, sf))
+    assert(served == inline)
+    // basis bounded at r rows; projected corpus carries z
+    assert(db.read("emb_basis").count() == 32L)
+    assert(db.read("emb_proj").columns.toSet ==
+      Set("vec_id", "embedding", "z"))
+    // rebuild is idempotent (unique canonical basis)
+    Pca.buildPcaIndex(db, e, "emb")
+    assert(rows(Pca.annPcaFromIndex(db, "emb", queries)) == inline)
+  }
+
   test("IVF drift report: clean appends quiet, perturbed appends flagged") {
     import spark.implicits._
     val db = graft.catalog.GraftDatabase(spark,

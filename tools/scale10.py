@@ -76,7 +76,8 @@ SCALE10 = [
     "curate_source_overlap", "pipeline_shuffle",
     "pipeline_pack_concat", "curate_corpus_diff",
     "text_perplexity", "pipeline_shard_manifest", "curate_token_budget",
-    "pipeline_curriculum"]
+    "pipeline_curriculum", "curate_moore_lewis",
+    "curate_gopher_rules", "dedup_winnow", "curate_dsir"]
 
 
 def parent_offset(name):
