@@ -296,22 +296,34 @@ object LanguageModel {
     * the paper's Gumbel resampling adds noise the md5-bucket rule
     * (C14) can supply when sampling proportionality matters.
     */
-  def dsir(spark: SparkSession, dir: String, m: Int = 4096): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-    val targetSrcs = (0 to 3).map("src" + _)
+  /** (carry…, doc_id, b): every unigram+bigram of each document
+    * landed in its md5 bucket (the portable C14 hash rule — the
+    * oracle must land every gram in the SAME bucket). One explode
+    * per n-gram order, stateless — works on streams unchanged.
+    */
+  private[graft] def dsirFeats(docs: DataFrame, m: Int,
+      carry: Seq[String]): DataFrame = {
     val t = toks(col("text"))
-    val uni = docs.select(col("doc_id"), col("source"), explode(t).as("g"))
-    val bi = docs.select(col("doc_id"), col("source"),
+    val keep = (carry :+ "doc_id").map(col)
+    val uni = docs.select(keep :+ explode(t).as("g"): _*)
+    val bi = docs.select(keep :+
       explode(zip_with(slice(t, lit(1), size(t) - 1),
         slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("g"))
-    // portable bucket hash (md5 32-bit prefix mod m — the C14 rule):
-    // the oracle must land every gram in the SAME bucket
-    val feats = uni.unionByName(bi)
-      .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m)
-          .as("b"))
+        (a, b) => concat_ws(" ", a, b))).as("g"): _*)
+    uni.unionByName(bi)
+      .select(keep :+
+        ((conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m)
+          .as("b")): _*)
+  }
+
+  /** The m-row DSIR model: per bucket, background-minus-target
+    * millibits. ONE corpus aggregation — (bucket, is_target) counts —
+    * from which both model tables re-aggregate at ≤2m-row cost.
+    */
+  def dsirBucketTable(docs: DataFrame, targetSrcs: Seq[String],
+      m: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = dsirFeats(docs, m, Seq("source"))
     val byTgt = feats
       .groupBy(col("b"), col("source").isin(targetSrcs: _*).as("tgt"))
       .agg(count(lit(1)).as("c"))
@@ -323,20 +335,61 @@ object LanguageModel {
     val mbOf = (c: Column, tot: Column) =>
       round(-log2((coalesce(c, lit(0L)).cast("double") + lit(0.5)) /
         (tot.cast("double") + lit(0.5) * m)) * 1000).cast("long")
-    val buckets = spark.range(m).select(col("id").as("b"))
+    spark.range(m).select(col("id").as("b"))
       .join(tcounts, Seq("b"), "left")
       .join(bcounts, Seq("b"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(bt))
       .select(col("b"),
         (mbOf(col("cb"), col("bt")) - mbOf(col("ct"), col("tt")))
           .as("l_mb"))
+  }
+
+  /** Broadcast-probe the bucket table and fold integer weights per
+    * `keys` — shared by the batch and streaming paths (the streaming
+    * side carries its event-time column through `keys`).
+    */
+  private[graft] def dsirScoreRows(feats: DataFrame, buckets: DataFrame,
+      keys: Seq[String]): DataFrame =
     feats.join(broadcast(buckets), Seq("b"))
-      .groupBy(col("doc_id"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("l_mb")).as("weight_mb"))
-      .select(col("doc_id"), col("n_feats"), col("weight_mb"),
+      .select(keys.map(col) ++ Seq(col("n_feats"), col("weight_mb"),
         (col("weight_mb").cast("double") / (lit(1000.0) * col("n_feats")))
           .as("avg_mb_per_feat"),
-        (col("weight_mb") > 0).as("keep_doc"))
+        (col("weight_mb") > 0).as("keep_doc")): _*)
+
+  def dsir(spark: SparkSession, dir: String, m: Int = 4096): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val buckets = dsirBucketTable(docs, (0 to 3).map("src" + _), m)
+    dsirScoreRows(dsirFeats(docs, m, Nil), buckets, Seq("doc_id"))
+  }
+
+  /** D9 lifecycle for the DSIR model: the m-row bucket table (plus m
+    * itself — scoring must bucket with the SAME modulus) persisted as
+    * parquet, so scoring a new crawl increment never re-reads the
+    * target/background corpora. Rebuild is idempotent (Overwrite,
+    * deterministic counts).
+    */
+  def buildDsirModel(db: graft.catalog.GraftDatabase, docs: DataFrame,
+      name: String, targetSrcs: Seq[String] = (0 to 3).map("src" + _),
+      m: Int = 4096): Unit = {
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    db.write(dsirBucketTable(docs, targetSrcs, m), s"${name}_buckets", ow)
+    import db.spark.implicits._
+    db.write(Seq(m).toDF("m"), s"${name}_meta", ow)
+  }
+
+  /** Score a (doc_id, text) frame against a stored [[buildDsirModel]]
+    * artifact — identical output to the inline path on the same
+    * corpora (spec-pinned).
+    */
+  def dsirFromModel(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame): DataFrame = {
+    val m = db.read(s"${name}_meta").collect()(0).getInt(0)
+    dsirScoreRows(
+      dsirFeats(docs.select(col("doc_id"), col("text")), m, Nil),
+      db.read(s"${name}_buckets"), Seq("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,4 +59,24 @@ object StreamingCuration {
       lm.explodedPairs(docs.withWatermark("ts", watermark), Seq("ts")),
       c2, c1, lit(v), Seq("ts", "doc_id"))
   }
+
+  /** G14: streaming DSIR scoring — a (ts, doc_id, text) stream
+    * weighted against a persisted C33 model (`buildDsirModel`
+    * artifacts) at ingest: the domain-relevance gate running where
+    * the crawl arrives. The m-row bucket table is a STREAM-STATIC
+    * broadcast probe (stateless); the only state is the per-document
+    * integer fold, bounded by the `ts` watermark — G11's geometry
+    * with a hashed-feature model instead of a bigram LM. Emits
+    * (ts, doc_id, n_feats, weight_mb, avg_mb_per_feat, keep_doc) in
+    * append mode, identical arithmetic to the batch `dsirFromModel`
+    * (spec-pinned).
+    */
+  def scoreDsir(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val lm = graft.operators.LanguageModel
+    val m = db.read(s"${name}_meta").collect()(0).getInt(0)
+    lm.dsirScoreRows(
+      lm.dsirFeats(docs.withWatermark("ts", watermark), m, Seq("ts")),
+      db.read(s"${name}_buckets"), Seq("ts", "doc_id"))
+  }
 }

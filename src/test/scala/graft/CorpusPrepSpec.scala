@@ -245,6 +245,22 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(lm.dsir(spark, sf).except(out).count() == 0)
   }
 
+  test("dsir lifecycle: served weights equal inline, rebuild idempotent") {
+    val db = graft.catalog.GraftDatabase(spark, scratch("dsir_model") + "/db")
+    val lm = graft.operators.LanguageModel
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    lm.buildDsirModel(db, docs, "dsir")
+    val served = lm.dsirFromModel(db, "dsir", docs)
+    val inline = lm.dsir(spark, sf)
+    assert(served.except(inline).count() == 0)
+    assert(inline.except(served).count() == 0)
+    // the stored model is m rows + the modulus, never the corpus
+    assert(db.read("dsir_buckets").count() == 4096L)
+    lm.buildDsirModel(db, docs, "dsir")
+    assert(lm.dsirFromModel(db, "dsir", docs).except(inline).count() == 0)
+  }
+
   test("lm lifecycle: served scores equal inline, rebuild idempotent") {
     val db = graft.catalog.GraftDatabase(spark, scratch("lm_model") + "/db")
     val docs = Tables(spark, sf, "documents")

@@ -273,6 +273,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G14: streamed DSIR weights equal the batch served weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.operators.LanguageModel
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("dsir_stream") + "/db")
+    val docs = Tables(spark, sf, "documents")
+    lm.buildDsirModel(db, docs
+      .select(col("doc_id"), col("source"), col("text")), "dsir")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val rows = batch.select("doc_id", "text").collect()
+      .map(r => (ts(0), r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCuration
+      .scoreDsir(db, "dsir", mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream_out").start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData((ts(300), -1L, "flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream_out")
+        .filter(col("doc_id") >= 0)
+        .select("doc_id", "n_feats", "weight_mb", "avg_mb_per_feat",
+          "keep_doc")
+      val want = lm.dsirFromModel(db, "dsir", batch)
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+    } finally q.stop()
+  }
+
   test("G6: streaming curation gates quality+lang, dedups, redacts PII") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
