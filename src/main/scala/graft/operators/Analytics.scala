@@ -606,10 +606,58 @@ object Analytics {
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"))
 
+  /** B27: weekly cohort retention — the classic product-analytics
+    * triangle: users grouped by their first-activity week, then for
+    * each (cohort, week-offset) the count and fraction of the cohort
+    * still active. All time math is exact integer epoch arithmetic
+    * (ms div 86400000 div 7 — `div`, never `/`, which is double
+    * division and misbins above 2^53).
+    *
+    * Shape at scale: ONE events-scale aggregation — distinct
+    * (user, week) — after which everything re-aggregates user-sized
+    * tables: cohort week = min(week) OVER the distinct pairs (first
+    * activity is minimal in any monotone bucketing, so no second
+    * events pass), cohort sizes re-aggregate the firsts, and the
+    * offset join is users-vs-users, AQE-sized.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = events(spark, dir)
+      .select(col("user_id"),
+        expr("ms div 86400000 div 7").as("wk"))
+      .distinct()
+    val firsts = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+  }
+
   /** DuckDB oracle twins — aliases must match the Spark side exactly
     * (the driver's compare sorts columns by name before hashing).
     */
   val oracles: Map[String, String] = Map(
+    "q_events_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 // 7 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1),
+        |s AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f
+        |  GROUP BY 1),
+        |a AS (SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM w JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+        |FROM a JOIN s USING (cohort_week)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
@@ -892,6 +940,7 @@ object Analytics {
     "q4_order_priority" -> (q4OrderPriority _),
     "q_min_price_per_brand" -> (qMinPricePerBrand _),
     "q_events_windowed" -> (eventsWindowed _),
+    "q_events_retention" -> (eventsRetention _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),
