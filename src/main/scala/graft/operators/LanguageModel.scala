@@ -244,6 +244,95 @@ object LanguageModel {
         (col("bits_target") - col("bits_background") < 0.0).as("keep_doc"))
   }
 
+  /** Adjacent (w1, w2, w3) triple structs of a token array. */
+  private def tripleArr(t: Column): Column =
+    zip_with(
+      zip_with(slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(t, lit(3), size(t) - 2),
+      (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+        c.as("w3")))
+
+  /** E21: interpolated trigram perplexity (Jelinek-Mercer smoothing —
+    * the classical fixed-weight linear interpolation of trigram,
+    * bigram, and unigram maximum-likelihood estimates:
+    * p(w₃|w₁w₂) = 0.5·ML₃ + 0.3·ML₂ + 0.2·ML₁, with the unigram leg
+    * add-0.5-smoothed so every token has mass): the sharper LM
+    * quality gate when the corpus is big enough to support trigram
+    * statistics — E19's bigram model saturates on formulaic text
+    * that a trigram model still separates.
+    *
+    * Exactness (E19's discipline, one step further): ML₃/ML₂/ML₁ are
+    * exact rationals of integer counts; the interpolation is a FIXED
+    * parenthesization of IEEE +/× (deterministic cross-engine —
+    * only log2 is libm); each trigram's bits quantize to integer
+    * millibits at birth; per-doc aggregation is integer; one double
+    * division at the end.
+    *
+    * Scale shape: three vocabulary-sized count tables from ONE
+    * tokenize of the train split (c2/c1/V re-aggregate c3's
+    * lineage where the algebra allows — c2 must count final bigrams
+    * too, so it shares the tokenize, not the c3 table); scoring is
+    * the exploded held side against the count tables — five
+    * AQE-sized equi-joins (c3, c2 in both key roles, c1 twice), the
+    * E19 join geometry widened one order.
+    */
+  def perplexityTrigram(spark: SparkSession, dir: String,
+      holdMod: Int = 5): DataFrame =
+    perplexityTrigramOf(Tables(spark, dir, "documents"), holdMod)
+
+  def perplexityTrigramOf(docs: DataFrame, holdMod: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val train = d.filter(col("doc_id") % holdMod =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheHygiene.unpersistAfterUse(train)
+    val c3 = train.select(explode(tripleArr(col("t"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = train.select(explode(pairArr(col("t"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nv = c1.agg(sum(col("c1")).as("n"),
+      count(lit(1)).as("v"))
+    val held = d.filter(col("doc_id") % holdMod === 0)
+      .select(col("doc_id"), explode(tripleArr(col("t"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val scored = held
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2b")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1m")), Seq("w2"),
+        "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1u")), Seq("w3"),
+        "left")
+      .crossJoin(broadcast(nv))
+    val ml3 = when(coalesce(col("c2"), lit(0L)) > 0,
+      coalesce(col("c3"), lit(0L)).cast("double") /
+        col("c2").cast("double")).otherwise(lit(0.0))
+    val ml2 = when(coalesce(col("c1m"), lit(0L)) > 0,
+      coalesce(col("c2b"), lit(0L)).cast("double") /
+        col("c1m").cast("double")).otherwise(lit(0.0))
+    val ml1 = (coalesce(col("c1u"), lit(0L)).cast("double") + lit(0.5)) /
+      (col("n").cast("double") + lit(0.5) * col("v").cast("double"))
+    // fixed parenthesization — both engines evaluate exactly this tree
+    val p = (lit(0.5) * ml3 + lit(0.3) * ml2) + lit(0.2) * ml1
+    scored
+      .select(col("doc_id"),
+        round(-log2(p) * 1000).cast("long").as("mb"),
+        (coalesce(col("c3"), lit(0L)) === 0).cast("long").as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("oov")).as("oov_trigrams"),
+        (sum(col("mb")).cast("double") / (lit(1000.0) * count(lit(1))))
+          .as("bits_per_trigram"))
+  }
+
   /** D9's build-once/serve-many lifecycle for the LM: persist the
     * model as parquet artifacts (`{name}_bigrams` / `{name}_contexts`
     * / `{name}_meta`) so scoring a new batch never re-trains — the
@@ -396,7 +485,8 @@ object LanguageModel {
     "text_perplexity" -> ((s, d) => perplexity(s, d)),
     "pipeline_curriculum" -> ((s, d) => curriculum(s, d)),
     "curate_moore_lewis" -> ((s, d) => mooreLewis(s, d)),
-    "curate_dsir" -> ((s, d) => dsir(s, d)))
+    "curate_dsir" -> ((s, d) => dsir(s, d)),
+    "text_perplexity_trigram" -> ((s, d) => perplexityTrigram(s, d)))
 
   /** One model's DuckDB scoring chain (prefix `p`, train filter
     * `where`) — the C31 oracle instantiates it twice over the shared
@@ -502,6 +592,55 @@ object LanguageModel {
         |SELECT doc_id, bits_per_bigram, pos,
         |  (pos - 1) // CAST(CEIL(total / 4.0) AS BIGINT) AS stage
         |FROM r""".stripMargin,
+    "text_perplexity_trigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3),
+        |tr AS (SELECT t FROM d WHERE doc_id % 5 <> 0),
+        |tr3 AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tr),
+        |c3 AS (SELECT g, COUNT(*) AS c3 FROM tr3 GROUP BY 1),
+        |tr2 AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg FROM tr),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM tr2 GROUP BY 1),
+        |tr1 AS (SELECT unnest(t) AS w FROM tr),
+        |c1 AS (SELECT w, COUNT(*) AS c1 FROM tr1 GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v
+        |  FROM c1),
+        |ev AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t) - 1), i -> t[i+1])) AS w2,
+        |    unnest(list_transform(range(1, len(t) - 1), i -> t[i+2])) AS w3
+        |  FROM d WHERE doc_id % 5 = 0),
+        |q AS (SELECT e.doc_id,
+        |    COALESCE(c3.c3, 0) AS c3n, COALESCE(ca.c2, 0) AS c2n,
+        |    COALESCE(cb.c2, 0) AS c2bn, COALESCE(m1.c1, 0) AS c1m,
+        |    COALESCE(u1.c1, 0) AS c1u, nv.n AS n, nv.v AS v
+        |  FROM ev e
+        |  LEFT JOIN c3 ON c3.g = e.w1 || ' ' || e.w2 || ' ' || e.w3
+        |  LEFT JOIN c2 ca ON ca.bg = e.w1 || ' ' || e.w2
+        |  LEFT JOIN c2 cb ON cb.bg = e.w2 || ' ' || e.w3
+        |  LEFT JOIN c1 m1 ON m1.w = e.w2
+        |  LEFT JOIN c1 u1 ON u1.w = e.w3
+        |  CROSS JOIN nv),
+        |mq AS (SELECT doc_id,
+        |    CAST(ROUND(-log2(
+        |      (0.5 * (CASE WHEN c2n > 0
+        |          THEN CAST(c3n AS DOUBLE) / CAST(c2n AS DOUBLE)
+        |          ELSE 0.0 END)
+        |       + 0.3 * (CASE WHEN c1m > 0
+        |          THEN CAST(c2bn AS DOUBLE) / CAST(c1m AS DOUBLE)
+        |          ELSE 0.0 END))
+        |      + 0.2 * ((CAST(c1u AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+        |      * 1000) AS BIGINT) AS mb,
+        |    CASE WHEN c3n = 0 THEN 1 ELSE 0 END AS oov
+        |  FROM q)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  CAST(SUM(oov) AS BIGINT) AS oov_trigrams,
+        |  CAST(SUM(mb) AS DOUBLE) / (1000.0 * COUNT(*)) AS bits_per_trigram
+        |FROM mq GROUP BY doc_id""".stripMargin,
     "text_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t

@@ -189,6 +189,32 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       / 1000.0) < 1e-9)
   }
 
+  test("trigram perplexity: fluent < gibberish, interpolation floors hold") {
+    import spark.implicits._
+    val train = (1 to 9).filter(_ % 5 != 0)
+      .map(i => (i.toLong, "the cat sat on the mat"))
+    val held = Seq((10L, "the cat sat on the mat"),
+      (15L, "zx qv jk wp zx qv"),
+      (20L, "the cat on sat the mat")) // same unigrams, broken order
+    val out = graft.operators.LanguageModel
+      .perplexityTrigramOf((train ++ held).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L, 15L, 20L))
+    val (nt10, oov10, bits10) = out(10L)
+    assert(nt10 == 4 && oov10 == 0)
+    // gibberish: all trigrams unseen, only the smoothed unigram leg
+    // carries mass — strictly worse than both fluent variants
+    val (nt15, oov15, bits15) = out(15L)
+    assert(nt15 == 4 && oov15 == 4)
+    // scrambled doc: every unigram known, trigrams unseen — the
+    // trigram model must rank it between fluent and gibberish
+    val (nt20, oov20, bits20) = out(20L)
+    assert(nt20 == 4 && oov20 >= 3)
+    assert(bits10 < bits20 && bits20 < bits15,
+      s"$bits10 < $bits20 < $bits15 expected")
+  }
+
   test("lm fast path: broadcast byte-pass scores equal the join path " +
       "bit-for-bit") {
     val lm = graft.operators.LanguageModel
