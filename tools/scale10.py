@@ -77,7 +77,8 @@ SCALE10 = [
     "pipeline_pack_concat", "curate_corpus_diff",
     "text_perplexity", "pipeline_shard_manifest", "curate_token_budget",
     "pipeline_curriculum", "curate_moore_lewis",
-    "curate_gopher_rules", "dedup_winnow", "curate_dsir"]
+    "curate_gopher_rules", "dedup_winnow", "curate_dsir",
+    "q_events_retention", "text_perplexity_trigram"]
 
 
 def parent_offset(name):
