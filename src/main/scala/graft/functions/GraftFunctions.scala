@@ -51,6 +51,17 @@ object GraftFunctions {
           java.lang.Long]]): Column =
     toCol(FluencyScore(toExpr(text), counts))
 
+  /** E21 fast path: exact millibit interpolated-trigram score of a
+    * text column in one byte pass against broadcast model counts
+    * (see [[expressions.TrigramLmScore]]). Null for <3-token docs.
+    */
+  def trigramLmScore(text: Column,
+      counts: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]],
+      n: Long, v: Long): Column =
+    toCol(TrigramLmScore(toExpr(text), counts, n, v))
+
   /** E19 fast path: exact millibit bigram-LM score of a text column
     * in one byte pass against broadcast model counts (see
     * [[expressions.LmScore]]). Null for <2-token docs.

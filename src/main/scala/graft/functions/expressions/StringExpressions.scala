@@ -702,6 +702,125 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   * Returns null for <2-token documents (the join path emits no pair
   * row for them).
   */
+
+/** E21 fast path: exact millibit interpolated-trigram score of a
+  * text column in one byte pass against broadcast model counts —
+  * the [[LmScore]] treatment one n-gram order up. The map carries
+  * all three count tables at once (trigram "w1 w2 w3", bigram
+  * "w1 w2", unigram "w" keys never collide: tokens contain no
+  * whitespace), `n`/`v` are the train split's token total and
+  * distinct count. Arithmetic replicates the join path operation for
+  * operation (exact long→double divisions, the FIXED interpolation
+  * parenthesization, StrictMath log2, BigDecimal HALF_UP round) —
+  * spec-pinned bit-identical. Null for <3-token docs.
+  */
+case class TrigramLmScore(child: Expression,
+    counts: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, java.lang.Long]],
+    n: Long, v: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_trigrams",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("oov",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_mb",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_trigram_lm_score"
+
+  require(v > 0 && n > 0,
+    "empty trigram LM model: the train split has no >=3-token documents")
+
+  private val ln2 = java.lang.StrictMath.log(2)
+
+  private def cnt(m: java.util.HashMap[UTF8String, java.lang.Long],
+      k: UTF8String): Long = {
+    val x = m.get(k); if (x != null) x.longValue() else 0L
+  }
+
+  def score(s: UTF8String): Any = {
+    val b = s.getBytes
+    val len = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < len && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    if (nTok < 3) return null
+    val m = counts.value
+    val denomN = n.toDouble + 0.5 * v.toDouble
+    var sumMb = 0L
+    var oov = 0L
+    def gram(a: Int, c: Int): UTF8String = {
+      var size = 0
+      var j = a
+      while (j <= c) { size += ends(j) - starts(j) + 1; j += 1 }
+      val gb = new Array[Byte](size - 1)
+      var off = 0
+      j = a
+      while (j <= c) {
+        val l = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), gb, off, l)
+        off += l
+        if (j < c) { gb(off) = 0x20; off += 1 }
+        j += 1
+      }
+      UTF8String.fromBytes(gb)
+    }
+    var t = 0
+    while (t < nTok - 2) {
+      val c3 = cnt(m, gram(t, t + 2))
+      val c2a = cnt(m, gram(t, t + 1))
+      val c2b = cnt(m, gram(t + 1, t + 2))
+      val c1m = cnt(m, gram(t + 1, t + 1))
+      val c1u = cnt(m, gram(t + 2, t + 2))
+      if (c3 == 0L) oov += 1L
+      val ml3 = if (c2a > 0L) c3.toDouble / c2a.toDouble else 0.0
+      val ml2 = if (c1m > 0L) c2b.toDouble / c1m.toDouble else 0.0
+      val ml1 = (c1u.toDouble + 0.5) / denomN
+      val p = (0.5 * ml3 + 0.3 * ml2) + 0.2 * ml1
+      val mb = -(java.lang.StrictMath.log(p) / ln2) * 1000.0
+      sumMb += java.math.BigDecimal.valueOf(mb)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((nTok - 2).toLong, oov, sumMb))
+  }
+
+  override def nullSafeEval(value: Any): Any =
+    score(value.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("trigramLmScore", this,
+        classOf[TrigramLmScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.score($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class LmScore(child: Expression,
     counts: org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[UTF8String, java.lang.Long]],

@@ -281,7 +281,8 @@ object LanguageModel {
       holdMod: Int = 5): DataFrame =
     perplexityTrigramOf(Tables(spark, dir, "documents"), holdMod)
 
-  def perplexityTrigramOf(docs: DataFrame, holdMod: Int = 5): DataFrame = {
+  def perplexityTrigramOf(docs: DataFrame, holdMod: Int = 5,
+      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
     val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
     val train = d.filter(col("doc_id") % holdMod =!= 0)
@@ -296,6 +297,46 @@ object LanguageModel {
       .agg(count(lit(1)).as("c2"))
     val c1 = train.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // Stats-gated fast path (E19's LmScore treatment one order up):
+    // when take(cap+1) proves the trigram table — the largest of the
+    // three — fits the driver bound, ONE map carries all three count
+    // tables (n-gram orders can't collide: tokens contain no
+    // whitespace) and every held-out document scores in a single
+    // codegen'd byte pass; no explode, no five-way join.
+    if (maxBroadcastModel > 0) {
+      val r3 = c3.take(maxBroadcastModel + 1)
+      if (r3.length <= maxBroadcastModel) {
+        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+        val m = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+          math.max(16, r3.length * 4))
+        r3.foreach { r =>
+          m.put(u8(r.getString(0) + " " + r.getString(1) + " " +
+            r.getString(2)), java.lang.Long.valueOf(r.getLong(3)))
+        }
+        c2.collect().foreach { r =>
+          m.put(u8(r.getString(0) + " " + r.getString(1)),
+            java.lang.Long.valueOf(r.getLong(2)))
+        }
+        var n0 = 0L; var v0 = 0L
+        c1.collect().foreach { r =>
+          m.put(u8(r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
+          n0 += r.getLong(1); v0 += 1L
+        }
+        val bc = docs.sparkSession.sparkContext.broadcast(m)
+        val gf = graft.functions.GraftFunctions
+        return docs.select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % holdMod === 0)
+          .select(col("doc_id"),
+            gf.trigramLmScore(lower(col("text")), bc, n0, v0).as("s"))
+          .filter(col("s").isNotNull)
+          .select(col("doc_id"),
+            col("s.n_trigrams").as("n_trigrams"),
+            col("s.oov").as("oov_trigrams"),
+            (col("s.sum_mb").cast("double") /
+              (lit(1000.0) * col("s.n_trigrams"))).as("bits_per_trigram"))
+      }
+    }
     val nv = c1.agg(sum(col("c1")).as("n"),
       count(lit(1)).as("v"))
     val held = d.filter(col("doc_id") % holdMod === 0)

@@ -189,6 +189,16 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       / 1000.0) < 1e-9)
   }
 
+  test("trigram fast path equals the join path bit-for-bit") {
+    val lm = graft.operators.LanguageModel
+    val docs = Tables(spark, sf, "documents")
+    val fast = lm.perplexityTrigramOf(docs) // model fits -> broadcast
+    val joins = lm.perplexityTrigramOf(docs, maxBroadcastModel = 0)
+    assert(fast.count() == joins.count())
+    assert(fast.except(joins).count() == 0)
+    assert(joins.except(fast).count() == 0)
+  }
+
   test("trigram perplexity: fluent < gibberish, interpolation floors hold") {
     import spark.implicits._
     val train = (1 to 9).filter(_ % 5 != 0)
