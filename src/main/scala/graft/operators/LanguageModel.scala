@@ -435,6 +435,11 @@ object LanguageModel {
       carry: Seq[String]): DataFrame = {
     val t = toks(col("text"))
     val keep = (carry :+ "doc_id").map(col)
+    // (r7 probe, kept as a negative result: fusing the two branches
+    // into one scan — explode(concat(unigrams, bigram array)) —
+    // measured 2x WORSE at the 10x board, 6.2 s -> 12.3 s isolated:
+    // the combined-array build serializes the generator where the
+    // two-branch union pipelines each explode independently.)
     val uni = docs.select(keep :+ explode(t).as("g"): _*)
     val bi = docs.select(keep :+
       explode(zip_with(slice(t, lit(1), size(t) - 1),
