@@ -782,21 +782,22 @@ object Dedup {
     * fingerprints leave the scan stage.
     */
   def winnowFingerprintsOf(d: DataFrame, k: Int, w: Int,
-      portableHash: Boolean = true): DataFrame = {
+      portableHash: Boolean = true, carry: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
+    val keep = (carry :+ "doc_id").map(col)
     val th = when(size(toks) >= k,
         transform(shingleSlots(toks, k), g => gramHash60(g, portableHash)))
       .otherwise(array().cast("array<bigint>"))
-    val packed = d.select(col("doc_id"),
-      transform(th, (h, i) => struct(h.as("h"), (-i).as("np"))).as("s"))
+    val packed = d.select(keep :+
+      transform(th, (h, i) => struct(h.as("h"), (-i).as("np"))).as("s"): _*)
     val n = size(col("s"))
     val len = n - (w - 1) // windows; guarded > 0 before any slice runs
     val parts = (0 until w).map(j => slice(col("s"), lit(j + 1), len))
     val mins = parts.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    packed.select(col("doc_id"),
+    packed.select(keep :+
         explode(when(n >= w, array_distinct(mins))
-          .otherwise(slice(col("s"), 1, 0))).as("fp"))
-      .select(col("doc_id"), (-col("fp.np")).as("pos"), col("fp.h"))
+          .otherwise(slice(col("s"), 1, 0))).as("fp"): _*)
+      .select(keep ++ Seq((-col("fp.np")).as("pos"), col("fp.h")): _*)
   }
 
   /** C32: winnowing near-dup pairs — documents sharing ≥1 selected
@@ -821,6 +822,52 @@ object Dedup {
         .hint("shuffle_hash"), Seq("h"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** C32 lifecycle (D9 discipline): persist the corpus's winnowed
+    * fingerprint index — build ONCE, screen every incoming batch
+    * against it with no corpus re-scan. The index is the distinct
+    * (doc_id, h) fingerprint set with boilerplate fingerprints
+    * (distinct-doc occurrence > maxOcc) dropped AT BUILD — a capped
+    * index bounds every future probe join no matter how hot a
+    * boilerplate fingerprint is; `{name}_meta` pins (k, w, maxOcc,
+    * hash) so probes fingerprint identically.
+    */
+  def buildWinnowIndex(db: graft.catalog.GraftDatabase, docs: DataFrame,
+      name: String, k: Int = 4, w: Int = 4, maxOcc: Int = 1000,
+      portableHash: Boolean = true): Unit = {
+    val fp = winnowFingerprintsOf(docs, k, w, portableHash)
+      .select(col("doc_id"), col("h")).distinct()
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") <= maxOcc)
+      .select(col("doc_id"), col("h"))
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    db.write(fp, s"${name}_fp", ow)
+    import db.spark.implicits._
+    db.write(Seq((k, w, maxOcc, portableHash)).toDF(
+      "k", "w", "max_occ", "portable"), s"${name}_meta", ow)
+  }
+
+  /** Screen a new (doc_id, text) batch against a stored winnow index:
+    * the batch fingerprints map-side (stateless), the candidate join
+    * touches only fingerprint matches, and the emitted pairs are
+    * (new doc, indexed doc, shared fingerprint count). The winnowing
+    * guarantee carries over: a new doc sharing a ≥ w+k−1 token run
+    * with any indexed doc surfaces. This is the ingest-time near-dup
+    * screen a crawl pipeline runs before admitting a batch (G9's
+    * Bloom novelty is the EXACT-dup twin of this shape).
+    */
+  def winnowNewPairs(db: graft.catalog.GraftDatabase, name: String,
+      newDocs: DataFrame): DataFrame = {
+    val meta = db.read(s"${name}_meta").collect()(0)
+    val (k, w, portable) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("w"),
+        meta.getAs[Boolean]("portable"))
+    val fp = winnowFingerprintsOf(newDocs, k, w, portable)
+      .select(col("doc_id").as("new_doc_id"), col("h")).distinct()
+    fp.join(db.read(s"${name}_fp").hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("new_doc_id"), col("doc_id").as("index_doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
 

@@ -82,6 +82,32 @@ object StreamingDedup {
       oldDistinct)
   }
 
+  /** G15: streaming near-dup screening against a stored C32 winnow
+    * index — the NEAR-dup counterpart of G9's exact-novelty screen: a
+    * (ts, doc_id, text) stream fingerprints MAP-SIDE (stateless; the
+    * winnowing selection is one projection), candidate matches come
+    * from a stream-static join against the persisted capped
+    * fingerprint index, and the per-(new doc, indexed doc) shared
+    * count folds under the `ts` watermark — the only state. A new
+    * document sharing a ≥ w+k−1 token run with any indexed document
+    * surfaces in its own micro-batch, identical arithmetic to the
+    * batch [[graft.operators.Dedup.winnowNewPairs]] (spec-pinned).
+    */
+  def winnowScreenStream(db: graft.catalog.GraftDatabase, name: String,
+      stream: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val meta = db.read(s"${name}_meta").collect()(0)
+    val fp = graft.operators.Dedup.winnowFingerprintsOf(
+        stream.withWatermark("ts", watermark),
+        meta.getAs[Int]("k"), meta.getAs[Int]("w"),
+        meta.getAs[Boolean]("portable"), carry = Seq("ts"))
+      .select(col("ts"), col("doc_id").as("new_doc_id"), col("h"))
+      .dropDuplicates("ts", "new_doc_id", "h")
+    fp.join(db.read(s"${name}_fp"), Seq("h"))
+      .groupBy(col("ts"), col("new_doc_id"),
+        col("doc_id").as("index_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Convenience form of [[incrementalNoveltyStreamManaged]] — with
     * NO persistent index (there is no handle to release it through,
     * and a leaked corpus-scale cache per call is worse than the

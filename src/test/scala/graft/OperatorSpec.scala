@@ -613,6 +613,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(nFp > nGrams * 0.2, s"nFp=$nFp of $nGrams grams")
   }
 
+  test("winnow index: build once, screen new batches, cap boilerplate") {
+    import spark.implicits._
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("winnow_index") + "/db")
+    val run = (1 to 7).map(i => s"quote$i").mkString(" ")
+    val corpus = ((1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"c${i}x$j").mkString(" "))) :+
+      (50L, s"${(1 to 30).map(j => s"c50x$j").mkString(" ")} $run"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildWinnowIndex(db, corpus, "wn")
+    val batch = Seq(
+      (100L, s"$run ${(1 to 30).map(j => s"n100x$j").mkString(" ")}"),
+      (101L, (1 to 37).map(j => s"n101x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowNewPairs(db, "wn", batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((100L, 50L)),
+      s"got ${pairs.toSeq}")
+    // boilerplate cap: a fingerprint present in > maxOcc corpus docs
+    // is dropped at BUILD, so probing with that text finds nothing
+    val boiler = (1L to 6L).map(i =>
+      (i, s"the same boilerplate header line here ${"pad " * 3}"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildWinnowIndex(db, boiler, "bp", maxOcc = 4)
+    assert(db.read("bp_fp").count() == 0)
+    assert(graft.operators.Dedup.winnowNewPairs(db, "bp",
+      Seq((200L, s"the same boilerplate header line here ${"pad " * 3}"))
+        .toDF("doc_id", "text")).count() == 0)
+  }
+
   test("SemDeDup recalls planted near-dups with exact precision") {
     import spark.implicits._
     val e = Tables(spark, sf, "embeddings").limit(100)

@@ -305,6 +305,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G15: streamed winnow screening equals the batch screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("winnow_stream") + "/db")
+    val run = (1 to 7).map(i => s"wq$i").mkString(" ")
+    val corpus = ((1L to 10L).map(i =>
+      (i, (1 to 30).map(j => s"c${i}y$j").mkString(" "))) :+
+      (5L * 100, s"$run ${(1 to 30).map(j => s"cy$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildWinnowIndex(db, corpus, "wn")
+    val batch = Seq(
+      (300L, s"${(1 to 30).map(j => s"ny$j").mkString(" ")} $run"),
+      (301L, (1 to 37).map(j => s"nz$j").mkString(" ")))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .winnowScreenStream(db, "wn",
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_screen_out").start()
+    try {
+      mem.addData(batch.map { case (id, t) => (ts(0), id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData((ts(300), -1L, "flush flush flush flush flush flush flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("winnow_screen_out")
+        .filter(col("new_doc_id") >= 0)
+        .select("new_doc_id", "index_doc_id", "n_shared")
+      val want = graft.operators.Dedup.winnowNewPairs(db, "wn",
+        batch.toDF("doc_id", "text"))
+        .select(col("new_doc_id"), col("index_doc_id"), col("n_shared"))
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+    } finally q.stop()
+  }
+
   test("G6: streaming curation gates quality+lang, dedups, redacts PII") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
