@@ -71,6 +71,10 @@ object LanguageModel {
   private def defaultModelCap: Int = sys.env.getOrElse(
     "SPARK_GRAFT_LM_MODEL_CAP", "262144").toInt
 
+  /** E21's broadcast gate (see the negative result at the use site). */
+  private def defaultTrigramCap: Int = sys.env.getOrElse(
+    "SPARK_GRAFT_LM3_MODEL_CAP", "32768").toInt
+
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -282,7 +286,7 @@ object LanguageModel {
     perplexityTrigramOf(Tables(spark, dir, "documents"), holdMod)
 
   def perplexityTrigramOf(docs: DataFrame, holdMod: Int = 5,
-      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
+      maxBroadcastModel: Int = defaultTrigramCap): DataFrame = {
     val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
     val train = d.filter(col("doc_id") % holdMod =!= 0)
@@ -303,6 +307,14 @@ object LanguageModel {
     // tables (n-gram orders can't collide: tokens contain no
     // whitespace) and every held-out document scores in a single
     // codegen'd byte pass; no explode, no five-way join.
+    //
+    // The trigram cap defaults far LOWER than E19's bigram cap — a
+    // measured negative result, not an oversight: at the 10x board
+    // the trigram vocabulary is ~10x the bigram's, and collecting
+    // three count tables at ~250k rows cost 2.95 s where the five
+    // AQE-sized joins ran 0.91 s. The byte-pass only wins when the
+    // model is genuinely small (streaming batches, small corpora);
+    // big vocabularies belong on the join path.
     if (maxBroadcastModel > 0) {
       val r3 = c3.take(maxBroadcastModel + 1)
       if (r3.length <= maxBroadcastModel) {

@@ -192,7 +192,10 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
   test("trigram fast path equals the join path bit-for-bit") {
     val lm = graft.operators.LanguageModel
     val docs = Tables(spark, sf, "documents")
-    val fast = lm.perplexityTrigramOf(docs) // model fits -> broadcast
+    // explicit big cap FORCES the broadcast path (the default trigram
+    // cap is deliberately small — see the negative result in the
+    // operator — so the default would fall through to joins here)
+    val fast = lm.perplexityTrigramOf(docs, maxBroadcastModel = 10000000)
     val joins = lm.perplexityTrigramOf(docs, maxBroadcastModel = 0)
     assert(fast.count() == joins.count())
     assert(fast.except(joins).count() == 0)
