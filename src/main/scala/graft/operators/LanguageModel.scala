@@ -71,9 +71,15 @@ object LanguageModel {
   private def defaultModelCap: Int = sys.env.getOrElse(
     "SPARK_GRAFT_LM_MODEL_CAP", "262144").toInt
 
-  /** E21's broadcast gate (see the negative result at the use site). */
+  /** E21's broadcast gate — default OFF (join path): both gate
+    * formulations measured as net losses at the 10x board (take(cap+1)
+    * on the trigram table ~2 s when it fails; even the cheap
+    * token-count gate serializes a full tokenize pass ahead of the
+    * pipelined join job, 1.84 s vs 0.91 s gateless). The byte-pass
+    * stays available by explicit cap for genuinely small models.
+    */
   private def defaultTrigramCap: Int = sys.env.getOrElse(
-    "SPARK_GRAFT_LM3_MODEL_CAP", "32768").toInt
+    "SPARK_GRAFT_LM3_MODEL_CAP", "0").toInt
 
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("t"))
@@ -315,9 +321,17 @@ object LanguageModel {
     // AQE-sized joins ran 0.91 s. The byte-pass only wins when the
     // model is genuinely small (streaming batches, small corpora);
     // big vocabularies belong on the join path.
-    if (maxBroadcastModel > 0) {
-      val r3 = c3.take(maxBroadcastModel + 1)
-      if (r3.length <= maxBroadcastModel) {
+    if (maxBroadcastModel > 0 &&
+      // cheap conservative gate: the distinct-trigram count is
+      // bounded by the train split's TOKEN total, which is one
+      // map-side-combined scan of the persisted split — probing the
+      // trigram table itself (take(cap+1)) costs a full aggregation
+      // that is pure overhead whenever the gate FAILS, and at scale
+      // it always fails (measured ~2 s of the 10x in-suite time)
+      train.agg(sum(size(col("t")))).collect()(0).getLong(0)
+        <= maxBroadcastModel) {
+      val r3 = c3.collect()
+      locally {
         val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
         val m = new java.util.HashMap[
           org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
