@@ -35,6 +35,13 @@ object GraftFunctions {
       seed: Long = 42L): Column =
     toCol(MinHashFromHashes(toExpr(hashes), k, seed))
 
+  /** C33 featurizer: per-doc DSIR bucket counts (uni+bigram md5
+    * buckets) in one byte pass (see
+    * [[expressions.DsirBucketCounts]]). Pass pre-lowered text.
+    */
+  def dsirBucketCounts(text: Column, m: Int): Column =
+    toCol(DsirBucketCounts(toExpr(text), m))
+
   /** |a ∩ b| of two sorted `array<long>` columns (merge pass, no
     * allocation).
     */

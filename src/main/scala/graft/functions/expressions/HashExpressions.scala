@@ -401,6 +401,129 @@ case class PrefixByRarity(child: Expression, cmsBytes: Array[Byte],
   * polynomial, base 1000003) — the cheap engine-native document
   * fingerprint (SURVEY §2.E4 production path).
   */
+/** C33 featurizer: per-document DSIR bucket counts in ONE byte pass —
+  * every unigram and bigram of the (pre-lowered) text md5-bucketed
+  * into m slots, counts accumulated in a touched-slot-reset
+  * thread-local table, emitted as array<struct<b,c>>. Bucket identity
+  * is EXACTLY the plan-side portable rule
+  * (conv(substring(md5(g),1,8),16,10) % m — the first 4 digest bytes
+  * as an unsigned 32-bit value): the oracle and the exploded
+  * built-ins formulation land every gram in the same slot
+  * (spec-pinned equal). Replaces two tokenize+explode branches and a
+  * per-occurrence md5 column with one scan whose output is bounded
+  * by distinct touched buckets ≤ min(2·tokens, m).
+  */
+case class DsirBucketCounts(child: Expression, m: Int)
+    extends UnaryExpression {
+
+  require(m >= 2, s"need at least 2 buckets, got $m")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("b", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_dsir_bucket_counts"
+
+  @transient private lazy val tlDigest =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+  @transient private lazy val tlCounts =
+    new ThreadLocal[Array[Long]] {
+      override def initialValue(): Array[Long] = new Array[Long](m)
+    }
+
+  def buckets(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < n && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    val md = tlDigest.get()
+    val counts = tlCounts.get()
+    var touched = new Array[Int](16)
+    var nTouched = 0
+    def add(bucket: Int): Unit = {
+      if (counts(bucket) == 0L) {
+        if (nTouched == touched.length)
+          touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+        touched(nTouched) = bucket
+        nTouched += 1
+      }
+      counts(bucket) += 1L
+    }
+    def bucketOf(bytes: Array[Byte], off: Int, len: Int): Int = {
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      // first 4 digest bytes as the UNSIGNED 32-bit value — exactly
+      // conv(substring(md5hex, 1, 8), 16, 10)
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (v % m).toInt
+    }
+    var t = 0
+    while (t < nTok) {
+      add(bucketOf(b, starts(t), ends(t) - starts(t)))
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      val l1 = ends(t) - starts(t)
+      val l2 = ends(t + 1) - starts(t + 1)
+      val gb = new Array[Byte](l1 + 1 + l2)
+      System.arraycopy(b, starts(t), gb, 0, l1)
+      gb(l1) = 0x20
+      System.arraycopy(b, starts(t + 1), gb, l1 + 1, l2)
+      add(bucketOf(gb, 0, gb.length))
+      t += 1
+    }
+    val out = new Array[AnyRef](nTouched)
+    var o = 0
+    while (o < nTouched) {
+      val bk = touched(o)
+      out(o) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bk.toLong, counts(bk)))
+      counts(bk) = 0L // reset only what this row touched
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    buckets(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("dsirBuckets", this,
+        classOf[DsirBucketCounts].getName)
+      s"${ev.value} = $ref.buckets($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

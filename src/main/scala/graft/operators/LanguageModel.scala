@@ -459,22 +459,21 @@ object LanguageModel {
     */
   private[graft] def dsirFeats(docs: DataFrame, m: Int,
       carry: Seq[String]): DataFrame = {
-    val t = toks(col("text"))
     val keep = (carry :+ "doc_id").map(col)
-    // (r7 probe, kept as a negative result: fusing the two branches
-    // into one scan — explode(concat(unigrams, bigram array)) —
-    // measured 2x WORSE at the 10x board, 6.2 s -> 12.3 s isolated:
-    // the combined-array build serializes the generator where the
-    // two-branch union pipelines each explode independently.)
-    val uni = docs.select(keep :+ explode(t).as("g"): _*)
-    val bi = docs.select(keep :+
-      explode(zip_with(slice(t, lit(1), size(t) - 1),
-        slice(t, lit(2), size(t) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("g"): _*)
-    uni.unionByName(bi)
-      .select(keep :+
-        ((conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m)
-          .as("b")): _*)
+    // ONE codegen byte pass per document (native DsirBucketCounts:
+    // tokenize + md5-bucket every uni/bigram into a touched-slot
+    // local table) — the exploded rows are per-doc DISTINCT buckets
+    // with multiplicities, ≤ min(2·tokens, m) per doc, not one row
+    // per gram occurrence. Two earlier formulations are kept as
+    // measured negative results: the two-branch union re-scanned and
+    // re-tokenized the corpus per branch, and fusing the branches
+    // into explode(concat(...)) ran 2x WORSE still (6.2 s -> 12.3 s
+    // isolated at 10x) because the combined-array build serializes
+    // the generator.
+    docs.select(keep :+ explode(
+        graft.functions.GraftFunctions.dsirBucketCounts(
+          lower(col("text")), m)).as("p"): _*)
+      .select(keep ++ Seq(col("p.b").as("b"), col("p.c").as("c")): _*)
   }
 
   /** The m-row DSIR model: per bucket, background-minus-target
@@ -487,7 +486,7 @@ object LanguageModel {
     val feats = dsirFeats(docs, m, Seq("source"))
     val byTgt = feats
       .groupBy(col("b"), col("source").isin(targetSrcs: _*).as("tgt"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("c"))
     val tcounts = byTgt.filter(col("tgt"))
       .select(col("b"), col("c").as("ct"))
     val bcounts = byTgt.groupBy(col("b")).agg(sum(col("c")).as("cb"))
@@ -513,7 +512,8 @@ object LanguageModel {
       keys: Seq[String]): DataFrame =
     feats.join(broadcast(buckets), Seq("b"))
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_feats"), sum(col("l_mb")).as("weight_mb"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("l_mb")).as("weight_mb"))
       .select(keys.map(col) ++ Seq(col("n_feats"), col("weight_mb"),
         (col("weight_mb").cast("double") / (lit(1000.0) * col("n_feats")))
           .as("avg_mb_per_feat"),

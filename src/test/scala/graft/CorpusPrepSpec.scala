@@ -284,6 +284,34 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(lm.dsir(spark, sf).except(out).count() == 0)
   }
 
+  test("dsir featurizer equals the exploded built-ins formulation") {
+    // the native one-pass byte featurizer must land every gram in
+    // EXACTLY the bucket of the portable plan-side rule
+    // conv(substring(md5(g),1,8),16,10) % m — per-doc bucket counts
+    // compared against the two-branch explode formulation it replaced
+    val m = 4096
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val t = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val uni = docs.select(col("doc_id"), explode(t).as("g"))
+    val bi = docs.select(col("doc_id"),
+      explode(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+    val want = uni.unionByName(bi)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m)
+          .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val got = docs.select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.dsirBucketCounts(
+          lower(col("text")), m)).as("p"))
+      .select(col("doc_id"), col("p.b").as("b"), col("p.c").as("c"))
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0)
+    assert(want.except(got).count() == 0)
+  }
+
   test("dsir lifecycle: served weights equal inline, rebuild idempotent") {
     val db = graft.catalog.GraftDatabase(spark, scratch("dsir_model") + "/db")
     val lm = graft.operators.LanguageModel
