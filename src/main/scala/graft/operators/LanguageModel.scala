@@ -94,6 +94,14 @@ object LanguageModel {
     val c2 = train.select(explode(pairArr(col("t"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
+    modelFromC2(c2)
+  }
+
+  /** Context totals and V derived from an existing bigram-count
+    * table — the re-aggregate-the-MODEL half of [[model]], shared by
+    * C31's one-pass two-model training. */
+  private def modelFromC2(c2: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     // V = distinct train tokens, derived from the MODEL rather than a
     // second corpus-scale explode: every token of a ≥2-token document
@@ -241,9 +249,22 @@ object LanguageModel {
       .select(col("doc_id"), col("source"), col("text"))
     val targetSrcs = (0 to 3).map("src" + _)
     val ids = docs.select(col("doc_id"), col("text"))
-    val (c2t, c1t, vt) =
-      model(tokenized(docs.filter(col("source").isin(targetSrcs: _*))))
-    val (c2b, c1b, vb) = model(tokenized(docs))
+    // BOTH models from ONE corpus-scale aggregation (the C33 trick):
+    // bigram counts keyed (w1, w2, is_target), from which the target
+    // table filters and the background table re-aggregates — the
+    // second full tokenize+explode pass of the two-model formulation
+    // doesn't exist. Context totals and V were already model-derived.
+    val byTgt = docs.select(col("source"),
+        toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source").isin(targetSrcs: _*).as("tgt"),
+        explode(pairArr(col("t"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"), col("tgt"))
+      .agg(count(lit(1)).as("c2"))
+    val (c2t, c1t, vt) = modelFromC2(byTgt.filter(col("tgt"))
+      .select(col("w1"), col("w2"), col("c2")))
+    val (c2b, c1b, vb) = modelFromC2(byTgt
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2")))
     val st = scoreAgainst(c2t, c1t, vt, ids, maxBroadcastModel)
       .select(col("doc_id"), col("bits_per_bigram").as("bits_target"))
     val sb = scoreAgainst(c2b, c1b, vb, ids, maxBroadcastModel)
