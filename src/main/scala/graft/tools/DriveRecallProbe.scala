@@ -30,9 +30,9 @@ object DriveRecallProbe {
       r("ivfpq", IvfPq.annIvfPq(spark, dir))
       r("ivfpq_refine", IvfPq.annIvfPqRefined(spark, dir))
       r("hnsw", Hnsw.hnswTopk(spark, dir))
-      for (rr <- Seq(16, 24, 32); of <- Seq(4, 8))
-        r(s"pca r=$rr of=$of",
-          Pca.annPcaRefined(spark, dir, r = rr, overfetch = of))
+      // pinned D12 config (r=32, of=8); the r5-era sweep that chose it
+      // measured r16/of4 .32–.70, r32/of8 .76–1.0 across SFs
+      r("pca", Pca.annPcaRefined(spark, dir))
 
       def vpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select(col("vec_id_a"), col("vec_id_b")).collect()
