@@ -305,6 +305,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("gopher battery is stream-applicable: per-batch rows equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // E20 is a pure projection (integer cross-multiplied gates, no
+    // shuffle), so it must run on a stream UNCHANGED — no watermark,
+    // no state, emitted in the arriving micro-batch
+    val rows = Seq(
+      (1L, "the and " + Seq.fill(58)("word").mkString(" ")),
+      (2L, "too short"),
+      (3L, Seq.fill(60)("blue").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation.gopherRulesOf(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_stream_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream_out")
+      val want = graft.operators.Curation.gopherRulesOf(
+        rows.toDF("doc_id", "text"))
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+    } finally q.stop()
+  }
+
   test("G15: streamed winnow screening equals the batch screen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
