@@ -41,11 +41,11 @@ object Bench {
     // inflated late-alphabet queries up to 10× (ann_pq 5.0 s in-suite
     // vs 0.48 s isolated). Clearing first makes each number the
     // operator's own cold-cache compute.
-    // Queries that threw during any measured pass, with the first
-    // exception seen: a -1.000 row must be explained on stderr and
-    // named in the stdout JSON, never silently carried into a
-    // cross-round comparison (ADVICE r6).
-    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Queries already reported on stderr (first exception + stack
+    // trace per query); the stdout JSON's "failed" list derives from
+    // the published -1 sentinels so a -1.000 row is never silently
+    // carried into a cross-round comparison (ADVICE r6).
+    val failures = scala.collection.mutable.LinkedHashSet[String]()
 
     def runOne(name: String): Double = {
       spark.catalog.clearCache()
@@ -64,8 +64,7 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch {
         case e: Throwable =>
-          if (!failures.contains(name)) {
-            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          if (failures.add(name)) {
             System.err.println(s"[bench] $name FAILED (recorded -1.000):")
             e.printStackTrace()
           }

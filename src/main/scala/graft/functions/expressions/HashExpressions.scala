@@ -437,27 +437,8 @@ case class DsirBucketCounts(child: Expression, m: Int)
 
   def buckets(s: UTF8String): ArrayData = {
     val b = s.getBytes
-    val n = b.length
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var nTok = 0
-    var i = 0
-    while (i < n) {
-      val c = b(i)
-      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
-        val st = i
-        while (i < n && {
-          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
-        }) i += 1
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = st
-        ends(nTok) = i
-        nTok += 1
-      } else i += 1
-    }
+    val sp = TokenScan.scan(b)
+    val starts = sp.starts; val ends = sp.ends; val nTok = sp.n
     val md = tlDigest.get()
     val counts = tlCounts.get()
     var touched = new Array[Int](16)

@@ -202,27 +202,8 @@ case class TermCounts(child: Expression, minN: Int = 1, maxN: Int = 1)
 
   def counts(s: UTF8String): ArrayData = {
     val b = s.getBytes
-    val n = b.length
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var nTok = 0
-    var i = 0
-    while (i < n) {
-      val c = b(i)
-      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
-        val st = i
-        while (i < n && {
-          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
-        }) i += 1
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = st
-        ends(nTok) = i
-        nTok += 1
-      } else i += 1
-    }
+    val sp = TokenScan.scan(b)
+    val starts = sp.starts; val ends = sp.ends; val nTok = sp.n
     val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
     var gramN = minN
     while (gramN <= maxN) {
@@ -703,6 +684,46 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   * row for them).
   */
 
+/** Shared ASCII-whitespace byte tokenizer for the single-pass text
+  * expressions (LmScore / TrigramLmScore / TermCounts, and
+  * DsirBucketCounts in HashExpressions): token spans over the UTF-8
+  * bytes, splitting on 0x20 and 0x09–0x0D — exactly `\\S+` under
+  * Java's default (ASCII) `\\s`, which is what every oracle uses.
+  * ONE definition: the spec-pinned cross-engine equalities of all
+  * four expressions ride this predicate, so a whitespace tweak lands
+  * here once or nowhere (review r7 — there were three drifting
+  * copies).
+  */
+private[expressions] object TokenScan {
+  final class Spans(val starts: Array[Int], val ends: Array[Int],
+    val n: Int)
+
+  def scan(b: Array[Byte]): Spans = {
+    val len = b.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      val c = b(i)
+      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
+        val st = i
+        while (i < len && {
+          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      } else i += 1
+    }
+    new Spans(starts, ends, nTok)
+  }
+}
+
 /** E21 fast path: exact millibit interpolated-trigram score of a
   * text column in one byte pass against broadcast model counts —
   * the [[LmScore]] treatment one n-gram order up. The map carries
@@ -742,27 +763,8 @@ case class TrigramLmScore(child: Expression,
 
   def score(s: UTF8String): Any = {
     val b = s.getBytes
-    val len = b.length
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var nTok = 0
-    var i = 0
-    while (i < len) {
-      val c = b(i)
-      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
-        val st = i
-        while (i < len && {
-          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
-        }) i += 1
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = st
-        ends(nTok) = i
-        nTok += 1
-      } else i += 1
-    }
+    val sp = TokenScan.scan(b)
+    val starts = sp.starts; val ends = sp.ends; val nTok = sp.n
     if (nTok < 3) return null
     val m = counts.value
     val denomN = n.toDouble + 0.5 * v.toDouble
@@ -784,12 +786,14 @@ case class TrigramLmScore(child: Expression,
       }
       UTF8String.fromBytes(gb)
     }
+    // position t+1's leading bigram/unigram are position t's trailing
+    // ones — carry them instead of rebuilding+re-hashing (review r7)
     var t = 0
+    var c2a = if (nTok >= 2) cnt(m, gram(0, 1)) else 0L
+    var c1m = if (nTok >= 2) cnt(m, gram(1, 1)) else 0L
     while (t < nTok - 2) {
       val c3 = cnt(m, gram(t, t + 2))
-      val c2a = cnt(m, gram(t, t + 1))
       val c2b = cnt(m, gram(t + 1, t + 2))
-      val c1m = cnt(m, gram(t + 1, t + 1))
       val c1u = cnt(m, gram(t + 2, t + 2))
       if (c3 == 0L) oov += 1L
       val ml3 = if (c2a > 0L) c3.toDouble / c2a.toDouble else 0.0
@@ -799,6 +803,8 @@ case class TrigramLmScore(child: Expression,
       val mb = -(java.lang.StrictMath.log(p) / ln2) * 1000.0
       sumMb += java.math.BigDecimal.valueOf(mb)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      c2a = c2b
+      c1m = c1u
       t += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -846,27 +852,8 @@ case class LmScore(child: Expression,
 
   def score(s: UTF8String): Any = {
     val b = s.getBytes
-    val n = b.length
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var nTok = 0
-    var i = 0
-    while (i < n) {
-      val c = b(i)
-      if (!(c == 0x20 || (c >= 0x09 && c <= 0x0D))) {
-        val st = i
-        while (i < n && {
-          val d = b(i); !(d == 0x20 || (d >= 0x09 && d <= 0x0D))
-        }) i += 1
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = st
-        ends(nTok) = i
-        nTok += 1
-      } else i += 1
-    }
+    val sp = TokenScan.scan(b)
+    val starts = sp.starts; val ends = sp.ends; val nTok = sp.n
     if (nTok < 2) return null
     val m = counts.value
     val halfV = 0.5 * v

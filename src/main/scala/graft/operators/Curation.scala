@@ -764,11 +764,13 @@ object Curation {
     val nWords = size(regexp_extract_all(t, lit("\\S+"), lit(0)))
       .cast("long")
     val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
-    // '#' or a literal three-dot run; leftmost non-overlapping
-    // matching is identical between java.util.regex and RE2 for this
-    // alternation ('....' → one '...' + an unmatched '.')
+    // '#', a literal three-dot run, or the Unicode ellipsis (the
+    // published rule counts both ellipsis forms — the line rule below
+    // already did); leftmost non-overlapping matching is identical
+    // between java.util.regex and RE2 for this alternation
+    // ('....' → one '...' + an unmatched '.')
     val nSymbols =
-      size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))).cast("long")
+      size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
     // \S* can't cross whitespace, so matches align with tokens: one
     // match per token containing ≥1 letter
     val nAlphaWords =
@@ -813,7 +815,7 @@ object Curation {
        |m AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words,
        |  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) AS wc,
-       |  CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |  CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS BIGINT) AS n_sym,
        |  CAST(len(regexp_extract_all(t, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS n_alpha,
        |  $stopSum AS n_stop,
        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,

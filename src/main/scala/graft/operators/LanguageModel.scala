@@ -318,7 +318,9 @@ object LanguageModel {
       .filter(size(col("t")) >= 3)
     val train = d.filter(col("doc_id") % holdMod =!= 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheHygiene.unpersistAfterUse(train)
+    // cache release is path-specific (below): a blanket
+    // unpersistAfterUse here would fire on the GATE's action and
+    // leave every model build uncached (review r7)
     val c3 = train.select(explode(tripleArr(col("t"))).as("g"))
       .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
@@ -349,8 +351,10 @@ object LanguageModel {
       // trigram table itself (take(cap+1)) costs a full aggregation
       // that is pure overhead whenever the gate FAILS, and at scale
       // it always fails (measured ~2 s of the 10x in-suite time)
-      train.agg(sum(size(col("t")))).collect()(0).getLong(0)
-        <= maxBroadcastModel) {
+      // coalesce: an EMPTY train split sums to NULL, and the gate
+      // must fail over to the join path, not NPE (review r7)
+      train.agg(coalesce(sum(size(col("t"))), lit(Long.MaxValue)))
+        .collect()(0).getLong(0) <= maxBroadcastModel) {
       val r3 = c3.collect()
       locally {
         val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
@@ -370,6 +374,7 @@ object LanguageModel {
           m.put(u8(r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
           n0 += r.getLong(1); v0 += 1L
         }
+        train.unpersist(false) // model fully collected; release now
         val bc = docs.sparkSession.sparkContext.broadcast(m)
         val gf = graft.functions.GraftFunctions
         return docs.select(col("doc_id"), col("text"))
@@ -384,6 +389,7 @@ object LanguageModel {
               (lit(1000.0) * col("s.n_trigrams"))).as("bits_per_trigram"))
       }
     }
+    graft.CacheHygiene.unpersistAfterUse(train) // after the caller's action
     val nv = c1.agg(sum(col("c1")).as("n"),
       count(lit(1)).as("v"))
     val held = d.filter(col("doc_id") % holdMod === 0)

@@ -247,5 +247,13 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val r2 = Curation.gopherRulesOf(
       Seq((1L, txt + " #")).toDF("doc_id", "text")).collect()(0)
     assert(!r2.getAs[Boolean]("symbol_ratio_ok"))
+    // the Unicode ellipsis counts as a symbol too (review r7: the
+    // published rule covers both forms; the line rule always did)
+    val r3 = Curation.gopherRulesOf(
+      Seq((1L, "the and " + Seq.fill(50)("word").mkString(" ") +
+        " " + Seq.fill(7)("\u2026").mkString(" ")))
+        .toDF("doc_id", "text")).collect()(0)
+    assert(!r3.getAs[Boolean]("symbol_ratio_ok"),
+      "7 ellipses in 59 words must fail the 0.1 symbol ratio")
   }
 }
