@@ -640,10 +640,59 @@ object Analytics {
           .as("retention"))
   }
 
+  /** B28: hourly anomaly flags per event type — the ops-monitoring
+    * query over an event stream: which (type, hour) buckets deviate
+    * from their type's own hourly distribution by more than 3σ?
+    *
+    * Exactness discipline: variance math stays ENTIRELY in integers
+    * by cross-multiplication — (x−μ)² > 9σ² over observed hours is
+    * (n·x − S)² > 9·(n·Q − S²) with S = Σcounts, Q = Σcounts² — so
+    * the flags are bit-identical cross-engine (a stddev_pop double
+    * would be partition-order-dependent). Magnitudes: counts ride
+    * BIGINT; (n·x − S)² needs x·n ≲ 3·10⁹ to stay in range, i.e.
+    * per-type volumes past ~10⁹ rows/hour switch S/Q to
+    * DECIMAL(38,0) — the arithmetic is unchanged.
+    *
+    * Shape at scale: ONE events-scale aggregation (type, hour) —
+    * map-side combined; the per-type moments re-aggregate the
+    * hours-sized table; the flag join is hours-vs-types, AQE-sized.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ms") - col("ms") % lit(3600000L)).as("hour_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("q"))
+    hourly.join(stats, Seq("event_type"))
+      .select(col("event_type"), col("hour_ms"), col("n_events"),
+        ((col("n_hours") * col("n_events") - col("s")) *
+          (col("n_hours") * col("n_events") - col("s")) >
+          lit(9L) * (col("n_hours") * col("q") - col("s") * col("s")))
+          .as("anomalous"))
+  }
+
   /** DuckDB oracle twins — aliases must match the Spark side exactly
     * (the driver's compare sorts columns by name before hashing).
     */
   val oracles: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS n_hours,
+        |    CAST(SUM(n_events) AS BIGINT) AS s,
+        |    CAST(SUM(n_events * n_events) AS BIGINT) AS q
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour_ms,
+        |  CAST(h.n_events AS BIGINT) AS n_events,
+        |  (st.n_hours * h.n_events - st.s)
+        |    * (st.n_hours * h.n_events - st.s)
+        |    > 9 * (st.n_hours * st.q - st.s * st.s) AS anomalous
+        |FROM h JOIN st USING (event_type)""".stripMargin,
     "q_events_retention" ->
       """WITH w AS (SELECT DISTINCT user_id,
         |    epoch_ms(ts) // 86400000 // 7 AS wk FROM events),
@@ -941,6 +990,7 @@ object Analytics {
     "q_min_price_per_brand" -> (qMinPricePerBrand _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_retention" -> (eventsRetention _),
+    "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),

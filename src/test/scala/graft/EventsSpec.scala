@@ -45,4 +45,30 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.exceptAll(b).count() == 0)
     assert(b.exceptAll(a).count() == 0)
   }
+
+  test("anomaly flags: a planted spike trips its type, steady types stay quiet") {
+    import spark.implicits._
+    val dir = scratch("events_anomaly")
+    // steady: 100 events/hour for 24h; spiky: 10/hour except hour 12
+    // at 500 — integer cross-multiplied 3-sigma must flag exactly it
+    val rows = (for {
+      h <- 0 until 24
+      i <- 0 until 100
+    } yield (h * 24L + i, new java.sql.Timestamp(h * 3600000L + i), 1L,
+      "steady", 1.0, "{}")) ++
+      (for {
+        h <- 0 until 24
+        i <- 0 until (if (h == 12) 500 else 10)
+      } yield (10000L + h * 1000L + i,
+        new java.sql.Timestamp(h * 3600000L + i), 2L, "spiky", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Analytics.eventsAnomaly(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val flagged = out.filter(_._2._2).keys.toSet
+    assert(flagged == Set(("spiky", 12 * 3600000L)), s"flagged=$flagged")
+    assert(out(("spiky", 12 * 3600000L))._1 == 500L)
+    assert(out.count(_._1._1 == "steady") == 24)
+  }
 }
