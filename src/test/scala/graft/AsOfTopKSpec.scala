@@ -98,3 +98,51 @@ class UploaderFormatSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSeq == Seq((Some(1L), "x", None), (None, "y", Some(2L))))
   }
 }
+
+class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
+
+  test("misra-gries: guarantee holds on a skewed stream, counts bounded") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // zipf-flavored: item i appears 20000/i times for i in 1..50,
+    // plus 30000 singletons of noise — n ≈ 120k, k = 32 ⇒ threshold
+    // n/(k+1) ≈ 3.6k: items 1..5 are guaranteed; noise must not
+    // displace them
+    val heavy = (1 to 50).flatMap(i =>
+      Seq.fill(20000 / i)(s"item$i"))
+    val noise = (0 until 30000).map(j => s"noise$j")
+    val rows = (heavy ++ noise).zipWithIndex
+      // deterministic interleave so heavy items aren't contiguous
+      .sortBy { case (_, idx) => (idx * 2654435761L) & 0xffffffffL }
+      .map(_._1)
+    val n = rows.size.toLong
+    val k = 32
+    val got = rows.toDF("key").repartition(8)
+      .agg(HeavyHitters.heavyHitters(k)(col("key")).as("hh"))
+      .select(explode(col("hh")).as("s"))
+      .select(col("s.key"), col("s.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k)
+    val exact = rows.groupBy(identity).map { case (key, g) =>
+      key -> g.size.toLong }
+    val threshold = n / (k + 1)
+    // every guaranteed-heavy item is present
+    for ((key, c) <- exact if c > threshold)
+      assert(got.contains(key), s"$key (freq=$c > $threshold) missing")
+    // every reported count under-estimates by at most n/(k+1)
+    for ((key, est) <- got) {
+      val truth = exact(key)
+      assert(est <= truth, s"$key over-estimated: $est > $truth")
+      assert(truth - est <= threshold,
+        s"$key error ${truth - est} above the n/(k+1)=$threshold bound")
+    }
+    // two-pass composition: exact recount of candidates ranks the
+    // true top items exactly
+    val candidates = got.keySet
+    val recounted = exact.filter { case (key, _) =>
+      candidates.contains(key) }
+    val top5 = recounted.toSeq.sortBy { case (key, c) => (-c, key) }
+      .take(5).map(_._1)
+    assert(top5 == (1 to 5).map(i => s"item$i"))
+  }
+}
