@@ -610,8 +610,12 @@ object Analytics {
     * triangle: users grouped by their first-activity week, then for
     * each (cohort, week-offset) the count and fraction of the cohort
     * still active. All time math is exact integer epoch arithmetic
-    * (ms div 86400000 div 7 — `div`, never `/`, which is double
-    * division and misbins above 2^53).
+    * with FLOOR-division semantics (pmod-based — never `/`, which is
+    * double division and misbins above 2^53, and never bare `div`,
+    * whose truncation-toward-zero diverges from the oracle's floor
+    * `//` on pre-epoch negative-ms timestamps — ADVICE r7; the
+    * nested floor-divs compose: ⌊⌊ms/86400000⌋/7⌋ = ⌊ms/604800000⌋
+    * for positive divisors).
     *
     * Shape at scale: ONE events-scale aggregation — distinct
     * (user, week) — after which everything re-aggregates user-sized
@@ -623,7 +627,7 @@ object Analytics {
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val weeks = events(spark, dir)
       .select(col("user_id"),
-        expr("ms div 86400000 div 7").as("wk"))
+        expr("(ms - pmod(ms, 604800000)) div 604800000").as("wk"))
       .distinct()
     val firsts = weeks.groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_week"))
@@ -648,29 +652,39 @@ object Analytics {
     * by cross-multiplication — (x−μ)² > 9σ² over observed hours is
     * (n·x − S)² > 9·(n·Q − S²) with S = Σcounts, Q = Σcounts² — so
     * the flags are bit-identical cross-engine (a stddev_pop double
-    * would be partition-order-dependent). Magnitudes: counts ride
-    * BIGINT; (n·x − S)² needs x·n ≲ 3·10⁹ to stay in range, i.e.
-    * per-type volumes past ~10⁹ rows/hour switch S/Q to
-    * DECIMAL(38,0) — the arithmetic is unchanged.
+    * would be partition-order-dependent). Magnitudes: the hourly
+    * counts ride BIGINT (events-scale stage), but S/Q and every
+    * squared term compute in DECIMAL(38,0) UNCONDITIONALLY (ADVICE
+    * r7): the 64-bit formulation silently wrapped once a type's
+    * total S passed ~3·10⁹ (S² > 2⁶³) and flipped flags wrong,
+    * exactly the regime a 100 TB event stream lives in. Decimal is
+    * exact to 10³⁸ — safe past 10¹⁸ events/type — and only touches
+    * the hours-sized aggregate, never the events-scale scan. The
+    * oracle mirrors with HUGEINT (int128: exact to 1.7·10³⁸). The
+    * hour bucket uses pmod (floor semantics) so pre-epoch negative
+    * ms bins identically to the oracle's date_trunc.
     *
     * Shape at scale: ONE events-scale aggregation (type, hour) —
     * map-side combined; the per-type moments re-aggregate the
     * hours-sized table; the flag join is hours-vs-types, AQE-sized.
     */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val hourly = events(spark, dir)
       .groupBy(col("event_type"),
-        (col("ms") - col("ms") % lit(3600000L)).as("hour_ms"))
+        (col("ms") - pmod(col("ms"), lit(3600000L))).as("hour_ms"))
       .agg(count(lit(1)).as("n_events"))
+    // S and Q sum in decimal — the input is the hours-sized hourly
+    // table, so the exactness costs nothing at the events scale
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
-        sum(col("n_events")).as("s"),
-        sum(col("n_events") * col("n_events")).as("q"))
+        sum(col("n_events").cast(dec)).as("s"),
+        sum(col("n_events").cast(dec) * col("n_events")).as("q"))
+    val nh = col("n_hours").cast(dec)
+    val dev = nh * col("n_events") - col("s")
     hourly.join(stats, Seq("event_type"))
       .select(col("event_type"), col("hour_ms"), col("n_events"),
-        ((col("n_hours") * col("n_events") - col("s")) *
-          (col("n_hours") * col("n_events") - col("s")) >
-          lit(9L) * (col("n_hours") * col("q") - col("s") * col("s")))
+        (dev * dev > lit(9L).cast(dec) * (nh * col("q") - col("s") * col("s")))
           .as("anomalous"))
   }
 
@@ -684,14 +698,14 @@ object Analytics {
         |    COUNT(*) AS n_events
         |  FROM events GROUP BY 1, 2),
         |st AS (SELECT event_type, COUNT(*) AS n_hours,
-        |    CAST(SUM(n_events) AS BIGINT) AS s,
-        |    CAST(SUM(n_events * n_events) AS BIGINT) AS q
+        |    CAST(SUM(n_events) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q
         |  FROM h GROUP BY 1)
         |SELECT h.event_type, h.hour_ms,
         |  CAST(h.n_events AS BIGINT) AS n_events,
-        |  (st.n_hours * h.n_events - st.s)
-        |    * (st.n_hours * h.n_events - st.s)
-        |    > 9 * (st.n_hours * st.q - st.s * st.s) AS anomalous
+        |  (CAST(st.n_hours AS HUGEINT) * h.n_events - st.s)
+        |    * (CAST(st.n_hours AS HUGEINT) * h.n_events - st.s)
+        |    > 9 * (CAST(st.n_hours AS HUGEINT) * st.q - st.s * st.s) AS anomalous
         |FROM h JOIN st USING (event_type)""".stripMargin,
     "q_events_retention" ->
       """WITH w AS (SELECT DISTINCT user_id,

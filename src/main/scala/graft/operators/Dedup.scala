@@ -751,7 +751,7 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
-  // C32: robust winnowing fingerprints (MOSS)
+  // C32: winnowing fingerprints (MOSS), rightmost-min tie-break
   // ---------------------------------------------------------------
 
   /** Portable 60-bit gram hash (md5 prefix — bit-identical in DuckDB
@@ -764,11 +764,16 @@ object Dedup {
     if (portable) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
     else xxhash64(g)
 
-  /** C32 core: robust-winnowing fingerprint selection (Schleimer,
-    * Wilkerson & Aiken 2003, the MOSS algorithm): hash every k-token
-    * gram, slide a w-window over the hash sequence, select each
-    * window's MINIMUM hash breaking ties to the RIGHTMOST position,
-    * and keep the distinct selections. Guarantee (the paper's): any
+  /** C32 core: winnowing fingerprint selection (Schleimer, Wilkerson
+    * & Aiken 2003, the MOSS paper): hash every k-token gram, slide a
+    * w-window over the hash sequence, select each window's MINIMUM
+    * hash breaking ties to the RIGHTMOST position, and keep the
+    * distinct selections. (This is the paper's base winnowing with an
+    * independent per-window rightmost-min tie rule — NOT its "robust
+    * winnowing" variant, whose tie-break prefers re-selecting the
+    * previous window's fingerprint to shave density; the guarantee
+    * below is identical for both, the variant only changes density
+    * constants — ADVICE r7 naming fix.) Guarantee (the paper's): any
     * shared token run of length ≥ w + k − 1 yields a shared
     * fingerprint, while only ~2/(w+1) of grams are kept — a
     * density-bounded sketch where C20a keeps every window.

@@ -82,11 +82,28 @@ object Pca {
       }
     }
     val vecs = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
-    // cyclic Jacobi: index-ordered sweeps, fixed tolerance — the
-    // rotation sequence is a pure function of the matrix
+    // cyclic Jacobi: index-ordered sweeps — the rotation sequence is a
+    // pure function of the matrix. The tolerance is RELATIVE to the
+    // matrix magnitude (Frobenius²): an absolute 1e-12 silently
+    // declared convergence on large-magnitude (unnormalized) input
+    // while the off-diagonal mass was still huge, voiding the
+    // orthonormality claim with no signal (ADVICE r7). The max(1, ·)
+    // floor keeps the threshold bit-identical to the historical
+    // absolute 1e-12 on the unit-scale embedding inputs every pinned
+    // artifact was trained on.
+    var frobSq = 0.0
+    locally {
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { frobSq += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+    }
+    val tol = 1e-12 * math.max(1.0, frobSq)
     var sweep = 0
     var off = offDiag(a)
-    while (off > 1e-12 && sweep < 64) {
+    while (off > tol && sweep < 64) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1
@@ -126,6 +143,14 @@ object Pca {
       off = offDiag(a)
       sweep += 1
     }
+    // Jacobi converges quadratically, so 64 cyclic sweeps is far past
+    // any symmetric matrix's need — if the cap is hit anyway, the
+    // basis is NOT orthonormal-to-tolerance and returning it silently
+    // would break every downstream determinism claim. Fail loudly.
+    if (off > tol) throw new IllegalStateException(
+      s"Jacobi eigendecomposition did not converge in $sweep sweeps " +
+        s"(off-diagonal mass $off > tol $tol, d=$d); input covariance " +
+        "is pathological — check the sample for NaN/Inf or rescale")
     val order = (0 until d).sortBy(i => (-a(i)(i), i)).take(r)
     val comps = order.map { k =>
       val v = Array.tabulate(d)(i => vecs(i)(k))
