@@ -207,7 +207,7 @@ object TextQueries {
       maxSize: Int = 20): DataFrame =
     vocabularyOf(Tables(spark, dir, "documents"), maxSize)
 
-  private[operators] def vocabularyOf(docs: DataFrame,
+  private[graft] def vocabularyOf(docs: DataFrame,
       maxSize: Int): DataFrame = {
     val counts = docs
       .select(explode(lowerTokens(col("text")))
@@ -233,6 +233,57 @@ object TextQueries {
         .filter(col("id") <= maxSize)
         .select(col("id"), col("term"), col("n_occurrences"))
     }
+  }
+
+  /** E15b: approximate vocabulary via the H17 Misra–Gries summary +
+    * exact recount — the two-pass composition the H17 scaladoc
+    * prescribes, wired as a query twin of E15: pass 1 folds the token
+    * stream into a k-entry MG summary per partition (merged
+    * associatively — partitions × k rows shuffle, NEVER the
+    * vocabulary), pass 2 recounts ONLY the ≤ k candidate terms
+    * exactly (broadcast semi-join — the candidate set is bounded by
+    * construction) and ranks them under E15's (count desc, term asc)
+    * total order.
+    *
+    * Exactness contract: every term with true frequency > n/(k+1)
+    * survives the summary (the MG guarantee, spec-pinned), so
+    * whenever the corpus's rank-`maxSize` term clears that threshold
+    * — any Zipf-shaped corpus with k ≫ maxSize — the candidate set
+    * is a superset of the true top-`maxSize` and the recounted
+    * result is EXACTLY the E15 vocabulary. That is why this query
+    * shares E15's oracle verbatim instead of a weaker `_check` row.
+    *
+    * Why it exists when E15 is already scale-correct: E15 pays a
+    * vocabulary-sized shuffle (every distinct term crosses the wire
+    * once). At 10⁸⁺ distinct keys — hashed features, URLs, n-grams —
+    * when only the heavy head matters, MG's partitions × k bound is
+    * the shape that survives; this query pins that the cheap shape
+    * agrees with the exact one where their contracts overlap.
+    */
+  def vocabularyApprox(spark: SparkSession, dir: String,
+      maxSize: Int = 20, sketchK: Int = 2048): DataFrame =
+    vocabularyApproxOf(Tables(spark, dir, "documents"), maxSize, sketchK)
+
+  private[graft] def vocabularyApproxOf(docs: DataFrame,
+      maxSize: Int, sketchK: Int): DataFrame = {
+    require(sketchK >= maxSize,
+      s"summary size k=$sketchK must be >= vocabulary cap $maxSize")
+    val toks = docs.select(explode(lowerTokens(col("text"))).as("term"))
+    val cand = toks
+      .agg(graft.functions.HeavyHitters.heavyHitters(sketchK)(col("term"))
+        .as("hh"))
+      .select(explode(col("hh")).as("kc"))
+      .select(col("kc.key").as("term"))
+    val counts = toks.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("n_occurrences").desc, col("term").asc)
+    // ≤ k rows reach the rank — the window is bounded by the sketch,
+    // not the corpus (E15's small-branch argument, with MG as the cap)
+    counts.orderBy(order: _*).limit(maxSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select(col("id"), col("term"), col("n_occurrences"))
   }
 
   /** E16: corpus encoding against the E15 vocabulary — each document
@@ -467,6 +518,15 @@ object TextQueries {
         |c AS (SELECT w, COUNT(*) c FROM tok GROUP BY w),
         |v AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) id FROM c)
         |SELECT id, w AS term, c AS n_occurrences FROM v WHERE id <= 20""".stripMargin,
+    // E15b shares E15's EXACT oracle: the MG candidate set provably
+    // contains every term above n/(k+1), so the recounted top-20 IS
+    // the exact top-20 on any corpus whose 20th term clears that bar.
+    "text_vocab_approx" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) w
+        |             FROM documents),
+        |c AS (SELECT w, COUNT(*) c FROM tok GROUP BY w),
+        |v AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) id FROM c)
+        |SELECT id, w AS term, c AS n_occurrences FROM v WHERE id <= 20""".stripMargin,
     "text_encode_ids" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') t
         |             FROM documents),
@@ -503,6 +563,7 @@ object TextQueries {
     "text_corpus_stats" -> (corpusStats _),
     "text_chunks" -> ((s, d) => chunks(s, d)),
     "text_vocab" -> ((s, d) => vocabulary(s, d)),
+    "text_vocab_approx" -> ((s, d) => vocabularyApprox(s, d)),
     "text_encode_ids" -> ((s, d) => encodeIds(s, d))
   )
 }

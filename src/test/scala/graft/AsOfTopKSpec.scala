@@ -145,4 +145,27 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
       .take(5).map(_._1)
     assert(top5 == (1 to 5).map(i => s"item$i"))
   }
+
+  test("E15b query: MG + exact recount equals the exact vocabulary") {
+    import spark.implicits._
+    import graft.operators.TextQueries
+    // Zipf-ish corpus: term i rides 400/i documents; every top-8 term
+    // clears n/(k+1) by a wide margin at k=64, so the approx query's
+    // exactness contract applies and the two results must be EQUAL,
+    // ids and counts included
+    val docs = (1 to 60).flatMap { i =>
+      (0 until math.max(1, 400 / i)).map(j =>
+        (i.toLong * 1000 + j, s"term$i filler${(i * 31 + j) % 97}"))
+    }.toDF("doc_id", "text").repartition(8)
+    val exact = TextQueries.vocabularyOf(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val approx = TextQueries.vocabularyApproxOf(docs, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(approx.toSeq == exact.toSeq)
+    // degenerate corpus (fewer distinct terms than the cap): both
+    // sides return the full inventory, still equal
+    val tiny = Seq((1L, "a b a"), (2L, "b c b")).toDF("doc_id", "text")
+    assert(TextQueries.vocabularyApproxOf(tiny, 8, 8).collect().toSeq ==
+      TextQueries.vocabularyOf(tiny, 8).collect().toSeq)
+  }
 }
