@@ -212,8 +212,34 @@ object LanguageModel {
       stages: Int = 4): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+    // Serve from the persisted D9 model artifact (VERDICT r7 #3): the
+    // inline formulation re-trained the bigram model — a full corpus
+    // tokenize+aggregate — on EVERY invocation, which at 100 TB is an
+    // extra corpus pass per curriculum run. The corpus model is built
+    // once per corpus dir (memoized per JVM, re-attached across
+    // processes via the row-count sidecar) and scoring reduces to the
+    // stats-gated byte pass + the doc-count-sized rank. Served ≡
+    // inline is spec-pinned ([[curriculumInline]]): same train split
+    // (= the whole corpus), same deterministic counts, same
+    // arithmetic — only WHERE the model lives changes.
+    val db = servedCorpusModel(spark, dir)
+    curriculumFrom(perplexityFromModel(db, "corpus", docs), stages)
+  }
+
+  /** The inline-retrain formulation — the spec's reference for
+    * served ≡ inline (and the form a one-shot caller without a
+    * catalog would use).
+    */
+  private[graft] def curriculumInline(spark: SparkSession, dir: String,
+      stages: Int = 4): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
     val (c2, c1, v) = model(tokenized(docs))
-    val scored = scoreAgainst(c2, c1, v, docs, defaultModelCap)
+    curriculumFrom(scoreAgainst(c2, c1, v, docs, defaultModelCap), stages)
+  }
+
+  private def curriculumFrom(scoredAll: DataFrame, stages: Int): DataFrame = {
+    val scored = scoredAll
       .select(col("doc_id"), col("bits_per_bigram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = Ranks.globalRowNumber(scored,
@@ -225,6 +251,36 @@ object LanguageModel {
     ranked.crossJoin(broadcast(tot))
       .select(col("doc_id"), col("bits_per_bigram"), col("pos"),
         call_function("div", p0 - pmod(p0, width), width).as("stage"))
+  }
+
+  // Corpus-model memo (the TextIndex servedIndex pattern): the D9
+  // artifact is a storage decision, not per-query work — build once
+  // per corpus dir per JVM into a scratch warehouse; a model from a
+  // previous process re-attaches when its row-count sidecar matches
+  // the corpus (a parquet count is metadata-only — no scan).
+  private val lmReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def servedCorpusModel(spark: SparkSession,
+      dir: String): graft.catalog.GraftDatabase = {
+    val key = new org.apache.hadoop.fs.Path(dir).getName
+    val db = graft.catalog.GraftDatabase(spark,
+      s"${CsvQueries.scratchRoot}/lmmodel_$key/db")
+    if (!lmReady.contains(key)) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val fresh =
+        try db.read("corpus_sig").collect()(0).getLong(0) == docs.count()
+        catch { case _: Exception => false }
+      if (!fresh) {
+        buildLmModel(db, docs, "corpus")
+        db.write(docs.agg(count(lit(1)).as("n_docs")), "corpus_sig",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      lmReady.add(key)
+      ()
+    }
+    db
   }
 
   /** C31: Moore-Lewis cross-entropy-difference selection (Moore &
@@ -261,10 +317,79 @@ object LanguageModel {
         explode(pairArr(col("t"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"), col("tgt"))
       .agg(count(lit(1)).as("c2"))
+    // Single-pass fast path (VERDICT r7 #6): the two scoreAgainst
+    // calls each re-ran the byTgt aggregation for their own
+    // take(cap+1) gate and then scanned the corpus once per model —
+    // 2 corpus aggregations + 2 scoring scans + a doc-sized join.
+    // Both models derive from the SAME (w1, w2, tgt) rows, so ONE
+    // take bounds the driver, ONE collect builds BOTH broadcast maps
+    // (target = tgt rows; background = tgt-summed rows; context
+    // totals and V fold from the same rows — integer sums, order-
+    // free, identical to the distributed aggregates), and ONE corpus
+    // scan carries both LmScore byte passes. Exactness: LmScore is
+    // the spec-pinned replica of the join path's arithmetic, and the
+    // inner-join-on-doc_id of the two-pass form equals requiring
+    // both scores non-null (both models tokenize identically, so the
+    // <2-token nulls coincide). Above the cap the two-pass join path
+    // runs unchanged — the 100 TB shape.
+    if (maxBroadcastModel > 0) {
+      val rows = byTgt.take(maxBroadcastModel + 1)
+      if (rows.length <= maxBroadcastModel) {
+        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+        val mT = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+          math.max(16, rows.length * 3))
+        val mB = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+          math.max(16, rows.length * 3))
+        val vocabT = new java.util.HashSet[String](rows.length * 2)
+        val vocabB = new java.util.HashSet[String](rows.length * 2)
+        def add(m: java.util.HashMap[
+              org.apache.spark.unsafe.types.UTF8String, java.lang.Long],
+            vocab: java.util.HashSet[String],
+            w1: String, w2: String, c: Long): Unit = {
+          val kb = u8(w1 + " " + w2)
+          val pb = m.get(kb)
+          m.put(kb, java.lang.Long.valueOf(
+            (if (pb == null) 0L else pb.longValue()) + c))
+          val k1 = u8(w1)
+          val p1 = m.get(k1)
+          m.put(k1, java.lang.Long.valueOf(
+            (if (p1 == null) 0L else p1.longValue()) + c))
+          vocab.add(w1); vocab.add(w2); ()
+        }
+        rows.foreach { r =>
+          val (w1, w2, tgt, c) =
+            (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))
+          add(mB, vocabB, w1, w2, c)
+          if (tgt) add(mT, vocabT, w1, w2, c)
+        }
+        val sc = spark.sparkContext
+        val (bcT, bcB) = (sc.broadcast(mT), sc.broadcast(mB))
+        val gf = graft.functions.GraftFunctions
+        return ids
+          .select(col("doc_id"),
+            gf.lmScore(lower(col("text")), bcT, vocabT.size.toLong).as("st"),
+            gf.lmScore(lower(col("text")), bcB, vocabB.size.toLong).as("sb"))
+          .filter(col("st").isNotNull && col("sb").isNotNull)
+          .select(col("doc_id"),
+            (col("st.sum_mb").cast("double") /
+              (lit(1000.0) * col("st.n_bigrams"))).as("bits_target"),
+            (col("sb.sum_mb").cast("double") /
+              (lit(1000.0) * col("sb.n_bigrams"))).as("bits_background"))
+          .select(col("doc_id"), col("bits_target"), col("bits_background"),
+            (col("bits_target") - col("bits_background")).as("ml_score"),
+            (col("bits_target") - col("bits_background") < 0.0)
+              .as("keep_doc"))
+      }
+    }
     val (c2t, c1t, vt) = modelFromC2(byTgt.filter(col("tgt"))
       .select(col("w1"), col("w2"), col("c2")))
     val (c2b, c1b, vb) = modelFromC2(byTgt
       .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2")))
+    // per-model gates still forwarded: byTgt over the cap does not
+    // imply the individual models are (c2t can be tiny when the
+    // target sources are) — each scoreAgainst re-decides for itself
     val st = scoreAgainst(c2t, c1t, vt, ids, maxBroadcastModel)
       .select(col("doc_id"), col("bits_per_bigram").as("bits_target"))
     val sb = scoreAgainst(c2b, c1b, vb, ids, maxBroadcastModel)

@@ -255,6 +255,14 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(!col("keep_doc")).count() > 0)
   }
 
+  test("moore-lewis: fused single-pass equals the two-model join path") {
+    val lm = graft.operators.LanguageModel
+    val fused = lm.mooreLewis(spark, sf) // default cap → one-collect path
+    val joined = lm.mooreLewis(spark, sf, maxBroadcastModel = 0)
+    assert(fused.except(joined).count() == 0)
+    assert(joined.except(fused).count() == 0)
+  }
+
   test("dsir: hashed-feature weights favor target-like text") {
     import spark.implicits._
     val lm = graft.operators.LanguageModel
@@ -343,6 +351,16 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     lm.buildLmModel(db, train, "lm")
     assert(lm.perplexityFromModel(db, "lm", held)
       .except(inline).count() == 0)
+  }
+
+  test("curriculum: served-from-model output equals the inline retrain") {
+    val lm = graft.operators.LanguageModel
+    val served = lm.curriculum(spark, sf, 4)
+    val inline = lm.curriculumInline(spark, sf, 4)
+    assert(served.except(inline).count() == 0)
+    assert(inline.except(served).count() == 0)
+    // second serve hits the memo (same artifact) — still identical
+    assert(lm.curriculum(spark, sf, 4).except(inline).count() == 0)
   }
 
   test("curriculum: easy-to-hard stage bands, exact band sizes") {
