@@ -521,30 +521,67 @@ object LanguageModel {
       .select(col("doc_id"), explode(tripleArr(col("t"))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
-    val scored = held
-      .join(c3, Seq("w1", "w2", "w3"), "left")
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("c2").as("c2b")), Seq("w2", "w3"), "left")
-      .join(c1.select(col("w").as("w2"), col("c1").as("c1m")), Seq("w2"),
-        "left")
-      .join(c1.select(col("w").as("w3"), col("c1").as("c1u")), Seq("w3"),
-        "left")
-      .crossJoin(broadcast(nv))
-    val ml3 = when(coalesce(col("c2"), lit(0L)) > 0,
-      coalesce(col("c3"), lit(0L)).cast("double") /
-        col("c2").cast("double")).otherwise(lit(0.0))
-    val ml2 = when(coalesce(col("c1m"), lit(0L)) > 0,
-      coalesce(col("c2b"), lit(0L)).cast("double") /
-        col("c1m").cast("double")).otherwise(lit(0.0))
-    val ml1 = (coalesce(col("c1u"), lit(0L)).cast("double") + lit(0.5)) /
+    // Precomputed-leg fusion (VERDICT r7 #4): the old plan ran FIVE
+    // left joins of the corpus-scale held stream against the count
+    // tables and evaluated the interpolation per occurrence. The
+    // interpolated probability decomposes EXACTLY by miss depth:
+    //   trigram hit            → all three legs determined by the
+    //                            trigram's own train counts;
+    //   trigram miss           → ml3 = 0 in BOTH branches of its
+    //                            `when` (c3=0 ⇒ 0/c2 or the 0.0
+    //                            otherwise-arm), so p depends only
+    //                            on (w2,w3);
+    //   (w2,w3) miss           → ml2 = 0 likewise, p depends only
+    //                            on w3;
+    //   w3 unseen              → p is the add-0.5 floor constant.
+    // So the millibits are precomputable per MODEL row at train time
+    // — one mb per observed trigram (A), per observed (w2,w3) (B),
+    // per observed w3 (C), plus the scalar floor (D) — and scoring
+    // is THREE successively-narrower left equi-joins + coalesce,
+    // with no double arithmetic on the held stream at all. The
+    // arithmetic below replicates the per-occurrence tree term for
+    // term (same literals, same parenthesization, 0.0-valued dead
+    // legs kept — IEEE x+0.0·y ≡ x here since every leg is a finite
+    // non-negative), so the fused plan is bit-identical to the
+    // five-join form and the oracle: spec + hash-pinned ×3 SFs.
+    // Model-side joins are all inner (a trigram's sub-grams are
+    // observed by construction) over vocabulary-sized tables — at
+    // 10× the held stream scales with the corpus while the
+    // vocabulary doesn't, which is the whole win.
+    val ml1of = (c1u: Column) => (c1u.cast("double") + lit(0.5)) /
       (col("n").cast("double") + lit(0.5) * col("v").cast("double"))
-    // fixed parenthesization — both engines evaluate exactly this tree
-    val p = (lit(0.5) * ml3 + lit(0.3) * ml2) + lit(0.2) * ml1
-    scored
+    // b23: every observed (w2,w3) with its ml2/ml1 ingredients
+    val b23 = c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2b"))
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1m")), Seq("w2"))
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1u")), Seq("w3"))
+    val mlA3 = col("c3").cast("double") / col("c2").cast("double")
+    val mlA2 = col("c2b").cast("double") / col("c1m").cast("double")
+    val tblA = c3
+      .join(c2, Seq("w1", "w2"))
+      .join(b23, Seq("w2", "w3"))
+      .crossJoin(broadcast(nv))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(-log2((lit(0.5) * mlA3 + lit(0.3) * mlA2) +
+          lit(0.2) * ml1of(col("c1u"))) * 1000).cast("long").as("mb_a"))
+    val tblB = b23.crossJoin(broadcast(nv))
+      .select(col("w2"), col("w3"),
+        round(-log2((lit(0.5) * lit(0.0) + lit(0.3) * mlA2) +
+          lit(0.2) * ml1of(col("c1u"))) * 1000).cast("long").as("mb_b"))
+    val tblC = c1.crossJoin(broadcast(nv))
+      .select(col("w").as("w3"),
+        round(-log2((lit(0.5) * lit(0.0) + lit(0.3) * lit(0.0)) +
+          lit(0.2) * ml1of(col("c1"))) * 1000).cast("long").as("mb_c"))
+    val mbD = round(-log2((lit(0.5) * lit(0.0) + lit(0.3) * lit(0.0)) +
+      lit(0.2) * ml1of(lit(0L))) * 1000).cast("long")
+    held
+      .join(tblA, Seq("w1", "w2", "w3"), "left")
+      .join(tblB, Seq("w2", "w3"), "left")
+      .join(tblC, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
       .select(col("doc_id"),
-        round(-log2(p) * 1000).cast("long").as("mb"),
-        (coalesce(col("c3"), lit(0L)) === 0).cast("long").as("oov"))
+        coalesce(col("mb_a"), col("mb_b"), col("mb_c"), mbD).as("mb"),
+        col("mb_a").isNull.cast("long").as("oov"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(col("oov")).as("oov_trigrams"),
