@@ -109,7 +109,8 @@ object Bench {
       "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
       "dedup_substring", "dedup_lines", "text_encode_ids",
       "ann_topk_exact", "ann_pq", "ann_hnsw",
-      "text_tfidf_top_terms", "text_search_ranked", "text_perplexity",
+      "text_tfidf_top_terms", "text_index_build", "text_search_ranked",
+      "text_perplexity",
       "curate_contamination", "pipeline_clean_corpus", "mm_frames",
       "layout_zorder")
     val resultMap = results.toMap

@@ -164,24 +164,35 @@ object TextIndex {
   // ---- driver-contract fixtures: index built ONCE per corpus dir
   // per JVM into a scratch warehouse (the bucketedWarehouse memo
   // pattern — a persisted index is a storage decision, not per-query
-  // work; a layout from a previous process re-attaches by row count)
+  // work; a layout from a previous process re-attaches by sidecar)
   private val indexReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def servedIndex(spark: SparkSession,
-      dir: String): (graft.catalog.GraftDatabase, String) = {
+  private def indexHandles(spark: SparkSession,
+      dir: String): (graft.catalog.GraftDatabase, String, String, Int) = {
     val n = spark.sparkContext.defaultParallelism
     val key = s"${new org.apache.hadoop.fs.Path(dir).getName}_$n"
     val db = graft.catalog.GraftDatabase(spark,
       s"${CsvQueries.scratchRoot}/textindex_$key/db")
-    val table = s"postings_b$n"
+    (db, s"postings_b$n", key, n)
+  }
+
+  private def servedIndex(spark: SparkSession,
+      dir: String): (graft.catalog.GraftDatabase, String) = {
+    val (db, table, key, n) = indexHandles(spark, dir)
     if (!indexReady.contains(key)) {
       val docs = Tables(spark, dir, "documents")
+      // Staleness probe via the `_corpus` SIDECAR the build already
+      // writes (VERDICT r7 #5): Σ n_docs over its batch rows vs the
+      // corpus's parquet metadata count — both O(rows-of-metadata).
+      // The old probe distinct-counted doc_id over the WHOLE postings
+      // index plus a corpus count on first serve per JVM, folding an
+      // index-scale scan into the first timed query (2.34 s where the
+      // pruned-bucket probe itself is ~0.1 s).
       val fresh = db.registerBucketed(table, "term", n) &&
         db.registerBucketed(s"${table}_len", "doc_id", n) &&
-        (try db.read(s"${table}_corpus").count() >= 1 &&
-          db.readBucketed(table).select(col("doc_id")).distinct().count() ==
-            docs.count()
+        (try db.read(s"${table}_corpus")
+          .agg(sum(col("n_docs"))).collect()(0).getLong(0) == docs.count()
         catch { case _: Exception => false })
       if (!fresh) buildIndex(db, table, docs, n)
       indexReady.add(key)
@@ -190,7 +201,29 @@ object TextIndex {
     (db, table)
   }
 
+  /** The build surface as its own query row (VERDICT r7 #5: report
+    * build and serve separately — the old shape folded the one-time
+    * build into whichever search query ran first). Rebuilds the
+    * served artifact unconditionally (that is the point: this row's
+    * timing IS the build cost) and returns the corpus stats the
+    * sidecar check serves from — which gives the build an exact
+    * oracle (doc count + token total) instead of a rows-only smoke.
+    */
+  def buildForDir(spark: SparkSession, dir: String): DataFrame = {
+    val (db, table, key, n) = indexHandles(spark, dir)
+    buildIndex(db, table, Tables(spark, dir, "documents"), n)
+    indexReady.add(key)
+    db.read(s"${table}_corpus")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_index_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |    AS total_len
+        |FROM documents""".stripMargin,
     "text_search_and" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t
         |             FROM documents)
@@ -236,6 +269,7 @@ object TextIndex {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_index_build" -> (buildForDir _),
     "text_search_and" -> ((s, d) => {
       val (db, t) = servedIndex(s, d)
       searchAll(db, t, Seq("batch", "merge"))
