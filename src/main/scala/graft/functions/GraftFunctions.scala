@@ -105,6 +105,12 @@ object GraftFunctions {
     toCol(HyperplaneSignature(toExpr(vec), planes))
 
   /** Wrapping polynomial rolling hash of a string. */
+  /** Every w-token window's 64-bit hash in one byte pass (see
+    * [[expressions.TokenWindowHashes]]); <w-token docs → empty array.
+    */
+  def tokenWindowHashes(c: Column, w: Int): Column =
+    toCol(expressions.TokenWindowHashes(toExpr(c), w))
+
   def rollingHash64(c: Column): Column =
     toCol(RollingHash64(toExpr(c)))
 

@@ -543,6 +543,85 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** C20 window hasher: the 64-bit hash of EVERY w-token window of a
+  * text column in ONE byte pass — tokenize (TokenScan, the \s+
+  * boundary rule every oracle pin shares), xxhash64 each token from
+  * its byte slice, then a rolling polynomial combine over w
+  * consecutive token hashes (odd base B, wrapping 2⁶⁴ arithmetic;
+  * slide = subtract the outgoing term·B^(w−1), multiply, add the
+  * incoming hash — O(1) per window where any fold is O(w)). Output
+  * is a primitive long array (UnsafeArrayData — zero boxing).
+  *
+  * Replaces the compositional transform + w slices + (w−1)
+  * zip_with(xxhash64) formulation, whose every zip_with materialized
+  * a boxed-Long GenericArrayData per document — ~w intermediate
+  * arrays per doc dominated the C20 scan stage. Hash VALUES never
+  * cross engines (the oracles join on window STRINGS), so equality
+  * structure is the only contract: equal token windows ⇒ equal
+  * hashes by construction, distinct windows collide w.p. ~2⁻⁶⁴
+  * (uniform token hashes through an injective-per-position linear
+  * map) — the same collision budget the old xxhash64 fold carried.
+  */
+case class TokenWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_window_hashes"
+
+  private val B = 0x9E3779B97F4A7C15L // odd (golden-ratio) multiplier
+  private val bw1 = { // B^(w-1) mod 2^64, for the rolling subtract
+    var p = 1L; var i = 1
+    while (i < w) { p *= B; i += 1 }
+    p
+  }
+
+  def hashes(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val sp = TokenScan.scan(b)
+    val n = sp.n
+    if (n < w)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XXH64.hashUnsafeBytes(b,
+        Platform.BYTE_ARRAY_OFFSET + sp.starts(i),
+        sp.ends(i) - sp.starts(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = w
+    while (i < n) {
+      h = (h - th(i - w) * bw1) * B + th(i)
+      out(i - w + 1) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    hashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("winHashes", this,
+        classOf[TokenWindowHashes].getName)
+      s"${ev.value} = $ref.hashes($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe over a string column (SURVEY.md
   * §2.C13). The filter is built once on the already-seen corpus
   * (`DataFrame.stat.bloomFilter`) and baked into the expression in

@@ -608,28 +608,21 @@ object Dedup {
     * tokenizer across the w slices). Docs shorter than w tokens
     * contribute no rows. The shared scan under C20a/C20b.
     */
-  private def windowHashes(docs: DataFrame, w: Int): DataFrame = {
-    // Hash each token ONCE, then fold the w consecutive token hashes
-    // pairwise through xxhash64(acc, next) — order-sensitive, equal
-    // windows ⇒ equal h, and overflow-free under ANSI (an arithmetic
-    // polynomial combine throws ARITHMETIC_OVERFLOW). The string
-    // form (concat_ws the w tokens, xxhash64 the window string)
-    // allocates a ~100-byte string per window and re-copies every
-    // token w times; on the 10× board that was 1.1 s of the 1.3 s
-    // scan stage, vs ~0.15 s for the tokenize regexp itself.
-    // Long-array zip_withs keep the whole pass primitive.
-    def win(toks: Column): Column = {
-      val th = transform(toks, t => xxhash64(t))
-      val len = size(th) - (w - 1)
-      val parts = (0 until w).map(j => slice(th, lit(j + 1), len))
-      parts.reduce((acc, p) => zip_with(acc, p, (a, b) => xxhash64(a, b)))
-    }
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame =
+    // ONE native byte pass per document ([[graft.functions.expressions
+    // .TokenWindowHashes]]): tokenize, xxhash64 each token from its
+    // byte slice, rolling-polynomial combine — O(1) per window, one
+    // primitive output array, zero intermediate allocation. Two
+    // earlier formulations are documented negative results: the
+    // window-STRING form (concat_ws + xxhash64) re-copied every token
+    // w times (1.1 s of the 1.3 s 10× scan stage), and the zip_with
+    // fold that replaced it still paid (w−1) boxed-Long
+    // GenericArrayData materializations per document — the residual
+    // majority of the C20 scan CPU this expression removes.
     docs.select(col("doc_id"),
       posexplode(
-        when(size(tokens(col("text"))) >= w, win(tokens(col("text"))))
-          .otherwise(array().cast("array<bigint>")))
+        graft.functions.GraftFunctions.tokenWindowHashes(col("text"), w))
         .as(Seq("pos", "h")))
-  }
 
   /** C20a: exact-substring dedup pairs — documents sharing at least
     * one verbatim run of w consecutive tokens, with the count of

@@ -504,6 +504,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("token window hashes: equality structure matches token windows") {
+    import spark.implicits._
+    val gf = graft.functions.GraftFunctions
+    def hs(text: String, w: Int): Seq[Long] =
+      Seq(text).toDF("t")
+        .select(gf.tokenWindowHashes(col("t"), w).as("h"))
+        .head().getSeq[Long](0)
+    // same 3-token windows wherever they appear — including across
+    // differing whitespace runs (the \s+ tokenize rule)
+    val a = hs("aa bb cc dd ee", 3)
+    val b = hs("xx  aa\tbb\ncc yy", 3)
+    assert(a.length == 3 && b.length == 3)
+    assert(b(1) == a(0)) // "aa bb cc" at offset 1 of b == offset 0 of a
+    // distinct windows get distinct hashes, order-sensitively
+    assert(hs("aa bb cc", 3).head != hs("cc bb aa", 3).head)
+    assert(hs("aa bb cc", 3).head != hs("aa bb cd", 3).head)
+    // token-boundary sensitivity: "ab c" vs "a bc" must differ
+    assert(hs("ab c x", 2).head != hs("a bc x", 2).head)
+    // short docs yield no windows
+    assert(hs("one two", 3).isEmpty)
+    assert(hs("", 3).isEmpty)
+    // rolling consistency: every window of a longer doc equals the
+    // direct hash of that window alone
+    val toks = (0 until 9).map(i => s"t$i")
+    val full = hs(toks.mkString(" "), 4)
+    toks.sliding(4).zipWithIndex.foreach { case (win, i) =>
+      assert(full(i) == hs(win.mkString(" "), 4).head)
+    }
+  }
+
   test("exact-substring pairs find a shared 12-token run Jaccard misses") {
     import spark.implicits._
     // C20a's reason to exist: one verbatim 12-token quote inside
