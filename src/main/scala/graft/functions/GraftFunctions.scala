@@ -194,6 +194,13 @@ object GraftFunctions {
     toCol(PqEncodeCodes(toExpr(vec), cents))
 
   /** ADC lookup-table score of a codes column against a LUT column. */
+  /** Per-query ADC LUT built in-plan from the codebook literal (see
+    * [[expressions.PqLut]]) — bit-identical to the driver-side
+    * `Pq.lutFor`.
+    */
+  def pqLut(vec: Column, cents: Array[Array[Array[Double]]]): Column =
+    toCol(PqLut(toExpr(vec), cents))
+
   def adcScore(codes: Column, lut: Column): Column =
     toCol(AdcScore(toExpr(codes), toExpr(lut)))
 

@@ -345,6 +345,71 @@ case class CellResidual(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-query ADC lookup table IN-PLAN (SURVEY.md §2.D4/G13):
+  * lut(s)(c) = query subvector s · codebook centroid c, as
+  * array<array<double>>[m][k] — the driver-side [[graft.operators
+  * .Pq.lutFor]] replicated expression-for-expression (index-ordered
+  * double multiply-adds, floats widened per element), so a LUT built
+  * here is bit-identical to the collected form (spec-pinned). With
+  * this, a query BATCH never leaves the plan: no per-batch collect,
+  * no driver LUT loop — the G13 streaming serve becomes a pure
+  * stream-static join whose only driver artifact is the codebook
+  * loaded once at stream setup. Ragged query vectors clamp to the
+  * available prefix (missing dims contribute 0), mirroring
+  * [[PqEncodeCodes]]' guard.
+  */
+case class PqLut(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty && cents(0).nonEmpty && cents(0)(0).nonEmpty)
+  private val m = cents.length
+  private val subDim = cents(0)(0).length
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  def lut(v: Any): ArrayData = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[AnyRef](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val lim = math.max(0, math.min(subDim, n - base))
+      val cb = cents(s)
+      val row = new Array[Double](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val ct = cb(c)
+        var dot = 0.0
+        var d = 0
+        while (d < lim) {
+          dot += a.getFloat(base + d).toDouble * ct(d); d += 1
+        }
+        row(c) = dot
+        c += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(row)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = lut(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+      s"${ev.value} = $ref.lut($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** ADC (asymmetric distance computation) score (SURVEY.md §2.D4/D5):
   * Σ_s lut[s][codes[s]] — the per-row lookup-table sum that scores a
   * PQ-compressed vector against a query. `codes` is array<int>[m],

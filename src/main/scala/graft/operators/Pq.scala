@@ -64,6 +64,14 @@ object Pq {
   def adcScoreExpr(codes: Column, lut: Column): Column =
     GraftFunctions.adcScore(codes, lut)
 
+  /** Per-query LUT built IN-PLAN from the codebook literal — the
+    * [[lutFor]] arithmetic as a native expression, so a query BATCH
+    * becomes a (query_id, lut) frame without any driver collect
+    * (bit-identical to the collected form, spec-pinned).
+    */
+  def lutExpr(cb: Codebook, q: Column): Column =
+    GraftFunctions.pqLut(q, cb.cents)
+
   /** LUT for query vector `q` against `cb` (driver-side, O(m·k·subDim)). */
   def lutFor(q: Array[Double], cb: Codebook): Seq[Seq[Double]] =
     Array.tabulate(cb.m)(s => Array.tabulate(cb.k) { c =>
@@ -83,13 +91,13 @@ object Pq {
     */
   def adcTopK(spark: SparkSession, e: DataFrame, cb: Codebook,
       nQueries: Int = 5, topK: Int = 10): DataFrame = {
-    import spark.implicits._
+    // queries stay IN-PLAN: the LUT is a native expression over the
+    // query rows (no collect, no driver loop) and the query side
+    // broadcasts as a frame — the same zero-driver shape G13 serves
+    // streams with
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map { r =>
-        val q = r.getSeq[Float](1).map(_.toDouble).toArray
-        (r.getLong(0), lutFor(q, cb))
-      }.toSeq.toDF("query_id", "lut")
+      .select(col("vec_id").as("query_id"),
+        lutExpr(cb, col("embedding")).as("lut"))
     val codes = encode(e, cb)
     val scored = codes.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
@@ -142,18 +150,24 @@ object Pq {
 
   /** Serve ADC top-k from a stored index — no training, no encode
     * pass; the corpus scan reads only the stored m-byte codes.
-    * `queries` = (vec_id, embedding) raw query vectors.
+    * `queries` = (vec_id, embedding) raw query vectors. Loads the
+    * codebook per call; a serving loop (G13) loads it ONCE and calls
+    * [[adcTopKWith]] per batch.
     */
   def adcTopKFromIndex(db: graft.catalog.GraftDatabase, name: String,
-      queries: DataFrame, topK: Int = 10): DataFrame = {
-    val spark = db.spark
-    import spark.implicits._
-    val cb = loadCodebook(db, name)
-    val q = queries.select(col("vec_id"), col("embedding")).collect()
-      .map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        (r.getLong(0), lutFor(v, cb))
-      }.toSeq.toDF("query_id", "lut")
+      queries: DataFrame, topK: Int = 10): DataFrame =
+    adcTopKWith(db, loadCodebook(db, name), name, queries, topK)
+
+  /** [[adcTopKFromIndex]] under an already-loaded codebook — the
+    * query batch never leaves the plan (LUTs via [[lutExpr]], the
+    * query side broadcast as a frame): zero driver work per batch,
+    * which is what lets the G13 stream serve without a per-batch
+    * planning step.
+    */
+  def adcTopKWith(db: graft.catalog.GraftDatabase, cb: Codebook,
+      name: String, queries: DataFrame, topK: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      lutExpr(cb, col("embedding")).as("lut"))
     val scored = db.read(s"${name}_codes")
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("score", adcScoreExpr(col("codes"), col("lut")))

@@ -111,27 +111,33 @@ object StreamingAnn {
 
   /** G13: streaming serving for the COMPRESSED/GRAPH indexes — a
     * (vec_id, embedding) query stream answered per micro-batch from
-    * the stored D4 PQ artifacts (ADC with per-query LUTs, exactly the
-    * batch algorithm — the LUT amortization is the point of PQ, so
-    * the serve keeps it rather than degrading to LUT-less scoring in
-    * a pure stream plan) and published exactly-once to
-    * `{name}_results` keyed by batch id. IVF streams through the
-    * in-plan window path (G8); PQ and HNSW serve per-batch because
-    * their query-side planning (LUT build / graph entry) is driver
-    * work by design — the D9 load-the-quantizer rule.
+    * the stored D4 PQ artifacts and published exactly-once to
+    * `{name}_results` keyed by batch id. The codebook (the ONLY
+    * driver artifact — m·k rows) loads ONCE at stream setup; per
+    * batch the query rows build their ADC LUTs IN-PLAN
+    * ([[graft.operators.Pq.lutExpr]] — bit-identical to the driver
+    * `lutFor`, spec-pinned) and broadcast as a frame, so each
+    * micro-batch is a pure stream-static join with ZERO driver LUT
+    * work — the per-batch planning step the r7 shape paid is gone,
+    * and per-corpus-row cost keeps PQ's O(m) lookup amortization.
+    * IVF streams through the in-plan window path (G8); HNSW serves
+    * per-batch because graph entry is driver work by design — the
+    * D9 load-the-quantizer rule.
     */
   def servePqStream(db: graft.catalog.GraftDatabase, name: String,
       queries: DataFrame, k: Int = 10)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    val cb = graft.operators.Pq.loadCodebook(db, name) // once, at setup
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         IngestPublish.publishFiles(db, s"${name}_results",
-          graft.operators.Pq.adcTopKFromIndex(db, name, batch, k)
+          graft.operators.Pq.adcTopKWith(db, cb, name, batch, k)
             .withColumn("batch_id", lit(batchId)),
           batchId)
         ()
     }
+  }
 
   /** G13 for the stored HNSW graphs — same per-batch serve +
     * exactly-once publish contract as [[servePqStream]].

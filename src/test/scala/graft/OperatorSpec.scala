@@ -791,6 +791,28 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
 
 class AnnSpec extends AnyFunSuite with SparkTestBase {
 
+  test("in-plan ADC LUT is bit-identical to the driver-side lutFor") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Pq.train(e)
+    val rows = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        Pq.lutExpr(cb, col("embedding")).as("lut"))
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val want = Pq.lutFor(q, cb)
+      val got = r.getSeq[scala.collection.Seq[Double]](2)
+        .map(_.toSeq)
+      // exact double equality — the expression replicates lutFor's
+      // index-ordered multiply-adds, so ADC scores (and therefore
+      // the G13 stream's answers) are bit-equal to the driver form
+      assert(got.size == want.size)
+      got.zip(want).foreach { case (g, w) => assert(g == w.toSeq) }
+    }
+  }
+
   test("IVF recall@10 vs exact top-10") {
     val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
