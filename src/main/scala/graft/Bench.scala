@@ -123,9 +123,16 @@ object Bench {
     // still yields a real timing and is stderr-only.
     val failedField =
       s""","failed":${jsonNames(results.filter(_._2 < 0).map(_._1))}"""
+    // Label the approximate rows-only queries (measured but with no
+    // DuckDB oracle twin — their correctness rides the `_check`
+    // companions on the Verify surface), so the board count reads
+    // unambiguously: queries_measured = |queries| map entries, of
+    // which |rows_only| carry no oracle (VERDICT r7 #10).
+    val rowsOnly = names.filter(n => !SparkEntry.oracleSql.contains(n))
+    val rowsOnlyField = s""","rows_only":${jsonNames(rowsOnly)}"""
 
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$failedField,"sf":"$sfDir","passes":"warmup+measured"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$failedField$rowsOnlyField,"sf":"$sfDir","passes":"warmup+measured"}"""
     // best-effort sidecar: an unwritable CWD must not destroy the
     // measured run's stdout line (the driver-parsed artifact)
     try java.nio.file.Files.write(
@@ -136,7 +143,7 @@ object Bench {
         System.err.println(s"[bench] bench_full.json not written: $e")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)},"queries_measured":${results.size}$failedField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)},"queries_measured":${results.size},"rows_only_count":${rowsOnly.size}$failedField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
     spark.stop()
   }
 }

@@ -147,6 +147,12 @@ object Dedup {
     out
   }
 
+  // probe shims (tools only — graft.tools sits outside `operators`)
+  private[graft] def shingleHashColumnProbe(text: Column): Column =
+    shingleHashColumn(text)
+  private[graft] def ngramJaccardOfHashedProbe(docs: DataFrame,
+      threshold: Double): DataFrame = ngramJaccardOfHashed(docs, threshold)
+
   /** [[ngramJaccardOf]] over an already-persisted hashed-shingle
     * frame (doc_id, sh sorted array<long>) — the entry the cleaning
     * composite and minhash share when the arrays are already cached.

@@ -52,6 +52,13 @@ object Pipeline {
       // them as one persisted frame costs one columnar-cache build
       // instead of two (ngramJaccardOf's internal cache + a text
       // cache — measured ~0.5 s of the composite at sf0.1).
+      // (r8 probe, kept as a negative result: folding the shingle
+      // projection INTO the gate scan so min_by carries `sh` through
+      // the fp exchange — the one-fewer-compute-site shape — measured
+      // WORSE, 1.66 s vs 1.36 s at sf0.1 (DriveCleanProbe): shingles
+      // for every gated doc instead of every survivor, and the array
+      // payload widens the corpus-scale fp shuffle. Survivors-only
+      // computation after the exchange stays the shipped shape.)
       .withColumn("sh", Dedup.shingleHashColumn(col("text")))
       // Feeds the anti-join's kept side and every branch of the
       // AllPairs pipeline — without this persist the regex gates and

@@ -94,6 +94,37 @@ object DriveCleanProbe {
       c.unpersist(false)
       n
     }
+
+    // r8 probe (VERDICT r7 #7): shingles computed in the GATE SCAN and
+    // carried through the min_by exchange, vs the shipped shape
+    // (shingles computed on the post-dedup survivors only)
+    def cleanFusedShingles(): Long = {
+      val docs = Tables(spark, sf, "documents")
+        .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+        .withColumn("quality", qualityFromGate(col("__g")))
+        .withColumn("pred_lang", langIdFromGate(col("__g")))
+        .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
+        .drop("__g")
+        .withColumn("sh", Dedup.shingleHashColumnProbe(col("text")))
+      val canonical = docs
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min_by(
+          struct(col("doc_id"), col("text"), col("pred_lang"),
+            col("quality"), col("sh")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.pred_lang").as("pred_lang"), col("r.quality").as("quality"),
+          col("r.sh").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupIds = Dedup.ngramJaccardOfHashedProbe(
+          canonical.select(col("doc_id"), col("sh")), 0.8)
+        .select(col("doc_id_b").as("doc_id")).distinct()
+      val n = canonical.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          wsTokenCount(col("text")).as("n_tokens")).count()
+      canonical.unpersist(false)
+      n
+    }
+    best("clean FUSED shingles-in-scan")(cleanFusedShingles())
     spark.stop()
   }
 }
