@@ -60,8 +60,7 @@ object LanguageModel {
     */
   def perplexityOf(docs: DataFrame, holdMod: Int = 5,
       maxBroadcastModel: Int = defaultModelCap): DataFrame = {
-    val d = tokenized(docs)
-    val (c2, c1, v) = model(d.filter(col("doc_id") % holdMod =!= 0))
+    val (c2, c1, v) = model(docs.filter(col("doc_id") % holdMod =!= 0))
     scoreAgainst(c2, c1, v,
       docs.select(col("doc_id"), col("text"))
         .filter(col("doc_id") % holdMod === 0),
@@ -71,29 +70,40 @@ object LanguageModel {
   private def defaultModelCap: Int = sys.env.getOrElse(
     "SPARK_GRAFT_LM_MODEL_CAP", "262144").toInt
 
-  /** E21's broadcast gate — default OFF (join path): both gate
-    * formulations measured as net losses at the 10x board (take(cap+1)
-    * on the trigram table ~2 s when it fails; even the cheap
-    * token-count gate serializes a full tokenize pass ahead of the
-    * pipelined join job, 1.84 s vs 0.91 s gateless). The byte-pass
-    * stays available by explicit cap for genuinely small models.
+  /** E21's broadcast gate — take(cap+1) directly on the trigram
+    * table (the r8 reversal of r7's gate-off default, measured on
+    * the r7-regenerated corpus): the scoring-side join plan pays
+    * three Sort+Exchange passes of the corpus-scale held stream
+    * whenever the planner mis-estimates the joined model tables
+    * (6.7 s at 10× where the byte-pass runs ~1 s), while the gate's
+    * cost collapsed — its take() aggregation runs over the PERSISTED
+    * train split and doubles as the cache materialization the join
+    * path needs anyway, so a failed gate costs one agg-over-cache,
+    * not the 2.95 s cold-plan take r7 measured before the persist
+    * existed. r7's second objection (a token-total pre-gate
+    * serializing a tokenize pass) is moot: the c3 probe IS the
+    * model build, never thrown away on success.
     */
   private def defaultTrigramCap: Int = sys.env.getOrElse(
-    "SPARK_GRAFT_LM3_MODEL_CAP", "0").toInt
-
-  private def tokenized(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
+    "SPARK_GRAFT_LM3_MODEL_CAP", "262144").toInt
 
   /** Bigram counts, context totals, distinct-token count of a
-    * tokenized train split. Context totals re-aggregate the
-    * vocabulary-sized model table, never the corpus.
+    * (doc_id, text) train split. The bigram table comes from ONE
+    * codegen'd TermCounts byte pass (per-doc distinct bigrams with
+    * multiplicities — Σ_occurrences ≡ Σ_distinct tf; r8, the E5/E10
+    * treatment: no token-array materialization, no pair-struct
+    * explode, and <2-token docs emit nothing so no pre-filter scan).
+    * Context totals re-aggregate the vocabulary-sized model table,
+    * never the corpus.
     */
   private def model(train: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val c2 = train.select(explode(pairArr(col("t"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
+    val gf = graft.functions.GraftFunctions
+    val sp = split(col("bg"), " ")
+    val c2 = train
+      .select(explode(gf.termCounts(lower(col("text")), 2, 2)).as("p"))
+      .groupBy(col("p.term").as("bg")).agg(sum(col("p.tf")).as("c2"))
+      .select(sp.getItem(0).as("w1"), sp.getItem(1).as("w2"), col("c2"))
     modelFromC2(c2)
   }
 
@@ -234,7 +244,7 @@ object LanguageModel {
       stages: Int = 4): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val (c2, c1, v) = model(tokenized(docs))
+    val (c2, c1, v) = model(docs)
     curriculumFrom(scoreAgainst(c2, c1, v, docs, defaultModelCap), stages)
   }
 
@@ -310,13 +320,18 @@ object LanguageModel {
     // table filters and the background table re-aggregates — the
     // second full tokenize+explode pass of the two-model formulation
     // doesn't exist. Context totals and V were already model-derived.
-    val byTgt = docs.select(col("source"),
-        toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
+    // Per-doc gram multiplicities via the codegen'd TermCounts byte
+    // pass (the E5/E10 treatment, r8): the exploded stream carries
+    // DISTINCT (doc, bigram) pairs weighted by tf instead of one
+    // row per occurrence — on a repetitive corpus that is a large
+    // row-count cut, and the zip_with string-pair build disappears.
+    // Σ_occurrences ≡ Σ_distinct tf, exact long arithmetic.
+    val gf0 = graft.functions.GraftFunctions
+    val byTgt = docs
       .select(col("source").isin(targetSrcs: _*).as("tgt"),
-        explode(pairArr(col("t"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"), col("tgt"))
-      .agg(count(lit(1)).as("c2"))
+        explode(gf0.termCounts(lower(col("text")), 2, 2)).as("p"))
+      .groupBy(col("p.term").as("bg"), col("tgt"))
+      .agg(sum(col("p.tf")).as("c2"))
     // Single-pass fast path (VERDICT r7 #6): the two scoreAgainst
     // calls each re-ran the byTgt aggregation for their own
     // take(cap+1) gate and then scanned the corpus once per model —
@@ -359,8 +374,10 @@ object LanguageModel {
           vocab.add(w1); vocab.add(w2); ()
         }
         rows.foreach { r =>
-          val (w1, w2, tgt, c) =
-            (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3))
+          val (bg, tgt, c) =
+            (r.getString(0), r.getBoolean(1), r.getLong(2))
+          val sp = bg.indexOf(' ') // tokens are \S+ — exactly one space
+          val (w1, w2) = (bg.substring(0, sp), bg.substring(sp + 1))
           add(mB, vocabB, w1, w2, c)
           if (tgt) add(mT, vocabT, w1, w2, c)
         }
@@ -383,10 +400,12 @@ object LanguageModel {
               .as("keep_doc"))
       }
     }
-    val (c2t, c1t, vt) = modelFromC2(byTgt.filter(col("tgt"))
-      .select(col("w1"), col("w2"), col("c2")))
-    val (c2b, c1b, vb) = modelFromC2(byTgt
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2")))
+    val splitBg = (df: DataFrame) => df.select(
+      split(col("bg"), " ").getItem(0).as("w1"),
+      split(col("bg"), " ").getItem(1).as("w2"), col("c2"))
+    val (c2t, c1t, vt) = modelFromC2(splitBg(byTgt.filter(col("tgt"))))
+    val (c2b, c1b, vb) = modelFromC2(splitBg(byTgt
+      .groupBy(col("bg")).agg(sum(col("c2")).as("c2"))))
     // per-model gates still forwarded: byTgt over the cap does not
     // imply the individual models are (c2t can be tiny when the
     // target sources are) — each scoreAgainst re-decides for itself
@@ -439,82 +458,75 @@ object LanguageModel {
 
   def perplexityTrigramOf(docs: DataFrame, holdMod: Int = 5,
       maxBroadcastModel: Int = defaultTrigramCap): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    // ONE model pass (r8): all three count tables come out of a
+    // single codegen'd TermCounts(1..3) byte scan of the train split
+    // — per-doc DISTINCT grams weighted by tf, one map-side-combined
+    // aggregation, no token-array materialization, no per-order
+    // explode branch. N-gram orders share the table without
+    // collision (tokens contain no whitespace — the TrigramLmScore
+    // map already relies on exactly this). The former shape
+    // (persisted tokenized train + three explode+agg lineages) paid
+    // a corpus-scale cache build plus three aggregations; this is
+    // one aggregation whose output is gram-vocabulary-sized.
+    val train = docs
+      .filter(graft.functions.TextFunctions.wsTokenCount(col("text")) >= 3)
+      .filter(col("doc_id") % holdMod =!= 0)
+    val mixed = train
+      .select(explode(gf.termCounts(lower(col("text")), 1, 3)).as("p"))
+      .groupBy(col("p.term").as("g")).agg(sum(col("p.tf")).as("c"))
+    // Stats-gated fast path (E19's LmScore treatment one order up):
+    // when take(cap+1) proves the mixed gram table fits the driver
+    // bound, the collected rows ARE the byte-pass model — no joins,
+    // no second model job, and the gate's aggregation is the model
+    // build itself, so a passed gate wastes nothing. A FAILED gate
+    // (10⁸⁺-gram web vocabulary) costs one bounded collect over the
+    // aggregation the join path recomputes from the same lineage —
+    // see [[defaultTrigramCap]] for the r7→r8 measurement history.
+    val gateRows = if (maxBroadcastModel > 0)
+      mixed.take(maxBroadcastModel + 1)
+    else Array.empty[org.apache.spark.sql.Row]
+    if (maxBroadcastModel > 0 && gateRows.length <= maxBroadcastModel) {
+      val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        math.max(16, gateRows.length * 2))
+      var n0 = 0L; var v0 = 0L
+      gateRows.foreach { r =>
+        val (g, c) = (r.getString(0), r.getLong(1))
+        m.put(u8(g), java.lang.Long.valueOf(c))
+        if (g.indexOf(' ') < 0) { n0 += c; v0 += 1L }
+      }
+      val bc = docs.sparkSession.sparkContext.broadcast(m)
+      return docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % holdMod === 0)
+        // no <3-token pre-filter: trigramLmScore yields NULL there
+        // and the isNotNull below drops them — one scan, not two
+        .select(col("doc_id"),
+          gf.trigramLmScore(lower(col("text")), bc, n0, v0).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"),
+          col("s.n_trigrams").as("n_trigrams"),
+          col("s.oov").as("oov_trigrams"),
+          (col("s.sum_mb").cast("double") /
+            (lit(1000.0) * col("s.n_trigrams"))).as("bits_per_trigram"))
+    }
+    // Join path (web-scale model): the three per-order tables derive
+    // from the SAME persisted vocabulary-sized aggregation by gram
+    // width — the corpus is scanned exactly once for the model.
+    val mixedP = graft.CacheHygiene.unpersistAfterUse(
+      mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sp1 = split(col("g"), " ")
+    val c1 = mixedP.filter(size(sp1) === 1)
+      .select(col("g").as("w"), col("c").as("c1"))
+    val c2 = mixedP.filter(size(sp1) === 2)
+      .select(sp1.getItem(0).as("w1"), sp1.getItem(1).as("w2"),
+        col("c").as("c2"))
+    val c3 = mixedP.filter(size(sp1) === 3)
+      .select(sp1.getItem(0).as("w1"), sp1.getItem(1).as("w2"),
+        sp1.getItem(2).as("w3"), col("c").as("c3"))
     val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-    val train = d.filter(col("doc_id") % holdMod =!= 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cache release is path-specific (below): a blanket
-    // unpersistAfterUse here would fire on the GATE's action and
-    // leave every model build uncached (review r7)
-    val c3 = train.select(explode(tripleArr(col("t"))).as("g"))
-      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
-        col("g.w3").as("w3"))
-      .agg(count(lit(1)).as("c3"))
-    val c2 = train.select(explode(pairArr(col("t"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val c1 = train.select(explode(col("t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    // Stats-gated fast path (E19's LmScore treatment one order up):
-    // when take(cap+1) proves the trigram table — the largest of the
-    // three — fits the driver bound, ONE map carries all three count
-    // tables (n-gram orders can't collide: tokens contain no
-    // whitespace) and every held-out document scores in a single
-    // codegen'd byte pass; no explode, no five-way join.
-    //
-    // The trigram cap defaults far LOWER than E19's bigram cap — a
-    // measured negative result, not an oversight: at the 10x board
-    // the trigram vocabulary is ~10x the bigram's, and collecting
-    // three count tables at ~250k rows cost 2.95 s where the five
-    // AQE-sized joins ran 0.91 s. The byte-pass only wins when the
-    // model is genuinely small (streaming batches, small corpora);
-    // big vocabularies belong on the join path.
-    if (maxBroadcastModel > 0 &&
-      // cheap conservative gate: the distinct-trigram count is
-      // bounded by the train split's TOKEN total, which is one
-      // map-side-combined scan of the persisted split — probing the
-      // trigram table itself (take(cap+1)) costs a full aggregation
-      // that is pure overhead whenever the gate FAILS, and at scale
-      // it always fails (measured ~2 s of the 10x in-suite time)
-      // coalesce: an EMPTY train split sums to NULL, and the gate
-      // must fail over to the join path, not NPE (review r7)
-      train.agg(coalesce(sum(size(col("t"))), lit(Long.MaxValue)))
-        .collect()(0).getLong(0) <= maxBroadcastModel) {
-      val r3 = c3.collect()
-      locally {
-        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
-        val m = new java.util.HashMap[
-          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-          math.max(16, r3.length * 4))
-        r3.foreach { r =>
-          m.put(u8(r.getString(0) + " " + r.getString(1) + " " +
-            r.getString(2)), java.lang.Long.valueOf(r.getLong(3)))
-        }
-        c2.collect().foreach { r =>
-          m.put(u8(r.getString(0) + " " + r.getString(1)),
-            java.lang.Long.valueOf(r.getLong(2)))
-        }
-        var n0 = 0L; var v0 = 0L
-        c1.collect().foreach { r =>
-          m.put(u8(r.getString(0)), java.lang.Long.valueOf(r.getLong(1)))
-          n0 += r.getLong(1); v0 += 1L
-        }
-        train.unpersist(false) // model fully collected; release now
-        val bc = docs.sparkSession.sparkContext.broadcast(m)
-        val gf = graft.functions.GraftFunctions
-        return docs.select(col("doc_id"), col("text"))
-          .filter(col("doc_id") % holdMod === 0)
-          .select(col("doc_id"),
-            gf.trigramLmScore(lower(col("text")), bc, n0, v0).as("s"))
-          .filter(col("s").isNotNull)
-          .select(col("doc_id"),
-            col("s.n_trigrams").as("n_trigrams"),
-            col("s.oov").as("oov_trigrams"),
-            (col("s.sum_mb").cast("double") /
-              (lit(1000.0) * col("s.n_trigrams"))).as("bits_per_trigram"))
-      }
-    }
-    graft.CacheHygiene.unpersistAfterUse(train) // after the caller's action
     val nv = c1.agg(sum(col("c1")).as("n"),
       count(lit(1)).as("v"))
     val held = d.filter(col("doc_id") % holdMod === 0)
@@ -597,7 +609,7 @@ object LanguageModel {
     */
   def buildLmModel(db: graft.catalog.GraftDatabase, docs: DataFrame,
       name: String): Unit = {
-    val (c2, c1, v) = model(tokenized(docs))
+    val (c2, c1, v) = model(docs)
     val ow = org.apache.spark.sql.SaveMode.Overwrite
     db.write(c2, s"${name}_bigrams", ow)
     db.write(c1, s"${name}_contexts", ow)
