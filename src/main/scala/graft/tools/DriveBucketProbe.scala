@@ -58,6 +58,23 @@ object DriveBucketProbe {
       graft.Tables(spark, dir, "lineitem")
         .filter(col("l_shipdate") > cutoff).select(col("l_orderkey")))
 
+    // r8 floor probe (VERDICT r7 #8): does the residual constant move
+    // with the parquet reader knobs? Each variant re-times the full
+    // bucketed query under a changed session conf.
+    def knob(name: String, key: String, value: String): Unit = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try t(s"q3_bucketed [$name]")(
+        graft.operators.Analytics.queries("q3_bucketed")(spark, dir))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    knob("vectorized OFF", "spark.sql.parquet.enableVectorizedReader", "false")
+    knob("batch 16k", "spark.sql.parquet.columnarReaderBatchSize", "16384")
+    knob("no codegen", "spark.sql.codegen.wholeStage", "false")
+
     println("=== q3_bucketed plan ===")
     graft.operators.Analytics.queries("q3_bucketed")(spark, dir)
       .explain("formatted")

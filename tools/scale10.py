@@ -79,6 +79,13 @@ SCALE10 = [
     "pipeline_curriculum", "curate_moore_lewis",
     "curate_gopher_rules", "dedup_winnow", "curate_dsir",
     "q_events_retention", "text_perplexity_trigram"]
+# NOT in SCALE10 (same principle as the csv_* exclusion — the DuckDB
+# twin is not like-for-like WORK): text_index_build (Spark builds the
+# full positional postings artifact; the oracle only checks the
+# corpus totals sidecar, a COUNT), text_vocab_approx (Spark runs the
+# sketch+recount composition; the oracle computes the exact top-20 —
+# same ANSWER by the MG guarantee, different algorithm). Both live on
+# the sf0.1 bench_full board and the correctness board.
 
 
 def parent_offset(name):
