@@ -75,4 +75,50 @@ object HeavyHitters {
     */
   def heavyHitters(k: Int)(key: Column): Column =
     udaf(new MisraGries(k), ExpressionEncoder[String]()).apply(key)
+
+  /** Weighted Misra–Gries: each input row carries a (key, weight)
+    * pair and counts as `weight` occurrences. Reducing a row is
+    * EXACTLY merging a singleton summary {key → weight}, so the
+    * mergeable-summaries analysis applies unchanged and every
+    * guarantee holds with n = Σ weights: items with true total
+    * weight > n/(k+1) survive, counts under-estimate by ≤ n/(k+1).
+    *
+    * Why it exists (SURVEY §2.E15b): fed from the codegen'd
+    * TermCounts byte pass — per-document DISTINCT terms with
+    * multiplicities — the summary sees one row per (doc, term)
+    * instead of one per token occurrence. On a repetitive corpus
+    * that is the difference between aggregator calls ∝ corpus tokens
+    * and ∝ per-doc vocabulary, with a bit-identical composition
+    * result (Σ_distinct tf ≡ Σ_occurrences).
+    */
+  class WeightedMisraGries(k: Int)
+      extends Aggregator[KeyCount, Map[String, Long], Seq[KeyCount]] {
+
+    require(k > 0, s"heavy-hitters summary needs k > 0, got $k")
+    private val mg = new MisraGries(k)
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long],
+        x: KeyCount): Map[String, Long] =
+      mg.merge(b, Map(x.key -> x.count))
+
+    override def merge(b1: Map[String, Long],
+        b2: Map[String, Long]): Map[String, Long] = mg.merge(b1, b2)
+
+    override def finish(b: Map[String, Long]): Seq[KeyCount] =
+      mg.finish(b)
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[KeyCount]] =
+      ExpressionEncoder[Seq[KeyCount]]()
+  }
+
+  /** Column form: `heavyHittersWeighted(k)(keyCol, weightCol)` →
+    * array<struct<key,count>> ordered (count desc, key asc).
+    */
+  def heavyHittersWeighted(k: Int)(key: Column, weight: Column): Column =
+    udaf(new WeightedMisraGries(k), ExpressionEncoder[KeyCount]())
+      .apply(key, weight)
 }

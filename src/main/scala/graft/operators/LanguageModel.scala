@@ -142,36 +142,55 @@ object LanguageModel {
     if (maxBroadcastModel > 0) {
       val rows = c2.take(maxBroadcastModel + 1)
       if (rows.length <= maxBroadcastModel) {
-        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
-        val m = new java.util.HashMap[
-          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-          math.max(16, rows.length * 3))
-        val vocab = new java.util.HashSet[String](rows.length * 2)
-        rows.foreach { r =>
-          val (w1, w2, c) = (r.getString(0), r.getString(1), r.getLong(2))
-          m.put(u8(w1 + " " + w2), java.lang.Long.valueOf(c))
-          // context totals fold from the SAME collected rows
-          val k1 = u8(w1)
-          val prev = m.get(k1)
-          m.put(k1, java.lang.Long.valueOf(
-            (if (prev == null) 0L else prev.longValue()) + c))
-          vocab.add(w1); vocab.add(w2); ()
-        }
+        val (m, vs) = foldModelRows(rows)
         val bc = heldDocs.sparkSession.sparkContext.broadcast(m)
-        val gf = graft.functions.GraftFunctions
-        return heldDocs
-          .select(col("doc_id"),
-            gf.lmScore(lower(col("text")), bc, vocab.size.toLong).as("s"))
-          .filter(col("s").isNotNull)
-          .select(col("doc_id"),
-            col("s.n_bigrams").as("n_bigrams"),
-            col("s.oov").as("oov_bigrams"),
-            (col("s.sum_mb").cast("double") /
-              (lit(1000.0) * col("s.n_bigrams"))).as("bits_per_bigram"))
+        return scoreBroadcast(heldDocs, bc, vs)
       }
     }
     val ev = explodedPairs(heldDocs, Nil).crossJoin(broadcast(v))
     scoreRows(ev, c2, c1, col("v"), Seq("doc_id"))
+  }
+
+  /** Fold collected (w1, w2, c2) model rows into the LmScore lookup
+    * map (bigram counts + context totals in one table) and the
+    * distinct-token vocabulary size — the driver half of the
+    * broadcast fast path, shared by the inline and served scorers. */
+  private def foldModelRows(rows: Array[org.apache.spark.sql.Row])
+      : (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long], Long) = {
+    val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+      math.max(16, rows.length * 3))
+    val vocab = new java.util.HashSet[String](rows.length * 2)
+    rows.foreach { r =>
+      val (w1, w2, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      m.put(u8(w1 + " " + w2), java.lang.Long.valueOf(c))
+      // context totals fold from the SAME collected rows
+      val k1 = u8(w1)
+      val prev = m.get(k1)
+      m.put(k1, java.lang.Long.valueOf(
+        (if (prev == null) 0L else prev.longValue()) + c))
+      vocab.add(w1); vocab.add(w2); ()
+    }
+    (m, vocab.size.toLong)
+  }
+
+  private def scoreBroadcast(heldDocs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]],
+      vocabSize: Long): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    heldDocs
+      .select(col("doc_id"),
+        gf.lmScore(lower(col("text")), bc, vocabSize).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"),
+        col("s.n_bigrams").as("n_bigrams"),
+        col("s.oov").as("oov_bigrams"),
+        (col("s.sum_mb").cast("double") /
+          (lit(1000.0) * col("s.n_bigrams"))).as("bits_per_bigram"))
   }
 
   /** Join exploded (…, w1, w2, vExpr) rows against the model and fold
@@ -614,18 +633,71 @@ object LanguageModel {
     db.write(c2, s"${name}_bigrams", ow)
     db.write(c1, s"${name}_contexts", ow)
     db.write(v, s"${name}_meta", ow)
+    // A rebuild in this JVM must not serve the previous broadcast
+    // (the sig check would also catch it, but only at modtime
+    // resolution — removal is exact).
+    lmServeMemo.remove(servedKey(db, name)); ()
+  }
+
+  // Served-model broadcast memo: the stored model is immutable
+  // between rebuilds, so the per-invocation take(cap+1) job + driver
+  // map fold + broadcast (the serve path's only non-scan work) are
+  // artifact-level, not query-level, cost. Keyed by applicationId +
+  // artifact path (a Broadcast dies with its SparkContext); staleness
+  // = the bigrams directory's file listing (name/len/modtime — an
+  // O(files) driver metadata call, no Spark job), so a rebuild from
+  // ANOTHER process invalidates too. The join path (model above the
+  // cap) is unaffected — it never had per-invocation driver work.
+  private case class ServedLm(sig: String,
+    bc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long]],
+    vocabSize: Long)
+
+  private val lmServeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ServedLm]()
+
+  private def servedKey(db: graft.catalog.GraftDatabase,
+      name: String): String =
+    db.spark.sparkContext.applicationId + "@" +
+      db.tablePath(s"${name}_bigrams")
+
+  private def artifactSig(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "missing"
+    else fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
   }
 
   /** Score a (doc_id, text) frame against a stored [[buildLmModel]]
     * artifact — identical output to the inline path on the same
-    * train/score frames (spec-pinned).
+    * train/score frames (spec-pinned). Repeat invocations under an
+    * unchanged artifact reuse the memoized broadcast model: zero
+    * driver jobs before the scoring scan itself.
     */
   def perplexityFromModel(db: graft.catalog.GraftDatabase, name: String,
       docs: DataFrame,
-      maxBroadcastModel: Int = defaultModelCap): DataFrame =
-    scoreAgainst(db.read(s"${name}_bigrams"), db.read(s"${name}_contexts"),
-      db.read(s"${name}_meta"), docs.select(col("doc_id"), col("text")),
-      maxBroadcastModel)
+      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
+    val held = docs.select(col("doc_id"), col("text"))
+    if (maxBroadcastModel > 0) {
+      val key = servedKey(db, name)
+      val sig = artifactSig(db.spark, db.tablePath(s"${name}_bigrams"))
+      val hit = lmServeMemo.get(key)
+      if (hit != null && hit.sig == sig)
+        return scoreBroadcast(held, hit.bc, hit.vocabSize)
+      val rows = db.read(s"${name}_bigrams").take(maxBroadcastModel + 1)
+      if (rows.length <= maxBroadcastModel) {
+        val (m, vs) = foldModelRows(rows)
+        val bc = db.spark.sparkContext.broadcast(m)
+        lmServeMemo.put(key, ServedLm(sig, bc, vs))
+        return scoreBroadcast(held, bc, vs)
+      }
+    }
+    scoreAgainst(db.read(s"${name}_bigrams"),
+      db.read(s"${name}_contexts"), db.read(s"${name}_meta"), held, 0)
+  }
 
   /** C33: DSIR-style importance weighting (Xie et al. 2023,
     * arXiv:2302.03169 — Data Selection via Importance Resampling):

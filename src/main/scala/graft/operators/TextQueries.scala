@@ -268,14 +268,24 @@ object TextQueries {
       maxSize: Int, sketchK: Int): DataFrame = {
     require(sketchK >= maxSize,
       s"summary size k=$sketchK must be >= vocabulary cap $maxSize")
-    val toks = docs.select(explode(lowerTokens(col("text"))).as("term"))
-    val cand = toks
-      .agg(graft.functions.HeavyHitters.heavyHitters(sketchK)(col("term"))
-        .as("hh"))
+    // Both passes ride the per-doc DISTINCT (term, tf) stream from
+    // the codegen'd TermCounts byte pass (the E5/E10 treatment, r8):
+    // the weighted summary reduces once per (doc, term) instead of
+    // once per token occurrence — a singleton-merge is exactly the MG
+    // merge rule, so every guarantee holds with n = Σ tf ≡ corpus
+    // tokens — and the recount is Σ_distinct tf ≡ Σ_occurrences,
+    // exact long arithmetic. No per-occurrence explode anywhere.
+    val gf = graft.functions.GraftFunctions
+    val pairs = docs
+      .select(explode(gf.termCounts(lower(col("text")), 1, 1)).as("p"))
+      .select(col("p.term").as("term"), col("p.tf").as("tf"))
+    val cand = pairs
+      .agg(graft.functions.HeavyHitters
+        .heavyHittersWeighted(sketchK)(col("term"), col("tf")).as("hh"))
       .select(explode(col("hh")).as("kc"))
       .select(col("kc.key").as("term"))
-    val counts = toks.join(broadcast(cand), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
+    val counts = pairs.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("tf")).as("n_occurrences"))
     import org.apache.spark.sql.expressions.Window
     val order = Seq(col("n_occurrences").desc, col("term").asc)
     // ≤ k rows reach the rank — the window is bounded by the sketch,

@@ -146,6 +146,42 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     assert(top5 == (1 to 5).map(i => s"item$i"))
   }
 
+  test("weighted misra-gries: guarantees hold with n = total weight") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // the same zipf stream, pre-folded into (key, weight) rows the
+    // way TermCounts feeds it: item i as ceil(20000/i / 7) rows of
+    // weight ≤ 7 (simulating per-doc tf), noise as weight-1 rows
+    val rows = (1 to 50).flatMap { i =>
+      val total = 20000 / i
+      (0 until total by 7).map(off =>
+        (s"item$i", math.min(7, total - off).toLong))
+    } ++ (0 until 30000).map(j => (s"noise$j", 1L))
+    val shuffled = rows.zipWithIndex
+      .sortBy { case (_, idx) => (idx * 2654435761L) & 0xffffffffL }
+      .map(_._1)
+    val n = shuffled.map(_._2).sum
+    val k = 32
+    val got = shuffled.toDF("key", "w").repartition(8)
+      .agg(HeavyHitters.heavyHittersWeighted(k)(col("key"), col("w"))
+        .as("hh"))
+      .select(explode(col("hh")).as("s"))
+      .select(col("s.key"), col("s.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k)
+    val exact = rows.groupBy(_._1).map { case (key, g) =>
+      key -> g.map(_._2).sum }
+    val threshold = n / (k + 1)
+    for ((key, c) <- exact if c > threshold)
+      assert(got.contains(key), s"$key (weight=$c > $threshold) missing")
+    for ((key, est) <- got) {
+      val truth = exact(key)
+      assert(est <= truth, s"$key over-estimated: $est > $truth")
+      assert(truth - est <= threshold,
+        s"$key error ${truth - est} above the n/(k+1)=$threshold bound")
+    }
+  }
+
   test("E15b query: MG + exact recount equals the exact vocabulary") {
     import spark.implicits._
     import graft.operators.TextQueries

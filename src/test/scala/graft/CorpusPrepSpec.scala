@@ -351,6 +351,17 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     lm.buildLmModel(db, train, "lm")
     assert(lm.perplexityFromModel(db, "lm", held)
       .except(inline).count() == 0)
+    // memo hit: a repeat serve under the unchanged artifact (no
+    // take/collect/broadcast jobs) is still bit-identical
+    assert(lm.perplexityFromModel(db, "lm", held)
+      .except(inline).count() == 0)
+    // a rebuild that CHANGES the model must not serve the memoized
+    // broadcast: retrain on the held split itself — now every held
+    // bigram is observed and scores genuinely move
+    lm.buildLmModel(db, held, "lm")
+    val reserved = lm.perplexityFromModel(db, "lm", held)
+    assert(reserved.except(served).count() > 0)
+    assert(reserved.count() > 0)
   }
 
   test("curriculum: served-from-model output equals the inline retrain") {
