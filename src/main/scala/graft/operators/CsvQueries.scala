@@ -409,6 +409,36 @@ object CsvQueries {
     db.read(res.tableName).withColumn("encoding", lit(res.encoding))
   }
 
+  /** A15: quoted fields with EMBEDDED NEWLINES (RFC 4180, and what
+    * the reference's `csv.reader` parses natively, `__init__.py:180`)
+    * — the sniff-window probe must flip the parse to multiLine so
+    * records survive intact, escaped (doubled) quotes included, and
+    * type inference still lands integer on the key column. The file
+    * mixes quoted-multiline rows with plain ones so a torn parse
+    * cannot accidentally produce the right row count.
+    */
+  def csvIngestMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("multiline", sfDir)
+    val db = freshDb(spark, "multiline", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map { r =>
+        val k = r.getInt(0)
+        val name = r.getString(1)
+        if (k % 2 == 0)
+          // quoted field: newline + doubled-quote escape inside
+          s"""$k,$name,"l1 for $k\nl2 ""q"" tail""""
+        else s"$k,$name,plain $k"
+      }
+      .sorted
+    val body = ("n_nationkey,n_name,note" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/multiline.csv"), body.getBytes("UTF-8"))
+    val res = CsvUploader.upload(db, s"$dir/multiline.csv", Some("notes"))
+    db.read(res.tableName)
+  }
+
   /** The query interface over uploaded tables (Datasette's whole
     * point): upload a CSV, then run SQL against it by name.
     */
@@ -573,6 +603,13 @@ object CsvQueries {
         |  CASE WHEN n_nationkey % 3 = 1 THEN NULL
         |       ELSE 'note' || CAST(n_nationkey AS VARCHAR) END AS note
         |FROM nation""".stripMargin,
+    "csv_ingest_multiline" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |       THEN 'l1 for ' || CAST(n_nationkey AS VARCHAR) || chr(10)
+        |            || 'l2 "q" tail'
+        |       ELSE 'plain ' || CAST(n_nationkey AS VARCHAR) END AS note
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -592,6 +629,7 @@ object CsvQueries {
     "csv_ingest_mixed" -> (csvIngestMixed _),
     "csv_infer_types" -> (csvInferTypes _),
     "csv_ragged_rows" -> (csvRaggedRows _),
+    "csv_ingest_multiline" -> (csvIngestMultiline _),
     "csv_encoding_detect" -> (csvEncodingDetect _),
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),

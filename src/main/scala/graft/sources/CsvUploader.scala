@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.Charset
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -43,7 +45,8 @@ object CsvUploader {
       sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
       delimiter: String = ",",
       alter: Boolean = false,
-      progressIntervalMs: Long = 250L): UploadResult = {
+      progressIntervalMs: Long = 250L,
+      multiLine: Option[Boolean] = None): UploadResult = {
     val spark = db.spark
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,11 +60,22 @@ object CsvUploader {
     try {
       bytesTodo = fs.getContentSummary(p).getLength
       db.progress.start(taskId, resolved, bytesTodo, started)
-      val encoding = detectEncoding(spark, csvPath, sniffBytes)
+      val (encoding, sniff) = detectEncodingAndSniff(spark, csvPath,
+        sniffBytes)
+      // A15: a quoted newline in the sniff window flips the parse to
+      // multiLine (whole-file univocity) — the only mode that keeps
+      // the reference's csv.reader record semantics on such files.
+      // The cost is intra-file splittability, paid ONLY when the file
+      // actually interleaves newlines into quoted fields; a 100 TB
+      // ingest arrives as many files, so file-level parallelism
+      // survives. Explicit `multiLine` overrides the bounded sniff.
+      val multi = multiLine.getOrElse(
+        needsMultiline(encoding, sniff, delimiter))
       withLegacyCharsets(spark, needsLegacyCharset(encoding)) {
         val raw =
-          if (alter) readRawEvolving(spark, csvPath, encoding, delimiter)
-          else readRaw(spark, csvPath, encoding, delimiter)
+          if (alter) readRawEvolving(spark, csvPath, encoding, delimiter,
+            multi)
+          else readRaw(spark, csvPath, encoding, delimiter, multi)
         val (types, rows) = TypeInference.inferWithCount(raw)
         val typed = TypeInference.applyTypes(raw, types)
         // Live mid-load progress (reference updates every 10 rows,
@@ -155,10 +169,12 @@ object CsvUploader {
 
   /** Sniff the first file of a path (file or directory of parts).
     * Gzip members (magic 1f 8b) are decompressed for the sniff —
-    * Spark's reader handles `.gz` transparently downstream.
+    * Spark's reader handles `.gz` transparently downstream. Returns
+    * the detected encoding AND the sniff window itself, so the
+    * multiline probe reuses the same read.
     */
-  private def detectEncoding(spark: SparkSession, csvPath: String,
-      sniffBytes: Int): String = {
+  private def detectEncodingAndSniff(spark: SparkSession, csvPath: String,
+      sniffBytes: Int): (String, Array[Byte]) = {
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target =
@@ -181,9 +197,61 @@ object CsvUploader {
       var r = 0
       while (off < sniffBytes &&
         { r = stream.read(buf, off, sniffBytes - off); r > 0 }) off += r
-      EncodingDetector.detectBytes(java.util.Arrays.copyOf(buf, off),
-        truncated = off == sniffBytes)
+      val window = java.util.Arrays.copyOf(buf, off)
+      (EncodingDetector.detectBytes(window, truncated = off == sniffBytes),
+        window)
     } finally in.close()
+  }
+
+  /** RFC 4180 quoted-newline scan: does the text contain a newline
+    * INSIDE a quoted field? That is the one CSV shape Spark's default
+    * (splittable) line-oriented parse cannot represent — the record
+    * is torn at the raw newline — while the reference's `csv.reader`
+    * (`__init__.py:180`) consumes it natively. A field is quoted only
+    * when its first char is `"` (mid-field quotes are literal);
+    * doubled quotes escape. A window that ENDS inside an open quote
+    * without having seen a newline stays false — only an observed
+    * quoted newline triggers the non-splittable parse.
+    */
+  private[graft] def quotedNewline(text: String,
+      delimiter: Char): Boolean = {
+    val n = text.length
+    var i = 0
+    var inQuotes = false
+    var atFieldStart = true
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < n && text.charAt(i + 1) == '"') i += 1
+          else { inQuotes = false; atFieldStart = false }
+        } else if (c == '\n' || c == '\r') return true
+      } else {
+        if (c == '"' && atFieldStart) { inQuotes = true; atFieldStart = false }
+        else atFieldStart = c == delimiter || c == '\n' || c == '\r'
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Decide `multiLine` from the sniff window (A15): decode the
+    * window with the charset the distributed read will use and scan
+    * for a quoted newline. Bounded like the encoding sniff itself —
+    * a quoted newline first appearing beyond the window is missed
+    * (callers who know pass `multiLine = Some(true)`); the charsets
+    * whose sparkCharset mapping throws keep their loud downstream
+    * error and simply skip the probe.
+    */
+  private[graft] def needsMultiline(encoding: String,
+      sniff: Array[Byte], delimiter: String): Boolean = {
+    val csName = encoding match {
+      case EncodingDetector.Cp1252 => "windows-1252"
+      case e => scala.util.Try(sparkCharset(e)).getOrElse(return false)
+    }
+    val decoded = scala.util.Try(
+      new String(sniff, Charset.forName(csName))).getOrElse(return false)
+    quotedNewline(decoded, if (delimiter.isEmpty) ',' else delimiter.head)
   }
 
   /** cp1252 differs from latin-1 ONLY in 0x80–0x9F (27 defined
@@ -299,12 +367,24 @@ object CsvUploader {
   }
 
   private def readRaw(spark: SparkSession, csvPath: String,
-      encoding: String, delimiter: String = ","): DataFrame = {
+      encoding: String, delimiter: String = ",",
+      multiline: Boolean = false): DataFrame = {
     val reader = spark.read
       .option("header", "true")
       .option("encoding", sparkCharset(encoding))
       .option("sep", delimiter)
       .option("inferSchema", "false")
+      // RFC 4180 doubled-quote escaping, the reference csv.reader's
+      // default dialect (doublequote=True, no backslash escapes).
+      // Spark's own default escape is `\` — under it a quoted field
+      // containing `""hi""` tears mid-record. Setting the escape char
+      // to the quote char IS univocity's double-quote mode, and makes
+      // backslash a literal byte, matching Python exactly.
+      .option("escape", "\"")
+      // A15: whole-file parse iff a quoted newline was detected (or
+      // forced) — records may then span raw newlines, like the
+      // reference's csv.reader
+      .option("multiLine", multiline.toString)
     // UTF-16/32 AND EBCDIC need the explicit lineSep: Spark encodes
     // it in the declared charset ("\n" → 0x15 under Java's IBM037/
     // IBM500), so records split on the real terminator bytes instead
@@ -343,7 +423,8 @@ object CsvUploader {
     * distributed pass (unionByName over per-file frames).
     */
   private def readRawEvolving(spark: SparkSession, csvPath: String,
-      encoding: String, delimiter: String): DataFrame = {
+      encoding: String, delimiter: String,
+      multiline: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -353,7 +434,7 @@ object CsvUploader {
           .filterNot(_.getName.startsWith("_")).sortBy(_.getName).toSeq
       else Seq(p)
     val perFile = files.map(f => f -> readRaw(spark, f.toString, encoding,
-      delimiter))
+      delimiter, multiline))
     val unionCols = perFile.foldLeft(Vector.empty[String]) {
       case (acc, (_, df)) => acc ++ df.columns.filterNot(acc.contains)
     }

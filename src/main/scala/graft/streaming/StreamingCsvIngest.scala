@@ -46,7 +46,8 @@ object StreamingCsvIngest {
     // Static sniff pass: header + type verdicts from what's on disk.
     val staticRaw = spark.read
       .option("header", "true").option("encoding", encoding)
-      .option("inferSchema", "false").csv(csvDir)
+      .option("inferSchema", "false")
+      .option("escape", "\"").csv(csvDir)
     val types = TypeInference.infer(staticRaw)
     val stringSchema = StructType(
       staticRaw.columns.map(StructField(_, StringType, nullable = true)))
@@ -58,6 +59,8 @@ object StreamingCsvIngest {
 
     spark.readStream
       .option("header", "true").option("encoding", encoding)
+      // RFC 4180 doubled-quote escaping, matching the batch uploader
+      .option("escape", "\"")
       .schema(stringSchema)
       .csv(csvDir)
       .writeStream

@@ -363,6 +363,55 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(db.read("dogs").count() == 2)
   }
 
+  test("A15: quoted embedded newlines parse whole records (ref csv.reader)") {
+    val dir = scratch("multiline_up")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val content = "id,note\n" +
+      "1,\"line one\nline two\"\n" +
+      "2,plain\n" +
+      "3,\"he said \"\"hi\"\"\nbye\""
+    Files.write(Paths.get(s"$dir/notes.csv"), content.getBytes)
+    val res = CsvUploader.upload(db, s"$dir/notes.csv")
+    assert(res.error.isEmpty, res.error)
+    val rows = db.read(res.tableName).orderBy(col("id")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(0).getString(1) == "line one\nline two")
+    assert(rows(1).getString(1) == "plain")
+    assert(rows(2).getString(1) == "he said \"hi\"\nbye")
+    // inference still lands integer through the whole-file parse
+    assert(db.read(res.tableName).schema("id")
+      .dataType.simpleString == "bigint")
+  }
+
+  test("A15: quoted-newline probe fires only on genuine quoted newlines") {
+    import graft.sources.CsvUploader.quotedNewline
+    assert(quotedNewline("a,\"x\ny\"", ','))
+    assert(quotedNewline("\"x\ny\",b", ','))
+    assert(quotedNewline("a\t\"x\ny\"", '\t'))
+    // plain record newlines: no
+    assert(!quotedNewline("a,b\nc,d", ','))
+    // a mid-field quote is literal, not an opener
+    assert(!quotedNewline("ab\"cd\ne,f", ','))
+    // escaped quotes inside a field, newline outside: no
+    assert(!quotedNewline("a,\"x \"\" y\"\nb,c", ','))
+    // window truncated inside an open quote without a newline: no
+    assert(!quotedNewline("a,\"unclosed without newline", ','))
+    // closed quote then junk then record newline: no
+    assert(!quotedNewline("a,\"q\"junk\nb,c", ','))
+  }
+
+  test("A15: explicit multiLine override parses a plain file unchanged") {
+    val dir = scratch("multiline_force")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/plain.csv"),
+      "id,v\n1,a\n2,b".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/plain.csv",
+      multiLine = Some(true))
+    assert(res.error.isEmpty)
+    assert(db.read(res.tableName).count() == 2)
+  }
+
   test("reference NOT_UTF8 fixture: latin-1 £ survives, mixed types") {
     val dir = scratch("not_utf8")
     val db = GraftDatabase(spark, s"$dir/db")
@@ -555,6 +604,22 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(json.count() == 2)
     assert(json.select("age").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(4L, 5L))
+  }
+
+  test("export → upload round-trips quotes and embedded newlines (A15)") {
+    import spark.implicits._
+    val dir = scratch("export_rt")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val vals = Seq((1L, "plain"), (2L, "say \"hi\"\nand \"bye\""),
+      (3L, "back\\slash, comma"))
+    db.write(vals.toDF("id", "note"), "notes",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    db.exportCsv("notes", s"$dir/out_csv")
+    val res = CsvUploader.upload(db, s"$dir/out_csv", Some("notes_rt"))
+    assert(res.error.isEmpty, res.error)
+    val back = db.read("notes_rt").orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == vals)
   }
 
   test("sorted export range-partitions: disjoint per-file key ranges, " +
