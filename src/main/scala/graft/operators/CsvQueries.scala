@@ -439,6 +439,31 @@ object CsvQueries {
     db.read(res.tableName)
   }
 
+  /** A16: a semicolon-delimited file uploaded WITHOUT naming a
+    * delimiter — the sniff window's field-count vote must find ';'
+    * (quoted semicolons inside a text field are planted to prove the
+    * quote-aware counting), and inference still lands integer.
+    */
+  def csvDelimiterSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("delim_sniff", sfDir)
+    val db = freshDb(spark, "delim_sniff", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map { r =>
+        val k = r.getInt(0)
+        // the note field carries QUOTED semicolons — literal, not
+        // delimiters — so a naive un-quoted count would misvote
+        s"""$k;${r.getString(1)};"x; y; $k""""
+      }
+      .sorted
+    val body = ("n_nationkey;n_name;note" +: rows.toSeq).mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/semi.csv"), body.getBytes("UTF-8"))
+    val res = CsvUploader.upload(db, s"$dir/semi.csv", Some("semi"))
+    db.read(res.tableName)
+  }
+
   /** The query interface over uploaded tables (Datasette's whole
     * point): upload a CSV, then run SQL against it by name.
     */
@@ -610,6 +635,10 @@ object CsvQueries {
         |            || 'l2 "q" tail'
         |       ELSE 'plain ' || CAST(n_nationkey AS VARCHAR) END AS note
         |FROM nation""".stripMargin,
+    "csv_delimiter_sniff" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  'x; y; ' || CAST(n_nationkey AS VARCHAR) AS note
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -630,6 +659,7 @@ object CsvQueries {
     "csv_infer_types" -> (csvInferTypes _),
     "csv_ragged_rows" -> (csvRaggedRows _),
     "csv_ingest_multiline" -> (csvIngestMultiline _),
+    "csv_delimiter_sniff" -> (csvDelimiterSniff _),
     "csv_encoding_detect" -> (csvEncodingDetect _),
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),

@@ -43,7 +43,7 @@ object CsvUploader {
       tableName: Option[String] = None,
       taskId: String = java.util.UUID.randomUUID().toString,
       sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
-      delimiter: String = ",",
+      delimiter: Option[String] = None,
       alter: Boolean = false,
       progressIntervalMs: Long = 250L,
       multiLine: Option[Boolean] = None): UploadResult = {
@@ -62,6 +62,14 @@ object CsvUploader {
       db.progress.start(taskId, resolved, bytesTodo, started)
       val (encoding, sniff) = detectEncodingAndSniff(spark, csvPath,
         sniffBytes)
+      val windowText = decodeSniff(encoding, sniff)
+      // A16: when the caller names no delimiter, sniff it from the
+      // same window — field-count consistency voting over the RFC
+      // 4180 candidates (',' tab ';' '|'), so a TSV or semicolon
+      // export uploads with zero configuration.
+      val delim = delimiter.getOrElse(windowText
+        .map(sniffDelimiter(_, truncated = sniff.length == sniffBytes))
+        .getOrElse(","))
       // A15: a quoted newline in the sniff window flips the parse to
       // multiLine (whole-file univocity) — the only mode that keeps
       // the reference's csv.reader record semantics on such files.
@@ -69,13 +77,13 @@ object CsvUploader {
       // actually interleaves newlines into quoted fields; a 100 TB
       // ingest arrives as many files, so file-level parallelism
       // survives. Explicit `multiLine` overrides the bounded sniff.
-      val multi = multiLine.getOrElse(
-        needsMultiline(encoding, sniff, delimiter))
+      val multi = multiLine.getOrElse(windowText
+        .exists(quotedNewline(_, if (delim.isEmpty) ',' else delim.head)))
       withLegacyCharsets(spark, needsLegacyCharset(encoding)) {
         val raw =
-          if (alter) readRawEvolving(spark, csvPath, encoding, delimiter,
+          if (alter) readRawEvolving(spark, csvPath, encoding, delim,
             multi)
-          else readRaw(spark, csvPath, encoding, delimiter, multi)
+          else readRaw(spark, csvPath, encoding, delim, multi)
         val (types, rows) = TypeInference.inferWithCount(raw)
         val typed = TypeInference.applyTypes(raw, types)
         // Live mid-load progress (reference updates every 10 rows,
@@ -122,7 +130,7 @@ object CsvUploader {
   def uploadAll(db: GraftDatabase, csvPaths: Seq[String],
       maxConcurrent: Int = 4, alter: Boolean = false,
       sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
-      delimiter: String = ","): Seq[UploadResult] = {
+      delimiter: Option[String] = None): Seq[UploadResult] = {
     // one naming authority: GraftDatabase.resolveTableName with the
     // batch's pending names in the reserved set
     val named = csvPaths.foldLeft(Vector.empty[(String, String)]) {
@@ -235,23 +243,84 @@ object CsvUploader {
     false
   }
 
-  /** Decide `multiLine` from the sniff window (A15): decode the
-    * window with the charset the distributed read will use and scan
-    * for a quoted newline. Bounded like the encoding sniff itself —
-    * a quoted newline first appearing beyond the window is missed
-    * (callers who know pass `multiLine = Some(true)`); the charsets
-    * whose sparkCharset mapping throws keep their loud downstream
-    * error and simply skip the probe.
+  /** Decode the sniff window with the charset the distributed read
+    * will use — the text the A15 (quoted newline) and A16 (delimiter)
+    * probes both scan. Bounded like the encoding sniff itself; the
+    * charsets whose sparkCharset mapping throws keep their loud
+    * downstream error and simply skip the probes (None).
     */
-  private[graft] def needsMultiline(encoding: String,
-      sniff: Array[Byte], delimiter: String): Boolean = {
+  private[graft] def decodeSniff(encoding: String,
+      sniff: Array[Byte]): Option[String] = {
     val csName = encoding match {
       case EncodingDetector.Cp1252 => "windows-1252"
-      case e => scala.util.Try(sparkCharset(e)).getOrElse(return false)
+      case e => scala.util.Try(sparkCharset(e)).getOrElse(return None)
     }
-    val decoded = scala.util.Try(
-      new String(sniff, Charset.forName(csName))).getOrElse(return false)
-    quotedNewline(decoded, if (delimiter.isEmpty) ',' else delimiter.head)
+    scala.util.Try(new String(sniff, Charset.forName(csName))).toOption
+  }
+
+  /** Candidate order doubles as the tie-break precedence. */
+  private val DelimiterCandidates = Seq(',', '\t', ';', '|')
+
+  /** A16: infer the delimiter from the sniff window by field-count
+    * consistency voting (the csv.Sniffer idea, quote-aware): for each
+    * candidate, split the window into RFC 4180 records and count
+    * fields per record — the winning delimiter yields ≥2 fields at a
+    * consistent count across records (quoted delimiters don't count,
+    * so prose commas inside quotes can't fake a win). Nothing
+    * qualifies (single-column file, ragged counts) → ','.
+    */
+  private[graft] def sniffDelimiter(text: String,
+      truncated: Boolean): String = {
+    val scored = DelimiterCandidates.map { d =>
+      val all = recordFieldCounts(text, d)
+      // a truncated window's final record may be cut mid-field
+      val counts = if (truncated && all.nonEmpty) all.init else all
+      if (counts.size < 2) (d, 1, 0.0)
+      else {
+        val mode = counts.groupBy(identity)
+          .maxBy { case (v, g) => (g.size, v) }._1
+        (d, mode, counts.count(_ == mode).toDouble / counts.size)
+      }
+    }
+    scored.filter { case (_, m, frac) => m >= 2 && frac >= 0.8 }
+      .sortBy { case (d, _, frac) => (-frac, DelimiterCandidates.indexOf(d)) }
+      .headOption.map(_._1.toString).getOrElse(",")
+  }
+
+  /** Fields per record under candidate delimiter `d`, honoring RFC
+    * 4180 quoting (quoted newlines extend the record, quoted
+    * delimiters are literal). */
+  private def recordFieldCounts(text: String, d: Char): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = text.length
+    var fields = 1
+    var inQuotes = false
+    var atFieldStart = true
+    var hasContent = false
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < n && text.charAt(i + 1) == '"') i += 1
+          else { inQuotes = false; atFieldStart = false }
+        }
+        hasContent = true
+      } else if (c == '"' && atFieldStart) {
+        inQuotes = true; atFieldStart = false; hasContent = true
+      } else if (c == d) {
+        fields += 1; atFieldStart = true; hasContent = true
+      } else if (c == '\n' || c == '\r') {
+        if (hasContent) out += fields
+        fields = 1; atFieldStart = true; hasContent = false
+        if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') i += 1
+      } else {
+        atFieldStart = false; hasContent = true
+      }
+      i += 1
+    }
+    if (hasContent) out += fields
+    out.toSeq
   }
 
   /** cp1252 differs from latin-1 ONLY in 0x80–0x9F (27 defined

@@ -74,14 +74,40 @@ class UploaderFormatSpec extends AnyFunSuite with SparkTestBase {
   import graft.catalog.GraftDatabase
   import graft.sources.CsvUploader
 
-  test("tab-delimited upload") {
+  test("tab-delimited upload (explicit and A16-sniffed)") {
     val dir = scratch("tsv")
     val db = GraftDatabase(spark, s"$dir/db")
     Files.write(Paths.get(s"$dir/in.tsv"), "name\tage\nCleo\t5".getBytes)
-    CsvUploader.upload(db, s"$dir/in.tsv", Some("t"), delimiter = "\t")
+    CsvUploader.upload(db, s"$dir/in.tsv", Some("t"),
+      delimiter = Some("\t"))
     val df = db.read("t")
     assert(df.columns.toSeq == Seq("name", "age"))
     assert(df.schema("age").dataType.simpleString == "bigint")
+    // same file, no delimiter named: the sniffer must find the tab
+    CsvUploader.upload(db, s"$dir/in.tsv", Some("t2"))
+    assert(db.read("t2").columns.toSeq == Seq("name", "age"))
+    assert(db.read("t2").schema("age").dataType.simpleString == "bigint")
+  }
+
+  test("A16: delimiter sniffing votes by quote-aware field consistency") {
+    import CsvUploader.sniffDelimiter
+    assert(sniffDelimiter("a,b,c\n1,2,3\n4,5,6", truncated = false) == ",")
+    assert(sniffDelimiter("a\tb\n1\t2\n3\t4", truncated = false) == "\t")
+    assert(sniffDelimiter("a;b;c\n1;2;3", truncated = false) == ";")
+    assert(sniffDelimiter("a|b\n1|2", truncated = false) == "|")
+    // quoted delimiters are literal: the comma wins though every
+    // record also carries semicolons inside quotes
+    assert(sniffDelimiter(
+      "x,y\n\"a; b; c\",1\n\"d; e; f\",2", truncated = false) == ",")
+    // single column / no delimiter at all → default comma
+    assert(sniffDelimiter("one\n1\n2", truncated = false) == ",")
+    // header-only window (one record) → default comma
+    assert(sniffDelimiter("a;b;c", truncated = false) == ",")
+    // ragged counts qualify no candidate → default comma
+    assert(sniffDelimiter("a;b\n1\n2;3;4\n5", truncated = false) == ",")
+    // truncated window drops the cut final record before voting
+    assert(sniffDelimiter("a;b\n1;2\n3;4\n5;6;7;8;9;1", truncated = true)
+      == ";")
   }
 
   test("schema evolution unions headers in first-seen order") {
