@@ -464,6 +464,33 @@ object CsvQueries {
     db.read(res.tableName)
   }
 
+  /** A17: fixed-width upload — nation rendered as a padded-column
+    * ledger (right-aligned key, left-aligned name, right-aligned
+    * score), uploaded under the (name, width) spec and compared
+    * typed: trim semantics and inference both on the oracle's books.
+    */
+  def fwIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("fw_ingest", sfDir)
+    val db = freshDb(spark, "fw_ingest", sfDir)
+    val rows = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .collect() // 25-row dim table: driver-side file synthesis only
+      .map { r =>
+        val k = r.getInt(0)
+        val name = r.getString(1)
+        f"$k%4d${name.padTo(25, ' ')}${k * 7}%6d"
+      }
+      .sorted
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/ledger.dat"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    val res = graft.sources.FixedWidthUploader.upload(db,
+      s"$dir/ledger.dat",
+      Seq(("n_nationkey", 4), ("n_name", 25), ("score", 6)),
+      Some("ledger"))
+    db.read(res.tableName)
+  }
+
   /** The query interface over uploaded tables (Datasette's whole
     * point): upload a CSV, then run SQL against it by name.
     */
@@ -639,6 +666,10 @@ object CsvQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  'x; y; ' || CAST(n_nationkey AS VARCHAR) AS note
         |FROM nation""".stripMargin,
+    "fw_ingest" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_nationkey * 7 AS BIGINT) AS score
+        |FROM nation""".stripMargin,
     "csv_table_conflict" ->
       """SELECT * FROM (VALUES
         |  ('already_exists'), ('already_exists_2'), ('already_exists_3'),
@@ -660,6 +691,7 @@ object CsvQueries {
     "csv_ragged_rows" -> (csvRaggedRows _),
     "csv_ingest_multiline" -> (csvIngestMultiline _),
     "csv_delimiter_sniff" -> (csvDelimiterSniff _),
+    "fw_ingest" -> (fwIngest _),
     "csv_encoding_detect" -> (csvEncodingDetect _),
     "csv_encoding_cp1252" -> (csvEncodingCp1252 _),
     "csv_encoding_utf16" -> (csvEncodingUtf16 _),

@@ -181,7 +181,7 @@ object CsvUploader {
     * the detected encoding AND the sniff window itself, so the
     * multiline probe reuses the same read.
     */
-  private def detectEncodingAndSniff(spark: SparkSession, csvPath: String,
+  private[sources] def detectEncodingAndSniff(spark: SparkSession, csvPath: String,
       sniffBytes: Int): (String, Array[Byte]) = {
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -353,7 +353,7 @@ object CsvUploader {
     * decode garbage, which is also what the old UTF-16LE
     * misdetection used to produce silently.
     */
-  private def sparkCharset(encoding: String): String = encoding match {
+  private[sources] def sparkCharset(encoding: String): String = encoding match {
     case EncodingDetector.Cp1252 => EncodingDetector.Latin1
     case EncodingDetector.Cp037Lf =>
       throw new IllegalArgumentException(
@@ -397,7 +397,7 @@ object CsvUploader {
     * 0x0A at all, and readRaw gives it an explicit charset-encoded
     * lineSep ("\n" -> 0x15 under Java's IBM037) instead.
     */
-  private def needsLegacyCharset(encoding: String): Boolean =
+  private[sources] def needsLegacyCharset(encoding: String): Boolean =
     encoding == EncodingDetector.ShiftJis ||
       encoding == EncodingDetector.EucKr ||
       encoding == EncodingDetector.EucJp ||
@@ -422,7 +422,7 @@ object CsvUploader {
     * finish every ACTION on the decoded frame inside `body`: the conf
     * is consulted when the scan executes, not when it's declared.
     */
-  private def withLegacyCharsets[T](spark: SparkSession,
+  private[sources] def withLegacyCharsets[T](spark: SparkSession,
       needed: Boolean)(body: => T): T = {
     if (!needed) return body
     val key = "spark.sql.legacy.javaCharsets"
@@ -434,6 +434,30 @@ object CsvUploader {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** UTF-16/32 AND EBCDIC need the explicit lineSep: Spark encodes
+    * it in the declared charset ("\n" → 0x15 under Java's IBM037/
+    * IBM500), so records split on the real terminator bytes instead
+    * of a raw 0x0A that a non-ASCII-compatible stream never
+    * contains. cp1047's real-world convention terminates records
+    * with LF 0x25, which Java's IBM1047 maps to U+0085 (NEL) — so
+    * NEL is the lineSep that encodes to the right byte there.
+    * Shared by the CSV and fixed-width (A17) readers.
+    */
+  private[sources] def applyLineSep(
+      reader: org.apache.spark.sql.DataFrameReader,
+      encoding: String): org.apache.spark.sql.DataFrameReader =
+    if (encoding == EncodingDetector.Cp1047)
+      reader.option("lineSep", "\u0085")
+    else if (encoding.startsWith("UTF-16") ||
+      encoding.startsWith("UTF-32") ||
+      encoding == EncodingDetector.Cp037 ||
+      encoding == EncodingDetector.Cp500 ||
+      encoding == EncodingDetector.Cp273 ||
+      encoding == EncodingDetector.Cp277 ||
+      encoding == EncodingDetector.Cp1047Nl)
+      reader.option("lineSep", "\n")
+    else reader
 
   private def readRaw(spark: SparkSession, csvPath: String,
       encoding: String, delimiter: String = ",",
@@ -454,24 +478,7 @@ object CsvUploader {
       // forced) — records may then span raw newlines, like the
       // reference's csv.reader
       .option("multiLine", multiline.toString)
-    // UTF-16/32 AND EBCDIC need the explicit lineSep: Spark encodes
-    // it in the declared charset ("\n" → 0x15 under Java's IBM037/
-    // IBM500), so records split on the real terminator bytes instead
-    // of a raw 0x0A that a non-ASCII-compatible stream never
-    // contains. cp1047's real-world convention terminates records
-    // with LF 0x25, which Java's IBM1047 maps to U+0085 (NEL) — so
-    // NEL is the lineSep that encodes to the right byte there.
-    val df = (if (encoding == EncodingDetector.Cp1047)
-        reader.option("lineSep", "\u0085")
-      else if (encoding.startsWith("UTF-16") ||
-        encoding.startsWith("UTF-32") ||
-        encoding == EncodingDetector.Cp037 ||
-        encoding == EncodingDetector.Cp500 ||
-        encoding == EncodingDetector.Cp273 ||
-        encoding == EncodingDetector.Cp277 ||
-        encoding == EncodingDetector.Cp1047Nl)
-        reader.option("lineSep", "\n")
-      else reader).csv(csvPath)
+    val df = applyLineSep(reader, encoding).csv(csvPath)
     if (encoding == EncodingDetector.Cp1252) {
       import org.apache.spark.sql.functions.{col, translate}
       // header names were decoded latin-1 too — fix them JVM-side

@@ -110,6 +110,49 @@ class UploaderFormatSpec extends AnyFunSuite with SparkTestBase {
       == ";")
   }
 
+  test("A17: fixed-width upload — trim, null-fill, typed inference") {
+    import graft.sources.FixedWidthUploader
+    val dir = scratch("fw")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // widths: id=4 (right-aligned), name=8 (left-aligned), amt=6
+    val body =
+      "   1Cleo        5\n" +
+      "  22Pancakes 1250\n" +
+      " 333短い       -7\n" +  // multibyte text inside a width
+      "4444Tail\n" // short record: amt null-fills
+    Files.write(Paths.get(s"$dir/ledger.dat"), body.getBytes("UTF-8"))
+    val res = FixedWidthUploader.upload(db, s"$dir/ledger.dat",
+      Seq(("id", 4), ("name", 8), ("amt", 6)), Some("ledger"))
+    assert(res.error.isEmpty, res.error)
+    val df = db.read("ledger")
+    assert(df.schema("id").dataType.simpleString == "bigint")
+    assert(df.schema("amt").dataType.simpleString == "bigint")
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(rows.toSeq == Seq(
+      (1L, "Cleo", Some(5L)), (22L, "Pancakes", Some(1250L)),
+      (333L, "短い", Some(-7L)), (4444L, "Tail", None)))
+  }
+
+  test("A17: EBCDIC cp037 fixed-width ledger decodes end to end") {
+    import graft.sources.FixedWidthUploader
+    val dir = scratch("fw_ebcdic")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // the mainframe shape: cp037 bytes, NL (0x15) record terminators
+    // (Java's IBM037 encodes '\n' to 0x15)
+    // columns: id(4) tag(8) qty(3) — "alpha"+3 pad, "beta"+4 pad
+    val body = "   7alpha    42\n  88beta    100\n"
+    Files.write(Paths.get(s"$dir/mf.dat"),
+      body.getBytes(java.nio.charset.Charset.forName("IBM037")))
+    val res = FixedWidthUploader.upload(db, s"$dir/mf.dat",
+      Seq(("id", 4), ("tag", 8), ("qty", 3)), Some("mf"))
+    assert(res.error.isEmpty, res.error)
+    assert(res.encoding == "IBM037")
+    val rows = db.read("mf").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((7L, "alpha", 42L), (88L, "beta", 100L)))
+  }
+
   test("schema evolution unions headers in first-seen order") {
     val dir = scratch("evolve_spec")
     val db = GraftDatabase(spark, s"$dir/db")
