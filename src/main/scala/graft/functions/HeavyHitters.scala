@@ -100,8 +100,13 @@ object HeavyHitters {
     override def zero: Map[String, Long] = Map.empty
 
     override def reduce(b: Map[String, Long],
-        x: KeyCount): Map[String, Long] =
-      mg.merge(b, Map(x.key -> x.count))
+        x: KeyCount): Map[String, Long] = {
+      // zero weight = zero occurrences (a no-op, never a summary
+      // slot); negative weight would corrupt every bound — fail loud
+      require(x.count >= 0L,
+        s"negative heavy-hitter weight for '${x.key}': ${x.count}")
+      if (x.count == 0L) b else mg.merge(b, Map(x.key -> x.count))
+    }
 
     override def merge(b1: Map[String, Long],
         b2: Map[String, Long]): Map[String, Long] = mg.merge(b1, b2)

@@ -642,25 +642,34 @@ object LanguageModel {
   // Served-model broadcast memo: the stored model is immutable
   // between rebuilds, so the per-invocation take(cap+1) job + driver
   // map fold + broadcast (the serve path's only non-scan work) are
-  // artifact-level, not query-level, cost. Keyed by applicationId +
-  // artifact path (a Broadcast dies with its SparkContext); staleness
-  // = the bigrams directory's file listing (name/len/modtime — an
-  // O(files) driver metadata call, no Spark job), so a rebuild from
-  // ANOTHER process invalidates too. The join path (model above the
-  // cap) is unaffected — it never had per-invocation driver work.
-  private case class ServedLm(sig: String,
+  // artifact-level, not query-level, cost. Keyed by artifact path;
+  // an entry is valid only under ITS SparkContext (a Broadcast dies
+  // with its context — the stored applicationId is checked on every
+  // hit, so a restarted session re-folds instead of serving a dead
+  // handle), only while the bigrams directory's file listing matches
+  // (name/len/modtime — an O(files) driver metadata call, no Spark
+  // job — so a rebuild from ANOTHER process invalidates too), and
+  // only when its row count fits the CALLER's maxBroadcastModel (a
+  // tight explicit cap must still get the join path, whatever an
+  // earlier looser call cached). Bounded: access-order LRU of 8
+  // models — a long-lived driver serving many corpora evicts, never
+  // accumulates. The join path (model above the cap) is unaffected —
+  // it never had per-invocation driver work.
+  private case class ServedLm(appId: String, sig: String, nRows: Int,
     bc: org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
         java.lang.Long]],
     vocabSize: Long)
 
-  private val lmServeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, ServedLm]()
+  private val lmServeMemo: java.util.Map[String, ServedLm] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, ServedLm](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ServedLm]): Boolean = size > 8
+      })
 
   private def servedKey(db: graft.catalog.GraftDatabase,
-      name: String): String =
-    db.spark.sparkContext.applicationId + "@" +
-      db.tablePath(s"${name}_bigrams")
+      name: String): String = db.tablePath(s"${name}_bigrams")
 
   private def artifactSig(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -683,15 +692,17 @@ object LanguageModel {
     val held = docs.select(col("doc_id"), col("text"))
     if (maxBroadcastModel > 0) {
       val key = servedKey(db, name)
+      val appId = db.spark.sparkContext.applicationId
       val sig = artifactSig(db.spark, db.tablePath(s"${name}_bigrams"))
       val hit = lmServeMemo.get(key)
-      if (hit != null && hit.sig == sig)
+      if (hit != null && hit.appId == appId && hit.sig == sig &&
+          hit.nRows <= maxBroadcastModel)
         return scoreBroadcast(held, hit.bc, hit.vocabSize)
       val rows = db.read(s"${name}_bigrams").take(maxBroadcastModel + 1)
       if (rows.length <= maxBroadcastModel) {
         val (m, vs) = foldModelRows(rows)
         val bc = db.spark.sparkContext.broadcast(m)
-        lmServeMemo.put(key, ServedLm(sig, bc, vs))
+        lmServeMemo.put(key, ServedLm(appId, sig, rows.length, bc, vs))
         return scoreBroadcast(held, bc, vs)
       }
     }

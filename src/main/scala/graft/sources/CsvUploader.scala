@@ -77,8 +77,10 @@ object CsvUploader {
       // actually interleaves newlines into quoted fields; a 100 TB
       // ingest arrives as many files, so file-level parallelism
       // survives. Explicit `multiLine` overrides the bounded sniff.
-      val multi = multiLine.getOrElse(windowText
-        .exists(quotedNewline(_, if (delim.isEmpty) ',' else delim.head)))
+      val delimCh = if (delim.isEmpty) ',' else delim.head
+      val multi = multiLine.getOrElse(
+        windowText.exists(quotedNewline(_, delimCh)) ||
+          quotedNewlineInOtherParts(spark, csvPath, encoding, delimCh))
       withLegacyCharsets(spark, needsLegacyCharset(encoding)) {
         val raw =
           if (alter) readRawEvolving(spark, csvPath, encoding, delim,
@@ -185,30 +187,65 @@ object CsvUploader {
       sniffBytes: Int): (String, Array[Byte]) = {
     val p = new Path(csvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target =
-      if (fs.getFileStatus(p).isDirectory) {
-        val parts = fs.listStatus(p).filter(_.isFile)
-          .map(_.getPath).filterNot(_.getName.startsWith("_")).sortBy(_.getName)
-        if (parts.isEmpty) p else parts.head
-      } else p
+    val parts = partFiles(fs, p)
+    val target = parts.headOption.getOrElse(p)
+    val window = readWindow(fs, target, sniffBytes)
+    (EncodingDetector.detectBytes(window,
+      truncated = window.length == sniffBytes), window)
+  }
+
+  /** Data part files of a file-or-directory upload path, in name
+    * order (a single file lists as itself). */
+  private def partFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[Path] =
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(_.getName.startsWith("_")).sortBy(_.getName).toSeq
+    else Seq(p)
+
+  /** Leading `n` bytes of one file, gzip members decompressed (magic
+    * 1f 8b) — the shared read under the encoding sniff and the
+    * per-part multiline probe. */
+  private def readWindow(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, n: Int): Array[Byte] = {
     val in = fs.open(target)
     try {
       val head = new Array[Byte](2)
-      val n = in.read(head)
+      val got = in.read(head)
       in.seek(0)
       val stream: java.io.InputStream =
-        if (n == 2 && head(0) == 0x1F.toByte && head(1) == 0x8B.toByte)
+        if (got == 2 && head(0) == 0x1F.toByte && head(1) == 0x8B.toByte)
           new java.util.zip.GZIPInputStream(in)
         else in
-      val buf = new Array[Byte](sniffBytes)
+      val buf = new Array[Byte](n)
       var off = 0
       var r = 0
-      while (off < sniffBytes &&
-        { r = stream.read(buf, off, sniffBytes - off); r > 0 }) off += r
-      val window = java.util.Arrays.copyOf(buf, off)
-      (EncodingDetector.detectBytes(window, truncated = off == sniffBytes),
-        window)
+      while (off < n && { r = stream.read(buf, off, n - off); r > 0 })
+        off += r
+      java.util.Arrays.copyOf(buf, off)
     } finally in.close()
+  }
+
+  /** How many part files beyond the first the A15 probe samples, and
+    * how many bytes of each. Bounded driver cost (≤ ~4 MiB of reads
+    * per directory upload); quoted newlines first appearing beyond
+    * the sampled windows still need `multiLine = Some(true)`. */
+  private val MultilineProbeParts = 15
+  private val MultilineProbePartBytes = 256 * 1024
+
+  /** A15's directory half: the FIRST part's 2 MiB window rides the
+    * encoding sniff, but a multi-part upload (e.g. re-uploading an
+    * exportCsv directory) can hold its quoted newlines in any part —
+    * so sample a bounded number of the remaining parts too, short-
+    * circuiting on the first hit. */
+  private def quotedNewlineInOtherParts(spark: SparkSession,
+      csvPath: String, encoding: String, delimiter: Char): Boolean = {
+    val p = new Path(csvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partFiles(fs, p).drop(1).take(MultilineProbeParts).exists { f =>
+      decodeSniff(encoding, readWindow(fs, f, MultilineProbePartBytes))
+        .exists(quotedNewline(_, delimiter))
+    }
   }
 
   /** RFC 4180 quoted-newline scan: does the text contain a newline
@@ -255,7 +292,12 @@ object CsvUploader {
       case EncodingDetector.Cp1252 => "windows-1252"
       case e => scala.util.Try(sparkCharset(e)).getOrElse(return None)
     }
-    scala.util.Try(new String(sniff, Charset.forName(csName))).toOption
+    scala.util.Try {
+      val t = new String(sniff, Charset.forName(csName))
+      // strip a decoded BOM (U+FEFF) — to the probes it is content
+      // and would hide a quoted first header field from atFieldStart
+      if (t.nonEmpty && t.charAt(0) == 65279.toChar) t.substring(1) else t
+    }.toOption
   }
 
   /** Candidate order doubles as the tie-break precedence. */
@@ -279,7 +321,12 @@ object CsvUploader {
       else {
         val mode = counts.groupBy(identity)
           .maxBy { case (v, g) => (g.size, v) }._1
-        (d, mode, counts.count(_ == mode).toDouble / counts.size)
+        // the HEADER (first record) must itself match the mode — a
+        // delimited file's header carries the data's field count,
+        // while punctuation that merely recurs in single-column data
+        // (log lines with consistent '|'s) leaves a 1-field header
+        val m = if (counts.head == mode) mode else 1
+        (d, m, counts.count(_ == mode).toDouble / counts.size)
       }
     }
     scored.filter { case (_, m, frac) => m >= 2 && frac >= 0.8 }

@@ -251,6 +251,26 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("weighted misra-gries: zero weights are no-ops, negatives fail loud") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    val got = Seq(("a", 5L), ("b", 0L), ("a", 3L), ("c", 2L), ("b", 0L))
+      .toDF("key", "w")
+      .agg(HeavyHitters.heavyHittersWeighted(4)(col("key"), col("w"))
+        .as("hh"))
+      .select(explode(col("hh")).as("s"))
+      .select(col("s.key"), col("s.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zero-weight rows never occupy a summary slot
+    assert(got == Map("a" -> 8L, "c" -> 2L))
+    val ex = intercept[Exception] {
+      Seq(("a", -1L)).toDF("key", "w")
+        .agg(HeavyHitters.heavyHittersWeighted(4)(col("key"), col("w")))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("E15b query: MG + exact recount equals the exact vocabulary") {
     import spark.implicits._
     import graft.operators.TextQueries

@@ -355,6 +355,10 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     // take/collect/broadcast jobs) is still bit-identical
     assert(lm.perplexityFromModel(db, "lm", held)
       .except(inline).count() == 0)
+    // a tight explicit cap must NOT be served an earlier looser
+    // call's broadcast — the join path runs and stays bit-identical
+    assert(lm.perplexityFromModel(db, "lm", held, maxBroadcastModel = 1)
+      .except(inline).count() == 0)
     // a rebuild that CHANGES the model must not serve the memoized
     // broadcast: retrain on the held split itself — now every held
     // bigram is observed and scores genuinely move

@@ -401,6 +401,39 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(!quotedNewline("a,\"q\"junk\nb,c", ','))
   }
 
+  test("A15: quoted newline hiding in a LATER part of a directory upload") {
+    val dir = scratch("multiline_dir")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // part 1 is plain; only part 2 carries the quoted newline
+    Files.write(Paths.get(s"$dir/in/part-00000.csv"),
+      "id,note\n1,plain\n".getBytes)
+    Files.write(Paths.get(s"$dir/in/part-00001.csv"),
+      "id,note\n2,\"two\nlines\"\n".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/in", Some("parts"))
+    assert(res.error.isEmpty, res.error)
+    val rows = db.read("parts").orderBy(col("id")).collect()
+    assert(rows.length == 2)
+    assert(rows(1).getString(1) == "two\nlines")
+  }
+
+  test("A15: BOM does not hide a quoted multiline first field") {
+    import graft.sources.CsvUploader.{decodeSniff, quotedNewline}
+    val withBom = ("\uFEFF\"col\none\",b\n1,2").getBytes("UTF-8")
+    val decoded = decodeSniff("UTF-8", withBom)
+    assert(decoded.isDefined && !decoded.get.startsWith("\uFEFF"))
+    assert(quotedNewline(decoded.get, ','))
+  }
+
+  test("A16: consistent punctuation in single-column data does not split") {
+    import graft.sources.CsvUploader.sniffDelimiter
+    // log-shaped: 1-field header, data lines all containing one '|'
+    assert(sniffDelimiter("msg\na|b\nc|d\ne|f\ng|h", truncated = false)
+      == ",")
+    // a REAL pipe file (header matches) still wins
+    assert(sniffDelimiter("k|v\na|b\nc|d", truncated = false) == "|")
+  }
+
   test("A15: explicit multiLine override parses a plain file unchanged") {
     val dir = scratch("multiline_force")
     val db = GraftDatabase(spark, s"$dir/db")
