@@ -400,7 +400,7 @@ object CsvUploader {
     * decode garbage, which is also what the old UTF-16LE
     * misdetection used to produce silently.
     */
-  private[sources] def sparkCharset(encoding: String): String = encoding match {
+  private[graft] def sparkCharset(encoding: String): String = encoding match {
     case EncodingDetector.Cp1252 => EncodingDetector.Latin1
     case EncodingDetector.Cp037Lf =>
       throw new IllegalArgumentException(
@@ -491,11 +491,8 @@ object CsvUploader {
     * NEL is the lineSep that encodes to the right byte there.
     * Shared by the CSV and fixed-width (A17) readers.
     */
-  private[sources] def applyLineSep(
-      reader: org.apache.spark.sql.DataFrameReader,
-      encoding: String): org.apache.spark.sql.DataFrameReader =
-    if (encoding == EncodingDetector.Cp1047)
-      reader.option("lineSep", "\u0085")
+  private[graft] def lineSepFor(encoding: String): Option[String] =
+    if (encoding == EncodingDetector.Cp1047) Some("\u0085")
     else if (encoding.startsWith("UTF-16") ||
       encoding.startsWith("UTF-32") ||
       encoding == EncodingDetector.Cp037 ||
@@ -503,8 +500,13 @@ object CsvUploader {
       encoding == EncodingDetector.Cp273 ||
       encoding == EncodingDetector.Cp277 ||
       encoding == EncodingDetector.Cp1047Nl)
-      reader.option("lineSep", "\n")
-    else reader
+      Some("\n")
+    else None
+
+  private[sources] def applyLineSep(
+      reader: org.apache.spark.sql.DataFrameReader,
+      encoding: String): org.apache.spark.sql.DataFrameReader =
+    lineSepFor(encoding).fold(reader)(reader.option("lineSep", _))
 
   private def readRaw(spark: SparkSession, csvPath: String,
       encoding: String, delimiter: String = ",",

@@ -537,6 +537,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.head >= 1L) // cumulative within the last run
   }
 
+  test("G2: streaming fixed-width ingest appends per batch, typed (A17)") {
+    val dir = scratch("stream_fw")
+    val fwDir = s"$dir/incoming"
+    Files.createDirectories(Paths.get(fwDir))
+    // id(4) name(8) amt(6)
+    Files.write(Paths.get(s"$fwDir/part1.dat"),
+      "   1Cleo         5\n  22Pancakes  1250\n".getBytes)
+    val db = GraftDatabase(spark, s"$dir/db")
+    val spec = Seq(("id", 4), ("name", 8), ("amt", 6))
+    val q1 = graft.streaming.StreamingFixedWidthIngest.start(
+      db, fwDir, "ledger", "task-fw1", spec)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(db.read("ledger").count() == 2)
+    assert(db.read("ledger").schema("amt").dataType.simpleString
+      == "bigint")
+    // second file arrives → restart appends only the new rows
+    Files.write(Paths.get(s"$fwDir/part2.dat"),
+      " 333Rex         -7\n".getBytes)
+    val q2 = graft.streaming.StreamingFixedWidthIngest.start(
+      db, fwDir, "ledger", "task-fw1", spec)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = db.read("ledger").orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "Cleo", 5L), (22L, "Pancakes", 1250L),
+      (333L, "Rex", -7L)))
+    // streamed result ≡ the batch uploader's parse of the same files
+    val db2 = GraftDatabase(spark, s"$dir/db2")
+    graft.sources.FixedWidthUploader.upload(db2, fwDir, spec, Some("b"))
+    assert(db.read("ledger").except(db2.read("b")).count() == 0)
+    assert(db2.read("b").except(db.read("ledger")).count() == 0)
+  }
+
   test("G8: streaming ANN serving equals the batch IVF answer per query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
