@@ -60,6 +60,19 @@ object Pipeline {
       // payload widens the corpus-scale fp shuffle. Survivors-only
       // computation after the exchange stays the shipped shape.)
       .withColumn("sh", Dedup.shingleHashColumn(col("text")))
+      // Late-r8: the cache DROPS the raw text — every text-derived
+      // output (sh, n_tokens) is computed in this projection, so the
+      // persisted frame is (ids + stats + hash arrays) with no
+      // document bytes. At 10× this measures WITHIN JITTER of the
+      // text-carrying cache (1.89 vs 1.80 s, DriveCleanProbe — the
+      // toy corpus's text is ~50 MB, compute dominates); the shape
+      // is kept for the real-scale argument: a 100 TB composite's
+      // canonical cache would otherwise hold the whole surviving
+      // corpus's bytes and spill, while ids+stats+hash arrays are
+      // ~an order smaller. Nothing downstream reads the text (the
+      // anti-join keeps ids, the verify works on `sh`).
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        wsTokenCount(col("text")).as("n_tokens"), col("sh"))
       // Feeds the anti-join's kept side and every branch of the
       // AllPairs pipeline — without this persist the regex gates and
       // the dedup aggregation re-execute per branch, and the
@@ -80,7 +93,7 @@ object Pipeline {
     graft.CacheHygiene.unpersistAfterUse(canonical)
     canonical.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("pred_lang"), col("quality"),
-        wsTokenCount(col("text")).as("n_tokens"))
+        col("n_tokens"))
   }
 
   /** Deterministic, reproducible train/valid/test assignment — the
