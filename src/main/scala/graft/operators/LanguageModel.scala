@@ -292,7 +292,14 @@ object LanguageModel {
 
   private def servedCorpusModel(spark: SparkSession,
       dir: String): graft.catalog.GraftDatabase = {
-    val key = new org.apache.hadoop.fs.Path(dir).getName
+    // key on the FULL path, not the basename: two corpora named
+    // ".../v1/corpus" and ".../v2/corpus" must not share a scratch
+    // model (late-r8 review fix). The md5 prefix keeps the scratch
+    // dir name filesystem-safe; the basename stays for readability.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val key = p.getName + "_" + java.security.MessageDigest
+      .getInstance("MD5").digest(p.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     val db = graft.catalog.GraftDatabase(spark,
       s"${CsvQueries.scratchRoot}/lmmodel_$key/db")
     if (!lmReady.contains(key)) {
@@ -347,7 +354,11 @@ object LanguageModel {
     // Σ_occurrences ≡ Σ_distinct tf, exact long arithmetic.
     val gf0 = graft.functions.GraftFunctions
     val byTgt = docs
-      .select(col("source").isin(targetSrcs: _*).as("tgt"),
+      // coalesce: `isin` on a NULL source yields null, which the
+      // join path's filter silently drops but the fast path's
+      // getBoolean would NPE on — a null source is simply non-target
+      .select(coalesce(col("source").isin(targetSrcs: _*), lit(false))
+        .as("tgt"),
         explode(gf0.termCounts(lower(col("text")), 2, 2)).as("p"))
       .groupBy(col("p.term").as("bg"), col("tgt"))
       .agg(sum(col("p.tf")).as("c2"))
@@ -498,14 +509,21 @@ object LanguageModel {
     // when take(cap+1) proves the mixed gram table fits the driver
     // bound, the collected rows ARE the byte-pass model — no joins,
     // no second model job, and the gate's aggregation is the model
-    // build itself, so a passed gate wastes nothing. A FAILED gate
-    // (10⁸⁺-gram web vocabulary) costs one bounded collect over the
-    // aggregation the join path recomputes from the same lineage —
-    // see [[defaultTrigramCap]] for the r7→r8 measurement history.
+    // build itself, so a passed gate wastes nothing. The persist
+    // comes FIRST so the gate's take doubles as the cache
+    // materialization: a FAILED gate (10⁸⁺-gram web vocabulary)
+    // costs one bounded collect over the cache the join path reads
+    // anyway — without it Spark would not reuse the corpus-scale
+    // aggregation across the two separate actions and the failed
+    // gate would pay it twice (late-r8 review fix; this is the
+    // behavior [[defaultTrigramCap]]'s measurement history assumes).
+    val mixedP =
+      mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gateRows = if (maxBroadcastModel > 0)
-      mixed.take(maxBroadcastModel + 1)
+      mixedP.take(maxBroadcastModel + 1)
     else Array.empty[org.apache.spark.sql.Row]
     if (maxBroadcastModel > 0 && gateRows.length <= maxBroadcastModel) {
+      mixedP.unpersist(false) // the broadcast map replaces the cache
       val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
       val m = new java.util.HashMap[
         org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
@@ -533,8 +551,7 @@ object LanguageModel {
     // Join path (web-scale model): the three per-order tables derive
     // from the SAME persisted vocabulary-sized aggregation by gram
     // width — the corpus is scanned exactly once for the model.
-    val mixedP = graft.CacheHygiene.unpersistAfterUse(
-      mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.CacheHygiene.unpersistAfterUse(mixedP)
     val sp1 = split(col("g"), " ")
     val c1 = mixedP.filter(size(sp1) === 1)
       .select(col("g").as("w"), col("c").as("c1"))

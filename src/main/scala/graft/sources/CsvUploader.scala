@@ -196,7 +196,7 @@ object CsvUploader {
 
   /** Data part files of a file-or-directory upload path, in name
     * order (a single file lists as itself). */
-  private def partFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def partFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Seq[Path] =
     if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(_.isFile).map(_.getPath)
@@ -246,6 +246,27 @@ object CsvUploader {
       decodeSniff(encoding, readWindow(fs, f, MultilineProbePartBytes))
         .exists(quotedNewline(_, delimiter))
     }
+  }
+
+  /** Streaming-side charset setup (A9/G2 and the A17 stream): the
+    * scoped [[withLegacyCharsets]] wrapper cannot protect a
+    * long-lived streaming query — the conf is consulted per
+    * micro-batch, long after start() returned — so the legacy
+    * escape hatch is set STICKY on the session when the detected
+    * charset needs it (it stays set for the query's lifetime, by
+    * design), and cp1252 — which the batch path decodes via the
+    * latin-1+translate trick — streams through Java's own
+    * windows-1252 charset under the same conf. Returns the charset
+    * name to hand the reader; throws (loudly, like the batch path)
+    * for the undecodable verdicts.
+    */
+  private[graft] def streamingCharset(spark: SparkSession,
+      encoding: String): String = {
+    if (needsLegacyCharset(encoding) ||
+        encoding == EncodingDetector.Cp1252)
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    if (encoding == EncodingDetector.Cp1252) "windows-1252"
+    else sparkCharset(encoding)
   }
 
   /** RFC 4180 quoted-newline scan: does the text contain a newline
@@ -503,7 +524,7 @@ object CsvUploader {
       Some("\n")
     else None
 
-  private[sources] def applyLineSep(
+  private[graft] def applyLineSep(
       reader: org.apache.spark.sql.DataFrameReader,
       encoding: String): org.apache.spark.sql.DataFrameReader =
     lineSepFor(encoding).fold(reader)(reader.option("lineSep", _))

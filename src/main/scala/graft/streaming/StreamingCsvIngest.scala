@@ -42,12 +42,15 @@ object StreamingCsvIngest {
       taskId: String): StreamingQuery = {
     val spark = db.spark
     val encoding = EncodingDetector.detect(spark, firstFile(spark, csvDir))
+    // legacy-charset conf + reader charset name (sticky for the
+    // query's lifetime — see CsvUploader.streamingCharset)
+    val charset = CsvUploader.streamingCharset(spark, encoding)
 
     // Static sniff pass: header + type verdicts from what's on disk.
-    val staticRaw = spark.read
-      .option("header", "true").option("encoding", encoding)
+    val staticRaw = CsvUploader.applyLineSep(spark.read
+      .option("header", "true").option("encoding", charset)
       .option("inferSchema", "false")
-      .option("escape", "\"").csv(csvDir)
+      .option("escape", "\""), encoding).csv(csvDir)
     val types = TypeInference.infer(staticRaw)
     val stringSchema = StructType(
       staticRaw.columns.map(StructField(_, StringType, nullable = true)))
@@ -57,11 +60,13 @@ object StreamingCsvIngest {
     val (maxSeqAtStart, counter) =
       IngestPublish.resumeState(db, taskId, table)
 
-    spark.readStream
-      .option("header", "true").option("encoding", encoding)
+    val reader = spark.readStream
+      .option("header", "true").option("encoding", charset)
       // RFC 4180 doubled-quote escaping, matching the batch uploader
       .option("escape", "\"")
       .schema(stringSchema)
+    CsvUploader.lineSepFor(encoding)
+      .fold(reader)(reader.option("lineSep", _))
       .csv(csvDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -74,15 +79,12 @@ object StreamingCsvIngest {
       .start()
   }
 
-  private def firstFile(spark: SparkSession, dir: String): String = {
+  private[streaming] def firstFile(spark: SparkSession,
+      dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory) {
-      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
-        .filterNot(_.getName.startsWith("_")).sortBy(_.getName)
-      require(files.nonEmpty, s"no files to sniff in $dir")
-      files.head.toString
-    } else p.toString
+    val files = CsvUploader.partFiles(fs, p)
+    require(files.nonEmpty, s"no files to sniff in $dir")
+    files.head.toString
   }
 }

@@ -26,6 +26,11 @@ object StreamingFixedWidthIngest {
     require(spec.nonEmpty, "fixed-width ingest needs a non-empty spec")
     val spark = db.spark
     val encoding = EncodingDetector.detect(spark, firstFile(spark, dir))
+    // legacy-charset conf + reader charset name (sticky for the
+    // query's lifetime — the EBCDIC/CJK codepages A17 exists for
+    // need the escape hatch per micro-batch, which the batch path's
+    // scoped wrapper cannot provide)
+    val charset = CsvUploader.streamingCharset(spark, encoding)
 
     // static sniff pass: type verdicts from what's on disk
     val types = TypeInference.infer(
@@ -36,7 +41,7 @@ object StreamingFixedWidthIngest {
 
     val reader = spark.readStream
       .option("header", "false")
-      .option("encoding", CsvUploader.sparkCharset(encoding))
+      .option("encoding", charset)
       .option("sep", "\u0001")
       .option("quote", "")
       .schema(FixedWidthUploader.lineSchema)
@@ -57,15 +62,6 @@ object StreamingFixedWidthIngest {
   }
 
   private def firstFile(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory) {
-      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
-        .filterNot(_.getName.startsWith("_")).sortBy(_.getName)
-      require(files.nonEmpty, s"no files to sniff in $dir")
-      files.head.toString
-    } else p.toString
-  }
+      dir: String): String =
+    StreamingCsvIngest.firstFile(spark, dir)
 }

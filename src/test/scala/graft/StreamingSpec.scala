@@ -569,6 +569,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(db2.read("b").except(db.read("ledger")).count() == 0)
   }
 
+  test("G2: streaming fixed-width ingest decodes a cp037 EBCDIC stream") {
+    val dir = scratch("stream_fw_ebcdic")
+    val fwDir = s"$dir/incoming"
+    Files.createDirectories(Paths.get(fwDir))
+    // id(4) tag(8) qty(3), cp037 bytes with NL-0x15 terminators —
+    // the codepage the legacy-charset conf must stay set for across
+    // micro-batches (the batch path's scoped wrapper can't cover a
+    // running query)
+    Files.write(Paths.get(s"$fwDir/mf1.dat"),
+      "   7alpha    42\n  88beta    100\n".getBytes(
+        java.nio.charset.Charset.forName("IBM037")))
+    val db = GraftDatabase(spark, s"$dir/db")
+    val q = graft.streaming.StreamingFixedWidthIngest.start(
+      db, fwDir, "mf", "task-fwe1", Seq(("id", 4), ("tag", 8), ("qty", 3)))
+    try q.processAllAvailable() finally q.stop()
+    val rows = db.read("mf").orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((7L, "alpha", 42L), (88L, "beta", 100L)))
+  }
+
   test("G8: streaming ANN serving equals the batch IVF answer per query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
