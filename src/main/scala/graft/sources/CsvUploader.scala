@@ -132,7 +132,8 @@ object CsvUploader {
   def uploadAll(db: GraftDatabase, csvPaths: Seq[String],
       maxConcurrent: Int = 4, alter: Boolean = false,
       sniffBytes: Int = EncodingDetector.DefaultSniffBytes,
-      delimiter: Option[String] = None): Seq[UploadResult] = {
+      delimiter: Option[String] = None,
+      multiLine: Option[Boolean] = None): Seq[UploadResult] = {
     // one naming authority: GraftDatabase.resolveTableName with the
     // batch's pending names in the reserved set
     val named = csvPaths.foldLeft(Vector.empty[(String, String)]) {
@@ -153,7 +154,7 @@ object CsvUploader {
       val futures = named.map { case (p, table) =>
         scala.concurrent.Future {
           upload(workerDb.get(), p, Some(table), sniffBytes = sniffBytes,
-            delimiter = delimiter, alter = alter)
+            delimiter = delimiter, alter = alter, multiLine = multiLine)
         }
       }
       // Await each future INDIVIDUALLY — Future.sequence fails fast,
