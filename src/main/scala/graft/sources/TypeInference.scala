@@ -79,11 +79,14 @@ object TypeInference {
     val cols = df.columns.toSeq
     val counters = cols.flatMap { name =>
       val c = col(name)
+      // coalesce: sum over ZERO rows is NULL (a header-only upload),
+      // and zero observed violations = the tracker default verdict —
+      // the same all-missing semantics the spec pins for columns
       Seq(
-        sum(when(!missing(c) && !isInt(c), 1L).otherwise(0L))
-          .as(s"${name}__not_int"),
-        sum(when(!missing(c) && !isFloat(c), 1L).otherwise(0L))
-          .as(s"${name}__not_float"))
+        coalesce(sum(when(!missing(c) && !isInt(c), 1L).otherwise(0L)),
+          lit(0L)).as(s"${name}__not_int"),
+        coalesce(sum(when(!missing(c) && !isFloat(c), 1L).otherwise(0L)),
+          lit(0L)).as(s"${name}__not_float"))
     } :+ count(lit(1L)).as("__n_rows")
     val row = df.agg(counters.head, counters.tail: _*).head()
     val types = cols.zipWithIndex.map { case (name, i) =>

@@ -445,6 +445,25 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(db.read(res.tableName).count() == 2)
   }
 
+  test("header-only CSV uploads as an empty typed table, progress completes") {
+    val dir = scratch("header_only")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/empty.csv"), "name,age\n".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/empty.csv")
+    assert(res.error.isEmpty, res.error)
+    assert(res.rowsDone == 0L)
+    val df = db.read(res.tableName)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    // zero observed values = all-missing = the tracker default, so
+    // the table is WRITABLE and later appends can widen (reference:
+    // TypeTracker with no rows yields its default verdicts)
+    val prog = db.progress.current()
+      .filter(col("table_name") === res.tableName)
+      .select("completed").collect()
+    assert(prog.nonEmpty && prog.head.getString(0) != null)
+  }
+
   test("reference NOT_UTF8 fixture: latin-1 £ survives, mixed types") {
     val dir = scratch("not_utf8")
     val db = GraftDatabase(spark, s"$dir/db")
