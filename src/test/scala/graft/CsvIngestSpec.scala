@@ -464,6 +464,24 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.nonEmpty && prog.head.getString(0) != null)
   }
 
+  test("empty uploads degrade safely: JSONL errors captured, FW empty table") {
+    val dir = scratch("empty_edge")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // empty JSONL: no line to infer a schema from — the loud error
+    // must land in the progress row (the A7 envelope), never throw
+    Files.write(Paths.get(s"$dir/empty.jsonl"), Array.empty[Byte])
+    val rj = graft.sources.JsonlUploader.upload(db, s"$dir/empty.jsonl")
+    assert(rj.error.isDefined || rj.rowsDone == 0L)
+    // empty fixed-width: the spec names the columns, so an empty
+    // TYPED table is well-defined and must come back
+    Files.write(Paths.get(s"$dir/empty.dat"), Array.empty[Byte])
+    val rf = graft.sources.FixedWidthUploader.upload(db, s"$dir/empty.dat",
+      Seq(("id", 4), ("v", 6)), Some("fw_empty"))
+    assert(rf.error.isEmpty, rf.error)
+    assert(db.read("fw_empty").count() == 0)
+    assert(db.read("fw_empty").columns.toSeq == Seq("id", "v"))
+  }
+
   test("reference NOT_UTF8 fixture: latin-1 £ survives, mixed types") {
     val dir = scratch("not_utf8")
     val db = GraftDatabase(spark, s"$dir/db")
