@@ -464,6 +464,20 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.nonEmpty && prog.head.getString(0) != null)
   }
 
+  test("A15 x A12: quoted embedded newline inside a .gz upload") {
+    val dir = scratch("multiline_gz")
+    val db = GraftDatabase(spark, s"$dir/db")
+    val content = "id,note\n1,\"two\nlines\"\n2,plain"
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(Paths.get(s"$dir/notes.csv.gz")))
+    out.write(content.getBytes("UTF-8")); out.close()
+    val res = CsvUploader.upload(db, s"$dir/notes.csv.gz")
+    assert(res.error.isEmpty, res.error)
+    val rows = db.read(res.tableName).orderBy(col("id")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "two\nlines")
+  }
+
   test("empty uploads degrade safely: JSONL errors captured, FW empty table") {
     val dir = scratch("empty_edge")
     val db = GraftDatabase(spark, s"$dir/db")
