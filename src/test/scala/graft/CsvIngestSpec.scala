@@ -464,6 +464,23 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.nonEmpty && prog.head.getString(0) != null)
   }
 
+  test("A15 x A11: schema evolution with a quoted newline in a later file") {
+    val dir = scratch("multiline_evolve")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.write(Paths.get(s"$dir/in/a.csv"), "a,b\n1,x".getBytes)
+    Files.write(Paths.get(s"$dir/in/b.csv"),
+      "b,c\n\"y\nz\",2".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/in", Some("t"), alter = true)
+    assert(res.error.isEmpty, res.error)
+    val df = db.read("t")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.orderBy(col("a").asc_nulls_last).collect()
+      .map(r => (Option(r.get(0)), r.getString(1), Option(r.get(2))))
+    assert(rows.toSeq == Seq(
+      (Some(1L), "x", None), (None, "y\nz", Some(2L))))
+  }
+
   test("A15 x A12: quoted embedded newline inside a .gz upload") {
     val dir = scratch("multiline_gz")
     val db = GraftDatabase(spark, s"$dir/db")
