@@ -85,7 +85,8 @@ object CsvUploader {
         val raw =
           if (alter) readRawEvolving(spark, csvPath, encoding, delim,
             multi)
-          else readRaw(spark, csvPath, encoding, delim, multi)
+          else dictZipColumns(readRaw(spark, csvPath, encoding, delim,
+            multi), windowText, delim, encoding)
         val (types, rows) = TypeInference.inferWithCount(raw)
         val typed = TypeInference.applyTypes(raw, types)
         // Live mid-load progress (reference updates every 10 rows,
@@ -410,6 +411,65 @@ object CsvUploader {
   private def cp1252Char(ch: Char): Char = {
     val i = cp1252From.indexOf(ch)
     if (i >= 0) cp1252To(i) else ch
+  }
+
+  /** The reference's duplicate-header contract (`dict(zip(headers,
+    * row))`, `__init__.py:180`): duplicate column names COLLAPSE —
+    * the surviving column carries the LAST duplicate's values at the
+    * FIRST occurrence's position (Python dict insertion-order
+    * semantics). Spark instead index-suffixes duplicates (`a,b,a` →
+    * `a0,b,a2`), silently renaming the table's surface — so when the
+    * sniffed header shows duplicates, this projection restores the
+    * reference's table shape by POSITION. No-duplicate uploads (and
+    * any window/count mismatch — the safety guard) pass through
+    * untouched; the evolving path keeps per-file union semantics.
+    */
+  private def dictZipColumns(df: DataFrame, windowText: Option[String],
+      delimiter: String, encoding: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = if (delimiter.isEmpty) ',' else delimiter.head
+    val names0 = windowText.map(headerFields(_, d)).getOrElse(return df)
+    // cp1252 headers are decoded latin-1 and fixed up in readRaw —
+    // apply the same fix so the restored names match the data path
+    val names =
+      if (encoding == EncodingDetector.Cp1252) names0.map(_.map(cp1252Char))
+      else names0
+    if (names.size != df.columns.length ||
+      names.distinct.size == names.size) return df
+    df.select(names.distinct.map { nm =>
+      col(df.columns(names.lastIndexOf(nm))).as(nm)
+    }: _*)
+  }
+
+  /** First RFC 4180 record of the decoded window as unquoted fields
+    * (doubled quotes collapse; a quoted newline stays inside its
+    * field) — the header, for [[dictZipColumns]]'s duplicate check. */
+  private[graft] def headerFields(text: String, d: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var atFieldStart = true
+    var i = 0
+    val n = text.length
+    var done = false
+    while (i < n && !done) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < n && text.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQuotes = false
+        } else { cur.append(c); () }
+      } else if (c == '"' && atFieldStart) {
+        inQuotes = true; atFieldStart = false
+      } else if (c == d) {
+        out += cur.result(); cur.clear(); atFieldStart = true
+      } else if (c == '\n' || c == '\r') done = true
+      else { cur.append(c); atFieldStart = false }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
   }
 
   /** The charset to hand Spark's reader: cp1252 decodes as latin-1

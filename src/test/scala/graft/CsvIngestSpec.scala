@@ -464,6 +464,29 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.nonEmpty && prog.head.getString(0) != null)
   }
 
+  test("duplicate headers collapse dict(zip)-style: last value, first position") {
+    val dir = scratch("dup_headers")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // reference: dict(zip(['a','b','a'], row)) == {'a': row[2], 'b': row[1]}
+    Files.write(Paths.get(s"$dir/dup.csv"),
+      "a,b,a\n1,2,3\n4,5,6".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/dup.csv")
+    assert(res.error.isEmpty, res.error)
+    val df = db.read(res.tableName)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val rows = df.orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((3L, 2L), (6L, 5L)))
+    // quoted duplicate header names collapse identically
+    Files.write(Paths.get(s"$dir/dupq.csv"),
+      "\"x y\",v,\"x y\"\np,1,q".getBytes)
+    val res2 = CsvUploader.upload(db, s"$dir/dupq.csv", Some("dupq"))
+    assert(res2.error.isEmpty, res2.error)
+    val df2 = db.read("dupq")
+    assert(df2.columns.toSeq == Seq("x y", "v"))
+    assert(df2.head().getString(0) == "q")
+  }
+
   test("A15 x A11: schema evolution with a quoted newline in a later file") {
     val dir = scratch("multiline_evolve")
     val db = GraftDatabase(spark, s"$dir/db")
