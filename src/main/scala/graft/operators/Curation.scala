@@ -349,7 +349,10 @@ object Curation {
   def dupNgrams(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
     dupNgramsOf(docs(spark, dir), n)
 
-  /** [[dupNgrams]] over an arbitrary (doc_id, text) frame. */
+  /** [[dupNgrams]] over a (doc_id, text) frame with ONE row per
+    * doc_id (the documents-table contract): ddf counts rows per
+    * gram, which equals distinct docs only under that precondition —
+    * multi-row docs would count against themselves. */
   def dupNgramsOf(d: DataFrame, n: Int = 5): DataFrame = {
     val gf = graft.functions.GraftFunctions
     // UN-lowered grams (Dedup.tokens' convention): TermCounts splits

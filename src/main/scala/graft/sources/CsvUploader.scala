@@ -426,7 +426,6 @@ object CsvUploader {
     */
   private def dictZipColumns(df: DataFrame, windowText: Option[String],
       delimiter: String, encoding: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val d = if (delimiter.isEmpty) ',' else delimiter.head
     val names0 = windowText.map(headerFields(_, d)).getOrElse(return df)
     // cp1252 headers are decoded latin-1 and fixed up in readRaw —
@@ -434,10 +433,21 @@ object CsvUploader {
     val names =
       if (encoding == EncodingDetector.Cp1252) names0.map(_.map(cp1252Char))
       else names0
+    // Duplicates detected CASE-INSENSITIVELY: Python's dict is
+    // case-sensitive, but Spark's analyzer and the parquet writer are
+    // not (default caseSensitive=false) — 'ID' and 'id' cannot
+    // coexist in the written table anyway, so the collapse follows
+    // the engine's identifier semantics (documented deviation). An
+    // EMPTY header field keeps Spark's safe '_cN' surface: collapsing
+    // would alias a column to the empty string.
+    val keys = names.map(_.toLowerCase(java.util.Locale.ROOT))
     if (names.size != df.columns.length ||
-      names.distinct.size == names.size) return df
-    df.select(names.distinct.map { nm =>
-      col(df.columns(names.lastIndexOf(nm))).as(nm)
+      keys.distinct.size == keys.size ||
+      names.exists(_.isEmpty)) return df
+    df.select(keys.distinct.map { k =>
+      val first = keys.indexOf(k)
+      val last = keys.lastIndexOf(k)
+      TypeInference.rawCol(df.columns(last)).as(names(first))
     }: _*)
   }
 

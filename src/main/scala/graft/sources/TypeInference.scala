@@ -67,6 +67,14 @@ object TypeInference {
     (!trim(c).contains("_") || trim(c).rlike(FloatRe)) &&
       canon(c).try_cast(DoubleType).isNotNull
 
+  /** Column reference by RAW header name: a dot or backtick in a CSV
+    * header is a literal character, not nested-attribute syntax —
+    * `col("price.usd")` resolves as [price].[usd] and breaks the
+    * upload, so every header-name lookup goes through backtick
+    * quoting. */
+  private[sources] def rawCol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   /** One aggregate pass → per-column verdicts. */
   def infer(df: DataFrame): Seq[(String, InferredType)] =
     inferWithCount(df)._1
@@ -78,7 +86,7 @@ object TypeInference {
   def inferWithCount(df: DataFrame): (Seq[(String, InferredType)], Long) = {
     val cols = df.columns.toSeq
     val counters = cols.flatMap { name =>
-      val c = col(name)
+      val c = rawCol(name)
       // coalesce: sum over ZERO rows is NULL (a header-only upload),
       // and zero observed violations = the tracker default verdict —
       // the same all-missing semantics the spec pins for columns
@@ -107,7 +115,7 @@ object TypeInference {
   def applyTypes(df: DataFrame, types: Seq[(String, InferredType)]): DataFrame = {
     val byName = types.toMap
     df.select(df.columns.toSeq.map { name =>
-      val c = col(name)
+      val c = rawCol(name)
       byName.getOrElse(name, TextT) match {
         case IntegerT => canon(c).try_cast(LongType).as(name)
         case FloatT => canon(c).try_cast(DoubleType).as(name)

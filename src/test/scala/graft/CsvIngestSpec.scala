@@ -464,6 +464,36 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(prog.nonEmpty && prog.head.getString(0) != null)
   }
 
+  test("dotted header names are literal, not nested-attribute syntax") {
+    val dir = scratch("dotted")
+    val db = GraftDatabase(spark, s"$dir/db")
+    Files.write(Paths.get(s"$dir/prices.csv"),
+      "price.usd,qty\n1.5,2\n3.25,4".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/prices.csv")
+    assert(res.error.isEmpty, res.error)
+    val df = db.read(res.tableName)
+    assert(df.columns.toSeq == Seq("price.usd", "qty"))
+    assert(df.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("double", "bigint"))
+  }
+
+  test("case-variant duplicate headers collapse under engine semantics") {
+    val dir = scratch("dup_case")
+    val db = GraftDatabase(spark, s"$dir/db")
+    // Spark's analyzer/writer are case-insensitive by default, so
+    // 'ID' and 'id' cannot coexist in the written table — the
+    // collapse keeps the FIRST occurrence's spelling, LAST's values
+    // (documented deviation from Python's case-sensitive dict)
+    Files.write(Paths.get(s"$dir/dupc.csv"),
+      "ID,v,id\n1,9,2\n3,8,4".getBytes)
+    val res = CsvUploader.upload(db, s"$dir/dupc.csv")
+    assert(res.error.isEmpty, res.error)
+    val df = db.read(res.tableName)
+    assert(df.columns.toSeq == Seq("ID", "v"))
+    assert(df.orderBy("v").collect().map(_.getLong(0)).toSeq ==
+      Seq(4L, 2L))
+  }
+
   test("duplicate headers collapse dict(zip)-style: last value, first position") {
     val dir = scratch("dup_headers")
     val db = GraftDatabase(spark, s"$dir/db")
@@ -525,7 +555,7 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     // must land in the progress row (the A7 envelope), never throw
     Files.write(Paths.get(s"$dir/empty.jsonl"), Array.empty[Byte])
     val rj = graft.sources.JsonlUploader.upload(db, s"$dir/empty.jsonl")
-    assert(rj.error.isDefined || rj.rowsDone == 0L)
+    assert(rj.error.isDefined, "empty JSONL must surface a loud error")
     // empty fixed-width: the spec names the columns, so an empty
     // TYPED table is well-defined and must come back
     Files.write(Paths.get(s"$dir/empty.dat"), Array.empty[Byte])
