@@ -282,25 +282,68 @@ object CsvUploader {
     * quoted newline triggers the non-splittable parse.
     */
   private[graft] def quotedNewline(text: String,
-      delimiter: Char): Boolean = {
-    val n = text.length
-    var i = 0
+      delimiter: Char): Boolean = scanWindow(text, delimiter).quotedNewline
+
+  /** The ONE RFC 4180 scanner behind all three window probes (A15
+    * quoted-newline, A16 field-count voting, A14 header fields) — a
+    * single pass yielding everything each probe reads, so the quote/
+    * escape/CRLF dialect can never drift between them. A field is
+    * quoted only when its first char is `"` (mid-field quotes are
+    * literal); doubled quotes escape; a quoted newline extends its
+    * record; CRLF counts as one terminator; records with no content
+    * (a trailing terminator) are not records.
+    */
+  private[graft] case class WindowScan(
+      fieldCounts: Seq[Int],  // per content-bearing record
+      header: Seq[String],    // first record's unquoted field values
+      quotedNewline: Boolean) // any newline inside a quoted field?
+
+  private[graft] def scanWindow(text: String, d: Char): WindowScan = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val header = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var collecting = true // field values kept for the FIRST record only
+    var fields = 1
     var inQuotes = false
     var atFieldStart = true
+    var hasContent = false
+    var qnl = false
+    var i = 0
+    val n = text.length
+    def endField(): Unit =
+      if (collecting) { header += cur.result(); cur.clear(); () }
+    def endRecord(): Unit = {
+      if (hasContent) { endField(); counts += fields; collecting = false }
+      fields = 1; atFieldStart = true; hasContent = false
+    }
     while (i < n) {
       val c = text.charAt(i)
       if (inQuotes) {
         if (c == '"') {
-          if (i + 1 < n && text.charAt(i + 1) == '"') i += 1
-          else { inQuotes = false; atFieldStart = false }
-        } else if (c == '\n' || c == '\r') return true
+          if (i + 1 < n && text.charAt(i + 1) == '"') {
+            if (collecting) cur.append('"')
+            i += 1
+          } else { inQuotes = false; atFieldStart = false }
+        } else {
+          if (c == '\n' || c == '\r') qnl = true
+          if (collecting) cur.append(c)
+        }
+        hasContent = true
+      } else if (c == '"' && atFieldStart) {
+        inQuotes = true; atFieldStart = false; hasContent = true
+      } else if (c == d) {
+        endField(); fields += 1; atFieldStart = true; hasContent = true
+      } else if (c == '\n' || c == '\r') {
+        endRecord()
+        if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') i += 1
       } else {
-        if (c == '"' && atFieldStart) { inQuotes = true; atFieldStart = false }
-        else atFieldStart = c == delimiter || c == '\n' || c == '\r'
+        if (collecting) cur.append(c)
+        atFieldStart = false; hasContent = true
       }
       i += 1
     }
-    false
+    endRecord()
+    WindowScan(counts.toSeq, header.toSeq, qnl)
   }
 
   /** Decode the sniff window with the charset the distributed read
@@ -357,41 +400,10 @@ object CsvUploader {
       .headOption.map(_._1.toString).getOrElse(",")
   }
 
-  /** Fields per record under candidate delimiter `d`, honoring RFC
-    * 4180 quoting (quoted newlines extend the record, quoted
-    * delimiters are literal). */
-  private def recordFieldCounts(text: String, d: Char): Seq[Int] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val n = text.length
-    var fields = 1
-    var inQuotes = false
-    var atFieldStart = true
-    var hasContent = false
-    var i = 0
-    while (i < n) {
-      val c = text.charAt(i)
-      if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < n && text.charAt(i + 1) == '"') i += 1
-          else { inQuotes = false; atFieldStart = false }
-        }
-        hasContent = true
-      } else if (c == '"' && atFieldStart) {
-        inQuotes = true; atFieldStart = false; hasContent = true
-      } else if (c == d) {
-        fields += 1; atFieldStart = true; hasContent = true
-      } else if (c == '\n' || c == '\r') {
-        if (hasContent) out += fields
-        fields = 1; atFieldStart = true; hasContent = false
-        if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') i += 1
-      } else {
-        atFieldStart = false; hasContent = true
-      }
-      i += 1
-    }
-    if (hasContent) out += fields
-    out.toSeq
-  }
+  /** Fields per record under candidate delimiter `d` — see
+    * [[scanWindow]]. */
+  private def recordFieldCounts(text: String, d: Char): Seq[Int] =
+    scanWindow(text, d).fieldCounts
 
   /** cp1252 differs from latin-1 ONLY in 0x80–0x9F (27 defined
     * printables there: € ™ smart quotes Š Œ Ž …). Spark's CSV reader
@@ -454,33 +466,8 @@ object CsvUploader {
   /** First RFC 4180 record of the decoded window as unquoted fields
     * (doubled quotes collapse; a quoted newline stays inside its
     * field) — the header, for [[dictZipColumns]]'s duplicate check. */
-  private[graft] def headerFields(text: String, d: Char): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var inQuotes = false
-    var atFieldStart = true
-    var i = 0
-    val n = text.length
-    var done = false
-    while (i < n && !done) {
-      val c = text.charAt(i)
-      if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < n && text.charAt(i + 1) == '"') {
-            cur.append('"'); i += 1
-          } else inQuotes = false
-        } else { cur.append(c); () }
-      } else if (c == '"' && atFieldStart) {
-        inQuotes = true; atFieldStart = false
-      } else if (c == d) {
-        out += cur.result(); cur.clear(); atFieldStart = true
-      } else if (c == '\n' || c == '\r') done = true
-      else { cur.append(c); atFieldStart = false }
-      i += 1
-    }
-    out += cur.result()
-    out.toSeq
-  }
+  private[graft] def headerFields(text: String, d: Char): Seq[String] =
+    scanWindow(text, d).header
 
   /** The charset to hand Spark's reader: cp1252 decodes as latin-1
     * and is fixed up column-wise afterwards; a UTF-32BE file (always
