@@ -334,17 +334,18 @@ object Curation {
     * per-occurrence explode AND the corpus-scale (doc, gram)
     * group-by exchange both disappear (Σ_distinct tf ≡ slot count,
     * exact long arithmetic; measured 2.54 → 1.05 s at sf0.1 and
-    * 3.61 → 2.81 s at 10×). The 10× residual (5× DuckDB) is
-    * structural to the verbatim-duplicated probe corpus: EVERY gram
-    * is duplicated there, so the gram-keyed exchange + join carry
-    * the whole pair stream — the star-join stage-cost story, not a
-    * plan defect. On a real corpus most grams are unique; the r9
-    * lever is a semi-join against the ddf≥2 gram set only, with
-    * per-doc totals computed map-side. Distinct-doc frequency per gram is a vocabulary-sized
-    * aggregation whose by-gram exchange ReuseExchange shares with
-    * the join probe; the final per-doc fold is unchanged. No
-    * broadcast hints, nothing quadratic; integer counts with one
-    * final double division keep it hash-portable.
+    * 3.61 → 2.81 s at 10×). r9: the inner join against the FULL
+    * (gram, ddf) table became a left-semi against the ddf≥2 key
+    * set with per-doc totals aggregated doc-side (map-side
+    * collapsible — tf rows are per-doc distinct), so only
+    * duplicated grams survive the join and feed the dup-side
+    * aggregation; unique grams — the bulk of any real corpus —
+    * stop at the vocabulary count. Distinct-doc frequency per gram
+    * is a vocabulary-sized aggregation whose by-gram exchange
+    * ReuseExchange shares with the semi-join probe; the final fold
+    * is a doc-count-sized left join. No broadcast hints, nothing
+    * quadratic; integer counts with one final double division keep
+    * it hash-portable.
     */
   def dupNgrams(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
     dupNgramsOf(docs(spark, dir), n)
@@ -362,16 +363,34 @@ object Curation {
         .as("p"))
       .select(col("doc_id"), col("p.term").as("gram"),
         col("p.tf").as("tf"))
-    val df_ = tf.groupBy(col("gram"))
+    // r9 lever: the full (gram, ddf) table only existed to tag each
+    // probe row with its ddf — but the per-doc TOTAL (Σ tf ≡ slot
+    // count) never needed the gram exchange at all: tf's rows are
+    // per-doc DISTINCT grams, so a doc_id-keyed sum collapses
+    // map-side to one row per (doc, partition) and the totals
+    // exchange carries doc-count rows. What remains gram-keyed is
+    // the semi-join against the ddf≥2 KEY SET only: the build side
+    // sheds its count column, and the post-join stream — hence the
+    // dup-side aggregation — carries only duplicated grams. On a
+    // real corpus most grams are unique (Heaps' law), so that
+    // stream is a small fraction of the corpus; on the verbatim-
+    // duplicated 10× probe (every gram duplicated) it degenerates
+    // to the old full-stream shape, which is the probe's worst
+    // case, not the operator's. Docs with zero duplicated grams
+    // have no dup row — the doc-count-sized left join restores
+    // their exact zeros.
+    val totals = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_grams"))
+    val dupGrams = tf.groupBy(col("gram"))
       .agg(count(lit(1)).as("ddf"))
-    tf.join(df_, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_grams"),
-        sum(when(col("ddf") >= 2, col("tf")).otherwise(lit(0L)))
-          .as("dup_grams"))
-      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
-        (col("dup_grams").cast("double") / col("n_grams").cast("double"))
-          .as("dup_frac"))
+      .filter(col("ddf") >= lit(2L))
+      .select(col("gram"))
+    val dup = tf.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dup_grams"))
+    totals.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        (coalesce(col("dup_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("dup_frac"))
   }
 
   // ---------------------------------------------------------------

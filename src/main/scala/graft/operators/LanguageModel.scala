@@ -334,50 +334,167 @@ object LanguageModel {
     * cross-engine hash-exact. Scale shape: two model trainings
     * (vocabulary-sized outputs), two stats-gated scoring passes over
     * the corpus, one doc-count-sized equi-join.
+    *
+    * Lifecycle (r9, the E19/D9 shape): the (bg, tgt, c2) table is a
+    * MODEL, not per-query work — [[mooreLewis]] builds it once per
+    * (corpus dir, target set) into a scratch artifact (re-attached
+    * across processes via a doc-count sidecar) and serves every
+    * invocation from it; repeat serves under an unchanged artifact
+    * reuse the memoized broadcast pair, so scoring a crawl increment
+    * never re-aggregates the corpus. Served ≡ inline is spec-pinned
+    * ([[mooreLewisInline]] is the one-shot formulation — same
+    * aggregation, same fold, same arithmetic; only WHERE the counts
+    * live changes).
     */
   def mooreLewis(spark: SparkSession, dir: String,
       maxBroadcastModel: Int = defaultModelCap): DataFrame = {
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    mooreLewisFromModel(servedMlDb(spark, dir, defaultTargetSrcs), "ml",
+      ids, maxBroadcastModel)
+  }
+
+  /** The reference default in-domain set (src0–src3 stand in for
+    * "known-good" text in the synthetic corpus). */
+  private[graft] val defaultTargetSrcs: Seq[String] = (0 to 3).map("src" + _)
+
+  /** The inline one-shot formulation — re-aggregates per invocation;
+    * the spec's reference for served ≡ inline. */
+  private[graft] def mooreLewisInline(spark: SparkSession, dir: String,
+      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val targetSrcs = (0 to 3).map("src" + _)
-    val ids = docs.select(col("doc_id"), col("text"))
-    // BOTH models from ONE corpus-scale aggregation (the C33 trick):
-    // bigram counts keyed (w1, w2, is_target), from which the target
-    // table filters and the background table re-aggregates — the
-    // second full tokenize+explode pass of the two-model formulation
-    // doesn't exist. Context totals and V were already model-derived.
-    // Per-doc gram multiplicities via the codegen'd TermCounts byte
-    // pass (the E5/E10 treatment, r8): the exploded stream carries
-    // DISTINCT (doc, bigram) pairs weighted by tf instead of one
-    // row per occurrence — on a repetitive corpus that is a large
-    // row-count cut, and the zip_with string-pair build disappears.
-    // Σ_occurrences ≡ Σ_distinct tf, exact long arithmetic.
-    val gf0 = graft.functions.GraftFunctions
-    val byTgt = docs
+    mlScored(mlByTgt(docs, defaultTargetSrcs),
+      docs.select(col("doc_id"), col("text")), maxBroadcastModel, None)
+  }
+
+  /** BOTH models from ONE corpus-scale aggregation (the C33 trick):
+    * bigram counts keyed (w1, w2, is_target), from which the target
+    * table filters and the background table re-aggregates — the
+    * second full tokenize+explode pass of the two-model formulation
+    * doesn't exist. Context totals and V are model-derived. Per-doc
+    * gram multiplicities via the codegen'd TermCounts byte pass (the
+    * E5/E10 treatment, r8): the exploded stream carries DISTINCT
+    * (doc, bigram) pairs weighted by tf instead of one row per
+    * occurrence. Σ_occurrences ≡ Σ_distinct tf, exact long
+    * arithmetic.
+    */
+  private def mlByTgt(docs: DataFrame, targetSrcs: Seq[String]): DataFrame =
+    docs
       // coalesce: `isin` on a NULL source yields null, which the
       // join path's filter silently drops but the fast path's
       // getBoolean would NPE on — a null source is simply non-target
       .select(coalesce(col("source").isin(targetSrcs: _*), lit(false))
         .as("tgt"),
-        explode(gf0.termCounts(lower(col("text")), 2, 2)).as("p"))
+        explode(graft.functions.GraftFunctions
+          .termCounts(lower(col("text")), 2, 2)).as("p"))
       .groupBy(col("p.term").as("bg"), col("tgt"))
       .agg(sum(col("p.tf")).as("c2"))
-    // Single-pass fast path (VERDICT r7 #6): the two scoreAgainst
-    // calls each re-ran the byTgt aggregation for their own
-    // take(cap+1) gate and then scanned the corpus once per model —
-    // 2 corpus aggregations + 2 scoring scans + a doc-sized join.
-    // Both models derive from the SAME (w1, w2, tgt) rows, so ONE
-    // take bounds the driver, ONE collect builds BOTH broadcast maps
-    // (target = tgt rows; background = tgt-summed rows; context
-    // totals and V fold from the same rows — integer sums, order-
-    // free, identical to the distributed aggregates), and ONE corpus
-    // scan carries both LmScore byte passes. Exactness: LmScore is
-    // the spec-pinned replica of the join path's arithmetic, and the
-    // inner-join-on-doc_id of the two-pass form equals requiring
-    // both scores non-null (both models tokenize identically, so the
-    // <2-token nulls coincide). Above the cap the two-pass join path
-    // runs unchanged — the 100 TB shape.
+
+  /** Persist the Moore-Lewis two-model aggregation as a parquet
+    * artifact (`{name}_bytgt`) — [[buildLmModel]]'s lifecycle for
+    * C31: one corpus pass at build time, every scoring run serves
+    * from vocabulary-sized storage. Rebuild is idempotent
+    * (Overwrite) and invalidates this JVM's broadcast memo exactly.
+    */
+  def buildMlModel(db: graft.catalog.GraftDatabase, docs: DataFrame,
+      name: String,
+      targetSrcs: Seq[String] = defaultTargetSrcs): Unit = {
+    db.write(mlByTgt(docs, targetSrcs), s"${name}_bytgt",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    mlServeMemo.remove(db.tablePath(s"${name}_bytgt")); ()
+  }
+
+  /** Score a (doc_id, text) frame against a stored [[buildMlModel]]
+    * artifact — identical output to the inline path on the same
+    * train/score frames (spec-pinned). Repeat invocations under an
+    * unchanged artifact reuse the memoized broadcast model pair:
+    * zero driver jobs before the scoring scan itself.
+    */
+  def mooreLewisFromModel(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame,
+      maxBroadcastModel: Int = defaultModelCap): DataFrame =
+    mlScored(db.read(s"${name}_bytgt").select("bg", "tgt", "c2"),
+      docs.select(col("doc_id"), col("text")), maxBroadcastModel,
+      Some(db.tablePath(s"${name}_bytgt")))
+
+  // Build-once-per-corpus scratch artifact (the servedCorpusModel
+  // pattern): keyed on the FULL corpus path AND the target set — two
+  // corpora, or two target definitions over one corpus, never share
+  // a model. Staleness = doc-count sidecar (metadata-only count).
+  private val mlReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def servedMlDb(spark: SparkSession, dir: String,
+      targetSrcs: Seq[String]): graft.catalog.GraftDatabase = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val ident = p.toString + "|" + targetSrcs.mkString(",")
+    val key = p.getName + "_" + java.security.MessageDigest
+      .getInstance("MD5").digest(ident.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val db = graft.catalog.GraftDatabase(spark,
+      s"${CsvQueries.scratchRoot}/mlmodel_$key/db")
+    if (!mlReady.contains(key)) {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val fresh =
+        try db.read("ml_sig").collect()(0).getLong(0) == docs.count()
+        catch { case _: Exception => false }
+      if (!fresh) {
+        buildMlModel(db, docs, "ml", targetSrcs)
+        db.write(docs.agg(count(lit(1)).as("n_docs")), "ml_sig",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      mlReady.add(key)
+      ()
+    }
+    db
+  }
+
+  // Served-ML broadcast memo — lmServeMemo's discipline (appId
+  // validity, file-listing staleness, caller-cap re-check, LRU 8)
+  // for the PAIR of maps one Moore-Lewis model folds to.
+  private case class ServedMl(appId: String, sig: String, nRows: Int,
+    bcT: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long]],
+    bcB: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long]],
+    vT: Long, vB: Long)
+
+  private val mlServeMemo: java.util.Map[String, ServedMl] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, ServedMl](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ServedMl]): Boolean = size > 8
+      })
+
+  /** The shared scoring tail: broadcast fast path under the cap
+    * (ONE take bounds the driver, ONE collect builds BOTH maps, ONE
+    * corpus scan carries both LmScore byte passes — VERDICT r7 #6),
+    * join path above it (the 100 TB shape). `memoKey` is the
+    * artifact path when the counts come from storage — the only
+    * case with a staleness signal, hence the only one memoized.
+    */
+  private def mlScored(byTgt: DataFrame, ids: DataFrame,
+      maxBroadcastModel: Int, memoKey: Option[String]): DataFrame = {
+    val spark = ids.sparkSession
     if (maxBroadcastModel > 0) {
+      val appId = spark.sparkContext.applicationId
+      val sigOpt = memoKey.map(k => artifactSig(spark, k))
+      val memoHit = memoKey.flatMap { key =>
+        val hit = mlServeMemo.get(key)
+        if (hit != null && hit.appId == appId &&
+            sigOpt.contains(hit.sig) && hit.nRows <= maxBroadcastModel)
+          Some(hit)
+        else None
+      }
+      memoHit match {
+        case Some(h) =>
+          return mlScoreBroadcast(ids, h.bcT, h.bcB, h.vT, h.vB)
+        case None => ()
+      }
       val rows = byTgt.take(maxBroadcastModel + 1)
       if (rows.length <= maxBroadcastModel) {
         val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
@@ -413,21 +530,11 @@ object LanguageModel {
         }
         val sc = spark.sparkContext
         val (bcT, bcB) = (sc.broadcast(mT), sc.broadcast(mB))
-        val gf = graft.functions.GraftFunctions
-        return ids
-          .select(col("doc_id"),
-            gf.lmScore(lower(col("text")), bcT, vocabT.size.toLong).as("st"),
-            gf.lmScore(lower(col("text")), bcB, vocabB.size.toLong).as("sb"))
-          .filter(col("st").isNotNull && col("sb").isNotNull)
-          .select(col("doc_id"),
-            (col("st.sum_mb").cast("double") /
-              (lit(1000.0) * col("st.n_bigrams"))).as("bits_target"),
-            (col("sb.sum_mb").cast("double") /
-              (lit(1000.0) * col("sb.n_bigrams"))).as("bits_background"))
-          .select(col("doc_id"), col("bits_target"), col("bits_background"),
-            (col("bits_target") - col("bits_background")).as("ml_score"),
-            (col("bits_target") - col("bits_background") < 0.0)
-              .as("keep_doc"))
+        for (key <- memoKey; sig <- sigOpt)
+          mlServeMemo.put(key, ServedMl(appId, sig, rows.length,
+            bcT, bcB, vocabT.size.toLong, vocabB.size.toLong))
+        return mlScoreBroadcast(ids, bcT, bcB,
+          vocabT.size.toLong, vocabB.size.toLong)
       }
     }
     val splitBg = (df: DataFrame) => df.select(
@@ -447,6 +554,33 @@ object LanguageModel {
       .select(col("doc_id"), col("bits_target"), col("bits_background"),
         (col("bits_target") - col("bits_background")).as("ml_score"),
         (col("bits_target") - col("bits_background") < 0.0).as("keep_doc"))
+  }
+
+  /** Both LmScore byte passes in ONE corpus scan — the fast path's
+    * scoring tail, shared by fresh folds and memo hits. */
+  private def mlScoreBroadcast(ids: DataFrame,
+      bcT: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]],
+      bcB: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long]],
+      vT: Long, vB: Long): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    ids
+      .select(col("doc_id"),
+        gf.lmScore(lower(col("text")), bcT, vT).as("st"),
+        gf.lmScore(lower(col("text")), bcB, vB).as("sb"))
+      .filter(col("st").isNotNull && col("sb").isNotNull)
+      .select(col("doc_id"),
+        (col("st.sum_mb").cast("double") /
+          (lit(1000.0) * col("st.n_bigrams"))).as("bits_target"),
+        (col("sb.sum_mb").cast("double") /
+          (lit(1000.0) * col("sb.n_bigrams"))).as("bits_background"))
+      .select(col("doc_id"), col("bits_target"), col("bits_background"),
+        (col("bits_target") - col("bits_background")).as("ml_score"),
+        (col("bits_target") - col("bits_background") < 0.0)
+          .as("keep_doc"))
   }
 
   /** Adjacent (w1, w2, w3) triple structs of a token array. */

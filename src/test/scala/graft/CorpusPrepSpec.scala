@@ -368,6 +368,35 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(reserved.count() > 0)
   }
 
+  test("moore-lewis lifecycle: served equals inline, memo + cap + retarget") {
+    val lm = graft.operators.LanguageModel
+    val inline = lm.mooreLewisInline(spark, sf)
+    // the public entry serves from the per-corpus scratch artifact
+    val served = lm.mooreLewis(spark, sf)
+    assert(served.except(inline).count() == 0)
+    assert(inline.except(served).count() == 0)
+    // second serve hits the broadcast memo — still bit-identical
+    assert(lm.mooreLewis(spark, sf).except(inline).count() == 0)
+    // explicit-db lifecycle: build + serve on a caller-owned catalog
+    val db = graft.catalog.GraftDatabase(spark, scratch("ml_model") + "/db")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val ids = docs.select(col("doc_id"), col("text"))
+    lm.buildMlModel(db, docs, "ml")
+    assert(lm.mooreLewisFromModel(db, "ml", ids)
+      .except(inline).count() == 0)
+    // a tight explicit cap must NOT be served an earlier looser
+    // call's broadcast — the join path runs and stays bit-identical
+    assert(lm.mooreLewisFromModel(db, "ml", ids, maxBroadcastModel = 1)
+      .except(inline).count() == 0)
+    // a rebuild under a DIFFERENT target set must not serve the
+    // memoized pair: scores genuinely move (src0-only target)
+    lm.buildMlModel(db, docs, "ml", targetSrcs = Seq("src0"))
+    val retargeted = lm.mooreLewisFromModel(db, "ml", ids)
+    assert(retargeted.except(served).count() > 0)
+    assert(retargeted.count() == served.count())
+  }
+
   test("curriculum: served-from-model output equals the inline retrain") {
     val lm = graft.operators.LanguageModel
     val served = lm.curriculum(spark, sf, 4)
