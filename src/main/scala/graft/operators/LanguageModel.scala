@@ -284,11 +284,23 @@ object LanguageModel {
 
   // Corpus-model memo (the TextIndex servedIndex pattern): the D9
   // artifact is a storage decision, not per-query work — build once
-  // per corpus dir per JVM into a scratch warehouse; a model from a
-  // previous process re-attaches when its row-count sidecar matches
-  // the corpus (a parquet count is metadata-only — no scan).
+  // per corpus dir into a scratch warehouse; a model from a previous
+  // process re-attaches when its sidecar matches the corpus. r9: the
+  // staleness signal is the corpus file LISTING (name/len/modtime —
+  // an O(files) driver metadata call, no Spark job), not a row
+  // count: a same-count content change now invalidates too, and the
+  // signature is re-checked on EVERY invocation (the keySet shortcut
+  // left a long-lived driver serving a stale model after a corpus
+  // swap), at the cost of one FS listing.
   private val lmReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corpusSig(spark: SparkSession, dir: String): String =
+    artifactSig(spark, s"$dir/documents.parquet")
+
+  private def oneRowSig(spark: SparkSession, sig: String): DataFrame =
+    spark.createDataset(Seq(sig))(
+      org.apache.spark.sql.Encoders.STRING).toDF("sig")
 
   private def servedCorpusModel(spark: SparkSession,
       dir: String): graft.catalog.GraftDatabase = {
@@ -302,18 +314,24 @@ object LanguageModel {
       .take(6).map("%02x".format(_)).mkString
     val db = graft.catalog.GraftDatabase(spark,
       s"${CsvQueries.scratchRoot}/lmmodel_$key/db")
-    if (!lmReady.contains(key)) {
-      val docs = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
+    val sig = corpusSig(spark, dir)
+    if (lmReady.get(key) != sig) {
       val fresh =
-        try db.read("corpus_sig").collect()(0).getLong(0) == docs.count()
+        try db.read("corpus_sig").collect()(0).getString(0) == sig
         catch { case _: Exception => false }
       if (!fresh) {
+        // The signature change proves the files moved under us — but
+        // Spark's session-level listing cache may still plan the OLD
+        // file set for this path (FAILED_READ_FILE on a swapped
+        // corpus). Invalidate it before the rebuild reads.
+        spark.catalog.refreshByPath(s"$dir/documents.parquet")
+        val docs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
         buildLmModel(db, docs, "corpus")
-        db.write(docs.agg(count(lit(1)).as("n_docs")), "corpus_sig",
+        db.write(oneRowSig(spark, sig), "corpus_sig",
           org.apache.spark.sql.SaveMode.Overwrite)
       }
-      lmReady.add(key)
+      lmReady.put(key, sig)
       ()
     }
     db
@@ -421,9 +439,10 @@ object LanguageModel {
   // Build-once-per-corpus scratch artifact (the servedCorpusModel
   // pattern): keyed on the FULL corpus path AND the target set — two
   // corpora, or two target definitions over one corpus, never share
-  // a model. Staleness = doc-count sidecar (metadata-only count).
+  // a model. Staleness = corpus file-listing sidecar, re-checked per
+  // invocation (see lmReady).
   private val mlReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def servedMlDb(spark: SparkSession, dir: String,
       targetSrcs: Seq[String]): graft.catalog.GraftDatabase = {
@@ -434,18 +453,22 @@ object LanguageModel {
       .take(6).map("%02x".format(_)).mkString
     val db = graft.catalog.GraftDatabase(spark,
       s"${CsvQueries.scratchRoot}/mlmodel_$key/db")
-    if (!mlReady.contains(key)) {
-      val docs = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
+    val sig = corpusSig(spark, dir)
+    if (mlReady.get(key) != sig) {
       val fresh =
-        try db.read("ml_sig").collect()(0).getLong(0) == docs.count()
+        try db.read("ml_sig").collect()(0).getString(0) == sig
         catch { case _: Exception => false }
       if (!fresh) {
+        // see servedCorpusModel: drop the stale listing cache before
+        // the rebuild reads the swapped corpus
+        spark.catalog.refreshByPath(s"$dir/documents.parquet")
+        val docs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
         buildMlModel(db, docs, "ml", targetSrcs)
-        db.write(docs.agg(count(lit(1)).as("n_docs")), "ml_sig",
+        db.write(oneRowSig(spark, sig), "ml_sig",
           org.apache.spark.sql.SaveMode.Overwrite)
       }
-      mlReady.add(key)
+      mlReady.put(key, sig)
       ()
     }
     db
@@ -497,44 +520,13 @@ object LanguageModel {
       }
       val rows = byTgt.take(maxBroadcastModel + 1)
       if (rows.length <= maxBroadcastModel) {
-        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
-        val mT = new java.util.HashMap[
-          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-          math.max(16, rows.length * 3))
-        val mB = new java.util.HashMap[
-          org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-          math.max(16, rows.length * 3))
-        val vocabT = new java.util.HashSet[String](rows.length * 2)
-        val vocabB = new java.util.HashSet[String](rows.length * 2)
-        def add(m: java.util.HashMap[
-              org.apache.spark.unsafe.types.UTF8String, java.lang.Long],
-            vocab: java.util.HashSet[String],
-            w1: String, w2: String, c: Long): Unit = {
-          val kb = u8(w1 + " " + w2)
-          val pb = m.get(kb)
-          m.put(kb, java.lang.Long.valueOf(
-            (if (pb == null) 0L else pb.longValue()) + c))
-          val k1 = u8(w1)
-          val p1 = m.get(k1)
-          m.put(k1, java.lang.Long.valueOf(
-            (if (p1 == null) 0L else p1.longValue()) + c))
-          vocab.add(w1); vocab.add(w2); ()
-        }
-        rows.foreach { r =>
-          val (bg, tgt, c) =
-            (r.getString(0), r.getBoolean(1), r.getLong(2))
-          val sp = bg.indexOf(' ') // tokens are \S+ — exactly one space
-          val (w1, w2) = (bg.substring(0, sp), bg.substring(sp + 1))
-          add(mB, vocabB, w1, w2, c)
-          if (tgt) add(mT, vocabT, w1, w2, c)
-        }
+        val (mT, mB, vT, vB) = mlFoldRows(rows)
         val sc = spark.sparkContext
         val (bcT, bcB) = (sc.broadcast(mT), sc.broadcast(mB))
         for (key <- memoKey; sig <- sigOpt)
           mlServeMemo.put(key, ServedMl(appId, sig, rows.length,
-            bcT, bcB, vocabT.size.toLong, vocabB.size.toLong))
-        return mlScoreBroadcast(ids, bcT, bcB,
-          vocabT.size.toLong, vocabB.size.toLong)
+            bcT, bcB, vT, vB))
+        return mlScoreBroadcast(ids, bcT, bcB, vT, vB)
       }
     }
     val splitBg = (df: DataFrame) => df.select(
@@ -556,6 +548,92 @@ object LanguageModel {
         (col("bits_target") - col("bits_background") < 0.0).as("keep_doc"))
   }
 
+  /** Fold (bg, tgt, c2) rows into the two count maps + vocab sizes
+    * (target = tgt rows; background = all rows; bigram AND context
+    * counts share one map — LmScore probes both key shapes). Order-
+    * free integer sums: identical to the distributed aggregates.
+    */
+  private def mlFoldRows(rows: Array[org.apache.spark.sql.Row]): (
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long],
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long], Long, Long) = {
+    val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val mT = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+      math.max(16, rows.length * 3))
+    val mB = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+      math.max(16, rows.length * 3))
+    val vocabT = new java.util.HashSet[String](rows.length * 2)
+    val vocabB = new java.util.HashSet[String](rows.length * 2)
+    def add(m: java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, java.lang.Long],
+        vocab: java.util.HashSet[String],
+        w1: String, w2: String, c: Long): Unit = {
+      val kb = u8(w1 + " " + w2)
+      val pb = m.get(kb)
+      m.put(kb, java.lang.Long.valueOf(
+        (if (pb == null) 0L else pb.longValue()) + c))
+      val k1 = u8(w1)
+      val p1 = m.get(k1)
+      m.put(k1, java.lang.Long.valueOf(
+        (if (p1 == null) 0L else p1.longValue()) + c))
+      vocab.add(w1); vocab.add(w2); ()
+    }
+    rows.foreach { r =>
+      val (bg, tgt, c) =
+        (r.getString(0), r.getBoolean(1), r.getLong(2))
+      val sp = bg.indexOf(' ') // tokens are \S+ — exactly one space
+      val (w1, w2) = (bg.substring(0, sp), bg.substring(sp + 1))
+      add(mB, vocabB, w1, w2, c)
+      if (tgt) add(mT, vocabT, w1, w2, c)
+    }
+    (mT, mB, vocabT.size.toLong, vocabB.size.toLong)
+  }
+
+  /** G16: the C31 gate ON A STREAM — score a (carry…, doc_id, text)
+    * streaming frame under a stored [[buildMlModel]] artifact.
+    * STATELESS: both scores are single-expression byte passes
+    * (LmScore) against the broadcast count-map pair, so the plan has
+    * no state store and needs no watermark — every micro-batch emits
+    * its verdicts immediately, identical arithmetic to the batch
+    * [[mooreLewisFromModel]] fast path (spec-pinned). The model must
+    * fit the broadcast cap (it is vocabulary-sized by construction;
+    * loud error otherwise — an over-cap model is the batch join
+    * path's job, the same driver-bounded-artifact rule as G9's Bloom
+    * filter). Repeat streams under an unchanged artifact reuse the
+    * memoized broadcast pair.
+    */
+  def mooreLewisStream(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame, carry: Seq[String] = Seq("ts"),
+      maxBroadcastModel: Int = defaultModelCap): DataFrame = {
+    val spark = docs.sparkSession
+    val key = db.tablePath(s"${name}_bytgt")
+    val appId = spark.sparkContext.applicationId
+    val sig = artifactSig(spark, key)
+    val hit = mlServeMemo.get(key)
+    val served =
+      if (hit != null && hit.appId == appId && hit.sig == sig &&
+          hit.nRows <= maxBroadcastModel) hit
+      else {
+        val rows = db.read(s"${name}_bytgt").select("bg", "tgt", "c2")
+          .take(maxBroadcastModel + 1)
+        require(rows.length <= maxBroadcastModel,
+          s"Moore-Lewis model $key exceeds maxBroadcastModel=" +
+            s"$maxBroadcastModel rows; streaming scoring requires the " +
+            "broadcast fast path — raise the cap or score in batch")
+        val (mT, mB, vT, vB) = mlFoldRows(rows)
+        val sc = spark.sparkContext
+        val e = ServedMl(appId, sig, rows.length,
+          sc.broadcast(mT), sc.broadcast(mB), vT, vB)
+        mlServeMemo.put(key, e)
+        e
+      }
+    mlScoreBroadcast(docs, served.bcT, served.bcB, served.vT, served.vB,
+      carry)
+  }
+
   /** Both LmScore byte passes in ONE corpus scan — the fast path's
     * scoring tail, shared by fresh folds and memo hits. */
   private def mlScoreBroadcast(ids: DataFrame,
@@ -565,22 +643,24 @@ object LanguageModel {
       bcB: org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
           java.lang.Long]],
-      vT: Long, vB: Long): DataFrame = {
+      vT: Long, vB: Long, carry: Seq[String] = Seq.empty): DataFrame = {
     val gf = graft.functions.GraftFunctions
+    val keep = carry.map(col)
     ids
-      .select(col("doc_id"),
+      .select(keep ++ Seq(col("doc_id"),
         gf.lmScore(lower(col("text")), bcT, vT).as("st"),
-        gf.lmScore(lower(col("text")), bcB, vB).as("sb"))
+        gf.lmScore(lower(col("text")), bcB, vB).as("sb")): _*)
       .filter(col("st").isNotNull && col("sb").isNotNull)
-      .select(col("doc_id"),
+      .select(keep ++ Seq(col("doc_id"),
         (col("st.sum_mb").cast("double") /
           (lit(1000.0) * col("st.n_bigrams"))).as("bits_target"),
         (col("sb.sum_mb").cast("double") /
-          (lit(1000.0) * col("sb.n_bigrams"))).as("bits_background"))
-      .select(col("doc_id"), col("bits_target"), col("bits_background"),
+          (lit(1000.0) * col("sb.n_bigrams"))).as("bits_background")): _*)
+      .select(keep ++ Seq(col("doc_id"), col("bits_target"),
+        col("bits_background"),
         (col("bits_target") - col("bits_background")).as("ml_score"),
         (col("bits_target") - col("bits_background") < 0.0)
-          .as("keep_doc"))
+          .as("keep_doc")): _*)
   }
 
   /** Adjacent (w1, w2, w3) triple structs of a token array. */

@@ -58,7 +58,13 @@ object Pipeline {
       // WORSE, 1.66 s vs 1.36 s at sf0.1 (DriveCleanProbe): shingles
       // for every gated doc instead of every survivor, and the array
       // payload widens the corpus-scale fp shuffle. Survivors-only
-      // computation after the exchange stays the shipped shape.)
+      // computation after the exchange stays the shipped shape.
+      // r9 re-check at 10× with an ORDER-FAIR probe (DriveCleanAb,
+      // interleaved reps — DriveCleanProbe's fixed ordering hands
+      // the later variant a JIT/GC edge and had flipped the
+      // verdict): shipped 2.02 s vs fused 2.26 s even with the
+      // fused struct slimmed to ids+stats+sh. The negative holds at
+      // both scales.)
       .withColumn("sh", Dedup.shingleHashColumn(col("text")))
       // Late-r8: the cache DROPS the raw text — every text-derived
       // output (sh, n_tokens) is computed in this projection, so the

@@ -60,6 +60,26 @@ object StreamingCuration {
       c2, c1, lit(v), Seq("ts", "doc_id"))
   }
 
+  /** G16: streaming Moore-Lewis selection — a (ts, doc_id, text)
+    * stream scored under a persisted C31 two-model artifact
+    * (`buildMlModel`) at ingest: the domain-relevance gate that
+    * keeps a crawl increment only where the in-domain target model
+    * predicts the text better than the background model. STATELESS —
+    * both bits are single-expression byte passes against the
+    * broadcast count-map pair, so unlike G11/G14 there is no state
+    * store and no watermark requirement: verdicts emit with the
+    * micro-batch. Identical arithmetic to the batch
+    * `mooreLewisFromModel` fast path (spec-pinned); the model must
+    * fit the broadcast cap (vocabulary-sized artifact — the same
+    * driver-bounded rule as G9's Bloom filter).
+    *
+    * Emits (ts, doc_id, bits_target, bits_background, ml_score,
+    * keep_doc) per micro-batch.
+    */
+  def scoreMooreLewis(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame): DataFrame =
+    graft.operators.LanguageModel.mooreLewisStream(db, name, docs)
+
   /** G14: streaming DSIR scoring — a (ts, doc_id, text) stream
     * weighted against a persisted C33 model (`buildDsirModel`
     * artifacts) at ingest: the domain-relevance gate running where

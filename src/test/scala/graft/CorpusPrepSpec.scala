@@ -397,6 +397,38 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(retargeted.count() == served.count())
   }
 
+  test("served-model staleness: same-count corpus swap rebuilds the model") {
+    import spark.implicits._
+    val lm = graft.operators.LanguageModel
+    val dir = scratch("ml_swap")
+    def write(texts: Seq[String]): Unit = {
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 2 == 0) "src0" else "src9", t) }
+        .toDF("doc_id", "source", "text")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ()
+    }
+    write(Seq("alpha beta gamma delta", "beta gamma delta epsilon",
+      "gamma delta epsilon zeta", "delta epsilon zeta eta"))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("doc_id", "ml_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val first = scores(lm.mooreLewis(spark, dir))
+    assert(first.size == 4)
+    // swap the corpus CONTENT but keep the row count — the old
+    // doc-count sidecar could not see this; the file-listing
+    // signature must rebuild (and refresh Spark's stale listing
+    // cache) and serve the new model
+    write(Seq("one one one one", "one two one two",
+      "two two two two", "one two three two one"))
+    val second = scores(lm.mooreLewis(spark, dir))
+    // the serve path's refreshByPath also unsticks this inline read
+    val inline = scores(lm.mooreLewisInline(spark, dir))
+    assert(second == inline)
+    assert(second != first, "stale model served")
+  }
+
   test("curriculum: served-from-model output equals the inline retrain") {
     val lm = graft.operators.LanguageModel
     val served = lm.curriculum(spark, sf, 4)

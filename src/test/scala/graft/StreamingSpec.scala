@@ -305,6 +305,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G16: streamed Moore-Lewis verdicts equal batch served, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.operators.LanguageModel
+    val db = GraftDatabase(spark, scratch("ml_stream") + "/db")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    lm.buildMlModel(db, docs, "ml")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val rows = batch.select("doc_id", "text").collect()
+      .map(r => (ts(0), r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCuration
+      .scoreMooreLewis(db, "ml", mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ml_stream_out").start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      // stateless gate: verdicts land in the SAME micro-batch — no
+      // watermark flush row, unlike the G11/G14 stateful folds
+      q.processAllAvailable()
+      val got = spark.table("ml_stream_out")
+        .select("doc_id", "bits_target", "bits_background",
+          "ml_score", "keep_doc")
+      val want = lm.mooreLewisFromModel(db, "ml",
+        batch.select(col("doc_id"), col("text")))
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+      assert(want.except(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("gopher battery is stream-applicable: per-batch rows equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -78,7 +78,9 @@ SCALE10 = [
     "text_perplexity", "pipeline_shard_manifest", "curate_token_budget",
     "pipeline_curriculum", "curate_moore_lewis",
     "curate_gopher_rules", "dedup_winnow", "curate_dsir",
-    "q_events_retention", "text_perplexity_trigram"]
+    "q_events_retention", "text_perplexity_trigram",
+    # round 9 addition (the ddf>=2 semi-join rebuild)
+    "curate_dup_ngrams"]
 # NOT in SCALE10 (same principle as the csv_* exclusion — the DuckDB
 # twin is not like-for-like WORK): text_index_build (Spark builds the
 # full positional postings artifact; the oracle only checks the
