@@ -23,7 +23,8 @@ object SparkEntry {
       operators.AsOf.queries ++ operators.RangeJoin.queries ++
       operators.Pipeline.queries ++ operators.TextIndex.queries ++
       operators.Curation.queries ++ operators.Layout.queries ++
-      operators.Bpe.queries ++ operators.LanguageModel.queries
+      operators.Bpe.queries ++ operators.LanguageModel.queries ++
+      operators.HybridSearch.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.AsOf.oracles ++ operators.RangeJoin.oracles ++
       operators.Pipeline.oracles ++ operators.TextIndex.oracles ++
       operators.Curation.oracles ++ operators.Layout.oracles ++
-      operators.Bpe.oracles ++ operators.LanguageModel.oracles
+      operators.Bpe.oracles ++ operators.LanguageModel.oracles ++
+      operators.HybridSearch.oracles
 }

@@ -470,6 +470,79 @@ object Analytics {
       .groupBy(col("l_returnflag")).agg(picks.head, picks.tail: _*)
   }
 
+  /** B29: single-pass approximate quantiles per group — the sketch
+    * path for the B22 statistic. B22's exact order statistics shuffle
+    * the (group, value) HISTOGRAM, which is the right plan while
+    * values are small-domain integers; over a continuous column at
+    * corpus scale the histogram IS the data, and the scalable plan is
+    * a mergeable quantile sketch (Spark's `approx_percentile`,
+    * KLL/GK-family): O(accuracy) state per group, built map-side and
+    * merged at reduce — ONE scan, no histogram exchange, the only
+    * shape that survives a 100 TB continuous column. Approximate ⇒
+    * rows-only here; the `_check` twin is the oracle gate.
+    */
+  def qPercentilesSketch(spark: SparkSession, dir: String,
+      accuracy: Int = 100): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("p50"),
+        col("qs").getItem(1).as("p90"),
+        col("qs").getItem(2).as("p99"))
+
+  /** B29 `_check`: the sketch's rank-error GUARANTEE, verified
+    * exactly (the AnnChecks discipline — a DuckDB oracle can't
+    * reproduce an engine-specific sketch, so the oracle pins the
+    * invariant). `approx_percentile(p, acc)` promises a value whose
+    * true rank lies within n/acc of p·n; the check recounts each
+    * returned value's true rank with one more scan (cnt_lt/cnt_le
+    * bracket the value's rank interval — ties make the rank an
+    * interval, not a point) and compares in ×100-scaled integer
+    * arithmetic with one rank of slop for the p·n floor. The
+    * data-dependent outputs (group sizes) come from DuckDB; the
+    * booleans are the pinned guarantee.
+    */
+  def qPercentilesSketchCheck(spark: SparkSession, dir: String,
+      accuracy: Int = 100): DataFrame =
+    qPercentilesSketchCheckOf(Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_quantity").as("v")),
+      accuracy)
+
+  /** The B29 check over any (grp, v) frame — spec entry point for
+    * adversarial distributions (skew, constant groups).
+    */
+  def qPercentilesSketchCheckOf(li: DataFrame,
+      accuracy: Int): DataFrame = {
+    val probes = Seq(50, 90, 99)
+    val sk = li.groupBy(col("grp"))
+      .agg(percentile_approx(col("v"),
+        array(probes.map(p => lit(p / 100.0)): _*), lit(accuracy)).as("qs"))
+    val qv = sk.select(col("grp"),
+        posexplode(col("qs")).as(Seq("i", "qv")))
+      .withColumn("p100", element_at(
+        array(probes.map(p => lit(p.toLong)): _*), col("i") + 1))
+      .drop("i")
+    val ranks = li.join(broadcast(qv), Seq("grp"))
+      .groupBy(col("grp"), col("p100"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("qv"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("v") < col("qv"), 1L).otherwise(0L)).as("cnt_lt"))
+    // ×100-scaled integer rank algebra: target = p·n, slack =
+    // n·100/acc (the guarantee) + 100 (one rank of floor slop)
+    val target = col("p100") * col("n")
+    val slack = col("n") * lit(100L) / lit(accuracy.toLong) + lit(100L)
+    val ok = (col("cnt_le") * 100 >= target - slack) &&
+      (col("cnt_lt") * 100 <= target + slack)
+    ranks.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).as("n_probes"),
+        min(when(ok, 1L).otherwise(0L)).as("okmin"))
+      .select(col("grp"), col("n"), col("n_probes"),
+        (col("okmin") === 1L).as("sketch_ok"))
+  }
+
   /** B23: funnel analysis — users converting view → click → purchase
     * with each step inside `stepMs` of the previous one. Each step is
     * a groupBy(user).min(ms) on the step's events semi-joined to the
@@ -997,7 +1070,12 @@ object Analytics {
         |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2)
         |SELECT l_returnflag,
         |  (MIN(l_quantity) + MAX(l_quantity)) / 2 AS median_qty
-        |FROM mids GROUP BY l_returnflag""".stripMargin
+        |FROM mids GROUP BY l_returnflag""".stripMargin,
+    // B29 _check: group sizes from the table, the guarantee pinned
+    "q_percentiles_sketch_check" ->
+      """SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(3 AS BIGINT) AS n_probes, TRUE AS sketch_ok
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1022,6 +1100,9 @@ object Analytics {
     "q_distinct_parts" -> (distinctParts _),
     "q_median_quantity" -> (qMedianQuantity _),
     "q_percentiles" -> ((s, d) => qPercentiles(s, d)),
+    "q_percentiles_sketch" -> ((s, d) => qPercentilesSketch(s, d)),
+    "q_percentiles_sketch_check" ->
+      ((s, d) => qPercentilesSketchCheck(s, d)),
     "q_events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "q_nation_coverage" -> (qNationCoverage _),
     "q_table_profile" -> (tableProfile _),

@@ -874,6 +874,93 @@ object Curation {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // C34: frequency-based boilerplate line removal
+  // ---------------------------------------------------------------
+
+  /** C34: per-source boilerplate line removal (CCNet / RefinedWeb
+    * style): a line occurring in ≥ `minDocs` DISTINCT documents of
+    * the same source is boilerplate — navigation bars, cookie
+    * banners, license blocks repeat VERBATIM across a site's pages —
+    * and every occurrence is deleted, including the first. This is
+    * the complement of C23's keep-first dedup: C23 preserves one
+    * copy of every line (content-preserving dedup), C34 removes the
+    * whole equivalence class (the copies ARE the signal that the
+    * line carries no content). Grouping is per source because
+    * boilerplate is site-specific — a sentence shared across two
+    * unrelated sources is content, not chrome.
+    *
+    * Scale shape: segments group once on (source, line-hash) with
+    * the distinct-doc count aggregated in place (partial aggregation
+    * dedups map-side); the boilerplate key set — only lines clearing
+    * the frequency bar, a tiny fraction of the distinct-line
+    * vocabulary — then prunes the segment stream with a left-anti
+    * join AQE sizes (broadcast for any real threshold). Survivors
+    * shuffle once on doc_id for reassembly, totals ride a
+    * shuffle-free map on the document side — C23's exchange budget
+    * exactly. Line hash carries the C1 collision contract (the
+    * oracle anti-joins raw line text, so a collision surfaces as a
+    * hash-check mismatch, never silently).
+    *
+    * Lines = the same deterministic w-token segmentation as C23
+    * (the corpus carries no newlines); a real crawl passes
+    * newline-split lines through [[boilerplateLinesOf]] directly.
+    */
+  def boilerplateLines(spark: SparkSession, dir: String, w: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    boilerplateLinesOf(Tables(spark, dir, "documents"), w, minDocs)
+
+  def boilerplateLinesOf(docs: DataFrame, w: Int,
+      minDocs: Int): DataFrame = {
+    val segs = docs.select(col("doc_id"), col("source"),
+        posexplode(Dedup.lineArray(Dedup.tokens(col("text")), w))
+          .as(Seq("line_no", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val boiler = segs
+      .groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") >= minDocs)
+      .select(col("source"), col("lh"))
+    val kept = segs.join(boiler, Seq("source", "lh"), "left_anti")
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(Dedup.lineArray(Dedup.tokens(col("text")), w))
+          .cast("bigint").as("n_lines"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  private val boilerplateOracle =
+    """WITH tok AS (SELECT doc_id, source,
+      |    regexp_extract_all(text, '\S+') t FROM documents),
+      |seg AS (SELECT doc_id, source,
+      |    unnest(generate_series(0, (len(t) - 1) // 8)) j, t
+      |  FROM tok WHERE len(t) >= 1),
+      |lines AS (SELECT doc_id, source, j AS line_no,
+      |    array_to_string(t[CAST(j * 8 + 1 AS INT):CAST(j * 8 + 8 AS INT)], ' ') line
+      |  FROM seg),
+      |boiler AS (SELECT source, line FROM lines
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT l.doc_id, l.line_no, l.line FROM lines l
+      |  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+      |    WHERE b.source = l.source AND b.line = l.line)),
+      |agg AS (SELECT doc_id, COUNT(*) n_kept,
+      |    array_to_string(list(line ORDER BY line_no), ' ') clean_text
+      |  FROM kept GROUP BY 1),
+      |tot AS (SELECT doc_id, CAST(CASE WHEN len(t) = 0 THEN 0
+      |    ELSE (len(t) - 1) // 8 + 1 END AS BIGINT) n_lines FROM tok)
+      |SELECT t.doc_id, t.n_lines,
+      |  COALESCE(a.n_kept, 0) AS n_kept,
+      |  COALESCE(a.clean_text, '') AS clean_text
+      |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   private val qualityClassifierOracle = {
     val en = "\\b(the|and|of|to|is|in|it|a)\\b"
     s"""WITH f AS (SELECT doc_id,
@@ -899,6 +986,7 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "curate_boilerplate" -> boilerplateOracle,
     "curate_gopher_rules" -> gopherOracle,
     "curate_quality_classifier" -> qualityClassifierOracle,
     "curate_corpus_diff" ->
@@ -1058,6 +1146,7 @@ object Curation {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_boilerplate" -> ((s, d) => boilerplateLines(s, d)),
     "curate_contamination" -> ((s, d) => contamination(s, d)),
     "curate_domain_mix" -> (domainMix _),
     "curate_mix_report" -> (mixReport _),

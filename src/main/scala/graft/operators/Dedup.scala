@@ -920,7 +920,7 @@ object Dedup {
     * both engines. ⌈n/w⌉ lines; the last may be short; empty token
     * arrays yield no lines.
     */
-  private def lineArray(toks: Column, w: Int): Column =
+  private[operators] def lineArray(toks: Column, w: Int): Column =
     when(size(toks) >= 1,
       transform(
         sequence(lit(0), floor((size(toks) - 1) / w).cast("int")),

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D13: hybrid lexical + vector retrieval with reciprocal-rank
+  * fusion (SURVEY.md §2.D) — the RAG-serving composition every
+  * production retrieval stack runs: a BM25 candidate list from the
+  * persisted text index (E13) and an exact cosine top-k from the
+  * embedding store (D1), fused by RRF (Cormack et al. 2009):
+  * `score(d) = Σ_lists 1/(κ + rank_list(d))`, κ=60. RRF needs only
+  * RANKS, never the incomparable raw scores — which is exactly why
+  * it is the standard fusion for heterogeneous retrievers — and
+  * 1/(κ+r) is a single IEEE division of exact integers, so the
+  * fused scores are bit-identical cross-engine (the E13/E10
+  * portability discipline; no min-max normalization, whose corpus-
+  * dependent denominators would be engine-ulp-sensitive).
+  *
+  * Scale shape: each branch is its own already-scale-proven serving
+  * path — BM25 probes bucket-pruned postings (no corpus scan), the
+  * vector branch is one corpus scan folded by the partial top-k
+  * aggregator (q·k rows shuffle). Fusion then touches ≤ kLex + kVec
+  * rows per query: a full-outer join and a top-k over O(k) rows —
+  * free at any corpus size. Absent-in-one-list documents take rank
+  * 0 in the output (never in the score: a missing list contributes
+  * 0, not 1/60).
+  */
+object HybridSearch {
+
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("batch", "merge"),
+      kLex: Int = 20, kVec: Int = 20, k: Int = 10,
+      kappa: Int = 60): DataFrame = {
+    val (db, table) = TextIndex.servedIndex(spark, dir)
+    // Re-ranking the k-row lexical result is a window over ≤ kLex
+    // rows — bounded by construction, not by the corpus. The order
+    // (score desc, doc_id) matches searchRanked's own top-k order,
+    // so these ranks ARE the global BM25 ranks 1..kLex.
+    val lex = TextIndex.searchRanked(db, table, terms, kLex)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("bigint").as("lex_rank"))
+    // D1's serving path: query = embedding 0 (nQueries=1), ranks
+    // already deterministic (sim desc, neighbor id).
+    val vec = Ann.topkExact(spark, dir, kVec, nQueries = 1)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("bigint").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (coalesce(lit(1.0) / (lit(kappa.toDouble) + col("lex_rank")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kappa.toDouble) + col("vec_rank")),
+            lit(0.0))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Identical fusion arithmetic in DuckDB: the E13 BM25 SQL and the
+    * D1 cosine SQL verbatim (both independently oracle-green every
+    * round), ranked, full-outer joined, RRF-summed with every
+    * literal cast to DOUBLE (bare 1.0 is DECIMAL in DuckDB).
+    */
+  private val hybridOracle =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') t
+      |             FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+      |              CAST(SUM(len(t)) AS DOUBLE) l FROM tok),
+      |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) dl FROM tok),
+      |t1 AS (SELECT doc_id,
+      |         CAST(len(list_filter(t, x -> x = 'batch')) AS DOUBLE) tf
+      |       FROM tok WHERE list_contains(t, 'batch')),
+      |t2 AS (SELECT doc_id,
+      |         CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) tf
+      |       FROM tok WHERE list_contains(t, 'merge')),
+      |d1 AS (SELECT CAST(COUNT(*) AS DOUBLE) df FROM t1),
+      |d2 AS (SELECT CAST(COUNT(*) AS DOUBLE) df FROM t2),
+      |j AS (SELECT COALESCE(t1.doc_id, t2.doc_id) doc_id,
+      |        COALESCE(t1.tf, 0.0) tf1, COALESCE(t2.tf, 0.0) tf2
+      |      FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id),
+      |bm AS (SELECT j.doc_id,
+      |  ((((st.n - d1.df) + 0.5) / (d1.df + 0.5)) * (tf1 * 2.2))
+      |    / (tf1 + 1.2 * (0.25 + ((0.75 * dl.dl) * st.n) / st.l))
+      |  + ((((st.n - d2.df) + 0.5) / (d2.df + 0.5)) * (tf2 * 2.2))
+      |    / (tf2 + 1.2 * (0.25 + ((0.75 * dl.dl) * st.n) / st.l)) AS score
+      |  FROM j JOIN dl ON j.doc_id = dl.doc_id, st, d1, d2),
+      |lex AS (SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
+      |  FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT e.vec_id AS doc_id,
+      |  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+      |  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+      |      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+      |    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y))) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id != 0),
+      |vec AS (SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vr
+      |  FROM s ORDER BY sim DESC, doc_id LIMIT 20),
+      |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lr, v.vr
+      |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+      |SELECT doc_id,
+      |  COALESCE(lr, 0) AS lex_rank,
+      |  COALESCE(vr, 0) AS vec_rank,
+      |  COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lr),
+      |      CAST(0.0 AS DOUBLE))
+      |    + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vr),
+      |        CAST(0.0 AS DOUBLE)) AS rrf_score
+      |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "search_hybrid_rrf" -> hybridOracle
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
+  )
+}

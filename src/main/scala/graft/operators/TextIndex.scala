@@ -177,7 +177,7 @@ object TextIndex {
     (db, s"postings_b$n", key, n)
   }
 
-  private def servedIndex(spark: SparkSession,
+  private[operators] def servedIndex(spark: SparkSession,
       dir: String): (graft.catalog.GraftDatabase, String) = {
     val (db, table, key, n) = indexHandles(spark, dir)
     if (!indexReady.contains(key)) {

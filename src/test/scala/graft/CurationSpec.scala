@@ -256,4 +256,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!r3.getAs[Boolean]("symbol_ratio_ok"),
       "7 ellipses in 59 words must fail the 0.1 symbol ratio")
   }
+  test("boilerplate removal: per-source frequency, all copies deleted") {
+    import spark.implicits._
+    val docs = Seq(
+      // the same 8-token line in TWO src0 docs -> boilerplate there,
+      // every copy deleted (including the first - the C23 contrast)
+      (1L, "src0", "nav nav nav nav nav nav nav nav a b c d e f g h"),
+      (2L, "src0", "nav nav nav nav nav nav nav nav i j k l m n o p"),
+      // the SAME line occurs in only ONE src1 doc -> content there, kept
+      (3L, "src1", "nav nav nav nav nav nav nav nav q r s t u v w x"),
+      // within-doc repeat, single doc -> ddf=1, BOTH copies kept
+      // (C23 keep-first would delete the second)
+      (4L, "src1", "z1 z2 z3 z4 z5 z6 z7 z8 z1 z2 z3 z4 z5 z6 z7 z8"),
+      // empty doc -> zero lines, still a result row (totality)
+      (5L, "src2", "")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateLinesOf(docs, 8, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "a b c d e f g h")))
+    assert(out(2L) == ((2L, 1L, "i j k l m n o p")))
+    assert(out(3L) ==
+      ((2L, 2L, "nav nav nav nav nav nav nav nav q r s t u v w x")))
+    assert(out(4L) ==
+      ((2L, 2L, "z1 z2 z3 z4 z5 z6 z7 z8 z1 z2 z3 z4 z5 z6 z7 z8")))
+    assert(out(5L) == ((0L, 0L, "")))
+  }
 }

@@ -79,15 +79,20 @@ SCALE10 = [
     "pipeline_curriculum", "curate_moore_lewis",
     "curate_gopher_rules", "dedup_winnow", "curate_dsir",
     "q_events_retention", "text_perplexity_trigram",
-    # round 9 addition (the ddf>=2 semi-join rebuild)
-    "curate_dup_ngrams"]
+    # round 9 additions (the ddf>=2 semi-join rebuild; boilerplate
+    # removal — both engines compute from the raw corpus)
+    "curate_dup_ngrams", "curate_boilerplate"]
 # NOT in SCALE10 (same principle as the csv_* exclusion — the DuckDB
 # twin is not like-for-like WORK): text_index_build (Spark builds the
 # full positional postings artifact; the oracle only checks the
 # corpus totals sidecar, a COUNT), text_vocab_approx (Spark runs the
 # sketch+recount composition; the oracle computes the exact top-20 —
-# same ANSWER by the MG guarantee, different algorithm). Both live on
-# the sf0.1 bench_full board and the correctness board.
+# same ANSWER by the MG guarantee, different algorithm),
+# search_hybrid_rrf (Spark serves from the persisted postings index;
+# the oracle recomputes BM25 from raw text), q_percentiles_sketch[
+# _check] (Spark runs sketch + exact recount; the oracle emits group
+# sizes). All live on the sf0.1 bench_full board and the correctness
+# board.
 
 
 def parent_offset(name):
