@@ -705,8 +705,10 @@ object Analytics {
     * size branch shares the triangle's aggregation subtree and
     * ReuseExchange collapses the two reads to one computation. (The
     * r7 distinct→firsts→join shape paid three user-or-events-scale
-    * exchanges for the same answer: 1.04 s → 0.35 s at the 10×
-    * board, identical output.)
+    * exchanges for the same answer; isolated 10× best-of-2 runs read
+    * ~0.9 s old vs ~0.7 s new under heavy VM jitter — the shape
+    * argument, one corpus exchange instead of three, is the real
+    * margin at cluster scale where exchanges dominate.)
     */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val pairs = events(spark, dir)
