@@ -34,8 +34,22 @@ object Ann {
     * corpus; D6 passes the predicate-filtered scan.
     */
   private def topkOver(corpus: DataFrame, queries: DataFrame, k: Int,
-      nQueries: Int): DataFrame = {
-    val q = queries.filter(col("vec_id") < nQueries)
+      nQueries: Int): DataFrame =
+    topkOverPred(corpus, queries, k, col("vec_id") < nQueries)
+
+  /** D1 for ONE query id — the D13 hybrid / G17 streaming serving
+    * entry (same partial-top-k plan, predicate instead of the
+    * fixture's id range).
+    */
+  def topkExactOne(spark: SparkSession, dir: String, k: Int,
+      queryVecId: Long): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    topkOverPred(e, e, k, col("vec_id") === queryVecId)
+  }
+
+  private def topkOverPred(corpus: DataFrame, queries: DataFrame,
+      k: Int, pred: Column): DataFrame = {
+    val q = queries.filter(pred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val sims = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))

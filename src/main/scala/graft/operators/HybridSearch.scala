@@ -31,6 +31,15 @@ object HybridSearch {
   def hybridRrf(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("batch", "merge"),
       kLex: Int = 20, kVec: Int = 20, k: Int = 10,
+      kappa: Int = 60): DataFrame =
+    hybridRrfFor(spark, dir, terms, 0L, kLex, kVec, k, kappa)
+
+  /** The D13 fusion for an arbitrary (terms, query-vector-id) query —
+    * the G17 streaming serving entry.
+    */
+  def hybridRrfFor(spark: SparkSession, dir: String,
+      terms: Seq[String], queryVecId: Long,
+      kLex: Int = 20, kVec: Int = 20, k: Int = 10,
       kappa: Int = 60): DataFrame = {
     val (db, table) = TextIndex.servedIndex(spark, dir)
     // Re-ranking the k-row lexical result is a window over ≤ kLex
@@ -42,9 +51,9 @@ object HybridSearch {
         row_number().over(
           Window.orderBy(col("score").desc, col("doc_id")))
           .cast("bigint").as("lex_rank"))
-    // D1's serving path: query = embedding 0 (nQueries=1), ranks
-    // already deterministic (sim desc, neighbor id).
-    val vec = Ann.topkExact(spark, dir, kVec, nQueries = 1)
+    // D1's serving path: ranks already deterministic (sim desc,
+    // neighbor id).
+    val vec = Ann.topkExactOne(spark, dir, kVec, queryVecId)
       .select(col("neighbor_id").as("doc_id"),
         col("rank").cast("bigint").as("vec_rank"))
     lex.join(vec, Seq("doc_id"), "full_outer")

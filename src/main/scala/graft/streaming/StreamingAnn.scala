@@ -154,4 +154,45 @@ object StreamingAnn {
           batchId)
         ()
     }
+
+  /** G17: streaming hybrid lexical+vector serving — a (query_id,
+    * terms) query stream answered per micro-batch by the D13 RRF
+    * fusion over the persisted text index and the embedding store,
+    * published exactly-once to `{name}_results` keyed by batch id.
+    * Each query runs its own fused plan from the driver loop:
+    * lexical TERM SETS are plan-time values by design (that is what
+    * lets BM25 prune to its terms' postings buckets instead of
+    * scanning the index), so a query batch is driver-bounded — the
+    * same rule as HNSW's per-batch graph entry (G13) and the D9
+    * load-the-quantizer discipline. Both branch artifacts live on
+    * disk; the only per-batch state is the batch's own query rows.
+    *
+    * Output: (doc_id, lex_rank, vec_rank, rrf_score, query_id,
+    * terms, batch_id) — the batch twin's rows tagged with their
+    * query and batch.
+    */
+  def serveHybridStream(db: graft.catalog.GraftDatabase, name: String,
+      dir: String, queries: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch.select(col("query_id"), col("terms"))
+          .distinct().collect()
+        if (rows.nonEmpty) {
+          val outs = rows.map { r =>
+            val (qid, ts) = (r.getLong(0), r.getString(1))
+            graft.operators.HybridSearch
+              .hybridRrfFor(spark, dir, ts.split(" ").toSeq, qid)
+              .withColumn("query_id", lit(qid))
+              .withColumn("terms", lit(ts))
+          }
+          IngestPublish.publishFiles(db, s"${name}_results",
+            outs.reduce(_ unionByName _)
+              .withColumn("batch_id", lit(batchId)),
+            batchId)
+        }
+        ()
+    }
 }

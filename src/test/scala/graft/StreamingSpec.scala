@@ -770,4 +770,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Seq(late(2)).toDF("doc_id", "text"), 2, 1L)
     assert(served(db) == streamed)
   }
+  test("G17: streamed hybrid RRF serving equals the batch fusion per query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("hybrid_serve") + "/db")
+    val qs = Seq((0L, "batch merge"), (3L, "batch"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingAnn
+      .serveHybridStream(db, "hy", sf, mem.toDF().toDF("query_id", "terms"))
+      .option("checkpointLocation", scratch("hybrid_ckpt")).start()
+    try {
+      mem.addData(qs.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(qs.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = db.read("hy_results")
+    val want = qs.map { case (qid, ts) =>
+      graft.operators.HybridSearch
+        .hybridRrfFor(spark, sf, ts.split(" ").toSeq, qid)
+        .withColumn("query_id", org.apache.spark.sql.functions.lit(qid))
+        .withColumn("terms", org.apache.spark.sql.functions.lit(ts))
+    }.reduce(_ unionByName _)
+    assert(got.count() == want.count())
+    assert(got.drop("batch_id").except(want).count() == 0)
+    assert(want.except(got.drop("batch_id")).count() == 0)
+  }
 }
