@@ -774,10 +774,55 @@ object Analytics {
           .as("anomalous"))
   }
 
+  /** B30: dense hourly series per event type — gap-fill. An event
+    * stream has no rows for quiet hours, but downstream consumers
+    * (anomaly baselines, rate charts, feature windows) need a DENSE
+    * series: every hour between a type's first and last activity,
+    * zero-filled. The time-dimension densification every monitoring
+    * and feature pipeline runs after B8's bucketed agg.
+    *
+    * Scale shape: ONE events-scale aggregation (the B28 hourly
+    * table); spans re-aggregate the hours-sized table to one row per
+    * type; the dense axis is `sequence(lo, hi, 1h)` EXPLODED from
+    * the spans — rows bounded by types × corpus-timespan-hours,
+    * never by event count — and the zero-fill is an hours-sized left
+    * join. Hour buckets via pmod floor-division (negative-ms parity
+    * with the oracle's date_trunc — the B27/B28 discipline).
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame =
+    eventsGapfillOf(events(spark, dir))
+
+  def eventsGapfillOf(ev: DataFrame): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"),
+        (col("ms") - pmod(col("ms"), lit(3600000L))).as("hour_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000L)))
+          .as("hour_ms"))
+    dense.join(hourly, Seq("event_type", "hour_ms"), "left")
+      .select(col("event_type"), col("hour_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   /** DuckDB oracle twins — aliases must match the Spark side exactly
     * (the driver's compare sorts columns by name before hashing).
     */
   val oracles: Map[String, String] = Map(
+    "q_events_gapfill" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, MIN(hour_ms) lo, MAX(hour_ms) hi
+        |  FROM h GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, 3600000)) AS hour_ms FROM s)
+        |SELECT g.event_type, g.hour_ms,
+        |  CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN h USING (event_type, hour_ms)""".stripMargin,
     "q_events_anomaly" ->
       """WITH h AS (SELECT event_type,
         |    epoch_ms(date_trunc('hour', ts)) AS hour_ms,
@@ -1096,6 +1141,7 @@ object Analytics {
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_retention" -> (eventsRetention _),
     "q_events_anomaly" -> (eventsAnomaly _),
+    "q_events_gapfill" -> (eventsGapfill _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),

@@ -71,4 +71,24 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("spiky", 12 * 3600000L))._1 == 500L)
     assert(out.count(_._1._1 == "steady") == 24)
   }
+  test("gapfill: planted quiet hours zero-filled, negative ms floors") {
+    import spark.implicits._
+    val h = 3600000L
+    val ev = Seq(
+      // hour 0 twice, hour 2 once - hour 1 is the planted gap
+      ("a", 0L), ("a", 1L), ("a", 2 * h),
+      // single-hour span: no gap rows
+      ("b", 5 * h + 42L),
+      // pre-epoch ms must FLOOR to hour -1h (truncation toward zero
+      // would bucket it at 0 and silently erase the span)
+      ("c", -1L), ("c", h)
+    ).toDF("event_type", "ms")
+    val out = graft.operators.Analytics.eventsGapfillOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("a", 0L, 2L), ("a", h, 0L), ("a", 2 * h, 1L),
+      ("b", 5 * h, 1L),
+      ("c", -h, 1L), ("c", 0L, 0L), ("c", h, 1L)))
+  }
 }
