@@ -327,6 +327,76 @@ object Dedup {
     verifyJaccard(cands, docs, threshold, wVerify)
   }
 
+  /** C35: cross-corpus fuzzy decontamination — flag every training
+    * document whose shingle-Jaccard against ANY benchmark document
+    * clears τ (the near-duplicate leak C13's exact-gram screen
+    * misses: an eval item paraphrased, re-wrapped or lightly edited
+    * into the crawl). The benchmark stand-in here is a deterministic
+    * id-slice of `documents` so both engines see identical corpora;
+    * in production it is the eval suites — KBs to MBs against a
+    * 100 TB crawl, which is the asymmetry the plan is built on.
+    *
+    * Shape (vs C4's self-join): the benchmark side is tiny BY
+    * DESIGN, so both joins broadcast it and the training corpus is
+    * never shuffled at all — the whole operator is two broadcast map
+    * passes over the corpus:
+    *   1. banding pass: per-doc MinHash signatures (same k=128/b=32
+    *      banding and seed as C4, so C4's ~1−4·10⁻⁸ recall-at-τ
+    *      guarantee carries over) hash-joined band-wise against the
+    *      BROADCAST benchmark bucket table → candidate (doc, bench)
+    *      pairs, deduped with a candidate-sized (not corpus-sized)
+    *      exchange;
+    *   2. verify pass: the corpus streams once more against the
+    *      BROADCAST candidate×benchmark-shingle table; exact Jaccard
+    *      (sorted-merge intersection) keeps pairs ≥ τ.
+    * The LSH-verified output ≡ the exact cross-pair set (C4's oracle
+    * contract, cross-corpus form). At bench scale the hashed-shingle
+    * frame is persisted so the two passes share one
+    * tokenize+shingle+hash computation; at 100 TB the cache spills
+    * to disk or is dropped and the second pass re-scans — either
+    * way, zero corpus-scale shuffles.
+    */
+  def fuzzyDecontam(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, benchMod: Int = 17,
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    val r = k / bands
+    val isBench = col("doc_id") % benchMod === 0
+    val hashed = docShingleHashes(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(df: DataFrame, idAlias: String): DataFrame =
+      df.select(col("doc_id").as(idAlias),
+          minhashFromHashes(col("sh"), k, 42L).as("sig"))
+        .select(col(idAlias),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+        .select(col(idAlias), col("band"),
+          xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r)))
+            .as("bucket"))
+    // Candidate pass: corpus-side banding streams map-side against
+    // the broadcast benchmark buckets; the only exchange is the
+    // candidate-pair distinct (bounded by bucket collisions against
+    // a tiny benchmark, not by the corpus).
+    val cands = banded(hashed.filter(!isBench), "doc_id")
+      .join(broadcast(banded(hashed.filter(isBench), "bench_id")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    // Verify pass: candidates (tiny) pick up the benchmark shingle
+    // arrays (tiny) and broadcast; the training corpus streams once
+    // against them — exact Jaccard, no corpus shuffle.
+    val benchSh = hashed.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+    val out = hashed.filter(!isBench)
+      .join(broadcast(cands.join(benchSh, Seq("bench_id"))), Seq("doc_id"))
+      .withColumn("inter",
+        sortedIntersectSize(col("sh"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+    graft.CacheHygiene.unpersistAfterUse(hashed)
+    out
+  }
+
   /** C5: 60-bit SimHash fingerprints (one pass, md5 token hashes —
     * oracle-recomputable).
     */
@@ -1117,6 +1187,23 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardOracle,
     // C4's contract: LSH-verified output ≡ the exact pair set at τ=0.8.
     "dedup_minhash" -> jaccardOracle,
+    // C35's contract: the cross-corpus form of the same equivalence —
+    // exact Jaccard over the bench-slice × training-slice pairs.
+    "curate_decontam_fuzzy" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+        |  FROM t),
+        |ex AS (SELECT doc_id, len(s) sz, unnest(s) shingle FROM sh),
+        |cand AS (SELECT b.doc_id doc_id, a.doc_id bench_id, count(*) inter,
+        |    any_value(a.sz) sa, any_value(b.sz) sb
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |    AND a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, bench_id,
+        |  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+        |FROM cand
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) w
@@ -1157,6 +1244,7 @@ object Dedup {
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
     "dedup_winnow" -> ((s, d) => winnowPairs(s, d)),
     "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
-    "dedup_semantic" -> ((s, d) => semanticPairs(s, d))
+    "dedup_semantic" -> ((s, d) => semanticPairs(s, d)),
+    "curate_decontam_fuzzy" -> ((s, d) => fuzzyDecontam(s, d))
   )
 }

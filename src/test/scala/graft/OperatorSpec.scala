@@ -450,6 +450,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("C35 fuzzy decontamination equals the exact cross-corpus pair set") {
+    // C4's lossless-LSH contract in cross-corpus form: the verified
+    // output must be EXACTLY the bench×train subset of the exact
+    // all-pairs Jaccard result (same τ, same shingling).
+    val isBench = (id: Long) => id % 17 == 0
+    val exactCross = Dedup.ngramJaccard(spark, sf).collect().flatMap { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (isBench(a) && !isBench(b)) Some((b, a, j))
+      else if (isBench(b) && !isBench(a)) Some((a, b, j))
+      else None
+    }.toSet
+    val got = Dedup.fuzzyDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exactCross)
+  }
+
   test("near-dup clustering handles a corpus with zero pairs") {
     // the common clean-corpus case: no document shares a shingle, so
     // the pair graph is empty — every doc must come back a singleton
@@ -1299,6 +1315,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(mh.contains("graft_minhash_from_hashes"), mh.take(2000))
     assert(!mh.contains("graft_minhash("),
       "minhash re-tokenizes the corpus:\n" + mh.take(2000))
+    // C35: the benchmark side is tiny by design, so BOTH the banding
+    // join and the verify join must broadcast it — the training
+    // corpus is never exchanged; the only shuffle left is the
+    // candidate-pair distinct (candidate-sized, not corpus-sized)
+    val fd = planOf(operators.Dedup.fuzzyDecontam(spark, sf))
+    assert(!fd.contains("SortMergeJoin"),
+      "decontam corpus-shuffled a join:\n" + fd.take(3000))
+    assert(fd.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "decontam lost a broadcast:\n" + fd.take(3000))
+    assert(fd.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning")) <= 1,
+      "decontam gained a corpus-scale exchange:\n" + fd.take(3000))
   }
 
   test("C3/C4 width pins are data-proportional and survive a " +
