@@ -30,6 +30,17 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold",
       sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10MB"))
+    // Every bucketed read in this engine is DELIBERATE — the layout
+    // exists for bucket PRUNING (text-index term probes) or exchange
+    // elision (q3/q5 twins, _len joins). Spark's
+    // DisableUnnecessaryBucketedScan only scores the distribution
+    // benefit: a pruned probe whose downstream agg doesn't need the
+    // bucket hash (searchAll's doc_id regroup) gets its bucketed scan
+    // — and with it SelectedBucketsCount — silently discarded,
+    // turning an O(terms' buckets) serve into a full postings scan.
+    // Keep the planner's hands off; tables that don't benefit from
+    // their bucketing are simply not written bucketed here.
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "snappy")
     // TIMESTAMP(NANOS) parquet (the events table) reads as raw

@@ -352,17 +352,35 @@ object Dedup {
     * The LSH-verified output ≡ the exact cross-pair set (C4's oracle
     * contract, cross-corpus form). At bench scale the hashed-shingle
     * frame is persisted so the two passes share one
-    * tokenize+shingle+hash computation; at 100 TB the cache spills
-    * to disk or is dropped and the second pass re-scans — either
-    * way, zero corpus-scale shuffles.
+    * tokenize+shingle+hash computation; the persist is SIZE-GATED on
+    * the relation's file statistics (no extra job) so a corpus too
+    * large to cache skips it in code, not just in prose — the second
+    * pass then re-scans. Either way, zero corpus-scale shuffles
+    * (spec-pinned: gated-off output ≡ default output).
+    *
+    * Degenerate-bucket guards (r9 ADVICE): empty shingle sets are
+    * dropped BEFORE banding on both sides — an empty set minhashes to
+    * the same signature everywhere, welding all empty docs into every
+    * band bucket, yet can never clear a τ>0 Jaccard (0/denominator,
+    * or NULL for empty-vs-empty), so the output is unchanged — and
+    * the BENCHMARK bucket table gets C4's maxBucket cap, keeping the
+    * candidate set and the verify broadcast bounded by real bucket
+    * collisions instead of one boilerplate bucket × the corpus.
     */
   def fuzzyDecontam(spark: SparkSession, dir: String,
       threshold: Double = 0.8, benchMod: Int = 17,
-      k: Int = 128, bands: Int = 32): DataFrame = {
+      k: Int = 128, bands: Int = 32, maxBucket: Int = 1000,
+      maxPersistBytes: Long = 8L * 1024 * 1024 * 1024): DataFrame = {
     val r = k / bands
     val isBench = col("doc_id") % benchMod === 0
-    val hashed = docShingleHashes(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
+    val doPersist =
+      base.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong <= maxPersistBytes
+    val hashed =
+      if (doPersist)
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
     def banded(df: DataFrame, idAlias: String): DataFrame =
       df.select(col("doc_id").as(idAlias),
           minhashFromHashes(col("sh"), k, 42L).as("sig"))
@@ -374,10 +392,18 @@ object Dedup {
     // Candidate pass: corpus-side banding streams map-side against
     // the broadcast benchmark buckets; the only exchange is the
     // candidate-pair distinct (bounded by bucket collisions against
-    // a tiny benchmark, not by the corpus).
+    // a tiny benchmark, not by the corpus). The benchmark buckets are
+    // capped first (tiny-side aggregation): a bucket holding more
+    // than maxBucket bench members is degenerate boilerplate, and
+    // every corpus doc landing in it would fan out to ALL of them.
+    val benchBuckets = banded(hashed.filter(isBench), "bench_id")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("bench_id")).as("__ids"))
+      .filter(size(col("__ids")) <= maxBucket)
+      .select(col("band"), col("bucket"),
+        explode(col("__ids")).as("bench_id"))
     val cands = banded(hashed.filter(!isBench), "doc_id")
-      .join(broadcast(banded(hashed.filter(isBench), "bench_id")),
-        Seq("band", "bucket"))
+      .join(broadcast(benchBuckets), Seq("band", "bucket"))
       .select(col("doc_id"), col("bench_id"))
       .distinct()
     // Verify pass: candidates (tiny) pick up the benchmark shingle
@@ -393,7 +419,7 @@ object Dedup {
         (size(col("sh")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("bench_id"), col("jaccard"))
-    graft.CacheHygiene.unpersistAfterUse(hashed)
+    if (doPersist) graft.CacheHygiene.unpersistAfterUse(hashed)
     out
   }
 

@@ -246,7 +246,9 @@ object LanguageModel {
     // tokenize+aggregate — on EVERY invocation, which at 100 TB is an
     // extra corpus pass per curriculum run. The corpus model is built
     // once per corpus dir (memoized per JVM, re-attached across
-    // processes via the row-count sidecar) and scoring reduces to the
+    // processes via the corpus file-listing signature sidecar —
+    // `corpus_sig`, same staleness contract as C31's ml_sig) and
+    // scoring reduces to the
     // stats-gated byte pass + the doc-count-sized rank. Served ≡
     // inline is spec-pinned ([[curriculumInline]]): same train split
     // (= the whole corpus), same deterministic counts, same
@@ -356,7 +358,9 @@ object LanguageModel {
     * Lifecycle (r9, the E19/D9 shape): the (bg, tgt, c2) table is a
     * MODEL, not per-query work — [[mooreLewis]] builds it once per
     * (corpus dir, target set) into a scratch artifact (re-attached
-    * across processes via a doc-count sidecar) and serves every
+    * across processes via the `ml_sig` file-listing staleness
+    * signature — a doc-count probe was replaced in r9 because a
+    * same-count content swap defeats it) and serves every
     * invocation from it; repeat serves under an unchanged artifact
     * reuse the memoized broadcast pair, so scoring a crawl increment
     * never re-aggregates the corpus. Served ≡ inline is spec-pinned

@@ -31,17 +31,31 @@ import graft.Tables
 object TextIndex {
 
   /** Build (or rebuild) the postings artifact for `docs`, plus the
-    * two ranking companions BM25 serving needs without ever
-    * re-reading the corpus: `<table>_len` (doc_id, dl) bucketed by
-    * doc_id — the join side of per-doc length normalization — and
-    * the 1-row `<table>_corpus` (n_docs, total_len). All three come
-    * out of ONE tokenize pass.
+    * ranking companions BM25 serving needs without ever re-reading
+    * the corpus: `<table>_len` (doc_id, dl) bucketed by doc_id — the
+    * join side of per-doc length normalization — the batch-keyed
+    * `<table>_corpus` (n_docs, total_len), and the batch-keyed
+    * per-term `<table>_df` document frequencies bucketed by term.
+    * Postings/lens/corpus come out of ONE tokenize pass; df is an
+    * exchange-free agg over the written postings layout.
     */
   def buildIndex(db: graft.catalog.GraftDatabase, table: String,
       docs: DataFrame, nBuckets: Int): Unit = {
     val (postings, lens, stats) = batchArtifacts(docs, batchId = -1L)
     db.writeBucketed(postings, table, "term", nBuckets)
     db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets)
+    // Per-term document frequency, persisted at BUILD time so ranked
+    // serving never pre-computes it (r9 VERDICT #3): batch-keyed like
+    // `_corpus` (base build = batch −1, G10 appends publish partials,
+    // serving SUMS — replay-safe, no read-modify-write). Derived from
+    // the JUST-WRITTEN postings layout, not the raw corpus: the scan
+    // is column-pruned to `term` and the term bucketing satisfies the
+    // groupBy's clustering, so this is an exchange-free agg over
+    // compact parquet — not a second tokenize pass.
+    val dfs = db.readBucketed(table).groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(lit(-1L).as("batch_id"), col("term"), col("df"))
+    db.writeBucketed(dfs, s"${table}_df", "term", nBuckets)
     // batch-keyed stats rows (base build = batch −1): the streaming
     // G10 append publishes one row per micro-batch and serving SUMS
     // them, so corpus size never needs a read-modify-write (which a
@@ -79,7 +93,13 @@ object TextIndex {
     db.readBucketed(table)
       .filter(col("term").isin(t: _*))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("term")).as("__nt"), sum(col("tf")).as("n_occ"))
+      // count(1), NOT count(distinct term): postings hold exactly one
+      // row per (term, doc_id) by construction (buildIndex groups on
+      // that key), so the row count IS the distinct-term count — and
+      // the distinct form planned Spark's two extra aggregate phases
+      // for nothing (r10: the serve row is fixed-overhead-bound, so
+      // dropping a phase is the lever).
+      .agg(count(lit(1)).as("__nt"), sum(col("tf")).as("n_occ"))
       .filter(col("__nt") === t.length)
       .select(col("doc_id"), col("n_occ"))
   }
@@ -122,22 +142,38 @@ object TextIndex {
     * the dl normalization joins `<table>_len` on doc_id — the join
     * input is already hash-partitioned by doc_id from the candidate
     * join, and the len table's doc_id bucketing spares ITS exchange.
-    * N/total_len/df are scalar lookups (1-row stats table + a
-    * pruned count), embedded as literals. No corpus scan anywhere.
+    *
+    * N/total_len/df ride IN the plan as one broadcast 1-row frame
+    * (r9 VERDICT #3): the previous shape collect()ed them first —
+    * two sequential driver jobs before the real query even planned,
+    * which dominated serve latency (and D13 pays it per hybrid
+    * query). df comes from the build-time `_df` artifact (a
+    * bucket-pruned O(|terms|)-row scan), so the whole serve is ONE
+    * job. The values are identical exact longs cast to double and
+    * the score parenthesization is unchanged, so bit equality with
+    * the oracle is unaffected. No corpus scan anywhere.
     */
   def searchRanked(db: graft.catalog.GraftDatabase, table: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val t = terms.distinct
     val idx = db.readBucketed(table)
-    val stats = db.read(s"${table}_corpus")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_len")).as("total_len")).collect()(0)
-    val nD = stats.getAs[Long]("n_docs").toDouble
-    val lD = stats.getAs[Long]("total_len").toDouble
-    val dfMap = idx.filter(col("term").isin(t: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df")).collect()
-      .map(r => r.getString(0) -> r.getAs[Long]("df").toDouble).toMap
+    // fixed schema: skips the parquet footer-inference job spark.read
+    // would launch at plan time (the last driver pre-action here)
+    val corpus = db.read(s"${table}_corpus",
+        "batch_id BIGINT, n_docs BIGINT, total_len BIGINT")
+      .agg(sum(col("n_docs")).cast("double").as("__n"),
+        sum(col("total_len")).cast("double").as("__l"))
+    // One batch-df row per (batch, term), so a global conditional sum
+    // over the pruned scan pivots the ≤|terms| totals into one row; a
+    // term absent from the corpus sums to NULL → df 0.0, as before.
+    val dfAggs = t.zipWithIndex.map { case (term, i) =>
+      sum(when(col("term") === term, col("df"))).cast("double").as(s"__df$i")
+    }
+    val dfRow = db.readBucketed(s"${table}_df")
+      .filter(col("term").isin(t: _*))
+      .agg(dfAggs.head, dfAggs.tail: _*)
+    val scalars = broadcast(corpus.crossJoin(dfRow))
     val parts = t.zipWithIndex.map { case (term, i) =>
       idx.filter(col("term") === term)
         .select(col("doc_id"), col("tf").cast("double").as(s"__tf$i"))
@@ -147,14 +183,15 @@ object TextIndex {
       db.readBucketed(s"${table}_len")
         .select(col("doc_id"), col("dl").cast("double").as("__dl")),
       Seq("doc_id"))
+      .crossJoin(scalars)
     // Pinned operation order — the oracle SQL parenthesizes
     // identically; any reassociation breaks bit equality.
-    val bNorm = lit(1.2) * (lit(0.25) + ((lit(0.75) * col("__dl")) * lit(nD)) / lit(lD))
+    val bNorm = lit(1.2) * (lit(0.25) + ((lit(0.75) * col("__dl")) * col("__n")) / col("__l"))
     val score = t.zipWithIndex.map { case (term, i) =>
-      val df = dfMap.getOrElse(term, 0.0)
-      val idf = ((nD - df) + 0.5) / (df + 0.5)
+      val df = coalesce(col(s"__df$i"), lit(0.0))
+      val idf = ((col("__n") - df) + lit(0.5)) / (df + lit(0.5))
       val tf = coalesce(col(s"__tf$i"), lit(0.0))
-      (lit(idf) * (tf * lit(2.2))) / (tf + bNorm)
+      (idf * (tf * lit(2.2))) / (tf + bNorm)
     }.reduce(_ + _)
     withLen.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -191,6 +228,7 @@ object TextIndex {
       // pruned-bucket probe itself is ~0.1 s).
       val fresh = db.registerBucketed(table, "term", n) &&
         db.registerBucketed(s"${table}_len", "doc_id", n) &&
+        db.registerBucketed(s"${table}_df", "term", n) &&
         (try db.read(s"${table}_corpus")
           .agg(sum(col("n_docs"))).collect()(0).getLong(0) == docs.count()
         catch { case _: Exception => false })

@@ -172,14 +172,35 @@ object StreamingAnn {
     * query and batch.
     */
   def serveHybridStream(db: graft.catalog.GraftDatabase, name: String,
-      dir: String, queries: DataFrame)
+      dir: String, queries: DataFrame,
+      maxQueriesPerBatch: Int = 256)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // NULL terms fail fast BEFORE the collect: a null would NPE
+        // deep in the per-query loop with no hint of which row; the
+        // query contract is non-null terms (same loud-error policy as
+        // the model caps).
         val rows = batch.select(col("query_id"), col("terms"))
           .distinct().collect()
+        rows.find(_.isNullAt(1)).foreach { r =>
+          throw new IllegalArgumentException(
+            s"serveHybridStream: NULL terms for query_id=${r.get(0)} " +
+              s"in batch $batchId — terms are plan-time values and must " +
+              "be non-null")
+        }
+        // The driver-bounded rule (G13) made EXPLICIT: each distinct
+        // query becomes its own fused plan unioned into one job, so
+        // an unbounded query micro-batch grows driver planning
+        // time/memory without limit. Cap loudly; callers with more
+        // traffic shard the query stream or raise the cap knowingly.
+        require(rows.length <= maxQueriesPerBatch,
+          s"serveHybridStream: ${rows.length} distinct queries in batch " +
+            s"$batchId exceeds maxQueriesPerBatch=$maxQueriesPerBatch — " +
+            "each query plans its own fused serve; shard the query " +
+            "stream or raise the cap explicitly")
         if (rows.nonEmpty) {
           val outs = rows.map { r =>
             val (qid, ts) = (r.getLong(0), r.getString(1))

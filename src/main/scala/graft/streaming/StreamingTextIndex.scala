@@ -58,6 +58,14 @@ object StreamingTextIndex {
     val (postings, lens, stats) = TextIndex.batchArtifacts(docs, batchId)
     publishBucketed(db, table, postings, "term", nBuckets, batchId)
     publishBucketed(db, s"${table}_len", lens, "doc_id", nBuckets, batchId)
+    // per-term df PARTIAL for this batch (appended doc_ids are new by
+    // the contract above, so serve-time SUM over batch partials is the
+    // exact corpus df) — keeps the `_df` artifact searchRanked plans
+    // against current without a read-modify-write
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(lit(batchId).as("batch_id"), col("term"), col("df"))
+    publishBucketed(db, s"${table}_df", dfs, "term", nBuckets, batchId)
     publishPlain(db, s"${table}_corpus", stats, batchId)
   }
 

@@ -81,18 +81,48 @@ SCALE10 = [
     "q_events_retention", "text_perplexity_trigram",
     # round 9 additions (the ddf>=2 semi-join rebuild; boilerplate
     # removal — both engines compute from the raw corpus)
-    "curate_dup_ngrams", "curate_boilerplate"]
-# NOT in SCALE10 (same principle as the csv_* exclusion — the DuckDB
-# twin is not like-for-like WORK): text_index_build (Spark builds the
-# full positional postings artifact; the oracle only checks the
-# corpus totals sidecar, a COUNT), text_vocab_approx (Spark runs the
-# sketch+recount composition; the oracle computes the exact top-20 —
-# same ANSWER by the MG guarantee, different algorithm),
-# search_hybrid_rrf (Spark serves from the persisted postings index;
-# the oracle recomputes BM25 from raw text), q_percentiles_sketch[
-# _check] (Spark runs sketch + exact recount; the oracle emits group
-# sizes). All live on the sf0.1 bench_full board and the correctness
-# board.
+    "curate_dup_ngrams", "curate_boilerplate",
+    # round 10 additions, both engines recompute from the raw tables
+    "q_events_gapfill", "curate_decontam_fuzzy"]
+
+# Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
+# exclusion principle: a served artifact vs a from-raw recompute, a
+# build vs a COUNT, a sketch vs an exact plan). r10 policy (ADVICE
+# r9): such rows stay ON the board — the 2x-at-scale criterion must
+# be auditable for EVERY operator — but they are EXCLUDED from the
+# headline like-for-like totals and carry their asymmetry note in the
+# merged JSON, so a ratio there is read as what it is: serving vs
+# recompute, not engine vs engine. This list previously lived as a
+# comment-only exclusion; curate_moore_lewis and pipeline_curriculum
+# (both serving persisted model artifacts since r9) had slipped into
+# the like-for-like totals — the asymmetry the r9 ADVICE flagged.
+ASYMMETRIC = {
+    "curate_moore_lewis": "spark serves the persisted C31 two-model "
+        "artifact; duckdb retrains both models from raw text",
+    "pipeline_curriculum": "spark serves the persisted corpus LM "
+        "artifact; duckdb retrains from raw text",
+    "text_index_build": "spark builds the full positional postings "
+        "artifact; the oracle recomputes only the corpus totals (a "
+        "COUNT + token sum)",
+    "text_search_and": "spark serves from the persisted postings "
+        "index; duckdb re-tokenizes the corpus per query",
+    "text_search_phrase": "spark serves from the persisted postings "
+        "index; duckdb re-tokenizes the corpus per query",
+    "text_search_ranked": "spark serves BM25 from the persisted "
+        "index; duckdb recomputes BM25 from raw text",
+    "search_hybrid_rrf": "spark fuses a served BM25 probe with the "
+        "exact cosine scan; duckdb recomputes BM25 from raw text",
+    "text_vocab_approx": "spark runs the MG sketch + exact recount; "
+        "the oracle computes the exact top-20 (same answer by the MG "
+        "guarantee, different algorithm)",
+    "fw_ingest": "spark synthesizes and parses the fixed-width "
+        "fixture file; the twin is a SELECT over a pre-loaded table",
+}
+SCALE10 += sorted(ASYMMETRIC.keys() - set(SCALE10))
+# Still not on the board: q_percentiles_sketch[_check] (the oracle
+# emits group sizes, not a comparable plan at all) and the remaining
+# csv_*/jsonl upload rows (fixture-file synthesis; fw_ingest stands
+# in for the family, labeled).
 
 
 def parent_offset(name):
@@ -189,11 +219,17 @@ def merge(spark_path, duck_path):
         rows[k] = {"spark_sec": s, "duckdb_sec": d,
                    "ratio": (round(s / d, 2)
                              if s and d and s > 0 and d > 0 else None)}
+        if k in ASYMMETRIC:
+            rows[k]["asymmetric"] = ASYMMETRIC[k]
     shared = [k for k in SCALE10
-              if rows[k]["spark_sec"] and rows[k]["duckdb_sec"]
+              if k not in ASYMMETRIC
+              and rows[k]["spark_sec"] and rows[k]["duckdb_sec"]
               and rows[k]["spark_sec"] > 0 and rows[k]["duckdb_sec"] > 0]
     out = {
         "scale": f"10x sf0.1 ({COPIES} key-offset copies, sharded)",
+        "totals_note": "like-for-like rows only; rows labeled "
+                       "'asymmetric' are on the board for 2x-criterion "
+                       "auditability but excluded from these totals",
         "spark_total_sec": round(sum(sp[k] for k in shared), 3),
         "duckdb_total_sec": round(sum(du[k] for k in shared), 3),
         "queries": rows,
