@@ -111,6 +111,12 @@ object GraftFunctions {
   def tokenWindowHashes(c: Column, w: Int): Column =
     toCol(expressions.TokenWindowHashes(toExpr(c), w))
 
+  /** Sorted distinct `array<long>` (see
+    * [[expressions.SortedDistinctLongs]]).
+    */
+  def sortedDistinctLongs(c: Column): Column =
+    toCol(expressions.SortedDistinctLongs(toExpr(c)))
+
   def rollingHash64(c: Column): Column =
     toCol(RollingHash64(toExpr(c)))
 

@@ -622,6 +622,50 @@ case class TokenWindowHashes(child: Expression, w: Int)
     copy(child = c)
 }
 
+/** Sorted distinct view of an `array<long>` column — primitive copy,
+  * sort, in-place dedupe; zero boxing in or out (UnsafeArrayData).
+  * Composed over [[TokenWindowHashes]] it turns the C3/C4/C35
+  * shingle-set build (regex tokenize → w slices → zip_with concat →
+  * per-shingle string alloc → xxhash64 → sort_array) into one byte
+  * pass plus one primitive sort — the dedup family's single hottest
+  * column. The replacement preserves the only contract the hashes
+  * carry (equal shingles ⇒ equal hashes; distinct collide w.p.
+  * ~2⁻⁶⁴, [[TokenWindowHashes]]'s argument): hash VALUES never cross
+  * engines — every oracle joins on shingle STRINGS.
+  */
+case class SortedDistinctLongs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_distinct_longs"
+
+  def dedup(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val a = in.toLongArray()
+    java.util.Arrays.sort(a)
+    var m = 1; var i = 1
+    while (i < n) { if (a(i) != a(m - 1)) { a(m) = a(i); m += 1 }; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (m == n) a else java.util.Arrays.copyOf(a, m))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    dedup(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("sortedDistinct", this,
+        classOf[SortedDistinctLongs].getName)
+      s"${ev.value} = $ref.dedup($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe over a string column (SURVEY.md
   * §2.C13). The filter is built once on the already-seen corpus
   * (`DataFrame.stat.bloomFilter`) and baked into the expression in

@@ -85,18 +85,31 @@ object Dedup {
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     docShingleHashesOf(Tables(spark, dir, "documents"))
 
+  private[graft] def docShingleHashesProbe(spark: SparkSession,
+      dir: String): DataFrame = docShingleHashes(spark, dir)
+
   private def docShingleHashesOf(docs: DataFrame): DataFrame =
-    docShinglesOf(docs).select(
-      col("doc_id"),
-      sort_array(transform(col("shingles"), s => xxhash64(s))).as("sh"))
+    docs.select(col("doc_id"), shingleHashColumn(col("text")).as("sh"))
 
   /** The sorted hashed-shingle array as a column over a text column —
     * for callers (the cleaning composite) that fold the shingle
     * arrays into an existing persisted frame instead of building a
     * second corpus-scale cache.
+    *
+    * r10: built as sortedDistinctLongs(tokenWindowHashes(text, 3)) —
+    * ONE native byte pass (TokenScan tokenize + per-token xxhash64 +
+    * rolling window combine) plus one primitive sort — instead of the
+    * regex tokenize → 3 slices → zip_with concat → per-shingle string
+    * → xxhash64 → sort_array chain, which allocated every shingle as
+    * a string just to hash it. Same distinct-set semantics (equal
+    * shingles ⇒ equal hashes, distinct collide w.p. ~2⁻⁶⁴); hash
+    * VALUES never reach an oracle — all downstream outputs are set
+    * sizes and intersections. NULL text still yields an empty set
+    * (the old when/otherwise contract).
     */
   private[operators] def shingleHashColumn(text: Column): Column =
-    sort_array(transform(shingleArray(tokens(text), 3), s => xxhash64(s)))
+    coalesce(sortedDistinctLongs(tokenWindowHashes(text, 3)),
+      array().cast("array<long>"))
 
   /** C3: exact n-gram Jaccard pairs ≥ τ via AllPairs prefix
     * filtering: order shingles under a fixed global order that sorts
@@ -336,10 +349,27 @@ object Dedup {
     * in production it is the eval suites — KBs to MBs against a
     * 100 TB crawl, which is the asymmetry the plan is built on.
     *
-    * Shape (vs C4's self-join): the benchmark side is tiny BY
-    * DESIGN, so both joins broadcast it and the training corpus is
-    * never shuffled at all — the whole operator is two broadcast map
-    * passes over the corpus:
+    * Two regimes, same exact output (spec-pinned equal):
+    *
+    * '''Indexed fast path''' (benchmark fits the driver bound — the
+    * designed case): collect the benchmark's hashed-shingle sets,
+    * build a compact sorted (shingle → bench-doc) postings array on
+    * the driver, and `broadcast` it; the whole operator is then ONE
+    * map pass over the training corpus — each doc probes its sorted
+    * shingle array against the index with a forward-moving binary
+    * search, accumulates per-bench overlap counts in a scratch array,
+    * and emits exact Jaccard ≥ τ pairs. Zero joins, zero shuffles,
+    * zero repeated corpus scans, and no LSH recall argument needed:
+    * the probe computes the exact set intersection (shingle arrays
+    * are distinct by construction), so the output IS the exact
+    * cross-pair set. The driver/broadcast footprint is bounded by the
+    * BENCHMARK's size only (12 bytes/shingle entry), which is the
+    * production asymmetry; the gate reads the documents relation's
+    * file statistics (no extra job), mirroring the persist gate.
+    *
+    * '''LSH fallback''' (benchmark slice too big to index — e.g. a
+    * decontamination run against another full corpus): the r9
+    * two-broadcast-pass MinHash plan, kept verbatim:
     *   1. banding pass: per-doc MinHash signatures (same k=128/b=32
     *      banding and seed as C4, so C4's ~1−4·10⁻⁸ recall-at-τ
     *      guarantee carries over) hash-joined band-wise against the
@@ -355,8 +385,7 @@ object Dedup {
     * tokenize+shingle+hash computation; the persist is SIZE-GATED on
     * the relation's file statistics (no extra job) so a corpus too
     * large to cache skips it in code, not just in prose — the second
-    * pass then re-scans. Either way, zero corpus-scale shuffles
-    * (spec-pinned: gated-off output ≡ default output).
+    * pass then re-scans. Either way, zero corpus-scale shuffles.
     *
     * Degenerate-bucket guards (r9 ADVICE): empty shingle sets are
     * dropped BEFORE banding on both sides — an empty set minhashes to
@@ -366,14 +395,177 @@ object Dedup {
     * the BENCHMARK bucket table gets C4's maxBucket cap, keeping the
     * candidate set and the verify broadcast bounded by real bucket
     * collisions instead of one boilerplate bucket × the corpus.
+    * (The fast path needs neither guard: empty sets are filtered the
+    * same way, and there are no buckets to degenerate.)
     */
   def fuzzyDecontam(spark: SparkSession, dir: String,
       threshold: Double = 0.8, benchMod: Int = 17,
       k: Int = 128, bands: Int = 32, maxBucket: Int = 1000,
-      maxPersistBytes: Long = 8L * 1024 * 1024 * 1024): DataFrame = {
-    val r = k / bands
+      maxPersistBytes: Long = 8L * 1024 * 1024 * 1024,
+      maxBenchSliceBytes: Long = 512L * 1024 * 1024): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
     val base = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
+    // Gate the indexed path on the benchmark slice's share of the
+    // relation's FILE statistics (compressed bytes; no job): the
+    // index costs ~12 bytes per shingle entry, so a ≤512 MB
+    // compressed slice keeps driver+broadcast comfortably bounded
+    // while any corpus-vs-corpus run falls through to LSH.
+    val benchBytesEst = Tables(spark, dir, "documents")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong / benchMod.toLong.max(1L)
+    if (benchBytesEst <= maxBenchSliceBytes)
+      fuzzyDecontamIndexed(spark, base, isBench, threshold)
+    else
+      fuzzyDecontamLsh(spark, base, isBench, threshold, k, bands,
+        maxBucket, maxPersistBytes)
+  }
+
+  /** Compact benchmark shingle index for the C35 fast path: parallel
+    * (sorted key → bench-doc ordinal) postings arrays plus per-doc
+    * ids/sizes. Probing is a forward-moving binary search per corpus
+    * shingle (both sides sorted ascending), overlap counts accumulate
+    * in caller-owned scratch arrays so the per-row hot loop allocates
+    * only for actual hits.
+    */
+  private[graft] final class BenchShingleIndex(
+      val ids: Array[Long], val sizes: Array[Int],
+      val keys: Array[Long], val docs: Array[Int]) extends Serializable {
+
+    /** Exact Jaccard ≥ τ matches of one corpus doc. `counts` and
+      * `touched` are reusable scratch of length ≥ ids.length; counts
+      * must be all-zero on entry and is restored to all-zero.
+      */
+    def probe(docId: Long, sh: Array[Long], tau: Double,
+        counts: Array[Int], touched: Array[Int]):
+        Iterator[(Long, Long, Double)] = {
+      var nt = 0
+      var lo = 0
+      var i = 0
+      while (i < sh.length && lo < keys.length) {
+        val v = sh(i)
+        var pos = java.util.Arrays.binarySearch(keys, lo, keys.length, v)
+        if (pos >= 0) {
+          while (pos > lo && keys(pos - 1) == v) pos -= 1
+          var q = pos
+          while (q < keys.length && keys(q) == v) {
+            val b = docs(q)
+            if (counts(b) == 0) { touched(nt) = b; nt += 1 }
+            counts(b) += 1
+            q += 1
+          }
+          lo = q // sh is sorted ascending: later values search later
+        } else lo = -(pos + 1)
+        i += 1
+      }
+      if (nt == 0) Iterator.empty
+      else {
+        val sa = sh.length
+        val res = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Double)](2)
+        var t = 0
+        while (t < nt) {
+          val b = touched(t)
+          val inter = counts(b)
+          counts(b) = 0
+          // same parenthesization as the LSH verify / DuckDB twin:
+          // inter / ((|A| + |B|) − inter), all in double
+          val jac = inter.toDouble / ((sa + sizes(b)).toDouble - inter.toDouble)
+          if (jac >= tau) res += ((docId, ids(b), jac))
+          t += 1
+        }
+        res.iterator
+      }
+    }
+  }
+
+  /** In-place dual-array sort by key (iterative 3-way quicksort with
+    * insertion-sort leaves) — avoids boxing 10⁶–10⁷ (key, doc) pairs
+    * when the benchmark index is built on the driver.
+    */
+  private def sortPairs(keys: Array[Long], docs: Array[Int]): Unit = {
+    def swap(i: Int, j: Int): Unit = {
+      val k = keys(i); keys(i) = keys(j); keys(j) = k
+      val d = docs(i); docs(i) = docs(j); docs(j) = d
+    }
+    val stack = new java.util.ArrayDeque[Int]()
+    stack.push(0); stack.push(keys.length - 1)
+    while (!stack.isEmpty) {
+      val hi = stack.pop(); val lo = stack.pop()
+      if (hi - lo < 24) {
+        var i = lo + 1
+        while (i <= hi) {
+          val k = keys(i); val d = docs(i); var j = i - 1
+          while (j >= lo && keys(j) > k) {
+            keys(j + 1) = keys(j); docs(j + 1) = docs(j); j -= 1
+          }
+          keys(j + 1) = k; docs(j + 1) = d; i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (keys(mid) < keys(lo)) swap(mid, lo)
+        if (keys(hi) < keys(lo)) swap(hi, lo)
+        if (keys(hi) < keys(mid)) swap(hi, mid)
+        val pivot = keys(mid)
+        var lt = lo; var gt = hi; var i = lo
+        while (i <= gt) {
+          if (keys(i) < pivot) { swap(lt, i); lt += 1; i += 1 }
+          else if (keys(i) > pivot) { swap(i, gt); gt -= 1 }
+          else i += 1
+        }
+        if (lt - 1 > lo) { stack.push(lo); stack.push(lt - 1) }
+        if (hi > gt + 1) { stack.push(gt + 1); stack.push(hi) }
+      }
+    }
+  }
+
+  /** C35 indexed fast path — see [[fuzzyDecontam]]. */
+  private def fuzzyDecontamIndexed(spark: SparkSession, base: DataFrame,
+      isBench: Column, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val benchRows = base.filter(isBench)
+      .select(col("doc_id"), col("sh")).as[(Long, Array[Long])].collect()
+    val nb = benchRows.length
+    var entries = 0L
+    benchRows.foreach(r => entries += r._2.length)
+    // the file-stats gate already bounded this; the hard check makes
+    // a pathological compression ratio loud instead of silent
+    require(entries < Int.MaxValue - 8,
+      s"C35 benchmark index: $entries shingle entries exceed the " +
+        "indexable bound; pass a smaller maxBenchSliceBytes to force " +
+        "the LSH fallback")
+    val ids = new Array[Long](nb)
+    val sizes = new Array[Int](nb)
+    val keys = new Array[Long](entries.toInt)
+    val docs = new Array[Int](entries.toInt)
+    var p = 0; var i = 0
+    while (i < nb) {
+      val (id, sh) = benchRows(i)
+      ids(i) = id; sizes(i) = sh.length
+      var j = 0
+      while (j < sh.length) { keys(p) = sh(j); docs(p) = i; p += 1; j += 1 }
+      i += 1
+    }
+    sortPairs(keys, docs)
+    val bc = spark.sparkContext.broadcast(
+      new BenchShingleIndex(ids, sizes, keys, docs))
+    base.filter(!isBench).select(col("doc_id"), col("sh"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val counts = new Array[Int](idx.ids.length)
+        val touched = new Array[Int](idx.ids.length)
+        it.flatMap { case (docId, sh) =>
+          idx.probe(docId, sh, threshold, counts, touched)
+        }
+      }
+      .toDF("doc_id", "bench_id", "jaccard")
+  }
+
+  /** C35 LSH fallback — see [[fuzzyDecontam]]. */
+  private def fuzzyDecontamLsh(spark: SparkSession, base: DataFrame,
+      isBench: Column, threshold: Double, k: Int, bands: Int,
+      maxBucket: Int, maxPersistBytes: Long): DataFrame = {
+    val r = k / bands
     val doPersist =
       base.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong <= maxPersistBytes

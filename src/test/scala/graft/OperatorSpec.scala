@@ -461,14 +461,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       else if (isBench(b) && !isBench(a)) Some((a, b, j))
       else None
     }.toSet
+    // default = the indexed fast path (benchmark fits the driver gate)
     val got = Dedup.fuzzyDecontam(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == exactCross)
-    // The shingle-frame persist is a bench-scale sharing optimization,
-    // size-gated in code (r9 VERDICT #9): with the gate forced shut
-    // (cap 0 → the 100 TB regime, second pass re-scans) the output is
-    // IDENTICAL — the cache is never load-bearing for correctness.
-    val ungated = Dedup.fuzzyDecontam(spark, sf, maxPersistBytes = 0L)
+    // LSH fallback regime (benchmark gate forced shut → the
+    // corpus-vs-corpus path): bit-identical pairs AND jaccards
+    val lsh = Dedup.fuzzyDecontam(spark, sf, maxBenchSliceBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exactCross)
+    // The fallback's shingle-frame persist is a bench-scale sharing
+    // optimization, size-gated in code (r9 VERDICT #9): with the gate
+    // forced shut (cap 0 → the 100 TB regime, second pass re-scans)
+    // the output is IDENTICAL — the cache is never load-bearing.
+    val ungated = Dedup.fuzzyDecontam(spark, sf, maxPersistBytes = 0L,
+        maxBenchSliceBytes = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(ungated == exactCross)
   }
@@ -1375,22 +1382,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(mh.contains("graft_minhash_from_hashes"), mh.take(2000))
     assert(!mh.contains("graft_minhash("),
       "minhash re-tokenizes the corpus:\n" + mh.take(2000))
-    // C35: the benchmark side is tiny by design, so BOTH the banding
-    // join and the verify join must broadcast it — the training
-    // corpus is never exchanged; the only shuffle left is the
-    // candidate-pair distinct (candidate-sized, not corpus-sized)
+    // C35 fast path: ONE corpus map pass probing the driver-built
+    // broadcast benchmark index — no joins and no exchanges at all
     val fd = planOf(operators.Dedup.fuzzyDecontam(spark, sf))
-    assert(!fd.contains("SortMergeJoin"),
-      "decontam corpus-shuffled a join:\n" + fd.take(3000))
-    assert(fd.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
-      "decontam lost a broadcast:\n" + fd.take(3000))
+    assert(!fd.contains("Join"),
+      "decontam fast path gained a join:\n" + fd.take(3000))
+    assert(!fd.contains("Exchange"),
+      "decontam fast path gained a shuffle:\n" + fd.take(3000))
+    assert(fd.contains("MapPartitions"),
+      "decontam fast path lost its single map pass:\n" + fd.take(3000))
+    // C35 LSH fallback (benchmark gate shut): the benchmark side is
+    // tiny by design, so BOTH the banding join and the verify join
+    // must broadcast it — the training corpus is never exchanged; the
+    // only shuffle left is the candidate-pair distinct
+    // (candidate-sized, not corpus-sized)
+    val fl = planOf(operators.Dedup.fuzzyDecontam(spark, sf,
+      maxBenchSliceBytes = 0L))
+    assert(!fl.contains("SortMergeJoin"),
+      "decontam corpus-shuffled a join:\n" + fl.take(3000))
+    assert(fl.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "decontam lost a broadcast:\n" + fl.take(3000))
     // ≤2: the candidate-pair distinct plus the r10 bench-side
     // maxBucket cap's aggregation — the latter groups the BENCHMARK
     // banding (tiny by design, broadcast right after), so neither
     // exchange is corpus-proportional
-    assert(fd.linesIterator
+    assert(fl.linesIterator
         .count(l => l.contains("Exchange hashpartitioning")) <= 2,
-      "decontam gained a corpus-scale exchange:\n" + fd.take(3000))
+      "decontam gained a corpus-scale exchange:\n" + fl.take(3000))
   }
 
   test("C3/C4 width pins are data-proportional and survive a " +
