@@ -480,22 +480,30 @@ case class GateStats(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.types.LongType, nullable = false)))
   override def prettyName: String = "graft_gate_stats"
 
-  // profiles packed as big-endian bytes of the ≤4-char word
-  @transient private lazy val packed: Array[java.util.HashMap[Integer, Integer]] = {
+  // Profiles packed as big-endian bytes of the ≤4-char word, looked
+  // up in ONE primitive open-address table (key → profile bitmask,
+  // bit p = profile p contains the word; "que" is es|fr). The first
+  // cut used four java.util.HashMap[Integer,_].containsKey probes
+  // per word run — four Integer boxes per token across the whole
+  // corpus made the gate scan ~4× the plain tokenize pass at the 10×
+  // board. No packed word is 0, so key 0 marks an empty slot.
+  @transient private lazy val (tblKeys, tblMask) = {
     val profiles = Seq(
       Seq("the", "and", "of", "to", "is", "in", "it", "a"),
       Seq("der", "die", "und", "das", "ist", "ein", "zu"),
       Seq("el", "los", "las", "una", "es", "y", "que"),
       Seq("le", "les", "et", "est", "une", "dans", "que"))
-    profiles.map { ws =>
-      val m = new java.util.HashMap[Integer, Integer]()
-      ws.foreach { w =>
-        var v = 0
-        w.getBytes("US-ASCII").foreach(b => v = (v << 8) | (b & 0xFF))
-        m.put(v, 1)
-      }
-      m
-    }.toArray
+    val keys = new Array[Int](64)
+    val mask = new Array[Int](64)
+    for ((ws, p) <- profiles.zipWithIndex; w <- ws) {
+      var v = 0
+      w.getBytes("US-ASCII").foreach(b => v = (v << 8) | (b & 0xFF))
+      var h = (v * 0x9E3779B1) >>> 26
+      while (keys(h) != 0 && keys(h) != v) h = (h + 1) & 63
+      keys(h) = v
+      mask(h) |= 1 << p
+    }
+    (keys, mask)
   }
 
   def stats(s: UTF8String): Any = {
@@ -508,12 +516,18 @@ case class GateStats(child: Expression) extends UnaryExpression {
     var inTok = false // inside a \S+ run
     var runV = 0      // packed bytes of current \w run (≤4 chars)
     var runLen = 0    // -1 = run too long / non-candidate
+    val keys = tblKeys
+    val masks = tblMask
     def endRun(): Unit = {
       if (runLen >= 1 && runLen <= 4) {
-        var p = 0
-        while (p < 4) {
-          if (packed(p).containsKey(runV)) c(p) += 1L
-          p += 1
+        var h = (runV * 0x9E3779B1) >>> 26
+        while (keys(h) != 0 && keys(h) != runV) h = (h + 1) & 63
+        if (keys(h) == runV) {
+          val m = masks(h)
+          if ((m & 1) != 0) c(0) += 1L
+          if ((m & 2) != 0) c(1) += 1L
+          if ((m & 4) != 0) c(2) += 1L
+          if ((m & 8) != 0) c(3) += 1L
         }
       }
       runV = 0

@@ -24,27 +24,55 @@ object DriveCleanAb {
 
     def shipped(): Long = graft.operators.Pipeline.cleanCorpus(spark, sf).count()
 
-    def fused(): Long = {
+    // r10 probe: single-action composite — near-dup stage via C4
+    // MinHash-LSH banding (no rarity-sketch action, no persist; the
+    // fp exchange is shared across all consumers by ReuseExchange)
+    def lsh(): Long = {
+      import graft.functions.GraftFunctions._
       val docs = Tables(spark, sf, "documents")
         .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
         .withColumn("quality", qualityFromGate(col("__g")))
         .withColumn("pred_lang", langIdFromGate(col("__g")))
         .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
         .drop("__g")
-        .withColumn("sh", Dedup.shingleHashColumnProbe(col("text")))
       val canonical = docs
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(min_by(
-          struct(col("doc_id"), col("pred_lang"), col("quality"),
-            wsTokenCount(col("text")).as("n_tokens"), col("sh")),
+          struct(col("doc_id"), col("text"), col("pred_lang"), col("quality")),
           col("doc_id")).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.pred_lang").as("pred_lang"),
-          col("r.quality").as("quality"), col("r.n_tokens").as("n_tokens"),
-          col("r.sh").as("sh"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.pred_lang").as("pred_lang"), col("r.quality").as("quality"))
+        .withColumn("sh", Dedup.shingleHashColumnProbe(col("text")))
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          wsTokenCount(col("text")).as("n_tokens"), col("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dupIds = Dedup.ngramJaccardOfHashedProbe(
-          canonical.select(col("doc_id"), col("sh")), 0.8)
-        .select(col("doc_id_b").as("doc_id")).distinct()
+      val k = 128; val bands = 32; val r0 = k / bands
+      val banded = canonical.filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          minhashFromHashes(col("sh"), k, 42L).as("sig"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          xxhash64(col("band"),
+            slice(col("sig"), col("band") * r0 + 1, lit(r0))).as("bucket"))
+      val ids = col("ids")
+      val pairsOf = flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("a"), y.as("b")))))
+      val cands = banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(ids) >= 2 && size(ids) <= 1000)
+        .select(explode(pairsOf).as("p"))
+        .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"))
+      val sa = canonical.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+      val sb = canonical.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+      val dupIds = cands.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+        .withColumn("inter", sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+        .withColumn("jaccard", col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_id_b").as("doc_id"))
       val n = canonical.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("pred_lang"), col("quality"),
           col("n_tokens")).count()
@@ -53,8 +81,8 @@ object DriveCleanAb {
     }
 
     // one warmup each
-    shipped(); fused()
-    val variants = Seq("shipped" -> (() => shipped()), "fused" -> (() => fused()))
+    shipped(); lsh()
+    val variants = Seq("shipped" -> (() => shipped()), "lsh" -> (() => lsh()))
     val times = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     (1 to 4).foreach { _ =>
