@@ -183,6 +183,16 @@ object GraftFunctions {
         Literal(numBits)).toAggregateExpression())
   }
 
+  /** Global minN..maxN gram counts of a text column as ONE
+    * typed-imperative aggregation (see
+    * [[expressions.GramCountsAgg]]); NULL when the vocabulary
+    * outgrows `cap` (the fused broadcast gate).
+    */
+  def gramCountsAgg(text: Column, minN: Int, maxN: Int, cap: Int,
+      minTokens: Int = 0): Column =
+    toCol(expressions.GramCountsAgg(toExpr(text), minN, maxN, cap, minTokens)
+      .toAggregateExpression())
+
   /** Z-order (Morton) curve value of 2–8 non-negative long columns. */
   def zorder(cols: Column*): Column =
     toCol(ZOrderLong(cols.map(toExpr)))

@@ -60,29 +60,69 @@ object LanguageModel {
     */
   def perplexityOf(docs: DataFrame, holdMod: Int = 5,
       maxBroadcastModel: Int = defaultModelCap): DataFrame = {
-    val (c2, c1, v) = model(docs.filter(col("doc_id") % holdMod =!= 0))
-    scoreAgainst(c2, c1, v,
-      docs.select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % holdMod === 0),
-      maxBroadcastModel)
+    val train = docs.filter(col("doc_id") % holdMod =!= 0)
+    val held = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % holdMod === 0)
+    // Fused gate + build (r10, the E21 treatment): one GramCountsAgg
+    // action replaces the explode→groupBy model job AND the
+    // take(cap+1) gate — per-partition hash maps, no per-bigram row
+    // stream. NULL (over-cap vocabulary) falls through to the
+    // distributed join path exactly as the old failed gate did.
+    if (maxBroadcastModel > 0) {
+      val gf = graft.functions.GraftFunctions
+      val gateRow: Seq[org.apache.spark.sql.Row] =
+        train.agg(gf.gramCountsAgg(lower(col("text")), 2, 2,
+          maxBroadcastModel).as("m")).head().getSeq(0)
+      if (gateRow != null) {
+        val (m, vs) = foldModelGrams(gateRow)
+        val bc = docs.sparkSession.sparkContext.broadcast(m)
+        return scoreBroadcast(held, bc, vs)
+      }
+    }
+    val (c2, c1, v) = model(train)
+    scoreAgainst(c2, c1, v, held, 0)
+  }
+
+  /** [[foldModelRows]] over GramCountsAgg ("w1 w2", tf) entries —
+    * same map, same context-total fold, same vocabulary derivation
+    * (tokens contain no whitespace, so the single space splits the
+    * bigram unambiguously). */
+  private def foldModelGrams(rows: Seq[org.apache.spark.sql.Row])
+      : (java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          java.lang.Long], Long) = {
+    val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+      math.max(16, rows.length * 3))
+    val vocab = new java.util.HashSet[String](rows.length * 2)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val c = r.getLong(1)
+      val sp = g.indexOf(' ')
+      val w1 = g.substring(0, sp)
+      m.put(u8(g), java.lang.Long.valueOf(c))
+      val k1 = u8(w1)
+      val prev = m.get(k1)
+      m.put(k1, java.lang.Long.valueOf(
+        (if (prev == null) 0L else prev.longValue()) + c))
+      vocab.add(w1); vocab.add(g.substring(sp + 1)); ()
+    }
+    (m, vocab.size.toLong)
   }
 
   private def defaultModelCap: Int = sys.env.getOrElse(
     "SPARK_GRAFT_LM_MODEL_CAP", "262144").toInt
 
-  /** E21's broadcast gate — take(cap+1) directly on the trigram
-    * table (the r8 reversal of r7's gate-off default, measured on
-    * the r7-regenerated corpus): the scoring-side join plan pays
-    * three Sort+Exchange passes of the corpus-scale held stream
-    * whenever the planner mis-estimates the joined model tables
-    * (6.7 s at 10× where the byte-pass runs ~1 s), while the gate's
-    * cost collapsed — its take() aggregation runs over the PERSISTED
-    * train split and doubles as the cache materialization the join
-    * path needs anyway, so a failed gate costs one agg-over-cache,
-    * not the 2.95 s cold-plan take r7 measured before the persist
-    * existed. r7's second objection (a token-total pre-gate
-    * serializing a tokenize pass) is moot: the c3 probe IS the
-    * model build, never thrown away on success.
+  /** E21's broadcast-model cap. r10: the gate is FUSED into the
+    * model build — GramCountsAgg counts all 1..3-grams into
+    * per-partition hash maps and poisons itself past the cap, so a
+    * passed gate IS the model (no persist, no take, no second job)
+    * and a failed gate costs one bounded pass before the distributed
+    * join path builds its own tables. (History: r7 measured the
+    * standalone take() gate at 2.95 s cold and turned it off; r8
+    * re-enabled it over a persisted train split when the join plan's
+    * mis-estimates cost 6.7 s at 10×; r10 removes the standalone
+    * gate job entirely.)
     */
   private def defaultTrigramCap: Int = sys.env.getOrElse(
     "SPARK_GRAFT_LM3_MODEL_CAP", "262144").toInt
@@ -717,37 +757,35 @@ object LanguageModel {
     // (persisted tokenized train + three explode+agg lineages) paid
     // a corpus-scale cache build plus three aggregations; this is
     // one aggregation whose output is gram-vocabulary-sized.
-    val train = docs
+    // Fused gate + build (r10, replacing r8's persist + take(cap+1)):
+    // ONE GramCountsAgg action counts every 1..3-gram straight into
+    // per-partition hash maps — no per-gram row stream through
+    // Generate/HashAggregate (that stream was 0.7–1.2 s of the 10×
+    // row against a 28 k vocabulary), no persist, no separate gate
+    // job, and the ≥3-token doc filter folds into the same TokenScan
+    // (minTokens — the old wsTokenCount pre-filter was a second full
+    // tokenize of the train split). The cap rides inside the
+    // aggregation: an over-cap vocabulary poisons the buffers and
+    // evaluates to NULL, and only THEN does the distributed join
+    // path build its vocabulary-sized tables (the web-scale regime,
+    // where one extra tokenize pass is noise next to the model's own
+    // shuffles).
+    val gateRow: Seq[org.apache.spark.sql.Row] =
+      if (maxBroadcastModel > 0)
+        docs.filter(col("doc_id") % holdMod =!= 0)
+          .agg(gf.gramCountsAgg(lower(col("text")), 1, 3,
+            maxBroadcastModel, minTokens = 3).as("m")).head().getSeq(0)
+      else null
+    lazy val train = docs
       .filter(graft.functions.TextFunctions.wsTokenCount(col("text")) >= 3)
       .filter(col("doc_id") % holdMod =!= 0)
-    val mixed = train
-      .select(explode(gf.termCounts(lower(col("text")), 1, 3)).as("p"))
-      .groupBy(col("p.term").as("g")).agg(sum(col("p.tf")).as("c"))
-    // Stats-gated fast path (E19's LmScore treatment one order up):
-    // when take(cap+1) proves the mixed gram table fits the driver
-    // bound, the collected rows ARE the byte-pass model — no joins,
-    // no second model job, and the gate's aggregation is the model
-    // build itself, so a passed gate wastes nothing. The persist
-    // comes FIRST so the gate's take doubles as the cache
-    // materialization: a FAILED gate (10⁸⁺-gram web vocabulary)
-    // costs one bounded collect over the cache the join path reads
-    // anyway — without it Spark would not reuse the corpus-scale
-    // aggregation across the two separate actions and the failed
-    // gate would pay it twice (late-r8 review fix; this is the
-    // behavior [[defaultTrigramCap]]'s measurement history assumes).
-    val mixedP =
-      mixed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gateRows = if (maxBroadcastModel > 0)
-      mixedP.take(maxBroadcastModel + 1)
-    else Array.empty[org.apache.spark.sql.Row]
-    if (maxBroadcastModel > 0 && gateRows.length <= maxBroadcastModel) {
-      mixedP.unpersist(false) // the broadcast map replaces the cache
+    if (gateRow != null) {
       val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
       val m = new java.util.HashMap[
         org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
-        math.max(16, gateRows.length * 2))
+        math.max(16, gateRow.length * 2))
       var n0 = 0L; var v0 = 0L
-      gateRows.foreach { r =>
+      gateRow.foreach { r =>
         val (g, c) = (r.getString(0), r.getLong(1))
         m.put(u8(g), java.lang.Long.valueOf(c))
         if (g.indexOf(' ') < 0) { n0 += c; v0 += 1L }
@@ -768,7 +806,13 @@ object LanguageModel {
     }
     // Join path (web-scale model): the three per-order tables derive
     // from the SAME persisted vocabulary-sized aggregation by gram
-    // width — the corpus is scanned exactly once for the model.
+    // width — the corpus is scanned exactly once for the model
+    // (built only now: the gate either never ran or already paid its
+    // one poisoned pass above).
+    val mixedP = train
+      .select(explode(gf.termCounts(lower(col("text")), 1, 3)).as("p"))
+      .groupBy(col("p.term").as("g")).agg(sum(col("p.tf")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.CacheHygiene.unpersistAfterUse(mixedP)
     val sp1 = split(col("g"), " ")
     val c1 = mixedP.filter(size(sp1) === 1)
