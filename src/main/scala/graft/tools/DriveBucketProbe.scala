@@ -74,6 +74,7 @@ object DriveBucketProbe {
     knob("vectorized OFF", "spark.sql.parquet.enableVectorizedReader", "false")
     knob("batch 16k", "spark.sql.parquet.columnarReaderBatchSize", "16384")
     knob("no codegen", "spark.sql.codegen.wholeStage", "false")
+    knob("prefer SHJ", "spark.sql.join.preferSortMergeJoin", "false")
 
     println("=== q3_bucketed plan ===")
     graft.operators.Analytics.queries("q3_bucketed")(spark, dir)
