@@ -193,6 +193,14 @@ object GraftFunctions {
     toCol(expressions.GramCountsAgg(toExpr(text), minN, maxN, cap, minTokens)
       .toAggregateExpression())
 
+  /** Weighted Misra–Gries heavy-hitter summary (see
+    * [[expressions.MisraGriesAgg]] and
+    * [[graft.functions.HeavyHitters]] for the guarantees).
+    */
+  def misraGries(key: Column, weight: Column, k: Int): Column =
+    toCol(expressions.MisraGriesAgg(toExpr(key), toExpr(weight), k)
+      .toAggregateExpression())
+
   /** Z-order (Morton) curve value of 2–8 non-negative long columns. */
   def zorder(cols: Column*): Column =
     toCol(ZOrderLong(cols.map(toExpr)))

@@ -1,9 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.Column
 
 /** Misra–Gries heavy hitters (SURVEY.md §2.H17) — the bounded-state
   * frequent-items summary (Misra & Gries 1982; merge rule from
@@ -13,117 +10,48 @@ import org.apache.spark.sql.functions.udaf
   *
   * Guarantees (spec-pinned): every item with true frequency
   * > n/(k+1) survives into the summary, and each reported count
-  * under-estimates its true frequency by at most n/(k+1). The
-  * standard production composition is two-pass: MG proposes the
-  * bounded candidate set, an exact semi-joined count pass ranks it —
-  * candidates are a SUPERSET of the guaranteed heavy hitters, so the
-  * composition is exact above the threshold. (The exact top-k
-  * queries E6/E15 pay a vocabulary-sized shuffle for exactness; MG
-  * is the shape for when even the vocabulary doesn't fit — 10⁸+
-  * distinct keys — and only the heavy tail matters.)
+  * under-estimates its true frequency by at most n/(k+1), with
+  * n = Σ weights (the unweighted form is weight 1 per row; reducing
+  * a weighted row is exactly merging a singleton summary, so the
+  * mergeable analysis applies unchanged). The standard production
+  * composition is two-pass: MG proposes the bounded candidate set,
+  * an exact semi-joined count pass ranks it — candidates are a
+  * SUPERSET of the guaranteed heavy hitters, so the composition is
+  * exact above the threshold. (The exact top-k queries E6/E15 pay a
+  * vocabulary-sized shuffle for exactness; MG is the shape for when
+  * even the vocabulary doesn't fit — 10⁸+ distinct keys — and only
+  * the heavy tail matters.)
+  *
+  * Implementation (r10): ONE native TypedImperativeAggregate,
+  * [[graft.functions.expressions.MisraGriesAgg]] — a mutable map
+  * with long[] cells and AMORTIZED pruning (entries accumulate to
+  * 2k, then one (k+1)-th-largest subtraction prunes under k; a
+  * prune subtracts its cut from ≥ k+1 surviving entries, so
+  * Σcuts·(k+1) ≤ n and both guarantees keep the n/(k+1) bound).
+  * The first two cuts of this operator are kept as negative
+  * results: an immutable-Map Aggregator pruned on EVERY over-k
+  * insertion — an O(k log k) sort plus a full map copy per incoming
+  * row once the key space outgrew k — and even with a mutable
+  * buffer the udaf path deserializes each input row into a case
+  * class through an ExpressionEncoder, one allocation + string
+  * decode per (doc, term) row (1.4 s and 1.1 s respectively for the
+  * E15b sketch pass at the 10× board, vs the exact vocabulary
+  * shuffle at 0.4 s that the sketch exists to avoid). The native
+  * update reads the UTF8String key straight off the row.
   */
 object HeavyHitters {
 
   case class KeyCount(key: String, count: Long)
 
-  class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[KeyCount]] {
-
-    require(k > 0, s"heavy-hitters summary needs k > 0, got $k")
-
-    override def zero: Map[String, Long] = Map.empty
-
-    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-      b.get(x) match {
-        case Some(c) => b.updated(x, c + 1L)
-        case None if b.size < k => b.updated(x, 1L)
-        case None =>
-          // decrement-all: drop zeros, charge every survivor one
-          b.flatMap { case (key, c) =>
-            if (c > 1L) Some(key -> (c - 1L)) else None
-          }
-      }
-
-    override def merge(b1: Map[String, Long],
-        b2: Map[String, Long]): Map[String, Long] = {
-      val combined = b2.foldLeft(b1) { case (acc, (key, c)) =>
-        acc.updated(key, acc.getOrElse(key, 0L) + c)
-      }
-      if (combined.size <= k) combined
-      else {
-        // subtract the (k+1)-th largest count from everything — the
-        // mergeable-summaries rule preserving the n/(k+1) error bound
-        val cut = combined.valuesIterator.toArray.sortBy(-_).apply(k)
-        combined.flatMap { case (key, c) =>
-          if (c > cut) Some(key -> (c - cut)) else None
-        }
-      }
-    }
-
-    override def finish(b: Map[String, Long]): Seq[KeyCount] =
-      b.toSeq.sortBy { case (key, c) => (-c, key) }
-        .map { case (key, c) => KeyCount(key, c) }
-
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
-    override def outputEncoder: Encoder[Seq[KeyCount]] =
-      ExpressionEncoder[Seq[KeyCount]]()
-  }
-
   /** Column form: `heavyHitters(k)(keyCol)` →
     * array<struct<key,count>> ordered (count desc, key asc).
     */
   def heavyHitters(k: Int)(key: Column): Column =
-    udaf(new MisraGries(k), ExpressionEncoder[String]()).apply(key)
-
-  /** Weighted Misra–Gries: each input row carries a (key, weight)
-    * pair and counts as `weight` occurrences. Reducing a row is
-    * EXACTLY merging a singleton summary {key → weight}, so the
-    * mergeable-summaries analysis applies unchanged and every
-    * guarantee holds with n = Σ weights: items with true total
-    * weight > n/(k+1) survive, counts under-estimate by ≤ n/(k+1).
-    *
-    * Why it exists (SURVEY §2.E15b): fed from the codegen'd
-    * TermCounts byte pass — per-document DISTINCT terms with
-    * multiplicities — the summary sees one row per (doc, term)
-    * instead of one per token occurrence. On a repetitive corpus
-    * that is the difference between aggregator calls ∝ corpus tokens
-    * and ∝ per-doc vocabulary, with a bit-identical composition
-    * result (Σ_distinct tf ≡ Σ_occurrences).
-    */
-  class WeightedMisraGries(k: Int)
-      extends Aggregator[KeyCount, Map[String, Long], Seq[KeyCount]] {
-
-    require(k > 0, s"heavy-hitters summary needs k > 0, got $k")
-    private val mg = new MisraGries(k)
-
-    override def zero: Map[String, Long] = Map.empty
-
-    override def reduce(b: Map[String, Long],
-        x: KeyCount): Map[String, Long] = {
-      // zero weight = zero occurrences (a no-op, never a summary
-      // slot); negative weight would corrupt every bound — fail loud
-      require(x.count >= 0L,
-        s"negative heavy-hitter weight for '${x.key}': ${x.count}")
-      if (x.count == 0L) b else mg.merge(b, Map(x.key -> x.count))
-    }
-
-    override def merge(b1: Map[String, Long],
-        b2: Map[String, Long]): Map[String, Long] = mg.merge(b1, b2)
-
-    override def finish(b: Map[String, Long]): Seq[KeyCount] =
-      mg.finish(b)
-
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
-    override def outputEncoder: Encoder[Seq[KeyCount]] =
-      ExpressionEncoder[Seq[KeyCount]]()
-  }
+    GraftFunctions.misraGries(key, org.apache.spark.sql.functions.lit(1L), k)
 
   /** Column form: `heavyHittersWeighted(k)(keyCol, weightCol)` →
     * array<struct<key,count>> ordered (count desc, key asc).
     */
   def heavyHittersWeighted(k: Int)(key: Column, weight: Column): Column =
-    udaf(new WeightedMisraGries(k), ExpressionEncoder[KeyCount]())
-      .apply(key, weight)
+    GraftFunctions.misraGries(key, weight, k)
 }
