@@ -71,6 +71,43 @@ def main():
         "unit": "sec",
         "queries": queries,
     }
+
+    # r10 (VERDICT r9 #10): state the like-for-like headline IN the
+    # baseline JSON, with its exclusion list, so the criterion is
+    # auditable from one file. Exclusions are the standing principle:
+    # csv_*/jsonl/fw upload rows (fixture-file synthesis vs a ~1 ms
+    # SELECT over a pre-loaded table) and the scale10 ASYMMETRIC set
+    # (a served artifact vs a from-raw recompute, a build vs a COUNT,
+    # a sketch vs an exact plan).
+    bench_path = "bench_full.json"
+    if os.path.exists(bench_path):
+        import importlib.util as _ilu
+        _spec = _ilu.spec_from_file_location(
+            "scale10", os.path.join(os.path.dirname(__file__), "scale10.py"))
+        _s10 = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_s10)
+        sp = json.load(open(bench_path)).get("queries", {})
+        excluded_upload = sorted(
+            k for k in sp if k.startswith(("csv_", "jsonl", "fw_")))
+        excluded_asym = sorted(k for k in sp if k in _s10.ASYMMETRIC)
+        shared = [k for k in sp
+                  if k in queries and queries[k] > 0 and sp[k] > 0
+                  and k not in excluded_upload and k not in excluded_asym]
+        s_tot = sum(sp[k] for k in shared)
+        d_tot = sum(queries[k] for k in shared)
+        out["headline_like_for_like"] = {
+            "spark_bench": bench_path,
+            "rows": len(shared),
+            "spark_sec": round(s_tot, 3),
+            "duckdb_sec": round(d_tot, 3),
+            "ratio": round(s_tot / d_tot, 2) if d_tot else None,
+            "excluded_upload_rows": excluded_upload,
+            "excluded_asymmetric_rows": excluded_asym,
+        }
+        print(f"[baseline] like-for-like headline: {len(shared)} rows, "
+              f"spark {s_tot:.1f}s vs duckdb {d_tot:.1f}s = "
+              f"{s_tot / d_tot:.2f}x")
+
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
