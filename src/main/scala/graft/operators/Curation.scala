@@ -661,10 +661,18 @@ object Curation {
     // the corpus — then the ordered pairs unfold from each ≤|sources|
     // set locally. The earlier shape (distinct → gh self-join) paid
     // the distinct's exchange PLUS two join-side exchanges on gh.
+    // r10: per-doc distinct gram hashes from the native one-pass
+    // shingle column (TokenWindowHashes + SortedDistinctLongs) — the
+    // regex tokenize → zip_with concat → per-gram string → xxhash64
+    // chain this replaces allocated every gram as a string just to
+    // hash it. gh only ever feeds grouping, so only equality
+    // structure matters (equal grams ⇒ equal hashes; distinct
+    // collide w.p. ~2⁻⁶⁴ — the C1/C3 contract).
+    val gf = graft.functions.GraftFunctions
     val sets = Tables(spark, dir, "documents")
       .select(col("source"),
-        explode(Dedup.shingleArray(Dedup.tokens(col("text")), 3)).as("g"))
-      .select(xxhash64(col("g")).as("gh"), col("source"))
+        explode(gf.sortedDistinctLongs(
+          gf.tokenWindowHashes(col("text"), 3))).as("gh"))
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
