@@ -85,7 +85,7 @@ object DriveCleanAb {
     val variants = Seq("shipped" -> (() => shipped()), "lsh" -> (() => lsh()))
     val times = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
-    (1 to 4).foreach { _ =>
+    (1 to 7).foreach { _ =>
       variants.foreach { case (name, f) =>
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(250)
