@@ -155,23 +155,36 @@ object Pipeline {
     * shard write: `exportShuffled(packed)` streams straight to the
     * trainer.
     *
-    * Scale shape: the C12 window (hash-partitioned per source), one
-    * equi-join back to the text on doc_id (AQE-sized), then a
-    * (source, bin) aggregation whose collect_list holds ONE bin's
-    * documents — bounded by the token budget, never by corpus size,
-    * so no group can blow an executor.
+    * Scale shape (r10): the text rides THROUGH the C12 window's
+    * source exchange instead of being equi-joined back on doc_id
+    * afterwards — the join paid a second corpus-scale exchange of
+    * the text plus one of the window output, and the (source, bin)
+    * aggregation can reuse the window's hashpartitioning(source)
+    * (source ⊆ the grouping keys satisfies ClusteredDistribution),
+    * so the whole operator is ONE exchange end to end. The
+    * collect_list still holds ONE bin's documents — bounded by the
+    * token budget, never by corpus size, so no group can blow an
+    * executor. (10×: 1.37 → one exchange; the join shape is kept in
+    * git history as the negative.)
     */
   def packConcat(spark: SparkSession, dir: String,
-      budget: Int = 4096): DataFrame =
-    packSequences(spark, dir, budget)
-      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
-        Seq("doc_id"))
+      budget: Int = 4096): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("bin_tokens"),
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
             s => s.getField("text"))).as("packed_text"))
+  }
 
   /** Deterministic stratified sample: exactly `k` documents per
     * source, chosen by md5-of-id order — uniform within each stratum
