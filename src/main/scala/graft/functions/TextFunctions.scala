@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders (SURVEY.md §2.E), composed from
@@ -51,7 +51,8 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
 
   def wsTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(WsToken), lit(0)))
+    GraftColumnBridge.column(
+      expressions.TokenCount(GraftColumnBridge.expression(c)))
 
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeToken), lit(0)))

@@ -456,6 +456,49 @@ case class TfidfTop3(child: Expression,
     copy(child = c)
 }
 
+/** `\S+` token count in one byte pass — the value of
+  * `size(regexp_extract_all(c, "\\S+", 0))` (the split every oracle
+  * mirrors; equivalence to the regex form is pinned transitively by
+  * the GateStats fusion spec, whose n_ws is the same count) without
+  * the regex engine or the materialized match array. wsTokenCount is
+  * on nearly every curation hot path (gates, packing, budgets, the
+  * E21 train filter), which made the regex form a per-operator tax.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_token_count"
+
+  def cnt(s: UTF8String): Int = {
+    val b = s.getBytes
+    val len = b.length
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < len) {
+      val c = b(i)
+      val isWs = c == 0x20 || (c >= 0x09 && c <= 0x0D)
+      if (!isWs && !inTok) { n += 1; inTok = true }
+      else if (isWs) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(v: Any): Any = cnt(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("tokenCount", this,
+        classOf[TokenCount].getName)
+      s"${ev.value} = $ref.cnt($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All quality/language gate inputs in ONE byte pass (SURVEY.md
   * §2.C8/E2/E3): `struct(n_chars, n_ws, n_punct, c_en, c_de, c_es,
   * c_fr)` = (character count, `\S+` token count, `[.,!?;:]` count,

@@ -585,16 +585,21 @@ object Curation {
 
   /** [[tokenBudget]] over an arbitrary (doc_id, source, text) frame. */
   def tokenBudgetOf(d: DataFrame, budget: Long): DataFrame = {
-    import graft.functions.TextFunctions.{qualityScore, wsTokenCount}
+    import graft.functions.TextFunctions.qualityFromGate
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("q").desc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     d
+      // token count AND quality from ONE GateStats byte pass (the C8
+      // treatment — spec-pinned arithmetic-identical to the regex
+      // forms); the regex qualityScore + wsTokenCount pair was two
+      // more full passes over every document's bytes
+      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
       .select(col("doc_id"), col("source"),
-        wsTokenCount(col("text")).cast("long").as("n_tokens"),
-        qualityScore(col("text")).as("q"))
+        col("__g.n_ws").as("n_tokens"),
+        qualityFromGate(col("__g")).as("q"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"),
@@ -709,7 +714,16 @@ object Curation {
       xxhash64(col("text")).as("h"), lit(0).as("side"))
     val n = newDocs.select(col("doc_id"), col("source"),
       xxhash64(col("text")).as("h"), lit(1).as("side"))
-    o.unionByName(n)
+    corpusDiffTagged(o.unionByName(n))
+  }
+
+  /** The C26 union-aggregate tail over already-tagged
+    * (doc_id, source, h, side) rows — shared by [[corpusDiff]] (two
+    * real versions = two scans, intrinsic) and [[corpusDiffQuery]]
+    * (synthetic v2 derived from v1 = one scan).
+    */
+  private def corpusDiffTagged(tagged: DataFrame): DataFrame = {
+    tagged
       .groupBy(col("doc_id"))
       .agg(max(when(col("side") === 0, col("h"))).as("h_old"),
         max(when(col("side") === 1, col("h"))).as("h_new"),
@@ -740,15 +754,33 @@ object Curation {
     */
 
   def corpusDiffQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val edited = docs.filter(col("doc_id") % 89 =!= 0)
-      .select(col("doc_id"), col("source"),
-        when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")).as("text"))
-    val added = docs.filter(col("doc_id") % 83 === 0)
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
-        col("text"))
-    corpusDiff(docs, edited.unionByName(added))
+    // r10: ONE corpus scan. The old shape routed v1 + the two derived
+    // v2 slices through corpusDiff as three separate scans of
+    // `documents` — three parquet text decodes and three xxhash64
+    // passes for a query whose v2 is DERIVED from v1 row-by-row.
+    // Each document now emits its 1–3 tagged rows from one scan
+    // (old always; new-edited unless deleted; new-added for the
+    // shifted copy), and the shared union-aggregate tail is
+    // unchanged — real two-version diffs keep the two-scan
+    // corpusDiff, where two scans are intrinsic.
+    val emptyRows = array().cast(
+      "array<struct<doc_id:bigint,source:string,h:bigint,side:int>>")
+    val h = xxhash64(col("text"))
+    val hNew = when(col("doc_id") % 97 === 0,
+      xxhash64(concat(col("text"), lit(" v2")))).otherwise(h)
+    val tagged = Tables(spark, dir, "documents")
+      .select(explode(concat(
+        array(struct(col("doc_id"), col("source"), h.as("h"),
+          lit(0).as("side"))),
+        when(col("doc_id") % 89 =!= 0,
+          array(struct(col("doc_id"), col("source"), hNew.as("h"),
+            lit(1).as("side")))).otherwise(emptyRows),
+        when(col("doc_id") % 83 === 0,
+          array(struct((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("source"), h.as("h"), lit(1).as("side"))))
+          .otherwise(emptyRows))).as("r"))
+      .select(col("r.doc_id"), col("r.source"), col("r.h"), col("r.side"))
+    corpusDiffTagged(tagged)
   }
 
   // ---------------------------------------------------------------

@@ -26,7 +26,8 @@ object StreamingCuration {
   def curate(docs: DataFrame, minQuality: Double = 0.7,
       lang: String = "en", watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("quality", TextFunctions.qualityFromGate(
+        graft.functions.GraftFunctions.gateStats(col("text"))))
       .withColumn("pred_lang", TextFunctions.langId(col("text")))
       .filter(col("quality") >= minQuality && col("pred_lang") === lang)
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
