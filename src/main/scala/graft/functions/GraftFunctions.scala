@@ -193,6 +193,20 @@ object GraftFunctions {
     toCol(expressions.GramCountsAgg(toExpr(text), minN, maxN, cap, minTokens)
       .toAggregateExpression())
 
+  /** C33 model build as one typed-imperative aggregation (see
+    * [[expressions.DsirModelAgg]]): flat long[2m] —
+    * [0,m) target-side, [m,2m) background-side bucket counts.
+    */
+  def dsirModelAgg(text: Column, isTarget: Column, m: Int): Column =
+    toCol(expressions.DsirModelAgg(toExpr(text), toExpr(isTarget), m)
+      .toAggregateExpression())
+
+  /** C33 one-pass doc scorer against a plan-embedded millibit leg
+    * table (see [[expressions.DsirDocScore]]).
+    */
+  def dsirDocScore(text: Column, lmb: Array[Long]): Column =
+    toCol(expressions.DsirDocScore(toExpr(text), lmb))
+
   /** Weighted Misra–Gries heavy-hitter summary (see
     * [[expressions.MisraGriesAgg]] and
     * [[graft.functions.HeavyHitters]] for the guarantees).

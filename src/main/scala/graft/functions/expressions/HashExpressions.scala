@@ -413,6 +413,315 @@ case class PrefixByRarity(child: Expression, cmsBytes: Array[Byte],
   * per-occurrence md5 column with one scan whose output is bounded
   * by distinct touched buckets ≤ min(2·tokens, m).
   */
+/** Single-block MD5 (RFC 1321) for messages ≤ 55 bytes, returning
+  * only the first 4 digest bytes assembled big-endian — exactly
+  * `conv(substring(md5hex, 1, 8), 16, 10)` as a signed Int to be
+  * widened unsigned by the caller. Why it exists: the md5-bucket
+  * rule is the PORTABLE hash contract (C11/C14/C33 — both engines
+  * must land every gram in the same bucket), so the hash family is
+  * fixed, but `MessageDigest` pays an engine reset, an internal
+  * buffer copy and a fresh 16-byte digest allocation per call — at
+  * the 10× DSIR row that is ~150 M short-gram hashes per pass. A
+  * ≤55-byte message is exactly one MD5 compression over a reusable
+  * block, allocation-free. Spec-pinned equal to MessageDigest on
+  * random inputs; callers fall back to MessageDigest above 55 bytes.
+  */
+private[graft] object Md5Short {
+
+  val MaxLen = 55
+
+  private val S = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  // T[i] = floor(abs(sin(i+1)) * 2^32) — the RFC 1321 constants
+  private val K = Array(
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391)
+
+  private val tlBlock = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+
+  /** First 4 MD5 digest bytes of bytes[off, off+len) assembled
+    * big-endian; len MUST be ≤ [[MaxLen]].
+    */
+  def firstWordBE(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val block = tlBlock.get()
+    java.util.Arrays.fill(block, 0)
+    var i = 0
+    while (i < len) {
+      block(i >> 2) |= (bytes(off + i) & 0xff) << ((i & 3) * 8)
+      i += 1
+    }
+    compress(block, len)
+  }
+
+  /** [[firstWordBE]] of the message bytes[off1,off1+len1) ++ sep ++
+    * bytes[off2,off2+len2) — the two-token-gram form, hashing
+    * straight from the token spans with no concatenated-gram
+    * allocation. len1+1+len2 MUST be ≤ [[MaxLen]].
+    */
+  def firstWordBE2(bytes: Array[Byte], off1: Int, len1: Int, sep: Byte,
+      off2: Int, len2: Int): Int = {
+    val block = tlBlock.get()
+    java.util.Arrays.fill(block, 0)
+    var p = 0
+    var i = 0
+    while (i < len1) {
+      block(p >> 2) |= (bytes(off1 + i) & 0xff) << ((p & 3) * 8)
+      p += 1; i += 1
+    }
+    block(p >> 2) |= (sep & 0xff) << ((p & 3) * 8)
+    p += 1
+    i = 0
+    while (i < len2) {
+      block(p >> 2) |= (bytes(off2 + i) & 0xff) << ((p & 3) * 8)
+      p += 1; i += 1
+    }
+    compress(block, p)
+  }
+
+  private def compress(block: Array[Int], len: Int): Int = {
+    block(len >> 2) |= 0x80 << ((len & 3) * 8)
+    block(14) = len << 3 // bit length, low word (len ≤ 55)
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    var i = 0
+    while (i < 64) {
+      var f = 0
+      var g = 0
+      if (i < 16) { f = (b & c) | (~b & d); g = i }
+      else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15 }
+      else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * i) & 15 }
+      val tmp = d
+      d = c
+      c = b
+      b = b + Integer.rotateLeft(a + f + K(i) + block(g), S(i))
+      a = tmp
+      i += 1
+    }
+    // digest bytes are the little-endian bytes of state word A;
+    // assembling them big-endian is a byte reversal
+    Integer.reverseBytes(0x67452301 + a)
+  }
+}
+
+/** ONE definition of the C33 md5-bucket rule (the portable hash
+  * contract both engines share): bucket = first-4-md5-bytes unsigned
+  * mod m, for a single token span or a two-span bigram. Short grams
+  * take [[Md5Short]]'s allocation-free single block; longer ones fall
+  * back to the caller's MessageDigest.
+  */
+private[expressions] object Md5Bucket {
+
+  def uni(b: Array[Byte], off: Int, len: Int, m: Int,
+      md: MessageDigest): Int = {
+    val v =
+      if (len <= Md5Short.MaxLen)
+        Md5Short.firstWordBE(b, off, len) & 0xffffffffL
+      else {
+        md.reset()
+        md.update(b, off, len)
+        val d = md.digest()
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+    (v % m).toInt
+  }
+
+  def bi(b: Array[Byte], off1: Int, len1: Int, off2: Int, len2: Int,
+      m: Int, md: MessageDigest): Int = {
+    if (len1 + 1 + len2 <= Md5Short.MaxLen)
+      ((Md5Short.firstWordBE2(b, off1, len1, 0x20, off2, len2)
+        & 0xffffffffL) % m).toInt
+    else {
+      val gb = new Array[Byte](len1 + 1 + len2)
+      System.arraycopy(b, off1, gb, 0, len1)
+      gb(len1) = 0x20
+      System.arraycopy(b, off2, gb, len1 + 1, len2)
+      uni(gb, 0, gb.length, m, md)
+    }
+  }
+}
+
+/** C33 model build as ONE typed-imperative aggregation: per-partition
+  * long[2m] count vectors — [0,m) target-side, [m,2m) background-side
+  * occurrences of every uni/bigram's md5 bucket — merged by vector
+  * add, evaluated as the flat 2m-long array the driver folds into the
+  * m-row millibit table. The E21 GramCountsAgg treatment applied to
+  * DSIR: the explode(dsirBucketCounts) → groupBy shape pushed ~145 M
+  * per-doc bucket rows through Generate + partial HashAggregate at
+  * the 10× row, for a model that is 2m longs by construction — no
+  * cap needed, m is the fixed hyperparameter.
+  */
+case class DsirModelAgg(left: Expression, right: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(m >= 2, s"need at least 2 buckets, got $m")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_dsir_model_agg"
+
+  @transient private lazy val tlDigest =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * m)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = left.eval(input)
+    if (v == null) return buf
+    val tgtV = right.eval(input)
+    // null target flag = background (sources are non-null in every
+    // corpus; isin(null) would group as background in the join path)
+    val base = if (tgtV != null && tgtV.asInstanceOf[Boolean]) 0 else m
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val sp = TokenScan.scan(b)
+    val starts = sp.starts; val ends = sp.ends; val nTok = sp.n
+    val md = tlDigest.get()
+    var t = 0
+    while (t < nTok) {
+      buf(base + Md5Bucket.uni(b, starts(t), ends(t) - starts(t), m, md)) += 1L
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      buf(base + Md5Bucket.bi(b, starts(t), ends(t) - starts(t),
+        starts(t + 1), ends(t + 1) - starts(t + 1), m, md)) += 1L
+      t += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](buf.length * 8)
+    var i = 0
+    while (i < buf.length) {
+      var v = buf(i); var j = 0
+      while (j < 8) { out(i * 8 + j) = (v & 0xff).toByte; v >>>= 8; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) {
+      var v = 0L; var j = 7
+      while (j >= 0) { v = (v << 8) | (bytes(i * 8 + j) & 0xffL); j -= 1 }
+      buf(i) = v
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): DsirModelAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): DsirModelAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DsirModelAgg = copy(left = l, right = r)
+}
+
+/** C33 scoring as one byte pass: every uni/bigram's md5 bucket looks
+  * up its plan-embedded millibit leg (the m-row model, 8·m bytes in
+  * the task binary — m is a fixed hyperparameter) and the doc's
+  * integer weight accumulates in place. Σ_slots l_mb ≡ the join
+  * path's Σ_buckets c·l_mb — the same longs in a different order.
+  * NULL for zero-token docs (the join path emits no row for them).
+  */
+case class DsirDocScore(child: Expression, lmb: Array[Long])
+    extends UnaryExpression {
+
+  private val m = lmb.length
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("weight_mb", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dsir_doc_score"
+
+  @transient private lazy val tlDigest =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  def score(s: UTF8String): Any = {
+    val b = s.getBytes
+    val sp = TokenScan.scan(b)
+    val starts = sp.starts; val ends = sp.ends; val nTok = sp.n
+    if (nTok == 0) return null
+    val md = tlDigest.get()
+    var w = 0L
+    var t = 0
+    while (t < nTok) {
+      w += lmb(Md5Bucket.uni(b, starts(t), ends(t) - starts(t), m, md))
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      w += lmb(Md5Bucket.bi(b, starts(t), ends(t) - starts(t),
+        starts(t + 1), ends(t + 1) - starts(t + 1), m, md))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((2L * nTok - 1L), w))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("dsirScore", this,
+        classOf[DsirDocScore].getName)
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.score($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class DsirBucketCounts(child: Expression, m: Int)
     extends UnaryExpression {
 
@@ -452,30 +761,19 @@ case class DsirBucketCounts(child: Expression, m: Int)
       }
       counts(bucket) += 1L
     }
-    def bucketOf(bytes: Array[Byte], off: Int, len: Int): Int = {
-      md.reset()
-      md.update(bytes, off, len)
-      val d = md.digest()
-      // first 4 digest bytes as the UNSIGNED 32-bit value — exactly
-      // conv(substring(md5hex, 1, 8), 16, 10)
-      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      (v % m).toInt
-    }
+    // bucket = first-4-md5-bytes unsigned mod m — ONE definition
+    // ([[Md5Bucket]]): conv(substring(md5hex, 1, 8), 16, 10), short
+    // grams on the allocation-free single-block path, bigrams hashed
+    // straight from the two token spans
     var t = 0
     while (t < nTok) {
-      add(bucketOf(b, starts(t), ends(t) - starts(t)))
+      add(Md5Bucket.uni(b, starts(t), ends(t) - starts(t), m, md))
       t += 1
     }
     t = 0
     while (t < nTok - 1) {
-      val l1 = ends(t) - starts(t)
-      val l2 = ends(t + 1) - starts(t + 1)
-      val gb = new Array[Byte](l1 + 1 + l2)
-      System.arraycopy(b, starts(t), gb, 0, l1)
-      gb(l1) = 0x20
-      System.arraycopy(b, starts(t + 1), gb, l1 + 1, l2)
-      add(bucketOf(gb, 0, gb.length))
+      add(Md5Bucket.bi(b, starts(t), ends(t) - starts(t),
+        starts(t + 1), ends(t + 1) - starts(t + 1), m, md))
       t += 1
     }
     val out = new Array[AnyRef](nTouched)

@@ -1082,11 +1082,79 @@ object LanguageModel {
           .as("avg_mb_per_feat"),
         (col("weight_mb") > 0).as("keep_doc")): _*)
 
-  def dsir(spark: SparkSession, dir: String, m: Int = 4096): DataFrame = {
+  def dsir(spark: SparkSession, dir: String, m: Int = 4096): DataFrame =
+    dsirOf(spark, dir, m, fastPath = true)
+
+  /** [[dsir]] with the path switch exposed (the equality spec's
+    * lever). Fast path (r10, the E21 GramCountsAgg treatment):
+    * the model is ONE DsirModelAgg action — per-partition long[2m]
+    * count vectors straight off the bytes, no per-bucket row stream —
+    * the m-row millibit table folds on the DRIVER (m is the fixed
+    * hyperparameter: 2m longs collected, the same arithmetic as the
+    * distributed fold — StrictMath log2, BigDecimal HALF_UP, the
+    * TrigramLmScore replication discipline), and scoring is one
+    * DsirDocScore byte pass with the 8·m-byte leg table riding the
+    * task binary — no explode, no broadcast join, no per-doc
+    * aggregation. Σ_slots l_mb ≡ Σ_buckets c·l_mb (the same longs in
+    * a different order), so the two paths are bit-identical
+    * (spec-pinned). The join path remains the serving shape for
+    * stored models ([[dsirFromModel]]) and streams.
+    */
+  private[graft] def dsirOf(spark: SparkSession, dir: String, m: Int,
+      fastPath: Boolean): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val buckets = dsirBucketTable(docs, (0 to 3).map("src" + _), m)
+    val targets = (0 to 3).map("src" + _)
+    if (fastPath) {
+      val gf = graft.functions.GraftFunctions
+      val flat: Seq[Long] = docs
+        .agg(gf.dsirModelAgg(lower(col("text")),
+          col("source").isin(targets: _*), m).as("m"))
+        .head().getSeq[Long](0)
+      var tt = 0L
+      var bt = 0L
+      var b = 0
+      while (b < m) {
+        val ct = flat(b)
+        val cb = ct + flat(m + b)
+        tt += ct; bt += cb; b += 1
+      }
+      val lmb = new Array[Long](m)
+      b = 0
+      while (b < m) {
+        val ct = flat(b)
+        val cb = ct + flat(m + b)
+        lmb(b) = dsirMbOf(cb, bt, m) - dsirMbOf(ct, tt, m)
+        b += 1
+      }
+      return docs
+        .select(col("doc_id"),
+          gf.dsirDocScore(lower(col("text")), lmb).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"),
+          col("s.n_feats").as("n_feats"),
+          col("s.weight_mb").as("weight_mb"),
+          (col("s.weight_mb").cast("double") /
+            (lit(1000.0) * col("s.n_feats"))).as("avg_mb_per_feat"),
+          (col("s.weight_mb") > 0).as("keep_doc"))
+    }
+    val buckets = dsirBucketTable(docs, targets, m)
     dsirScoreRows(dsirFeats(docs, m, Nil), buckets, Seq("doc_id"))
+  }
+
+  private val dsirLn2 = java.lang.StrictMath.log(2)
+
+  /** Driver replication of [[dsirBucketTable]]'s mbOf — Spark's
+    * `round(-log2((c+0.5)/(tot+0.5·m))·1000).cast("long")`, operation
+    * for operation (the TrigramLmScore discipline: StrictMath log2,
+    * BigDecimal HALF_UP round), so the fast path's legs are
+    * bit-identical to the distributed fold's.
+    */
+  private def dsirMbOf(c: Long, tot: Long, m: Int): Long = {
+    val p = (c.toDouble + 0.5) / (tot.toDouble + 0.5 * m)
+    val mb = -(java.lang.StrictMath.log(p) / dsirLn2) * 1000.0
+    java.math.BigDecimal.valueOf(mb)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
   }
 
   /** D9 lifecycle for the DSIR model: the m-row bucket table (plus m

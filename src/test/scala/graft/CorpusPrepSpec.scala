@@ -290,6 +290,14 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       s"target-mean ${bySrc(true)} vs rest ${bySrc(false)}")
     // deterministic: same weights on a second run
     assert(lm.dsir(spark, sf).except(out).count() == 0)
+    // r10 fast path (DsirModelAgg + DsirDocScore byte passes) is
+    // bit-identical to the distributed explode/join formulation —
+    // same buckets (Md5Bucket), same millibit legs (the driver fold
+    // replicates round(-log2(p)·1000) operation for operation), and
+    // Σ_slots l_mb ≡ Σ_buckets c·l_mb
+    val joinPath = lm.dsirOf(spark, sf, 4096, fastPath = false)
+    assert(out.except(joinPath).count() == 0)
+    assert(joinPath.except(out).count() == 0)
   }
 
   test("dsir featurizer equals the exploded built-ins formulation") {

@@ -9,6 +9,27 @@ import graft.operators.{Ann, Dedup, Hnsw, KMeans, Pca, Pq}
 
 class ExpressionSpec extends AnyFunSuite with SparkTestBase {
 
+  test("single-block MD5 equals MessageDigest on every length 0..55") {
+    // Md5Short carries the portable md5-bucket contract (C11/C14/C33)
+    // on the DSIR hot path — its first-4-bytes word must match
+    // MessageDigest bit-for-bit for every length it accepts.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rnd = new scala.util.Random(7)
+    for (len <- 0 to 55; rep <- 0 until 8) {
+      val bytes = new Array[Byte](len + 3)
+      rnd.nextBytes(bytes)
+      val off = rep % 3 // exercise non-zero offsets
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      val want = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      val got = graft.functions.expressions.Md5Short
+        .firstWordBE(bytes, off, len)
+      assert(got == want, s"len=$len off=$off")
+    }
+  }
+
   test("cosine similarity matches a plain-Scala reference") {
     import spark.implicits._
     val a = Array(1.0f, 2.0f, 3.0f)
