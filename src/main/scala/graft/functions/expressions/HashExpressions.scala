@@ -29,10 +29,14 @@ object HashingSupport {
   /** First 60 bits (15 hex chars) of md5 — matches the oracle's
     * ('0x' || substr(md5(w),1,15))::BIGINT.
     */
-  def md5Hash60(bytes: Array[Byte]): Long = {
+  def md5Hash60(bytes: Array[Byte]): Long = md5Hash60From(bytes, bytes.length)
+
+  /** [[md5Hash60]] over bytes[0, len) — the reusable-buffer form. */
+  def md5Hash60From(bytes: Array[Byte], len: Int): Long = {
     val d = md5Local.get()
     d.reset()
-    val h = d.digest(bytes)
+    d.update(bytes, 0, len)
+    val h = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (h(i) & 0xFFL); i += 1 }
@@ -498,7 +502,14 @@ private[graft] object Md5Short {
     compress(block, p)
   }
 
-  private def compress(block: Array[Int], len: Int): Int = {
+  private def compress(block: Array[Int], len: Int): Int =
+    (compress64(block, len) >>> 32).toInt
+
+  /** First EIGHT digest bytes assembled big-endian (the 60-bit
+    * winnow-hash form reads this >>> 4 — exactly
+    * `conv(substring(md5hex, 1, 15), 16, 10)`).
+    */
+  private def compress64(block: Array[Int], len: Int): Long = {
     block(len >> 2) |= 0x80 << ((len & 3) * 8)
     block(14) = len << 3 // bit length, low word (len ≤ 55)
     var a = 0x67452301
@@ -520,9 +531,38 @@ private[graft] object Md5Short {
       a = tmp
       i += 1
     }
-    // digest bytes are the little-endian bytes of state word A;
-    // assembling them big-endian is a byte reversal
-    Integer.reverseBytes(0x67452301 + a)
+    // digest bytes are the little-endian bytes of state words A then
+    // B; assembling them big-endian is a byte reversal of each
+    (Integer.reverseBytes(0x67452301 + a).toLong << 32) |
+      (Integer.reverseBytes(0xefcdab89 + b) & 0xffffffffL)
+  }
+
+  /** First 60 md5 bits of the k-span gram
+    * bytes[starts(from)..ends(from)) ++ ' ' ++ … ++
+    * bytes[starts(from+k-1)..ends(from+k-1)) — the C32 portable
+    * winnow hash, straight from the token spans. Total gram length
+    * MUST be ≤ [[MaxLen]].
+    */
+  def first60Spans(bytes: Array[Byte], starts: Array[Int],
+      ends: Array[Int], from: Int, k: Int): Long = {
+    val block = tlBlock.get()
+    java.util.Arrays.fill(block, 0)
+    var p = 0
+    var j = 0
+    while (j < k) {
+      if (j > 0) {
+        block(p >> 2) |= 0x20 << ((p & 3) * 8)
+        p += 1
+      }
+      var i = starts(from + j)
+      val e = ends(from + j)
+      while (i < e) {
+        block(p >> 2) |= (bytes(i) & 0xff) << ((p & 3) * 8)
+        p += 1; i += 1
+      }
+      j += 1
+    }
+    compress64(block, p) >>> 4
   }
 }
 

@@ -1075,22 +1075,27 @@ object Dedup {
     */
   def winnowFingerprintsOf(d: DataFrame, k: Int, w: Int,
       portableHash: Boolean = true, carry: Seq[String] = Nil): DataFrame = {
-    val toks = tokens(col("text"))
+    // r10: ONE native byte pass (WinnowFingerprints: TokenScan →
+    // span-gram md5-60/xxhash64 → monotonic-deque sliding
+    // rightmost-min → distinct) — the compositional chain it
+    // replaces (regex tokenize, k slices, zip_with concat, per-gram
+    // string, w more slices, zip_with(least), array_distinct) was
+    // the worst like-for-like absolute row on the sf0.1 board
+    // (2.5 s). Same selections by construction; the hand-computed
+    // MOSS spec and the 3-SF oracle pin it.
     val keep = (carry :+ "doc_id").map(col)
-    val th = when(size(toks) >= k,
-        transform(shingleSlots(toks, k), g => gramHash60(g, portableHash)))
-      .otherwise(array().cast("array<bigint>"))
-    val packed = d.select(keep :+
-      transform(th, (h, i) => struct(h.as("h"), (-i).as("np"))).as("s"): _*)
-    val n = size(col("s"))
-    val len = n - (w - 1) // windows; guarded > 0 before any slice runs
-    val parts = (0 until w).map(j => slice(col("s"), lit(j + 1), len))
-    val mins = parts.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    packed.select(keep :+
-        explode(when(n >= w, array_distinct(mins))
-          .otherwise(slice(col("s"), 1, 0))).as("fp"): _*)
+    d.select(keep :+
+        explode(winnowFingerprintsCol(col("text"), k, w, portableHash))
+          .as("fp"): _*)
       .select(keep ++ Seq((-col("fp.np")).as("pos"), col("fp.h")): _*)
   }
+
+  private def winnowFingerprintsCol(text: Column, k: Int, w: Int,
+      portable: Boolean): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), k, w,
+        portable))
 
   /** C32: winnowing near-dup pairs — documents sharing ≥1 selected
     * fingerprint + the count of distinct shared fingerprint hashes.
