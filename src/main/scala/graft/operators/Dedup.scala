@@ -402,22 +402,33 @@ object Dedup {
       threshold: Double = 0.8, benchMod: Int = 17,
       k: Int = 128, bands: Int = 32, maxBucket: Int = 1000,
       maxPersistBytes: Long = 8L * 1024 * 1024 * 1024,
-      maxBenchSliceBytes: Long = 512L * 1024 * 1024): DataFrame = {
+      maxBenchSliceBytes: Long = 512L * 1024 * 1024,
+      maxBenchIndexEntries: Long = 32L * 1024 * 1024): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
     val base = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
-    // Gate the indexed path on the benchmark slice's share of the
-    // relation's FILE statistics (compressed bytes; no job): the
-    // index costs ~12 bytes per shingle entry, so a ≤512 MB
-    // compressed slice keeps driver+broadcast comfortably bounded
-    // while any corpus-vs-corpus run falls through to LSH.
+    // Two-stage gate for the indexed path (r10 ADVICE: the file-stats
+    // estimate alone let a skewed or highly-compressed corpus reach
+    // the collect before any bound fired). Stage 1 — FILE statistics
+    // (compressed bytes; no job): a clearly-huge corpus skips even
+    // the measuring pass. Stage 2 — one cheap agg of Σ size(sh) over
+    // the bench slice: the index costs ~12 bytes per ACTUAL entry
+    // (plus transient collect boxing), so the gate bounds what the
+    // driver really materializes, not a compression-ratio guess.
     val benchBytesEst = Tables(spark, dir, "documents")
       .queryExecution.optimizedPlan.stats.sizeInBytes
       .min(BigInt(Long.MaxValue)).toLong / benchMod.toLong.max(1L)
-    if (benchBytesEst <= maxBenchSliceBytes)
-      fuzzyDecontamIndexed(spark, base, isBench, threshold)
+    val indexed = benchBytesEst <= maxBenchSliceBytes && {
+      val row = base.filter(isBench)
+        .agg(sum(size(col("sh"))).as("e")).head()
+      val entriesActual = if (row.isNullAt(0)) 0L else row.getLong(0)
+      entriesActual <= maxBenchIndexEntries
+    }
+    if (indexed)
+      fuzzyDecontamIndexed(spark, base.filter(isBench),
+        base.filter(!isBench), threshold)
     else
       fuzzyDecontamLsh(spark, base, isBench, threshold, k, bands,
-        maxBucket, maxPersistBytes)
+        maxBucket, maxPersistBytes, maxBenchIndexEntries)
   }
 
   /** Compact benchmark shingle index for the C35 fast path: parallel
@@ -518,20 +529,23 @@ object Dedup {
     }
   }
 
-  /** C35 indexed fast path — see [[fuzzyDecontam]]. */
-  private def fuzzyDecontamIndexed(spark: SparkSession, base: DataFrame,
-      isBench: Column, threshold: Double): DataFrame = {
+  /** C35 indexed fast path — see [[fuzzyDecontam]]. `bench` and
+    * `corpus` are (doc_id, sh) frames; the bench side collects to a
+    * driver index (the caller gates its actual entry count first —
+    * the hard check below is the last-resort loud failure, not the
+    * gate).
+    */
+  private def fuzzyDecontamIndexed(spark: SparkSession, bench: DataFrame,
+      corpus: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
-    val benchRows = base.filter(isBench)
+    val benchRows = bench
       .select(col("doc_id"), col("sh")).as[(Long, Array[Long])].collect()
     val nb = benchRows.length
     var entries = 0L
     benchRows.foreach(r => entries += r._2.length)
-    // the file-stats gate already bounded this; the hard check makes
-    // a pathological compression ratio loud instead of silent
     require(entries < Int.MaxValue - 8,
       s"C35 benchmark index: $entries shingle entries exceed the " +
-        "indexable bound; pass a smaller maxBenchSliceBytes to force " +
+        "indexable bound; pass a smaller maxBenchIndexEntries to force " +
         "the LSH fallback")
     val ids = new Array[Long](nb)
     val sizes = new Array[Int](nb)
@@ -548,7 +562,7 @@ object Dedup {
     sortPairs(keys, docs)
     val bc = spark.sparkContext.broadcast(
       new BenchShingleIndex(ids, sizes, keys, docs))
-    base.filter(!isBench).select(col("doc_id"), col("sh"))
+    corpus.select(col("doc_id"), col("sh"))
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val idx = bc.value
@@ -564,7 +578,9 @@ object Dedup {
   /** C35 LSH fallback — see [[fuzzyDecontam]]. */
   private def fuzzyDecontamLsh(spark: SparkSession, base: DataFrame,
       isBench: Column, threshold: Double, k: Int, bands: Int,
-      maxBucket: Int, maxPersistBytes: Long): DataFrame = {
+      maxBucket: Int, maxPersistBytes: Long,
+      maxBenchIndexEntries: Long): DataFrame = {
+    import spark.implicits._
     val r = k / bands
     val doPersist =
       base.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -584,26 +600,62 @@ object Dedup {
     // Candidate pass: corpus-side banding streams map-side against
     // the broadcast benchmark buckets; the only exchange is the
     // candidate-pair distinct (bounded by bucket collisions against
-    // a tiny benchmark, not by the corpus). The benchmark buckets are
-    // capped first (tiny-side aggregation): a bucket holding more
-    // than maxBucket bench members is degenerate boilerplate, and
-    // every corpus doc landing in it would fan out to ALL of them.
-    val benchBuckets = banded(hashed.filter(isBench), "bench_id")
+    // a tiny benchmark, not by the corpus). A bucket holding more
+    // than maxBucket bench members is degenerate boilerplate — every
+    // corpus doc landing in it would fan out to ALL of them — so its
+    // members leave the LSH plan. r10 silently DROPPED them (a
+    // non-deduplicated benchmark with >maxBucket near-identical docs
+    // degenerates in all bands, losing every corpus match to those
+    // docs — decontamination false negatives); now they route through
+    // the exact driver-indexed probe instead, which needs no buckets
+    // at all, with the same loud entry bound as the main indexed path.
+    val bucketed = banded(hashed.filter(isBench), "bench_id")
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("bench_id")).as("__ids"))
+    val cappedIds = bucketed.filter(size(col("__ids")) > maxBucket)
+      .select(explode(col("__ids")).as("bench_id")).distinct()
+    val benchSh = hashed.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+    // One count on the BENCH-side aggregation (tiny by design — the
+    // recompute is one small-side banding job, so no persist that
+    // would graft an InMemoryRelation into the serving plan) decides
+    // the route; the common no-degenerate-bucket case then proceeds
+    // with exactly the r10 plan shape.
+    val nCapped = cappedIds.count()
+    val exactPart =
+      if (nCapped == 0L) None
+      else {
+        val cappedBench = benchSh.join(broadcast(cappedIds), Seq("bench_id"))
+          .select(col("bench_id").as("doc_id"), col("sh_b").as("sh"))
+        val row = cappedBench.agg(sum(size(col("sh"))).as("e")).head()
+        val entries = if (row.isNullAt(0)) 0L else row.getLong(0)
+        require(entries <= maxBenchIndexEntries,
+          s"C35 LSH: $nCapped benchmark docs sit in degenerate " +
+            s">${maxBucket}-member band buckets and their $entries " +
+            "shingle entries exceed maxBenchIndexEntries — refusing to " +
+            "silently drop them; deduplicate the benchmark or raise " +
+            "maxBucket/maxBenchIndexEntries")
+        Some(fuzzyDecontamIndexed(spark, cappedBench,
+          hashed.filter(!isBench), threshold))
+      }
+    val benchBuckets = bucketed
       .filter(size(col("__ids")) <= maxBucket)
       .select(col("band"), col("bucket"),
         explode(col("__ids")).as("bench_id"))
+    // Exact-routed bench docs leave the LSH side entirely (their
+    // pairs are produced exactly; keeping them would duplicate rows).
+    val lshBuckets =
+      if (nCapped == 0L) benchBuckets
+      else benchBuckets.join(broadcast(cappedIds), Seq("bench_id"),
+        "left_anti")
     val cands = banded(hashed.filter(!isBench), "doc_id")
-      .join(broadcast(benchBuckets), Seq("band", "bucket"))
+      .join(broadcast(lshBuckets), Seq("band", "bucket"))
       .select(col("doc_id"), col("bench_id"))
       .distinct()
     // Verify pass: candidates (tiny) pick up the benchmark shingle
     // arrays (tiny) and broadcast; the training corpus streams once
     // against them — exact Jaccard, no corpus shuffle.
-    val benchSh = hashed.filter(isBench)
-      .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
-    val out = hashed.filter(!isBench)
+    val lshOut = hashed.filter(!isBench)
       .join(broadcast(cands.join(benchSh, Seq("bench_id"))), Seq("doc_id"))
       .withColumn("inter",
         sortedIntersectSize(col("sh"), col("sh_b")).cast("double"))
@@ -611,6 +663,7 @@ object Dedup {
         (size(col("sh")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("bench_id"), col("jaccard"))
+    val out = exactPart.fold(lshOut)(lshOut.union)
     if (doPersist) graft.CacheHygiene.unpersistAfterUse(hashed)
     out
   }

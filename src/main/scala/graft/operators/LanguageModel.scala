@@ -68,7 +68,16 @@ object LanguageModel {
     // take(cap+1) gate — per-partition hash maps, no per-bigram row
     // stream. NULL (over-cap vocabulary) falls through to the
     // distributed join path exactly as the old failed gate did.
-    if (maxBroadcastModel > 0) {
+    // Same web-scale FILE-stats pre-gate as the trigram path (see
+    // perplexityTrigramOf): above the byte threshold the fused gate
+    // is skipped outright so the join path's aggregation is the only
+    // corpus pass.
+    val gateMaxBytes: Long = sys.env.getOrElse(
+      "SPARK_GRAFT_LM3_GATE_MAX_BYTES",
+      (8L * 1024 * 1024 * 1024).toString).toLong
+    val underGateBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong <= gateMaxBytes
+    if (maxBroadcastModel > 0 && underGateBytes) {
       val gf = graft.functions.GraftFunctions
       val gateRow: Seq[org.apache.spark.sql.Row] =
         train.agg(gf.gramCountsAgg(lower(col("text")), 2, 2,
@@ -767,11 +776,26 @@ object LanguageModel {
     // tokenize of the train split). The cap rides inside the
     // aggregation: an over-cap vocabulary poisons the buffers and
     // evaluates to NULL, and only THEN does the distributed join
-    // path build its vocabulary-sized tables (the web-scale regime,
-    // where one extra tokenize pass is noise next to the model's own
-    // shuffles).
+    // path build its vocabulary-sized tables.
+    // Web-scale pre-gate (r10 ADVICE: a failed gate paid a poisoned
+    // full corpus pass AND a fresh termCounts aggregation — two
+    // passes where r8's shared-persist shape paid one): a corpus
+    // whose FILE statistics (no job) exceed the threshold goes
+    // straight to the join path — one aggregation total, the r8
+    // single-pass property restored exactly where the double pass
+    // hurts. Under the threshold the fused gate stays: if it passes
+    // (the common sub-threshold case) it IS the model in one action,
+    // and if it fails the extra pass is bounded by a small corpus.
+    // Bytes can't PREDICT vocabulary (a synthetic corpus stays tiny-
+    // vocab for GB; web text blows the cap in MB), so the threshold
+    // only needs to bound the wasted work, not detect overflow.
+    val gateMaxBytes: Long = sys.env.getOrElse(
+      "SPARK_GRAFT_LM3_GATE_MAX_BYTES",
+      (8L * 1024 * 1024 * 1024).toString).toLong
+    val underGateBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong <= gateMaxBytes
     val gateRow: Seq[org.apache.spark.sql.Row] =
-      if (maxBroadcastModel > 0)
+      if (maxBroadcastModel > 0 && underGateBytes)
         docs.filter(col("doc_id") % holdMod =!= 0)
           .agg(gf.gramCountsAgg(lower(col("text")), 1, 3,
             maxBroadcastModel, minTokens = 3).as("m")).head().getSeq(0)

@@ -167,12 +167,27 @@ object TextIndex {
     // One batch-df row per (batch, term), so a global conditional sum
     // over the pruned scan pivots the ≤|terms| totals into one row; a
     // term absent from the corpus sums to NULL → df 0.0, as before.
-    val dfAggs = t.zipWithIndex.map { case (term, i) =>
-      sum(when(col("term") === term, col("df"))).cast("double").as(s"__df$i")
-    }
-    val dfRow = db.readBucketed(s"${table}_df")
-      .filter(col("term").isin(t: _*))
-      .agg(dfAggs.head, dfAggs.tail: _*)
+    // Indexes written before the `_df` artifact existed (r10) serve
+    // via the pre-r10 on-the-fly aggregation over the pruned postings
+    // scan — one row per (term, doc_id), so COUNT is df — instead of
+    // failing on the missing path; the existence probe is one driver
+    // FS metadata call, no job.
+    val dfRow =
+      if (db.tableExists(s"${table}_df")) {
+        val dfAggs = t.zipWithIndex.map { case (term, i) =>
+          sum(when(col("term") === term, col("df")))
+            .cast("double").as(s"__df$i")
+        }
+        db.readBucketed(s"${table}_df")
+          .filter(col("term").isin(t: _*))
+          .agg(dfAggs.head, dfAggs.tail: _*)
+      } else {
+        val dfAggs = t.zipWithIndex.map { case (term, i) =>
+          sum(when(col("term") === term, lit(1L)))
+            .cast("double").as(s"__df$i")
+        }
+        idx.filter(col("term").isin(t: _*)).agg(dfAggs.head, dfAggs.tail: _*)
+      }
     val scalars = broadcast(corpus.crossJoin(dfRow))
     val parts = t.zipWithIndex.map { case (term, i) =>
       idx.filter(col("term") === term)

@@ -523,6 +523,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((4L, 34L)), got.toString)
   }
 
+  test("C35 LSH: degenerate >maxBucket buckets route exact, not drop") {
+    // r10 ADVICE (medium): a non-deduplicated benchmark with more
+    // than maxBucket near-identical docs degenerates in EVERY band,
+    // and the cap silently dropped those buckets — every corpus match
+    // to those docs was lost (decontamination false negatives). The
+    // members must route through the exact driver-indexed probe.
+    import spark.implicits._
+    val dir = scratch("c35_capped")
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, dup), (17L, dup), (34L, dup),       // 3 identical bench docs
+      (51L, "unrelated benchmark words entirely disjoint tokens here"),
+      (1L, dup), (2L, dup),                    // train docs that match
+      (3L, "other training text sharing nothing with the benchmark"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // maxBucket=2 < 3 identical bench docs → every band bucket
+    // holding them is degenerate; LSH path forced via the slice gate
+    val got = Dedup.fuzzyDecontam(spark, dir, threshold = 0.8,
+        maxBucket = 2, maxBenchSliceBytes = 0L)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = for (t <- Set(1L, 2L); b <- Set(0L, 17L, 34L)) yield (t, b)
+    assert(got == want, got.toString)
+    // and the refusal to exceed the driver bound is LOUD, not silent
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyDecontam(spark, dir, threshold = 0.8, maxBucket = 2,
+        maxBenchSliceBytes = 0L, maxBenchIndexEntries = 0L).collect()
+    }
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   test("near-dup clustering handles a corpus with zero pairs") {
     // the common clean-corpus case: no document shares a shingle, so
     // the pair graph is empty — every doc must come back a singleton
