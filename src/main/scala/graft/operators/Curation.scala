@@ -571,13 +571,20 @@ object Curation {
     * makes the selection an auditable release artifact rather than a
     * sampling accident.
     *
-    * Scale shape: one scan computes (tokens, quality) per doc; the
-    * rank+cumsum is a per-source window — C12-pack's partitioning,
-    * parallel across sources (at 100 TB a single source's stream
-    * further shards by range-within-source exactly as C12 documents).
-    * Quality is ratio arithmetic of per-doc integer counts (no
-    * transcendentals), so the DESC ordering is bit-identical
-    * cross-engine; the cumulative sum is integer-exact.
+    * Scale shape (r11): one scan computes (tokens, quality) per doc;
+    * the rank+cumsum is [[graft.operators.Ranks.keyedPrefixSum]] —
+    * the per-source window serialized each source's whole stream on
+    * one task (parallelism = n_sources; a 100 TB corpus has few,
+    * huge sources). The within-source shard is analytic in the order
+    * key itself: `floor((1−q)·S)` is monotone non-increasing in q,
+    * so shard order IS the (q DESC, doc_id) order and the quality
+    * projection still runs in the ONE corpus pass (no sampling job,
+    * no second GateStats pass). Quality is ratio arithmetic of
+    * per-doc integer counts (no transcendentals), so the DESC
+    * ordering is bit-identical cross-engine; the cumulative sum is
+    * integer-exact. Shard balance tracks the q histogram — a mass
+    * point in q collapses to one shard (correctness unaffected; the
+    * window's serialization is the worst case, never wrong sums).
     */
   def tokenBudget(spark: SparkSession, dir: String,
       budget: Long = 5000): DataFrame =
@@ -586,12 +593,7 @@ object Curation {
   /** [[tokenBudget]] over an arbitrary (doc_id, source, text) frame. */
   def tokenBudgetOf(d: DataFrame, budget: Long): DataFrame = {
     import graft.functions.TextFunctions.qualityFromGate
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("q").desc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    d
+    val base = d
       // token count AND quality from ONE GateStats byte pass (the C8
       // treatment — spec-pinned arithmetic-identical to the regex
       // forms); the regex qualityScore + wsTokenCount pair was two
@@ -600,7 +602,10 @@ object Curation {
       .select(col("doc_id"), col("source"),
         col("__g.n_ws").as("n_tokens"),
         qualityFromGate(col("__g")).as("q"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val nSh = 2 * d.sparkSession.sparkContext.defaultParallelism
+    Ranks.keyedPrefixSum(base, Seq("source"),
+        Seq(col("q").desc, col("doc_id").asc), "n_tokens",
+        floor((lit(1.0) - col("q")) * nSh), "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"))

@@ -129,21 +129,28 @@ object Pipeline {
   /** Sequence packing: assign documents to contiguous token-budget
     * bins per source — the batching step before training. Cumulative
     * token count over a (source, doc_id) total order, bin = the
-    * budget window the document's end offset lands in. One
-    * hash-partitioned window per source (high-cardinality at real
-    * scale → even shuffle); all-integer arithmetic, so cross-engine
-    * exact.
+    * budget window the document's end offset lands in. All-integer
+    * arithmetic, so cross-engine exact.
+    *
+    * Scale shape (r11): `sum(…) OVER (PARTITION BY source ORDER BY
+    * doc_id)` folds each source's ENTIRE stream on one task —
+    * parallelism = n_sources, and a real pretraining corpus has few,
+    * huge sources. The cumulative sum is instead
+    * [[Ranks.keyedPrefixSum]]: range-within-source sharding on
+    * doc_id windows ([[Ranks.idRangeShard]] — one pruned min/max
+    * pre-pass), per-(source, shard) partial sums, broadcast offsets,
+    * map-side add. A source holding 90% of the corpus spreads over
+    * ~90% of the shards; sums are bit-identical to the window form
+    * (spec-pinned, and the oracle hash is unchanged).
     */
   def packSequences(spark: SparkSession, dir: String,
       budget: Int = 4096): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables(spark, dir, "documents")
+    val base = Tables(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         wsTokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val nSh = 2 * spark.sparkContext.defaultParallelism
+    Ranks.keyedPrefixSum(base, Seq("source"), Seq(col("doc_id").asc),
+        "n_tokens", Ranks.idRangeShard(base, "doc_id", nSh), "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
   }
 
@@ -155,28 +162,27 @@ object Pipeline {
     * shard write: `exportShuffled(packed)` streams straight to the
     * trainer.
     *
-    * Scale shape (r10): the text rides THROUGH the C12 window's
-    * source exchange instead of being equi-joined back on doc_id
-    * afterwards — the join paid a second corpus-scale exchange of
-    * the text plus one of the window output, and the (source, bin)
-    * aggregation can reuse the window's hashpartitioning(source)
-    * (source ⊆ the grouping keys satisfies ClusteredDistribution),
-    * so the whole operator is ONE exchange end to end. The
-    * collect_list still holds ONE bin's documents — bounded by the
-    * token budget, never by corpus size, so no group can blow an
-    * executor. (10×: 1.37 → one exchange; the join shape is kept in
-    * git history as the negative.)
+    * Scale shape (r10→r11): the text rides THROUGH the prefix-sum
+    * exchange instead of being equi-joined back on doc_id afterwards
+    * (the join paid a second corpus-scale exchange of the text plus
+    * one of the window output; kept in git history as the negative).
+    * r11 swaps the per-source window for [[Ranks.keyedPrefixSum]]
+    * (see [[packSequences]] — the window serialized each source on
+    * one task), which costs one more (source, bin) hash exchange for
+    * the aggregation than the window shape did: two corpus-scale
+    * exchanges total, each fully parallel — vs one exchange whose
+    * reduce side was n_sources tasks. The collect_list still holds
+    * ONE bin's documents — bounded by the token budget, never by
+    * corpus size, so no group can blow an executor.
     */
   def packConcat(spark: SparkSession, dir: String,
       budget: Int = 4096): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables(spark, dir, "documents")
+    val base = Tables(spark, dir, "documents")
       .select(col("source"), col("doc_id"), col("text"),
         wsTokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val nSh = 2 * spark.sparkContext.defaultParallelism
+    Ranks.keyedPrefixSum(base, Seq("source"), Seq(col("doc_id").asc),
+        "n_tokens", Ranks.idRangeShard(base, "doc_id", nSh), "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),

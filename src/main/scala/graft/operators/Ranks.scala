@@ -107,4 +107,132 @@ object Ranks {
     sorted.sparkSession.createDataFrame(ranked,
       sorted.schema.add(out, LongType, nullable = false))
   }
+
+  /** Per-key cumulative sum with NO single-task-per-key stage — the
+    * scalable replacement for `sum(v) OVER (PARTITION BY key ORDER BY
+    * …)`, whose parallelism is the number of keys: a pretraining
+    * corpus has FEW, HUGE sources, so that window folds each source's
+    * entire stream on ONE task.
+    *
+    * Two-phase shape: the caller supplies an analytic `shard` column
+    * that is (a) monotone non-decreasing along `order` within each
+    * key and (b) bounded-cardinality (~2× parallelism). Rows
+    * hash-exchange on (key, shard) — a deterministic exchange, no
+    * range-sampling job, so the upstream plan runs ONCE — and sort
+    * within partitions under (key, shard, order). Job 1 folds each
+    * partition to one (key, shard, Σv) row (O(keys + shards) to the
+    * driver); the exclusive per-(key, shard) offsets broadcast back;
+    * job 2 adds offset + local running sum map-side. Both jobs run
+    * over the SAME materialized RDD lineage, so they read the same
+    * shuffle files (the [[zipRanked]] soundness property), and the
+    * output value depends only on the (key, order) total order — any
+    * monotone shard function yields identical sums.
+    *
+    * `order` must be a total order within each key (include a unique
+    * tiebreak); `valueCol` must be an integral column (NULL sums as
+    * 0); the appended `out` column is LongType. Shard balance is the
+    * caller's lookout — a degenerate shard (all rows one value)
+    * reproduces the window's serialization but never wrong sums.
+    */
+  def keyedPrefixSum(df: DataFrame, keyCols: Seq[String],
+      order: Seq[Column], valueCol: String, shard: Column,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val sCol = "__graft_psum_shard"
+    // NULL shard (a NULL order key upstream) pins to the first shard
+    // rather than NPE-ing in the offset fold. Such a row carries a
+    // NULL value too in both callers (NULL text ⇒ NULL tokens, summed
+    // as 0), so every OTHER row's cumulative sum is unaffected by its
+    // placement; only the null row's own cum is placement-dependent,
+    // and callers require non-null order keys for that row to matter.
+    val withS = df.withColumn(sCol,
+      org.apache.spark.sql.functions.coalesce(shard.cast(LongType),
+        org.apache.spark.sql.functions.lit(Long.MinValue)))
+    val sortCols = (keyCols.map(col) :+ col(sCol)) ++ order
+    val parted = withS
+      .repartition(n, keyCols.map(col) :+ col(sCol): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = parted.schema
+    val kIdx = keyCols.map(schema.fieldIndex).toArray
+    val sIdx = schema.fieldIndex(sCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    def groupOf(r: Row): (List[Any], Long) =
+      (kIdx.map(r.get(_)).toList, r.getLong(sIdx))
+    def valOf(r: Row): Long =
+      if (r.isNullAt(vIdx)) 0L
+      else r.get(vIdx) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case s: java.lang.Short   => s.longValue
+        case b: java.lang.Byte    => b.longValue
+        case o => throw new IllegalArgumentException(
+          s"keyedPrefixSum value column '$valueCol' must be integral, " +
+            s"got ${o.getClass.getName}")
+      }
+    val rdd = parted.rdd
+    // Job 1: one (key, shard, Σv) row per group. Groups are contiguous
+    // after the partition sort, but a map keyed on the group tolerates
+    // hash-collision interleaving of DIFFERENT groups in one partition.
+    val totals = rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(List[Any], Long), Long]
+      it.foreach { r =>
+        val g = groupOf(r)
+        m.update(g, m.getOrElse(g, 0L) + valOf(r))
+      }
+      m.iterator
+    }.collect()
+    require(totals.length <= 4 * 1024 * 1024,
+      s"keyedPrefixSum: ${totals.length} (key, shard) groups exceed the " +
+        "driver offset bound — this is the MANY-key regime, where the " +
+        "plain per-key window already parallelizes (parallelism = " +
+        "n_keys); use that instead")
+    // Exclusive offsets: for each key, Σ of totals with smaller shard.
+    val offsets = new scala.collection.mutable.HashMap[(List[Any], Long), Long]
+    totals.groupBy(_._1._1).foreach { case (key, grp) =>
+      var run = 0L
+      grp.sortBy(_._1._2).foreach { case (g, tot) =>
+        offsets.update(g, run)
+        run += tot
+      }
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    // Job 2: same shuffle files (stage skip) — offset + running sum.
+    val outRdd = rdd.mapPartitions { it =>
+      val off = bcOff.value
+      var cur: (List[Any], Long) = null
+      var run = 0L
+      it.map { r =>
+        val g = groupOf(r)
+        if (g != cur) { cur = g; run = off.getOrElse(g, 0L) }
+        run += valOf(r)
+        Row.fromSeq(r.toSeq.patch(sIdx, Nil, 1) :+ run)
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.patch(sIdx, Nil, 1)).add(out, LongType, nullable = false)
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Analytic within-key shard for an integral order column: equal-
+    * width windows of the column's GLOBAL [lo, hi] range (one pruned
+    * min/max agg — the only pre-pass, reading just that column).
+    * Monotone in the column for every key by construction; balanced
+    * whenever ids are roughly dense, and a key spanning a wide id
+    * range spreads over ~range/width shards regardless of how many
+    * rows it holds. Exact integer floor-division (`div`): column `/`
+    * is double division and misbins above 2^53.
+    */
+  def idRangeShard(df: DataFrame, idCol: String, targetShards: Int): Column = {
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    val r = df.agg(min(col(idCol)).cast(LongType),
+      max(col(idCol)).cast(LongType)).head()
+    if (r.isNullAt(0)) org.apache.spark.sql.functions.lit(0L)
+    else {
+      val lo = r.getLong(0)
+      val w = ((r.getLong(1) - lo) / targetShards.toLong.max(1L)) + 1L
+      expr(s"(cast($idCol as bigint) - ${lo}L) div ${w}L")
+    }
+  }
 }

@@ -145,6 +145,61 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> 55L, 3L -> 5L))
   }
 
+  test("keyedPrefixSum: 90%-skew source spreads over >1 task, sums ≡ window") {
+    import spark.implicits._
+    val dir = scratch("psum_skew")
+    // the reference shape that breaks a per-source window: one source
+    // holds 90% of the corpus, so PARTITION BY source would fold its
+    // whole stream on ONE task
+    val docs = (0 until 900).map(i => (i.toLong, "big",
+        Seq.fill(i % 7 + 1)("alpha beta gamma delta").mkString(" "))) ++
+      (900 until 1000).map(i => (i.toLong, "small", s"tail $i text"))
+    docs.toDF("doc_id", "source", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Pipeline.packSequences(spark, dir, budget = 64)
+    // >1 task per source: no exchange follows the prefix sum, so the
+    // output partitioning IS the summing stage's task layout
+    val srcIdx = out.schema.fieldIndex("source")
+    val bigParts = out.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var hit = false
+      it.foreach(r => if (r.getString(srcIdx) == "big") hit = true)
+      if (hit) Iterator.single(pid) else Iterator.empty
+    }.collect().toSet
+    assert(bigParts.size > 1,
+      s"big source serialized onto ${bigParts.size} task(s)")
+    // cumulative sums bit-identical to the single-task window form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val exp = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.wsTokenCount(col("text")).as("nt"))
+      .withColumn("cum_exp", sum(col("nt")).over(w))
+    assert(out.join(exp.select("doc_id", "cum_exp"), "doc_id")
+      .filter(col("cum_tokens") =!= col("cum_exp")).count() == 0)
+    assert(out.count() == 1000)
+    // C28's q-DESC ordering through the same machinery: equality vs
+    // the window form on the skewed frame (quality varies with text,
+    // so the analytic (1−q)·S shard splits the big source too)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Curation.tokenBudgetOf(d, budget = Long.MaxValue / 2)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expQ = d
+      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+      .select(col("doc_id"), col("source"),
+        col("__g.n_ws").as("nt"),
+        graft.functions.TextFunctions.qualityFromGate(col("__g")).as("q"))
+      .withColumn("cum_exp", sum(col("nt")).over(wq))
+    assert(got.join(expQ.select("doc_id", "cum_exp"), "doc_id")
+      .filter(col("cum_tokens") =!= col("cum_exp")).count() == 0)
+    assert(got.count() == 1000)
+  }
+
   test("source overlap: exact planted counts, ordered pairs") {
     import spark.implicits._
     val dir = scratch("overlap_probe")
