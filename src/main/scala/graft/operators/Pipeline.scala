@@ -21,7 +21,10 @@ object Pipeline {
 
   def cleanCorpus(spark: SparkSession, dir: String,
       minQuality: Double = 0.7, lang: String = "en",
-      nearDupThreshold: Double = 0.8): DataFrame = {
+      nearDupThreshold: Double = 0.8,
+      smallMaxBytes: Long = sys.env.getOrElse(
+        "SPARK_GRAFT_CLEAN_SMALL_MAX_BYTES",
+        (2L * 1024 * 1024 * 1024).toString).toLong): DataFrame = {
     // One-pass gates: GateStats folds the seven regex passes of
     // qualityScore+langId into a single byte scan (same counts, same
     // double arithmetic — spec-pinned); the corpus-scale part of the
@@ -39,7 +42,7 @@ object Pipeline {
     // on the fingerprint — not a min-over-window, which shuffles the
     // same rows and then fully SORTS every fp partition (the r4 bench
     // put that sort at ~1 s of the composite's 3.3 s at sf0.1).
-    val canonical = docs
+    val canonicalPlan = docs
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min_by(
         struct(col("doc_id"), col("text"), col("pred_lang"), col("quality")),
@@ -79,11 +82,62 @@ object Pipeline {
       // anti-join keeps ids, the verify works on `sh`).
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         wsTokenCount(col("text")).as("n_tokens"), col("sh"))
-      // Feeds the anti-join's kept side and every branch of the
-      // AllPairs pipeline — without this persist the regex gates and
-      // the dedup aggregation re-execute per branch, and the
-      // composite ran 3× its most expensive component. Released
-      // after the consuming action.
+
+    // Small-corpus tail (r11, DriveCleanAb at 10×: 1.05 s vs the
+    // persisted shape's 2.09 s, identical output): ONE declarative
+    // plan end to end — no persist, no rarity-sketch action, no
+    // explicit repartition pins, no candidate distinct. The fp
+    // exchange subtree is shared across all five consumers by AQE
+    // stage reuse, the post-gate frames are small enough that AQE
+    // converts every tail join to broadcast at runtime, and a dup
+    // candidate only duplicates a tiny exact-verify row (the LEFT
+    // ANTI join is duplicate-insensitive). Prefix filtering uses the
+    // hash-value order the sorted `sh` arrays already carry — any
+    // global total order is exact for prefix filtering; rarity order
+    // only improves candidate ECONOMY, which a broadcast-scale
+    // survivor frame doesn't need. Gate = documents FILE statistics
+    // (no job). At scale every one of those four omissions flips:
+    // the persist stops 5× re-aggregation, rarity order and the
+    // candidate distinct bound the verify fan-out of hot shingles,
+    // and the width pins stop AQE byte-coalescing from starving the
+    // CPU-heavy verify — so the large regime keeps the r10 shape.
+    val smallCorpus = Tables(spark, dir, "documents")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong <= smallMaxBytes
+    if (smallCorpus) {
+      val t = nearDupThreshold
+      val prefix = canonicalPlan.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(slice(col("sh"), lit(1),
+          greatest(lit(1),
+            (size(col("sh")) - ceil(size(col("sh")) * t) + 1).cast("int"))))
+          .as("shingle"))
+      val cands = prefix.select(col("doc_id").as("doc_id_a"), col("shingle"))
+        .join(prefix.select(col("doc_id").as("doc_id_b"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val sa = canonicalPlan.select(col("doc_id").as("doc_id_a"),
+        col("sh").as("sh_a"))
+      val sb = canonicalPlan.select(col("doc_id").as("doc_id_b"),
+        col("sh").as("sh_b"))
+      val dupIds = cands.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+        .withColumn("inter", graft.functions.GraftFunctions
+          .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+        .withColumn("jaccard", col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= t)
+        .select(col("doc_id_b").as("doc_id"))
+      return canonicalPlan.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          col("n_tokens"))
+    }
+
+    // Feeds the anti-join's kept side and every branch of the
+    // AllPairs pipeline — without this persist the regex gates and
+    // the dedup aggregation re-execute per branch, and the
+    // composite ran 3× its most expensive component. Released
+    // after the consuming action.
+    val canonical = canonicalPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Near-dup removal: pairs over the gated, exact-deduped survivors

@@ -80,9 +80,67 @@ object DriveCleanAb {
       n
     }
 
+    // r11 probe (VERDICT r10 #2): ONE declarative plan end to end —
+    // no persist, no rarity-sketch action, no explicit repartition
+    // pins. Prefix filtering uses the hash-value order the sorted
+    // `sh` arrays already carry (any global total order is exact for
+    // prefix filtering; rarity order only improves candidate
+    // economy), so no CountMinSketch action is needed; the fp
+    // exchange subtree is shared across all five consumers by
+    // AQE stage reuse, and the post-gate frames are small enough
+    // that AQE converts every tail join to broadcast at runtime.
+    def onePlan(): Long = onePlanImpl(dedupCands = true)
+    def onePlanND(): Long = onePlanImpl(dedupCands = false)
+    def onePlanImpl(dedupCands: Boolean): Long = {
+      val docs = Tables(spark, sf, "documents")
+        .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+        .withColumn("quality", qualityFromGate(col("__g")))
+        .withColumn("pred_lang", langIdFromGate(col("__g")))
+        .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
+        .drop("__g")
+      val canonical = docs
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min_by(
+          struct(col("doc_id"), col("text"), col("pred_lang"), col("quality")),
+          col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.pred_lang").as("pred_lang"), col("r.quality").as("quality"))
+        .withColumn("sh", Dedup.shingleHashColumnProbe(col("text")))
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          wsTokenCount(col("text")).as("n_tokens"), col("sh"))
+      val t = 0.8
+      val prefix = canonical.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(slice(col("sh"), lit(1),
+          greatest(lit(1),
+            (size(col("sh")) - ceil(size(col("sh")) * t) + 1).cast("int"))))
+          .as("shingle"))
+      val cands0 = prefix.select(col("doc_id").as("doc_id_a"), col("shingle"))
+        .join(prefix.select(col("doc_id").as("doc_id_b"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val candsD = if (dedupCands) cands0.distinct() else cands0
+      val sa = canonical.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+      val sb = canonical.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+      import graft.functions.GraftFunctions.sortedIntersectSize
+      val dupIds = candsD.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+        .withColumn("inter",
+          sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+        .withColumn("jaccard", col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_id_b").as("doc_id"))
+      canonical.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          col("n_tokens")).count()
+    }
+
     // one warmup each
-    shipped(); lsh()
-    val variants = Seq("shipped" -> (() => shipped()), "lsh" -> (() => lsh()))
+    shipped(); lsh(); onePlan(); onePlanND()
+    println(s"[counts] shipped=${shipped()} lsh=${lsh()} " +
+      s"onePlan=${onePlan()} onePlanND=${onePlanND()}")
+    val variants = Seq("shipped" -> (() => shipped()), "lsh" -> (() => lsh()),
+      "onePlan" -> (() => onePlan()), "onePlanND" -> (() => onePlanND()))
     val times = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     (1 to 7).foreach { _ =>

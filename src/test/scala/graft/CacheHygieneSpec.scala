@@ -57,7 +57,10 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     operators.Dedup.ngramJaccard(spark, sf).count()
     assert(eventually()(spark.sharedState.cacheManager.isEmpty),
       "ngramJaccard stranded a cached intermediate")
-    operators.Pipeline.cleanCorpus(spark, sf).count()
+    // smallMaxBytes=0 forces the LARGE-corpus tail — the only path
+    // that persists (the small single-plan tail caches nothing and
+    // would pass trivially)
+    operators.Pipeline.cleanCorpus(spark, sf, smallMaxBytes = 0L).count()
     assert(eventually()(spark.sharedState.cacheManager.isEmpty),
       "cleanCorpus stranded a cached intermediate")
   }

@@ -200,6 +200,21 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == 1000)
   }
 
+  test("cleanCorpus: small single-plan tail ≡ large persisted tail") {
+    // r11 adaptive dispatch: the small regime drops the persist, the
+    // rarity sketch, the width pins, and the candidate distinct —
+    // every omission is a plan-shape change that must NOT change the
+    // output. sf data takes the small path by default; smallMaxBytes=0
+    // forces the large path on the same corpus.
+    val small = graft.operators.Pipeline.cleanCorpus(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val large = graft.operators.Pipeline
+      .cleanCorpus(spark, sf, smallMaxBytes = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small == large)
+    assert(small.nonEmpty)
+  }
+
   test("source overlap: exact planted counts, ordered pairs") {
     import spark.implicits._
     val dir = scratch("overlap_probe")
