@@ -93,6 +93,36 @@ object Bench {
       val ok = passes.map(p => p(n)).filter(_ >= 0.0)
       n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+
+    // Warm-plan serving rows (VERDICT r10 #4): the star-join floor
+    // decomposition pins ~0.4 s of the cold row as per-execution
+    // analysis/AQE-replan/broadcast constants — a serving-context
+    // cost Spark users amortize by REUSING a prepared Dataset. These
+    // rows measure exactly that regime: the Dataset is built and
+    // analyzed ONCE, one execution runs untimed (its AQE stats and
+    // broadcast rebuilds included), then min-of-3 timed executions.
+    // They are protocol-asymmetric (the cold rows stay the
+    // like-for-like evidence) and are EXCLUDED from the board total.
+    val warmTwins = Seq(
+      "q3_bucketed_warm" -> "q3_bucketed",
+      "q5_bucketed_warm" -> "q5_bucketed")
+    val warmResults = warmTwins.flatMap { case (wname, cold) =>
+      if (!names.contains(cold)) None
+      else {
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(250)
+        try {
+          val df = SparkEntry.queries(cold)(spark, sfDir)
+          df.count() // untimed: plan built, codegen + broadcasts warm
+          val t = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            df.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          Some(wname -> t)
+        } catch { case _: Throwable => None }
+      }
+    }
     // The driver captures only the last 2000 chars of stdout, and the
     // full board (77+ queries) no longer fits on one line even at ms
     // precision — three rounds of BENCH_r*.json came back parsed:null.
@@ -137,8 +167,18 @@ object Bench {
     val rowsOnly = names.filter(n => !SparkEntry.oracleSql.contains(n))
     val rowsOnlyField = s""","rows_only":${jsonNames(rowsOnly)}"""
 
+    // Protocol pinned in-artifact (VERDICT r10 #8) so boards compare
+    // across rounds without archaeology.
+    val protocol = "per-query cache clear + GC fence + 250ms settle; " +
+      "1 discarded warmup pass; min over 2 measured passes, second " +
+      "pass in REVERSE order (different predecessor sets approximate " +
+      "isolated numbers); warm rows: Dataset analyzed once, 1 untimed " +
+      "execution, min of 3 timed re-executions, excluded from total"
+    val warmField =
+      if (warmResults.isEmpty) ""
+      else s""","warm_queries":${json(warmResults)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$failedField$rowsOnlyField,"sf":"$sfDir","passes":"warmup+measured"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$warmField$failedField$rowsOnlyField,"sf":"$sfDir","passes":"warmup+measured","protocol":"$protocol"}"""
     // best-effort sidecar: an unwritable CWD must not destroy the
     // measured run's stdout line (the driver-parsed artifact)
     try java.nio.file.Files.write(
@@ -149,7 +189,7 @@ object Bench {
         System.err.println(s"[bench] bench_full.json not written: $e")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)},"queries_measured":${results.size},"rows_only_count":${rowsOnly.size}$failedField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)}$warmField,"queries_measured":${results.size},"rows_only_count":${rowsOnly.size}$failedField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
     spark.stop()
   }
 }

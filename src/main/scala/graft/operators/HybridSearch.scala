@@ -40,12 +40,52 @@ object HybridSearch {
   def hybridRrfFor(spark: SparkSession, dir: String,
       terms: Seq[String], queryVecId: Long,
       kLex: Int = 20, kVec: Int = 20, k: Int = 10,
-      kappa: Int = 60): DataFrame = {
+      kappa: Int = 60, fuseLexLiteral: Boolean = true): DataFrame = {
     val (db, table) = TextIndex.servedIndex(spark, dir)
     // Re-ranking the k-row lexical result is a window over ≤ kLex
     // rows — bounded by construction, not by the corpus. The order
     // (score desc, doc_id) matches searchRanked's own top-k order,
     // so these ranks ARE the global BM25 ranks 1..kLex.
+    //
+    // r11 (VERDICT r10 #7): in the default serving shape BOTH branch
+    // results are ≤ k rows BY CONTRACT (kLex BM25 candidates from a
+    // bucket-pruned probe; kVec exact-cosine neighbors), so the two
+    // bounded actions run CONCURRENTLY — wall time is the slower
+    // branch, not the sum — and the RRF fusion folds the ≤ kLex+kVec
+    // rows on the driver (the full-outer join + window + top-k were
+    // pure stage-wave constants on O(k)-row frames; the spec pins
+    // this fusion ≡ the declarative plan bit-for-bit). The C35
+    // bounded-collect discipline: driver state is k rows, never
+    // corpus-dependent. G17's streaming server passes
+    // fuseLexLiteral=false: it unions every query's fused plan into
+    // one publish job per micro-batch, and per-query driver actions
+    // would break exactly that.
+    if (fuseLexLiteral) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lexF = Future(TextIndex.searchRanked(db, table, terms, kLex)
+        .select(col("doc_id"), col("score")).collect())
+      val vecRows = Ann.topkExactOne(spark, dir, kVec, queryVecId)
+        .select(col("neighbor_id"), col("rank").cast("bigint")).collect()
+      val lexTop = Await.result(lexF, scala.concurrent.duration.Duration.Inf)
+      val lexRank: Map[Long, Long] = lexTop
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      val vecRank: Map[Long, Long] =
+        vecRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kd = kappa.toDouble
+      val fused = (lexRank.keySet ++ vecRank.keySet).toSeq.map { id =>
+        val lr = lexRank.getOrElse(id, 0L)
+        val vr = vecRank.getOrElse(id, 0L)
+        val s = (if (lr > 0) 1.0 / (kd + lr) else 0.0) +
+          (if (vr > 0) 1.0 / (kd + vr) else 0.0)
+        (id, lr, vr, s)
+      }.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+      import spark.implicits._
+      return fused.toDF("doc_id", "lex_rank", "vec_rank", "rrf_score")
+    }
     val lex = TextIndex.searchRanked(db, table, terms, kLex)
       .select(col("doc_id"),
         row_number().over(

@@ -205,7 +205,12 @@ object StreamingAnn {
           val outs = rows.map { r =>
             val (qid, ts) = (r.getLong(0), r.getString(1))
             graft.operators.HybridSearch
-              .hybridRrfFor(spark, dir, ts.split(" ").toSeq, qid)
+              // fuseLexLiteral=false: every query's fused serve stays
+              // a declarative plan so the batch publishes as ONE job
+              // (a literal lexical list would cost a driver action
+              // per query per micro-batch)
+              .hybridRrfFor(spark, dir, ts.split(" ").toSeq, qid,
+                fuseLexLiteral = false)
               .withColumn("query_id", lit(qid))
               .withColumn("terms", lit(ts))
           }

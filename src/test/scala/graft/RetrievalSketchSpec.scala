@@ -39,6 +39,22 @@ class RetrievalSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("hybrid RRF: literal-lexical fast path ≡ declarative plan") {
+    // r11 serving shape: the ≤kLex lexical list collects and re-enters
+    // as a LocalRelation (one action for vec+fusion). Same rows, same
+    // ranks, same scores as the all-declarative G17 shape.
+    val fused = graft.operators.HybridSearch.hybridRrf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val declarative = graft.operators.HybridSearch
+      .hybridRrfFor(spark, sf, Seq("batch", "merge"), 0L,
+        fuseLexLiteral = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(fused == declarative)
+    assert(fused.nonEmpty)
+  }
+
   test("hybrid RRF: a both-list document outscores single-list tails") {
     // RRF's defining property: presence in both lists beats a deep
     // rank in one — any doc in both lists scores strictly above any

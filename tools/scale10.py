@@ -96,29 +96,103 @@ SCALE10 = [
 # comment-only exclusion; curate_moore_lewis and pipeline_curriculum
 # (both serving persisted model artifacts since r9) had slipped into
 # the like-for-like totals — the asymmetry the r9 ADVICE flagged.
+# r11 (VERDICT r10 #3): every exclusion states its DIRECTION. An
+# exclusion is only protective when the asymmetry favors SPARK (duckdb
+# does more work, so counting the row would flatter spark's totals) or
+# when spark does categorically more work (build vs COUNT - the ratio
+# is not engine-vs-engine at all). search_hybrid_rrf's asymmetry
+# favors spark yet its ratio was BAD, so exclusion hid a real gap -
+# it now has a symmetric serve-vs-serve twin IN the totals (below).
 ASYMMETRIC = {
     "curate_moore_lewis": "spark serves the persisted C31 two-model "
-        "artifact; duckdb retrains both models from raw text",
+        "artifact; duckdb retrains both models from raw text "
+        "[favors spark: exclusion avoids flattering spark's totals]",
     "pipeline_curriculum": "spark serves the persisted corpus LM "
-        "artifact; duckdb retrains from raw text",
+        "artifact; duckdb retrains from raw text "
+        "[favors spark: exclusion avoids flattering spark's totals]",
     "text_index_build": "spark builds the full positional postings "
         "artifact; the oracle recomputes only the corpus totals (a "
-        "COUNT + token sum)",
+        "COUNT + token sum) "
+        "[favors duckdb: spark does categorically more work; the "
+        "ratio is build-vs-count, not engine-vs-engine]",
     "text_search_and": "spark serves from the persisted postings "
-        "index; duckdb re-tokenizes the corpus per query",
+        "index; duckdb re-tokenizes the corpus per query "
+        "[favors spark: exclusion avoids flattering spark's totals]",
     "text_search_phrase": "spark serves from the persisted postings "
-        "index; duckdb re-tokenizes the corpus per query",
+        "index; duckdb re-tokenizes the corpus per query "
+        "[favors spark: exclusion avoids flattering spark's totals]",
     "text_search_ranked": "spark serves BM25 from the persisted "
-        "index; duckdb recomputes BM25 from raw text",
+        "index; duckdb recomputes BM25 from raw text "
+        "[favors spark: exclusion avoids flattering spark's totals]",
     "search_hybrid_rrf": "spark fuses a served BM25 probe with the "
-        "exact cosine scan; duckdb recomputes BM25 from raw text",
+        "exact cosine scan; duckdb recomputes BM25 from raw text "
+        "[favors spark, but the ratio was BAD despite the handicap - "
+        "see the symmetric search_hybrid_rrf_served row, which IS in "
+        "the like-for-like totals]",
     "text_vocab_approx": "spark runs the MG sketch + exact recount; "
         "the oracle computes the exact top-20 (same answer by the MG "
-        "guarantee, different algorithm)",
+        "guarantee, different algorithm) "
+        "[favors duckdb: the sketch+recount is strictly more work]",
     "fw_ingest": "spark synthesizes and parses the fixed-width "
-        "fixture file; the twin is a SELECT over a pre-loaded table",
+        "fixture file; the twin is a SELECT over a pre-loaded table "
+        "[favors duckdb: spark does categorically more work; kept "
+        "as the labeled stand-in for the upload family]",
 }
 SCALE10 += sorted(ASYMMETRIC.keys() - set(SCALE10))
+
+# Symmetric serve-vs-serve twin for the hybrid row (VERDICT r10 #3):
+# duckdb serves BM25 from the SAME persisted postings/len/df/corpus
+# artifacts spark serves from (written by the spark bench pass -
+# run the spark side FIRST), plus the identical exact-cosine scan.
+# The row is like-for-like and counts in the totals under the spark
+# timing of search_hybrid_rrf.
+_IDX = "/root/repo/target/graft_scratch/textindex_scale10_32/db"
+SERVED_TWINS = {
+    "search_hybrid_rrf_served": ("search_hybrid_rrf", f"""
+WITH st AS (SELECT CAST(SUM(n_docs) AS DOUBLE) n,
+                   CAST(SUM(total_len) AS DOUBLE) l
+            FROM read_parquet('{_IDX}/postings_b32_corpus/*.parquet')),
+d AS (SELECT term, CAST(SUM(df) AS DOUBLE) df
+      FROM read_parquet('{_IDX}/postings_b32_df/*.parquet')
+      WHERE term IN ('batch','merge') GROUP BY term),
+p AS (SELECT term, doc_id, CAST(tf AS DOUBLE) tf
+      FROM read_parquet('{_IDX}/postings_b32/*.parquet')
+      WHERE term IN ('batch','merge')),
+dl AS (SELECT doc_id, CAST(dl AS DOUBLE) dl
+       FROM read_parquet('{_IDX}/postings_b32_len/*.parquet')),
+bm AS (SELECT p.doc_id,
+         SUM((((st.n - d.df) + 0.5) / (d.df + 0.5)) * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + ((0.75 * dl.dl) * st.n) / st.l)))
+           AS score
+       FROM p JOIN d USING (term) JOIN dl USING (doc_id), st
+       GROUP BY p.doc_id),
+lex AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
+        FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id AS doc_id,
+  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE)
+        * CAST(e.embedding[i] AS DOUBLE)
+      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y)))
+    AS sim
+  FROM q, embeddings e WHERE e.vec_id != 0),
+vec AS (SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vr
+  FROM s ORDER BY sim DESC, doc_id LIMIT 20),
+f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lr, v.vr
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+SELECT doc_id, COALESCE(lr, 0) AS lex_rank, COALESCE(vr, 0) AS vec_rank,
+  COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lr),
+      CAST(0.0 AS DOUBLE))
+    + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vr),
+        CAST(0.0 AS DOUBLE)) AS rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"""),
+}
+SCALE10 += sorted(SERVED_TWINS.keys() - set(SCALE10))
 # Still not on the board: q_percentiles_sketch[_check] (the oracle
 # emits group sizes, not a comparable plan at all) and the remaining
 # csv_*/jsonl upload rows (fixture-file synthesis; fw_ingest stands
@@ -183,10 +257,13 @@ def duckdb_run(oracle_path):
     oracles = json.load(open(oracle_path))
     queries, total = {}, 0.0
     for name in SCALE10:
-        if name not in oracles:
+        if name in SERVED_TWINS:
+            sql = SERVED_TWINS[name][1]
+        elif name not in oracles:
             print(f"[scale10] {name}: no oracle, skipped", file=sys.stderr)
             continue
-        sql = oracles[name]
+        else:
+            sql = oracles[name]
         try:
             con.sql(sql).fetchall()  # warmup
             best = None
@@ -211,16 +288,40 @@ def duckdb_run(oracle_path):
 
 
 def merge(spark_path, duck_path):
-    sp = json.load(open(spark_path))["queries"]
+    spj = json.load(open(spark_path))
+    sp = spj["queries"]
     du = json.load(open(duck_path))["queries"]
     rows = {}
     for k in SCALE10:
-        s, d = sp.get(k), du.get(k)
+        s = sp.get(SERVED_TWINS[k][0]) if k in SERVED_TWINS else sp.get(k)
+        d = du.get(k)
         rows[k] = {"spark_sec": s, "duckdb_sec": d,
                    "ratio": (round(s / d, 2)
                              if s and d and s > 0 and d > 0 else None)}
         if k in ASYMMETRIC:
             rows[k]["asymmetric"] = ASYMMETRIC[k]
+        if k in SERVED_TWINS:
+            rows[k]["note"] = ("symmetric serve-vs-serve: duckdb reads "
+                "the same persisted postings/len/df/corpus artifacts "
+                "spark serves from, plus the identical exact-cosine "
+                "scan; spark timing = the " + SERVED_TWINS[k][0] +
+                " row; COUNTS in the like-for-like totals")
+    # Warm-plan rows (VERDICT r10 #4): spark reuses the analyzed
+    # Dataset across executions (protocol in the spark board JSON);
+    # duckdb twin = the cold row's timing (duckdb replans per
+    # execution in ~ms, so its cold number IS its warm number).
+    # Protocol-asymmetric -> on the board, out of the totals.
+    for wk, wv in spj.get("warm_queries", {}).items():
+        cold = wk[: -len("_warm")]
+        d = du.get(cold)
+        rows[wk] = {"spark_sec": wv, "duckdb_sec": d,
+                    "ratio": (round(wv / d, 2)
+                              if wv and d and wv > 0 and d > 0 else None),
+                    "asymmetric": "warm-plan protocol: spark Dataset "
+                        "analyzed once, min of 3 re-executions (the "
+                        "cold " + cold + " row is the like-for-like "
+                        "evidence; this row separates plan-constant "
+                        "from execution)"}
     shared = [k for k in SCALE10
               if k not in ASYMMETRIC
               and rows[k]["spark_sec"] and rows[k]["duckdb_sec"]
@@ -230,8 +331,8 @@ def merge(spark_path, duck_path):
         "totals_note": "like-for-like rows only; rows labeled "
                        "'asymmetric' are on the board for 2x-criterion "
                        "auditability but excluded from these totals",
-        "spark_total_sec": round(sum(sp[k] for k in shared), 3),
-        "duckdb_total_sec": round(sum(du[k] for k in shared), 3),
+        "spark_total_sec": round(sum(rows[k]["spark_sec"] for k in shared), 3),
+        "duckdb_total_sec": round(sum(rows[k]["duckdb_sec"] for k in shared), 3),
         "queries": rows,
     }
     with open("BENCH_SCALE10.json", "w") as f:
