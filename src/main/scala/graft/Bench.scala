@@ -112,11 +112,21 @@ object Bench {
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(250)
         try {
-          val df = SparkEntry.queries(cold)(spark, sfDir)
-          df.count() // untimed: plan built, codegen + broadcasts warm
+          // ONE Dataset re-executed: `df.count()` would build a fresh
+          // aggregation Dataset per call and re-run analysis, physical
+          // planning, AQE, and every broadcast build each time (the
+          // wave probe measured that recurring driver gap at ~0.5 s —
+          // q3_bucketed_warm ≈ cold under the df.count() protocol).
+          // Holding one counted Dataset reuses the analyzed plan, the
+          // AQE final plan, and the cached broadcast futures — the
+          // regime a serving deployment actually runs prepared
+          // queries in.
+          val counted = SparkEntry.queries(cold)(spark, sfDir)
+            .groupBy().count()
+          counted.head() // untimed: plan + codegen + broadcasts warm
           val t = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            df.count()
+            counted.head()
             (System.nanoTime() - t0) / 1e9
           }.min
           Some(wname -> t)
@@ -172,8 +182,9 @@ object Bench {
     val protocol = "per-query cache clear + GC fence + 250ms settle; " +
       "1 discarded warmup pass; min over 2 measured passes, second " +
       "pass in REVERSE order (different predecessor sets approximate " +
-      "isolated numbers); warm rows: Dataset analyzed once, 1 untimed " +
-      "execution, min of 3 timed re-executions, excluded from total"
+      "isolated numbers); warm rows: ONE counted Dataset re-executed " +
+      "(analyzed plan, AQE final plan, broadcast futures all reused), " +
+      "1 untimed + min of 3 timed re-executions, excluded from total"
     val warmField =
       if (warmResults.isEmpty) ""
       else s""","warm_queries":${json(warmResults)}"""

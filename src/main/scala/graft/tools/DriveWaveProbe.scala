@@ -61,6 +61,28 @@ object DriveWaveProbe {
       val sumJobs = jobs.values.map(j => (j.t1 - j.t0) / 1000.0).sum
       println(f"  sum(job spans)=$sumJobs%.3f s  " +
         f"gap(driver/planning)=${wall - sumJobs}%.3f s")
+
+      if (sys.env.contains("SPARK_GRAFT_WAVE_WARM")) {
+        // Warm re-execution ledger: ONE counted Dataset re-executed
+        // (Bench's warm-row protocol) — shows which jobs recur when
+        // analysis/AQE/broadcasts are all reusable.
+        val counted = q(spark, sf).groupBy().count()
+        counted.head() // build + first execution, untimed
+        (1 to 3).foreach { i =>
+          jobs.clear()
+          spark.sparkContext.addSparkListener(listener)
+          val w0 = System.nanoTime()
+          counted.head()
+          val wWall = (System.nanoTime() - w0) / 1e9
+          Thread.sleep(300)
+          spark.sparkContext.removeSparkListener(listener)
+          val sj = jobs.values.map(j => (j.t1 - j.t0) / 1000.0).sum
+          println(f"  warm#$i wall=$wWall%.3f s jobs=${jobs.size} " +
+            f"sum=$sj%.3f gap=${wWall - sj}%.3f " +
+            jobs.values.map(j => f"${(j.t1 - j.t0) / 1000.0}%.3f/" +
+              f"${j.stages}").mkString("[", " ", "]"))
+        }
+      }
     }
     spark.stop()
   }
