@@ -200,6 +200,39 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == 1000)
   }
 
+  test("keyedPrefixSum ≡ window on seeded random frames, any shard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { trial =>
+      val n = 200 + rnd.nextInt(300)
+      val rows = (0 until n).map { i =>
+        (i.toLong,                                  // unique tiebreak
+          s"k${rnd.nextInt(1 + rnd.nextInt(4))}",   // skewed key pool
+          rnd.nextInt(20).toLong,                   // order key, many ties
+          (rnd.nextInt(100) - 10).toLong)           // values incl. negatives
+      }
+      val df = rows.toDF("id", "k", "ord", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("ord").asc, col("id").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .select("id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // (a) a proper monotone shard; (b) the degenerate all-zero
+      // shard (single group per key — the window's serialization,
+      // which must still be CORRECT)
+      for (shard <- Seq(col("ord") % 7, lit(0L))) {
+        val got = graft.operators.Ranks.keyedPrefixSum(df, Seq("k"),
+            Seq(col("ord").asc, col("id").asc), "v", shard, "cum")
+          .select("id", "cum").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial shard $shard")
+      }
+    }
+  }
+
   test("cleanCorpus: small single-plan tail ≡ large persisted tail") {
     // r11 adaptive dispatch: the small regime drops the persist, the
     // rarity sketch, the width pins, and the candidate distinct —
