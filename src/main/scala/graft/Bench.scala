@@ -73,7 +73,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    names.foreach(runOne) // warmup pass (discarded)
+    // TWO warmup passes (r12, VERDICT r11 #3): one pass leaves the
+    // C2-JIT tier unreached on the deepest composite plans — the
+    // clean-corpus tail measured 1.05 s at interleaved min-of-7 but
+    // ~1.75 s under a single warmup (DriveCleanAb) — and a serving
+    // process IS warm at that depth. The second untimed execution
+    // closes the gap for every query symmetrically (DuckDB's side
+    // already warms up before its min-of-2).
+    names.foreach(runOne) // warmup pass 1 (discarded)
+    names.foreach(runOne) // warmup pass 2 (discarded; C2-JIT depth)
     failures.clear()      // only measured-pass failures annotate the board
 
     // Two measured passes, per-query min: the host VM has visible
@@ -177,10 +185,23 @@ object Bench {
     val rowsOnly = names.filter(n => !SparkEntry.oracleSql.contains(n))
     val rowsOnlyField = s""","rows_only":${jsonNames(rowsOnly)}"""
 
+    // Host-phase anchor (VERDICT r11 #8): this VM has multi-hour
+    // phases where sustained JVM stages run 2.5-3x slower on
+    // UNCHANGED code. dedup_ngram_jaccard is the designated anchor
+    // (CPU-heavy, code rarely touched); recording its measured value
+    // in-artifact lets any later reader judge whether this board's
+    // absolutes are comparable to another round's without
+    // re-running archaeology.
+    val anchorField = resultMap.get("dedup_ngram_jaccard")
+      .map(v => s""","phase_anchor":{"query":"dedup_ngram_jaccard","sec":${fmt(v)}}""")
+      .getOrElse("")
+
     // Protocol pinned in-artifact (VERDICT r10 #8) so boards compare
     // across rounds without archaeology.
     val protocol = "per-query cache clear + GC fence + 250ms settle; " +
-      "1 discarded warmup pass; min over 2 measured passes, second " +
+      "2 discarded warmup passes (r12: one pass leaves C2-JIT depth " +
+      "unreached on deep composite plans; a serving process is warm); " +
+      "min over 2 measured passes, second " +
       "pass in REVERSE order (different predecessor sets approximate " +
       "isolated numbers); warm rows: ONE counted Dataset re-executed " +
       "(analyzed plan, AQE final plan, broadcast futures all reused), " +
@@ -189,7 +210,7 @@ object Bench {
       if (warmResults.isEmpty) ""
       else s""","warm_queries":${json(warmResults)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$warmField$failedField$rowsOnlyField,"sf":"$sfDir","passes":"warmup+measured","protocol":"$protocol"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$warmField$failedField$rowsOnlyField$anchorField,"sf":"$sfDir","passes":"warmup+measured","protocol":"$protocol"}"""
     // best-effort sidecar: an unwritable CWD must not destroy the
     // measured run's stdout line (the driver-parsed artifact)
     try java.nio.file.Files.write(
@@ -200,7 +221,7 @@ object Bench {
         System.err.println(s"[bench] bench_full.json not written: $e")
     }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)}$warmField,"queries_measured":${results.size},"rows_only_count":${rowsOnly.size}$failedField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(head)}$warmField,"queries_measured":${results.size},"rows_only_count":${rowsOnly.size}$failedField$anchorField,"full_board":"bench_full.json","sf":"$sfDir","passes":"warmup+measured"}""")
     spark.stop()
   }
 }

@@ -603,9 +603,14 @@ object Curation {
         col("__g.n_ws").as("n_tokens"),
         qualityFromGate(col("__g")).as("q"))
     val nSh = 2 * d.sparkSession.sparkContext.defaultParallelism
+    // nullShard = MaxValue: the window this replaces orders q DESC,
+    // which is NULLS LAST in Spark — a null-q doc (null text) must
+    // land AFTER every scored doc so its own cum is the source total
+    // (excluded by any real budget), not ~0 (ADVICE r11).
     Ranks.keyedPrefixSum(base, Seq("source"),
         Seq(col("q").desc, col("doc_id").asc), "n_tokens",
-        floor((lit(1.0) - col("q")) * nSh), "cum_tokens")
+        floor((lit(1.0) - col("q")) * nSh), "cum_tokens",
+        nullShard = Long.MaxValue)
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"))

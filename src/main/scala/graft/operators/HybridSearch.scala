@@ -65,8 +65,18 @@ object HybridSearch {
       import scala.concurrent.ExecutionContext.Implicits.global
       val lexF = Future(TextIndex.searchRanked(db, table, terms, kLex)
         .select(col("doc_id"), col("score")).collect())
-      val vecRows = Ann.topkExactOne(spark, dir, kVec, queryVecId)
-        .select(col("neighbor_id"), col("rank").cast("bigint")).collect()
+      val vecRows =
+        try Ann.topkExactOne(spark, dir, kVec, queryVecId)
+          .select(col("neighbor_id"), col("rank").cast("bigint")).collect()
+        catch {
+          case t: Throwable =>
+            // Don't leave the (bounded) lex action running detached
+            // on the global EC when the vec branch dies — drain it,
+            // then surface the vec failure (r11 verdict nit).
+            try Await.ready(lexF, scala.concurrent.duration.Duration.Inf)
+            catch { case _: Throwable => () }
+            throw t
+        }
       val lexTop = Await.result(lexF, scala.concurrent.duration.Duration.Inf)
       val lexRank: Map[Long, Long] = lexTop
         .map(r => (r.getLong(0), r.getDouble(1)))

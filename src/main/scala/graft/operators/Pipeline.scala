@@ -24,7 +24,10 @@ object Pipeline {
       nearDupThreshold: Double = 0.8,
       smallMaxBytes: Long = sys.env.getOrElse(
         "SPARK_GRAFT_CLEAN_SMALL_MAX_BYTES",
-        (2L * 1024 * 1024 * 1024).toString).toLong): DataFrame = {
+        (2L * 1024 * 1024 * 1024).toString).toLong,
+      smallMaxTextBytes: Long = sys.env.getOrElse(
+        "SPARK_GRAFT_CLEAN_SMALL_MAX_TEXT_BYTES",
+        (8L * 1024 * 1024 * 1024).toString).toLong): DataFrame = {
     // One-pass gates: GateStats folds the seven regex passes of
     // qualityScore+langId into a single byte scan (same counts, same
     // double arithmetic — spec-pinned); the corpus-scale part of the
@@ -101,9 +104,21 @@ object Pipeline {
     // candidate distinct bound the verify fan-out of hot shingles,
     // and the width pins stop AQE byte-coalescing from starving the
     // CPU-heavy verify — so the large regime keeps the r10 shape.
+    // Two-stage gate (ADVICE r11 — the compressed-bytes stat alone
+    // has the compression-ratio blind spot: a duplication-heavy
+    // corpus compresses 10-50×, and the small tail's undistinct'd
+    // prefix self-join would then chew through tens of actual GB).
+    // Stage 1: Catalyst file stats (compressed, no job). Stage 2:
+    // ACTUAL pre-compression text bytes from the parquet footers —
+    // driver-side metadata only, still no job, so the small path
+    // keeps its one-plan property. Unknown footers (non-parquet,
+    // too many files) take the safe-at-scale persisted path.
     val smallCorpus = Tables(spark, dir, "documents")
       .queryExecution.optimizedPlan.stats.sizeInBytes
-      .min(BigInt(Long.MaxValue)).toLong <= smallMaxBytes
+      .min(BigInt(Long.MaxValue)).toLong <= smallMaxBytes &&
+      graft.sources.ParquetStats
+        .uncompressedColumnBytes(spark, s"$dir/documents.parquet", "text")
+        .exists(_ <= smallMaxTextBytes)
     if (smallCorpus) {
       val t = nearDupThreshold
       val prefix = canonicalPlan.filter(size(col("sh")) > 0)

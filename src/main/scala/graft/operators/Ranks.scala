@@ -133,23 +133,39 @@ object Ranks {
     * 0); the appended `out` column is LongType. Shard balance is the
     * caller's lookout — a degenerate shard (all rows one value)
     * reproduces the window's serialization but never wrong sums.
+    *
+    * ==WARNING — non-monotone shards fail SILENTLY==
+    * If `shard` is NOT monotone in `order` within a key (e.g.
+    * `ord % 7`), the operator cannot detect it (the (key, shard)
+    * exchange destroys the order information a local check would
+    * need) and computes the prefix sum of the (shard, order) total
+    * order instead — a plausible-looking but WRONG answer relative
+    * to the window it replaces. `CorpusPrepSpec` pins this failure
+    * mode with an explicit negative case. Derive the shard from the
+    * leading order column via a non-decreasing function
+    * ([[idRangeShard]], `floor((1-q)*S)` under `q desc`, …), never
+    * a modulus or hash.
+    *
+    * `nullShard` places rows whose `shard` evaluates NULL (a NULL
+    * order key upstream) rather than NPE-ing in the offset fold:
+    * `Long.MinValue` (default) matches ASC NULLS FIRST window
+    * semantics; pass `Long.MaxValue` when the window being replaced
+    * ordered DESC (Spark's DESC is NULLS LAST). Such rows carry a
+    * NULL value in both production callers (NULL text ⇒ NULL tokens,
+    * summed as 0), so other rows' sums never depend on the choice —
+    * but the null row's OWN cum does, and a budget filter downstream
+    * sees it (ADVICE r11).
     */
   def keyedPrefixSum(df: DataFrame, keyCols: Seq[String],
       order: Seq[Column], valueCol: String, shard: Column,
-      out: String): DataFrame = {
+      out: String, nullShard: Long = Long.MinValue): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val sCol = "__graft_psum_shard"
-    // NULL shard (a NULL order key upstream) pins to the first shard
-    // rather than NPE-ing in the offset fold. Such a row carries a
-    // NULL value too in both callers (NULL text ⇒ NULL tokens, summed
-    // as 0), so every OTHER row's cumulative sum is unaffected by its
-    // placement; only the null row's own cum is placement-dependent,
-    // and callers require non-null order keys for that row to matter.
     val withS = df.withColumn(sCol,
       org.apache.spark.sql.functions.coalesce(shard.cast(LongType),
-        org.apache.spark.sql.functions.lit(Long.MinValue)))
+        org.apache.spark.sql.functions.lit(nullShard)))
     val sortCols = (keyCols.map(col) :+ col(sCol)) ++ order
     val parted = withS
       .repartition(n, keyCols.map(col) :+ col(sCol): _*)
@@ -175,11 +191,22 @@ object Ranks {
     // Job 1: one (key, shard, Σv) row per group. Groups are contiguous
     // after the partition sort, but a map keyed on the group tolerates
     // hash-collision interleaving of DIFFERENT groups in one partition.
+    // The per-partition cap fails in the EXECUTOR before a high-
+    // cardinality misuse (many-key regime) can materialize every group
+    // on the driver (ADVICE r11): groups hash-distribute over the
+    // (key, shard) exchange, so one partition holding >4× its uniform
+    // share of the 4M global bound is already the misuse.
+    val perPartCap = math.max(65536L, 4L * 4 * 1024 * 1024 / math.max(n, 1))
     val totals = rdd.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[(List[Any], Long), Long]
       it.foreach { r =>
         val g = groupOf(r)
         m.update(g, m.getOrElse(g, 0L) + valOf(r))
+        if (m.size > perPartCap) throw new IllegalStateException(
+          s"keyedPrefixSum: one partition exceeds $perPartCap (key, shard) " +
+            "groups — this is the MANY-key regime, where the plain per-key " +
+            "window already parallelizes (parallelism = n_keys); use that " +
+            "instead")
       }
       m.iterator
     }.collect()
@@ -231,8 +258,25 @@ object Ranks {
     if (r.isNullAt(0)) org.apache.spark.sql.functions.lit(0L)
     else {
       val lo = r.getLong(0)
-      val w = ((r.getLong(1) - lo) / targetShards.toLong.max(1L)) + 1L
-      expr(s"(cast($idCol as bigint) - ${lo}L) div ${w}L")
+      val hi = r.getLong(1)
+      val target = targetShards.toLong.max(1L)
+      val span = BigInt(hi) - BigInt(lo) // exact — raw hi - lo can
+      // wrap negative when ids cover both signed extremes (e.g.
+      // 64-bit hashed ids), which would make the shard ANTI-monotone
+      // and silently violate keyedPrefixSum's contract (ADVICE r11).
+      if (span.isValidLong) {
+        val w = (span.toLong / target) + 1L
+        expr(s"(cast($idCol as bigint) - ${lo}L) div ${w}L")
+      } else {
+        // Full-span regime: arithmetic shift right IS exact floor
+        // division by 2^shift and is monotone over the entire signed
+        // range — no subtraction, nothing to overflow. 2^k ≥ target
+        // distinct shards across the full range.
+        val k = if (target <= 1L) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
+        val shift = (64 - k).max(1).min(63)
+        expr(s"shiftright(cast($idCol as bigint), $shift)")
+      }
     }
   }
 }

@@ -220,10 +220,12 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       val want = df.withColumn("cum", sum(col("v")).over(w))
         .select("id", "cum").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // (a) a proper monotone shard; (b) the degenerate all-zero
-      // shard (single group per key — the window's serialization,
-      // which must still be CORRECT)
-      for (shard <- Seq(col("ord") % 7, lit(0L))) {
+      // (a) a proper monotone shard — floor(ord/3) is non-decreasing
+      // in the order key; (b) the degenerate all-zero shard (single
+      // group per key — the window's serialization, which must still
+      // be CORRECT). ord % 7 is NOT monotone and violates the
+      // operator's precondition — pinned as the negative case below.
+      for (shard <- Seq(floor(col("ord") / 3).cast("long"), lit(0L))) {
         val got = graft.operators.Ranks.keyedPrefixSum(df, Seq("k"),
             Seq(col("ord").asc, col("id").asc), "v", shard, "cum")
           .select("id", "cum").collect()
@@ -231,6 +233,92 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
         assert(got == want, s"trial $trial shard $shard")
       }
     }
+  }
+
+  test("keyedPrefixSum negative case: a NON-monotone shard diverges") {
+    // The operator's contract (Ranks.scala scaladoc) requires the
+    // shard to be monotone non-decreasing along `order` within each
+    // key. A non-monotone shard (ord % 7) makes the operator compute
+    // the prefix sum of the (shard, order) total order instead — a
+    // DIFFERENT, legitimate-looking answer. This spec pins that
+    // failure mode so the r11 test bug (asserting window equality
+    // under ord % 7) cannot recur: on a frame built to expose it,
+    // the misuse MUST diverge from the window.
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (i.toLong, "k", i.toLong % 20, 1L)).toDF("id", "k", "ord", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ord").asc, col("id").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val misuse = graft.operators.Ranks.keyedPrefixSum(df, Seq("k"),
+        Seq(col("ord").asc, col("id").asc), "v", col("ord") % 7, "cum")
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(misuse != want,
+      "a non-monotone shard must NOT reproduce the window prefix sum")
+  }
+
+  test("token budget: null-text corpus ≡ window form (ADVICE r11 parity)") {
+    // ADVICE r11 flagged NULL-shard placement diverging from the
+    // window on null-text docs. In fact q is never NULL here —
+    // qualityFromGate's `least(lit(1.0), …)` SKIPS the null ratio
+    // legs (Spark least semantics), so a null-text doc scores a
+    // computed q and a non-null shard. The property that must hold
+    // regardless: keyedPrefixSum output ≡ the per-source window it
+    // replaces, including null-text rows and the budget filter.
+    import spark.implicits._
+    val d = Seq(
+      (1L, "srcA", "the cat and the dog is in it a of to"),
+      (2L, "srcA", null.asInstanceOf[String]),
+      (3L, "srcA", "the cat is a dog the cat is a dog"),
+      (4L, "srcB", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def windowForm(budget: Long): Map[Long, Long] = d
+      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+      .select(col("doc_id"),
+        col("__g.n_ws").as("nt"),
+        graft.functions.TextFunctions.qualityFromGate(col("__g")).as("q"),
+        col("source"))
+      // coalesce: keyedPrefixSum documents "NULL sums as 0", so its
+      // window twin is sum(coalesce(nt, 0)) — the plain sum() window
+      // leaves cum NULL until the first non-null value, which would
+      // silently drop a leading null-text doc at the filter
+      .withColumn("cum", sum(coalesce(col("nt"), lit(0L))).over(wq))
+      .filter(col("cum") <= budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    for (budget <- Seq(5L, 15L, Long.MaxValue / 2)) {
+      val got = graft.operators.Curation.tokenBudgetOf(d, budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == windowForm(budget), s"budget $budget")
+    }
+  }
+
+  test("idRangeShard: monotone on full-span 64-bit ids (overflow regime)") {
+    // hi - lo overflows Long when ids cover both signed extremes; the
+    // fallback arithmetic-shift shard must stay monotone (ADVICE r11:
+    // the old raw subtraction went ANTI-monotone silently).
+    import spark.implicits._
+    val ids = Seq(Long.MinValue, Long.MinValue + 17L, -999999L, -5L, 0L,
+      7L, 123456789L, Long.MaxValue - 3L, Long.MaxValue)
+    val df = ids.zipWithIndex.map { case (id, i) => (id, i.toLong) }
+      .toDF("doc_id", "v")
+    val sh = graft.operators.Ranks.idRangeShard(df, "doc_id", 32)
+    val got = df.withColumn("sh", sh).orderBy(col("doc_id").asc)
+      .select("sh").collect().map(_.getLong(0))
+    assert(got.zip(got.tail).forall { case (a, b) => a <= b },
+      s"shard not monotone in doc_id: ${got.mkString(",")}")
+    assert(got.distinct.length > 1, "full-span ids should spread shards")
   }
 
   test("cleanCorpus: small single-plan tail ≡ large persisted tail") {
@@ -246,6 +334,24 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(small == large)
     assert(small.nonEmpty)
+  }
+
+  test("clean small-tail stage-2 gate: footer text bytes, =0 forces large") {
+    // ADVICE r11: the compressed-stats gate alone is compression-
+    // ratio blind. Stage 2 reads ACTUAL text bytes from the parquet
+    // footers (driver-side, no job); tripping it must route to the
+    // persisted path with identical output.
+    val bytes = graft.sources.ParquetStats.uncompressedColumnBytes(
+      spark, s"$sf/documents.parquet", "text")
+    assert(bytes.exists(_ > 0), s"footer stats unreadable: $bytes")
+    assert(graft.sources.ParquetStats.uncompressedColumnBytes(
+      spark, s"$sf/no_such.parquet", "text").isEmpty)
+    val viaGate = graft.operators.Pipeline
+      .cleanCorpus(spark, sf, smallMaxTextBytes = 0L)
+      .collect().map(_.getLong(0)).toSet
+    val small = graft.operators.Pipeline.cleanCorpus(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaGate == small)
   }
 
   test("source overlap: exact planted counts, ordered pairs") {

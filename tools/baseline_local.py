@@ -71,6 +71,11 @@ def main():
         "unit": "sec",
         "queries": queries,
     }
+    # Host-phase anchor (VERDICT r11 #8): in-artifact comparability
+    # evidence, mirroring graft.Bench's phase_anchor field.
+    if "dedup_ngram_jaccard" in queries:
+        out["phase_anchor"] = {"query": "dedup_ngram_jaccard",
+                               "sec": queries["dedup_ngram_jaccard"]}
 
     # r10 (VERDICT r9 #10): state the like-for-like headline IN the
     # baseline JSON, with its exclusion list, so the criterion is

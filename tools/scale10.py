@@ -283,6 +283,11 @@ def duckdb_run(oracle_path):
            "protocol": "warmup + min-of-2, fully materialized",
            "metric": "total", "value": round(total, 3), "unit": "sec",
            "queries": queries}
+    # Host-phase anchor (VERDICT r11 #8): recorded in-artifact so the
+    # board's absolutes carry their own comparability evidence.
+    if "dedup_ngram_jaccard" in queries:
+        out["phase_anchor"] = {"query": "dedup_ngram_jaccard",
+                               "sec": queries["dedup_ngram_jaccard"]}
     print(json.dumps(out))
     return out
 
@@ -335,6 +340,14 @@ def merge(spark_path, duck_path):
         "duckdb_total_sec": round(sum(rows[k]["duckdb_sec"] for k in shared), 3),
         "queries": rows,
     }
+    # Host-phase anchor (VERDICT r11 #8): both engines' anchor values
+    # ride the merged board so cross-round absolute comparisons carry
+    # their own phase-health evidence.
+    a = rows.get("dedup_ngram_jaccard")
+    if a:
+        out["phase_anchor"] = {"query": "dedup_ngram_jaccard",
+                               "spark_sec": a["spark_sec"],
+                               "duckdb_sec": a["duckdb_sec"]}
     with open("BENCH_SCALE10.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
