@@ -120,6 +120,18 @@ object Pipeline {
         .uncompressedColumnBytes(spark, s"$dir/documents.parquet", "text")
         .exists(_ <= smallMaxTextBytes)
     if (smallCorpus) {
+      // r12 probe, kept as a negative result (DriveCleanAb at 10×,
+      // interleaved min-of-7): replacing the prefix candidates + two
+      // array-verify joins with ONE full-shingle self-join + pair-
+      // count aggregation (|a∩b| = shared-hash count since `sh` is a
+      // distinct set; identical 3109-row output) cut three AQE query
+      // stages — the wave ledger shows 1.35 s of between-stage driver
+      // replan gap on 1.07 s of job time — but measured WORSE, 3.05 s
+      // vs 2.10 s: the full explode probes ~25× the prefix join's
+      // pair-occurrence volume (every shared shingle of every
+      // overlapping pair reaches the pair-key exchange), and that
+      // shuffle+agg volume costs more than the stages save. The
+      // prefix slice IS the economy even at broadcast scale.
       val t = nearDupThreshold
       val prefix = canonicalPlan.filter(size(col("sh")) > 0)
         .select(col("doc_id"), explode(slice(col("sh"), lit(1),

@@ -21,7 +21,7 @@ object DriveWaveProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class Job(id: Int, var t0: Long = 0L, var t1: Long = 0L,
-      var stages: Int = 0, var skipped: Int = 0)
+      var stages: Int = 0, var skipped: Int = 0, var site: String = "")
     val jobs = scala.collection.mutable.LinkedHashMap[Int, Job]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -29,6 +29,9 @@ object DriveWaveProbe {
           val j = jobs.getOrElseUpdate(e.jobId, Job(e.jobId))
           j.t0 = e.time
           j.stages = e.stageInfos.size
+          j.site = Option(e.properties)
+            .map(p => Option(p.getProperty("callSite.short")).getOrElse(""))
+            .getOrElse("")
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized {
@@ -56,7 +59,7 @@ object DriveWaveProbe {
       println(f"===== $name wall=$wall%.3f s, ${jobs.size} jobs =====")
       jobs.values.foreach { j =>
         println(f"  job ${j.id}%3d  ${(j.t1 - j.t0) / 1000.0}%6.3f s  " +
-          f"stages=${j.stages}")
+          f"stages=${j.stages}  ${j.site}")
       }
       val sumJobs = jobs.values.map(j => (j.t1 - j.t0) / 1000.0).sum
       println(f"  sum(job spans)=$sumJobs%.3f s  " +
