@@ -721,9 +721,19 @@ object Analytics {
       .groupBy(col("cohort_week"),
         (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
-    val sizes = pairs.filter(col("week_offset") === 0)
-      .select(col("cohort_week"), col("n_active").as("cohort_size"))
-    pairs.join(sizes, Seq("cohort_week"))
+    // Cohort size = the offset-0 row of the SAME triangle, read via a
+    // window over cohort_week instead of a self-join (r12, DriveWaveProbe
+    // ledger: the join's extra side materialization + broadcast build
+    // were 2 of the row's 7 jobs; interleaved A/B at 10×,
+    // DriveRetentionAb: 0.642 s windowed vs 0.734 s joined, same rows).
+    // The window runs on the weeks²-sized triangle — bounded by the
+    // corpus TIMESPAN, never its row count, so the partition-by-week
+    // window is safe at any corpus size (unlike a window over events).
+    pairs
+      .withColumn("cohort_size",
+        sum(when(col("week_offset") === 0, col("n_active")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort_week"))))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size"))
