@@ -322,15 +322,19 @@ object LanguageModel {
     val scored = scoredAll
       .select(col("doc_id"), col("bits_per_bigram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranked = Ranks.globalRowNumber(scored,
+    // The rank's own offset job already folds per-partition counts on
+    // the driver, so the corpus total is FREE there (r12): the
+    // previous count-agg + broadcast + crossJoin wave — one extra job
+    // and a join node just to learn one number the rank had computed
+    // anyway — collapses into a literal in the stage arithmetic.
+    val (ranked, total) = Ranks.globalRowNumberWithTotal(scored,
       Seq(col("bits_per_bigram").asc, col("doc_id").asc), "pos")
     graft.CacheHygiene.unpersistAfterUse(scored)
-    val tot = ranked.agg(count(lit(1)).as("total"))
-    val width = ceil(col("total").cast("double") / stages).cast("long")
-    val p0 = col("pos") - 1
-    ranked.crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("bits_per_bigram"), col("pos"),
-        call_function("div", p0 - pmod(p0, width), width).as("stage"))
+    // identical arithmetic to the window form the oracle pins:
+    // stage = floor((pos-1) / ceil(total/stages)), exact integer div
+    val width = math.max(1L, math.ceil(total.toDouble / stages).toLong)
+    ranked.select(col("doc_id"), col("bits_per_bigram"), col("pos"),
+      expr(s"(pos - 1) div ${width}L").as("stage"))
   }
 
   // Corpus-model memo (the TextIndex servedIndex pattern): the D9

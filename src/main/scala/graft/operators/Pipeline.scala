@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -218,9 +218,9 @@ object Pipeline {
     * parallelism = n_sources, and a real pretraining corpus has few,
     * huge sources. The cumulative sum is instead
     * [[Ranks.keyedPrefixSum]]: range-within-source sharding on
-    * doc_id windows ([[Ranks.idRangeShard]] — one pruned min/max
-    * pre-pass), per-(source, shard) partial sums, broadcast offsets,
-    * map-side add. A source holding 90% of the corpus spreads over
+    * doc_id windows ([[docIdShard]] — bounds from parquet footer
+    * stats, NO pre-pass job; scan-agg fallback), per-(source, shard)
+    * partial sums, broadcast offsets, map-side add. A source holding 90% of the corpus spreads over
     * ~90% of the shards; sums are bit-identical to the window form
     * (spec-pinned, and the oracle hash is unchanged).
     */
@@ -229,10 +229,29 @@ object Pipeline {
     val base = Tables(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         wsTokenCount(col("text")).as("n_tokens"))
-    val nSh = 2 * spark.sparkContext.defaultParallelism
     Ranks.keyedPrefixSum(base, Seq("source"), Seq(col("doc_id").asc),
-        "n_tokens", Ranks.idRangeShard(base, "doc_id", nSh), "cum_tokens")
+        "n_tokens", docIdShard(spark, dir, base), "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
+  }
+
+  /** The doc_id window shard for the packing prefix sums: exact
+    * [lo, hi] bounds read from the documents table's parquet FOOTER
+    * statistics (driver-side, no job — r12, cutting the full-column
+    * min/max scan job [[Ranks.idRangeShard]] pays from C12/C12b's
+    * wave ledger), falling back to the scan-agg form when any footer
+    * lacks stats. Either bound source yields a monotone equal-width
+    * shard, and [[Ranks.keyedPrefixSum]] is bit-exact under any
+    * monotone shard — the footer path changes job count, never sums.
+    */
+  private def docIdShard(spark: SparkSession, dir: String,
+      base: DataFrame): Column = {
+    val nSh = 2 * spark.sparkContext.defaultParallelism
+    graft.sources.ParquetStats
+      .longColumnRange(spark, s"$dir/documents.parquet", "doc_id") match {
+      case Some((lo, hi)) =>
+        Ranks.idRangeShardFromBounds("doc_id", lo, hi, nSh)
+      case None => Ranks.idRangeShard(base, "doc_id", nSh)
+    }
   }
 
   /** C12b: materialized packed sequences — the C12 bin assignment
@@ -261,9 +280,8 @@ object Pipeline {
     val base = Tables(spark, dir, "documents")
       .select(col("source"), col("doc_id"), col("text"),
         wsTokenCount(col("text")).as("n_tokens"))
-    val nSh = 2 * spark.sparkContext.defaultParallelism
     Ranks.keyedPrefixSum(base, Seq("source"), Seq(col("doc_id").asc),
-        "n_tokens", Ranks.idRangeShard(base, "doc_id", nSh), "cum_tokens")
+        "n_tokens", docIdShard(spark, dir, base), "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - 1) div $budget"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -271,6 +289,46 @@ object Pipeline {
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
             s => s.getField("text"))).as("packed_text"))
+  }
+
+  /** C12c: token-exact sequence packing WITH document splitting —
+    * the layout a GPT-style pretraining run actually consumes: all
+    * tokens of a source laid end-to-end in doc_id order and cut into
+    * fixed `seqLen`-token sequences, documents SPLIT across sequence
+    * boundaries (C12 bins whole documents — a doc longer than the
+    * budget overflows its bin; here every sequence is exactly
+    * `seqLen` tokens except each source's last). Output: one row per
+    * (document, sequence it touches) — `doc_off` = the offset INTO
+    * THE DOCUMENT where this span starts (its tokens
+    * [doc_off, doc_off + n_toks) land in `seq_id`), `n_toks` =
+    * how many of its tokens land there; per (source, seq_id) the
+    * n_toks sum to exactly seqLen (last sequence excepted), and per
+    * document they tile n_tokens exactly — both spec-pinned.
+    *
+    * Scale shape: the same [[Ranks.keyedPrefixSum]] cumsum as C12
+    * (two jobs over ONE exchange, footer-stats shard), then a pure
+    * map-side explode bounded per document by ceil(n_tokens/seqLen)+1
+    * rows — output ∝ corpus tokens / seqLen, never quadratic, no
+    * further shuffle. All-integer arithmetic, cross-engine exact.
+    */
+  def packTokenSpans(spark: SparkSession, dir: String,
+      seqLen: Int = 2048): DataFrame = {
+    val L = seqLen.toLong
+    val base = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens"))
+    Ranks.keyedPrefixSum(base, Seq("source"), Seq(col("doc_id").asc),
+        "n_tokens", docIdShard(spark, dir, base), "cum_tokens")
+      .filter(col("n_tokens") > 0)
+      .withColumn("start", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start div ${L}L"),
+          expr(s"(cum_tokens - 1) div ${L}L"))))
+      .select(col("source"), col("doc_id"), col("seq_id"),
+        (greatest(col("start"), col("seq_id") * L) - col("start"))
+          .as("doc_off"),
+        (least(col("cum_tokens"), (col("seq_id") + 1L) * L) -
+          greatest(col("start"), col("seq_id") * L)).as("n_toks"))
   }
 
   /** Deterministic stratified sample: exactly `k` documents per
@@ -406,6 +464,20 @@ object Pipeline {
         |  array_to_string(list(d.text ORDER BY b.doc_id), ' ') AS packed_text
         |FROM b JOIN documents d USING (doc_id)
         |GROUP BY b.source, b.bin""".stripMargin,
+    "pipeline_pack_split" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |s AS (SELECT source, doc_id, n_tokens, cum_tokens,
+        |    cum_tokens - n_tokens AS start FROM c WHERE n_tokens > 0)
+        |SELECT source, doc_id, u.seq_id,
+        |  GREATEST(start, u.seq_id * 2048) - start AS doc_off,
+        |  LEAST(cum_tokens, (u.seq_id + 1) * 2048)
+        |    - GREATEST(start, u.seq_id * 2048) AS n_toks
+        |FROM s, LATERAL unnest(generate_series(start // 2048,
+        |  (cum_tokens - 1) // 2048)) AS u(seq_id)""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH scored AS (SELECT doc_id, text,
         |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
@@ -455,6 +527,7 @@ object Pipeline {
     "pipeline_split" -> (deterministicSplit _),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
     "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),
+    "pipeline_pack_split" -> ((s, d) => packTokenSpans(s, d)),
     "pipeline_sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
     "pipeline_shuffle" -> (shuffleOrder _),
     "pipeline_shard_manifest" -> ((s, d) => shardManifest(s, d))

@@ -37,7 +37,19 @@ object Ranks {
 
   /** `df` + a 1-based `out` column numbering rows under `order`. */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    globalRowNumberWithTotal(df, order, out)._1
+
+  /** [[globalRowNumber]] that also returns the TOTAL row count — the
+    * offset job (which every distributed rank must run anyway)
+    * already folds per-partition counts on the driver, so the total
+    * is free. Callers that would otherwise run a separate
+    * `count()`/agg job plus a broadcast join to learn the corpus size
+    * (C30's stage-width arithmetic) read it from here instead: one
+    * fewer job and one fewer broadcast wave, identical ranks.
+    */
+  def globalRowNumberWithTotal(df: DataFrame, order: Seq[Column],
+      out: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(n, order: _*)
@@ -67,7 +79,7 @@ object Ranks {
     */
   def hashOrderedRowNumber(df: DataFrame, hashKey: Column,
       order: Seq[Column], out: String): DataFrame =
-    zipRanked(hashRangePartitioned(df, hashKey, order), out)
+    zipRanked(hashRangePartitioned(df, hashKey, order), out)._1
 
   /** The analytic-boundary core, also usable on its own (H16's
     * shuffled export): rows land in equal-width 60-bit-hash-prefix
@@ -100,12 +112,27 @@ object Ranks {
       .drop(b)
   }
 
-  private def zipRanked(sorted: DataFrame, out: String): DataFrame = {
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
+  /** The offset core `zipWithIndex` hides: count each partition (job
+    * 1, folding the per-partition counts on the driver — which makes
+    * the TOTAL free for callers), then add exclusive prefix offsets
+    * map-side (job 2, reading the same shuffle files — both jobs run
+    * over the ONE `rdd` object, the same stage-reuse soundness
+    * property `zipWithIndex` has).
+    */
+  private def zipRanked(sorted: DataFrame, out: String): (DataFrame, Long) = {
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitions { it =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1L }
+      Iterator.single(c)
+    }.collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = offsets(i)
+      it.map { row => pos += 1L; Row.fromSeq(row.toSeq :+ pos) }
     }
-    sorted.sparkSession.createDataFrame(ranked,
-      sorted.schema.add(out, LongType, nullable = false))
+    (sorted.sparkSession.createDataFrame(ranked,
+      sorted.schema.add(out, LongType, nullable = false)), offsets.last)
   }
 
   /** Per-key cumulative sum with NO single-task-per-key stage — the
@@ -252,31 +279,42 @@ object Ranks {
     * is double division and misbins above 2^53.
     */
   def idRangeShard(df: DataFrame, idCol: String, targetShards: Int): Column = {
-    import org.apache.spark.sql.functions.{col, expr, max, min}
+    import org.apache.spark.sql.functions.{col, max, min}
     val r = df.agg(min(col(idCol)).cast(LongType),
       max(col(idCol)).cast(LongType)).head()
     if (r.isNullAt(0)) org.apache.spark.sql.functions.lit(0L)
-    else {
-      val lo = r.getLong(0)
-      val hi = r.getLong(1)
-      val target = targetShards.toLong.max(1L)
-      val span = BigInt(hi) - BigInt(lo) // exact — raw hi - lo can
-      // wrap negative when ids cover both signed extremes (e.g.
-      // 64-bit hashed ids), which would make the shard ANTI-monotone
-      // and silently violate keyedPrefixSum's contract (ADVICE r11).
-      if (span.isValidLong) {
-        val w = (span.toLong / target) + 1L
-        expr(s"(cast($idCol as bigint) - ${lo}L) div ${w}L")
-      } else {
-        // Full-span regime: arithmetic shift right IS exact floor
-        // division by 2^shift and is monotone over the entire signed
-        // range — no subtraction, nothing to overflow. 2^k ≥ target
-        // distinct shards across the full range.
-        val k = if (target <= 1L) 0
-          else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
-        val shift = (64 - k).max(1).min(63)
-        expr(s"shiftright(cast($idCol as bigint), $shift)")
-      }
+    else idRangeShardFromBounds(idCol, r.getLong(0), r.getLong(1),
+      targetShards)
+  }
+
+  /** [[idRangeShard]] with the [lo, hi] bounds supplied by the
+    * caller — e.g. exact parquet-footer column statistics
+    * ([[graft.sources.ParquetStats.longColumnRange]]), which cost no
+    * Spark job where the agg form pays a full column scan. Bounds
+    * only shape shard BALANCE, never correctness: [[keyedPrefixSum]]
+    * is bit-exact under ANY monotone shard, and equal-width windows
+    * of any enclosing range are monotone in the id.
+    */
+  def idRangeShardFromBounds(idCol: String, lo: Long, hi: Long,
+      targetShards: Int): Column = {
+    import org.apache.spark.sql.functions.expr
+    val target = targetShards.toLong.max(1L)
+    val span = BigInt(hi) - BigInt(lo) // exact — raw hi - lo can
+    // wrap negative when ids cover both signed extremes (e.g.
+    // 64-bit hashed ids), which would make the shard ANTI-monotone
+    // and silently violate keyedPrefixSum's contract (ADVICE r11).
+    if (span.isValidLong) {
+      val w = (span.toLong.max(0L) / target) + 1L
+      expr(s"(cast($idCol as bigint) - ${lo}L) div ${w}L")
+    } else {
+      // Full-span regime: arithmetic shift right IS exact floor
+      // division by 2^shift and is monotone over the entire signed
+      // range — no subtraction, nothing to overflow. 2^k ≥ target
+      // distinct shards across the full range.
+      val k = if (target <= 1L) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
+      val shift = (64 - k).max(1).min(63)
+      expr(s"shiftright(cast($idCol as bigint), $shift)")
     }
   }
 }

@@ -68,4 +68,62 @@ object ParquetStats {
       Some(total)
     } catch { case NonFatal(_) => None }
   }
+
+  /** Exact global (min, max) of an INT64 `column` from parquet FOOTER
+    * statistics — no Spark job, no data pages. Parquet writers record
+    * per-chunk min/max for integer columns exactly, so folding them
+    * over every chunk reproduces what a full `agg(min, max)` scan
+    * would compute — the pre-pass [[graft.operators.Ranks.idRangeShard]]
+    * otherwise pays with an entire corpus-scale column read. Returns
+    * None (callers fall back to the scan) when any chunk lacks usable
+    * statistics, the column isn't physically INT64, no file carries a
+    * non-null value, or the listing is unreadable — None is always
+    * safe, a Some is always exact.
+    */
+  def longColumnRange(spark: SparkSession, dir: String,
+      column: String, maxFiles: Int = 65536): Option[(Long, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return None
+      val it = fs.listFiles(root, true)
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var seen = false
+      var files = 0
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && st.getLen > 0 &&
+            !name.startsWith("_") && !name.startsWith(".")) {
+          files += 1
+          if (files > maxFiles) return None
+          val reader =
+            ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try {
+            reader.getFooter.getBlocks.asScala.foreach { b =>
+              b.getColumns.asScala.foreach { c =>
+                if (c.getPath.toDotString == column) {
+                  if (c.getPrimitiveType.getPrimitiveTypeName !=
+                      PrimitiveTypeName.INT64) return None
+                  val s = c.getStatistics
+                  if (s == null || s.isEmpty) return None
+                  if (s.hasNonNullValue) {
+                    val mn = s.genericGetMin.asInstanceOf[java.lang.Long]
+                    val mx = s.genericGetMax.asInstanceOf[java.lang.Long]
+                    if (mn < lo) lo = mn
+                    if (mx > hi) hi = mx
+                    seen = true
+                  } // all-null chunk: contributes nothing, like the agg
+                }
+              }
+            }
+          } finally reader.close()
+        }
+      }
+      if (seen) Some((lo, hi)) else None
+    } catch { case NonFatal(_) => None }
+  }
 }

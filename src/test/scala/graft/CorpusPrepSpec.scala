@@ -321,6 +321,44 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(got.distinct.length > 1, "full-span ids should spread shards")
   }
 
+  test("footer longColumnRange: exact vs agg, None on non-INT64/missing") {
+    // r12: the packing shard's [lo, hi] comes from parquet footer
+    // statistics (no job) — a Some must be EXACTLY the scan-agg
+    // min/max, and every unusable case must be None (callers fall
+    // back to the scan; keyedPrefixSum is bit-exact under any
+    // monotone shard either way, so this is a job-count contract).
+    val got = graft.sources.ParquetStats.longColumnRange(
+      spark, s"$sf/documents.parquet", "doc_id")
+    val r = Tables(spark, sf, "documents")
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    assert(got.contains((r.getLong(0), r.getLong(1))), s"footer=$got agg=$r")
+    assert(graft.sources.ParquetStats.longColumnRange(
+      spark, s"$sf/documents.parquet", "text").isEmpty, "non-INT64")
+    assert(graft.sources.ParquetStats.longColumnRange(
+      spark, s"$sf/no_such.parquet", "doc_id").isEmpty, "missing dir")
+    // and the shard built from those bounds is monotone + spread
+    val sh = graft.operators.Ranks.idRangeShardFromBounds(
+      "doc_id", r.getLong(0), r.getLong(1), 64)
+    val seq = Tables(spark, sf, "documents").withColumn("sh", sh)
+      .orderBy(col("doc_id").asc).select("sh").collect().map(_.getLong(0))
+    assert(seq.zip(seq.tail).forall { case (a, b) => a <= b })
+    assert(seq.distinct.length > 1)
+  }
+
+  test("globalRowNumberWithTotal: total equals count, ranks unchanged") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => ((i * 131) % 97, i.toLong))
+      .toDF("v", "id").repartition(11)
+    val (ranked, total) = graft.operators.Ranks.globalRowNumberWithTotal(
+      df, Seq(col("v").asc, col("id").asc), "pos")
+    assert(total == 5000L)
+    val expected = df.withColumn("pos",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").asc, col("id").asc)).cast("long"))
+    assert(ranked.select("v", "id", "pos")
+      .except(expected.select("v", "id", "pos")).count() == 0)
+  }
+
   test("cleanCorpus: small single-plan tail ≡ large persisted tail") {
     // r11 adaptive dispatch: the small regime drops the persist, the
     // rarity sketch, the width pins, and the candidate distinct —
@@ -721,6 +759,40 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     // every document lands in exactly one bin
     assert(binned.select("doc_id").distinct().count() == binned.count())
     assert(out.agg(sum(col("n_docs"))).head().getLong(0) == binned.count())
+  }
+
+  test("pack split: sequences tile exactly, docs tile exactly, split docs") {
+    val L = 64L // small seqLen so real docs split across sequences
+    val spans = graft.operators.Pipeline.packTokenSpans(spark, sf, 64)
+      .persist()
+    // every sequence holds exactly L tokens, except each source's LAST
+    val bySeq = spans.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_toks")).as("tot"))
+    val lastSeq = bySeq.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("seq_id")).withColumn("is_last", lit(true))
+    assert(bySeq.join(lastSeq, Seq("source", "seq_id"), "left")
+      .filter(col("is_last").isNull && col("tot") =!= L).count() == 0)
+    assert(bySeq.filter(col("tot") > L || col("tot") <= 0).count() == 0)
+    // every document's spans tile its token count exactly, contiguously
+    val toks = Tables(spark, sf, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val byDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("n_toks")).as("tot"), count(lit(1)).as("n_spans"),
+        min(col("doc_off")).as("min_off"),
+        max(col("doc_off") + col("n_toks")).as("max_end"))
+    // tiling: spans sum to the doc's token count, start at offset 0,
+    // and end at n_tokens (doc_off is the offset INTO the document)
+    assert(byDoc.join(toks, Seq("doc_id"), "full")
+      .filter(col("tot").isNull || col("n_tokens").isNull ||
+        col("tot") =!= col("n_tokens") || col("min_off") =!= 0L ||
+        col("max_end") =!= col("n_tokens")).count() == 0)
+    // span lengths bounded by the sequence length
+    assert(spans.filter(col("doc_off") < 0 ||
+      col("n_toks") <= 0 || col("n_toks") > L).count() == 0)
+    // at L=64 some document MUST split (sf docs run longer than 64)
+    assert(byDoc.filter(col("n_spans") > 1).count() > 0)
+    spans.unpersist()
   }
 
   test("bpe merges: hand-computed sequence on the classic corpus") {
