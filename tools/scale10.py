@@ -83,7 +83,10 @@ SCALE10 = [
     # removal — both engines compute from the raw corpus)
     "curate_dup_ngrams", "curate_boilerplate",
     # round 10 additions, both engines recompute from the raw tables
-    "q_events_gapfill", "curate_decontam_fuzzy"]
+    "q_events_gapfill", "curate_decontam_fuzzy",
+    # round 12: token-exact packing with doc splitting (C12c),
+    # like-for-like — both engines compute from the raw documents
+    "pipeline_pack_split"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
