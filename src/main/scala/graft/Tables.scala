@@ -12,34 +12,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Inferred-schema memo keyed on (path, file-listing signature) —
-    * every schema-less `spark.read.parquet` launches a footer-
-    * inference JOB (visible as the leading ~30 ms single-stage job on
-    * every wave ledger; on a many-file table at cluster scale it
-    * reads every footer), and a bench/verify run re-pays it per
+  /** Inferred-schema memo keyed on (session, path, file-listing
+    * signature) — every schema-less `spark.read.parquet` launches a
+    * footer-inference JOB (visible as the leading ~30 ms single-stage
+    * job on every wave ledger; on a many-file table at cluster scale
+    * it reads every footer), and a bench/verify run re-pays it per
     * query. Pinning the schema is what a production catalog does; the
-    * listing signature (name:len:mtime per file — the C30/C31 model
-    * staleness contract) keeps the memo exactly as fresh as the data,
-    * so a rewritten path re-infers. Driver-side listing only, no job.
+    * listing signature ([[graft.sources.ParquetStats.listingSig]] —
+    * the served-model staleness contract) keeps the memo exactly as
+    * fresh as the data, so a rewritten path re-infers. The SESSION in
+    * the key matters: parquet schema inference is conf-dependent
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set by [[eventsWithMs]]
+    * before NANOS-encoded reads), and a JVM-global memo would leak
+    * one session's conf-shaped schema into another — Bench/Verify run
+    * one session, so they keep the full benefit. Driver-side listing
+    * only, no job.
     */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val sig = try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString("|")
-    } catch { case scala.util.control.NonFatal(_) => null }
-    if (sig == null) spark.read.parquet(path) // unreadable: fail as before
-    else {
-      if (schemaMemo.size > 4096) schemaMemo.clear() // scratch-dir churn cap
-      val sch = schemaMemo.computeIfAbsent(s"$path#$sig",
-        _ => spark.read.parquet(path).schema)
-      spark.read.schema(sch).parquet(path)
+    graft.sources.ParquetStats.listingSig(spark, path) match {
+      case None => spark.read.parquet(path) // unreadable: fail as before
+      case Some(sig) =>
+        if (schemaMemo.size > 4096) schemaMemo.clear() // scratch churn cap
+        val key = s"${System.identityHashCode(spark)}#$path#$sig"
+        val sch = schemaMemo.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(sch).parquet(path)
     }
   }
 

@@ -329,7 +329,15 @@ object LanguageModel {
     // anyway — collapses into a literal in the stage arithmetic.
     val (ranked, total) = Ranks.globalRowNumberWithTotal(scored,
       Seq(col("bits_per_bigram").asc, col("doc_id").asc), "pos")
-    graft.CacheHygiene.unpersistAfterUse(scored)
+    // The rank's offset job has ALREADY consumed `scored` by the time
+    // the call returns (an RDD job — no QueryExecution event for a
+    // listener to see — and the returned frame is LogicalRDD-backed,
+    // so no later SQL plan structurally contains `scored` either:
+    // unpersistAfterUse would wait out its 30-min stale retire while
+    // the cache stayed pinned). Release synchronously; downstream
+    // actions read the rank's shuffle files, and a from-scratch
+    // re-execution recomputes — correct, just cold.
+    scored.unpersist(false)
     // identical arithmetic to the window form the oracle pins:
     // stage = floor((pos-1) / ceil(total/stages)), exact integer div
     val width = math.max(1L, math.ceil(total.toDouble / stages).toLong)
