@@ -124,7 +124,65 @@ object Multimodal {
         sum(col("n_bytes")).cast("bigint").as("total_bytes"))
   }
 
+  /** F6: blob integrity screen — the gate a multimodal ingest runs
+    * BEFORE spending decode CPU: sniff each payload's magic bytes,
+    * dispatch the modality, and flag blobs whose declared type
+    * disagrees with what the bytes actually say (truncated/corrupt
+    * headers, mislabeled files). Fixture plants all four cases
+    * deterministically by doc_id: PNG, JPEG, RIFF, and a TRUNCATED
+    * PNG magic under a 'png' declaration (the corrupt row the screen
+    * must catch → valid = false).
+    *
+    * Scale shape: a pure map — and the sniff hexes ONLY the sliced
+    * 8-byte prefix (`hex(substring(payload, 1, 8))`), never the
+    * payload: hexing a multi-MB video to read its first bytes would
+    * double the row in memory. No shuffle, no UDF, codegen end to
+    * end.
+    */
+  def integrity(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val body = to_binary(col("text"), lit("utf-8"))
+    val payload = when(m === 0,
+        concat(unhex(lit("89504E470D0A1A0A")), body))
+      .when(m === 1, concat(unhex(lit("FFD8FF")), body))
+      .when(m === 2, concat(unhex(lit("52494646")), body))
+      .otherwise(concat(unhex(lit("8950")), body)) // truncated PNG magic
+    val declared = when(m === 1, lit("jpeg"))
+      .when(m === 2, lit("riff")).otherwise(lit("png"))
+    val head = hex(substring(col("payload"), 1, 8))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), payload.as("payload"),
+        declared.as("declared"))
+      .select(col("doc_id"), col("declared"),
+        when(head === "89504E470D0A1A0A", "png")
+          .when(substring(head, 1, 6) === "FFD8FF", "jpeg")
+          .when(substring(head, 1, 8) === "52494646", "riff")
+          .otherwise("unknown").as("detected"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("valid", col("declared") === col("detected"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_integrity" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+        |    WHEN 1 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+        |    WHEN 2 THEN 'RIFF'::BLOB || encode(text)
+        |    ELSE '\x89P'::BLOB || encode(text) END AS payload,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'riff' ELSE 'png' END AS declared
+        |  FROM documents),
+        |d AS (SELECT doc_id, declared,
+        |  CASE WHEN substring(hex(payload), 1, 16) = '89504E470D0A1A0A'
+        |         THEN 'png'
+        |       WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'riff'
+        |       ELSE 'unknown' END AS detected,
+        |  octet_length(payload) AS n_bytes
+        |  FROM p)
+        |SELECT doc_id, declared, detected, n_bytes,
+        |  declared = detected AS valid FROM d""".stripMargin,
     "mm_partitioned" ->
       """WITH m AS (SELECT doc_id,
         |    1 + ('0x'||substr(md5(text), 5, 2))::INT % 4 AS channels,
@@ -174,6 +232,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) => meta(s, d)),
+    "mm_integrity" -> ((s, d) => integrity(s, d)),
     "mm_partitioned" -> (partitionedMedia _),
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_decode" -> ((s, d) => decode(s, d)),

@@ -1528,6 +1528,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "modality filter must prune at partition level:\n" + plan.take(2500))
   }
 
+  test("blob integrity screen: planted magics detected, corrupt row flagged") {
+    val out = operators.Multimodal.integrity(spark, sf)
+      .filter(col("n_bytes").isNotNull).persist()
+    // detection matches the planted modality exactly: m=0 png, m=1
+    // jpeg, m=2 riff, m=3 truncated-PNG → unknown + valid=false
+    val expected = when(pmod(col("doc_id"), lit(4)) === 1, "jpeg")
+      .when(pmod(col("doc_id"), lit(4)) === 2, "riff")
+      .when(pmod(col("doc_id"), lit(4)) === 0, "png")
+      .otherwise("unknown")
+    assert(out.filter(col("detected") =!= expected).count() == 0)
+    assert(out.filter(col("valid") =!=
+      (pmod(col("doc_id"), lit(4)) =!= 3)).count() == 0)
+    // every modality class present in the fixture
+    assert(out.select("detected").distinct().count() == 4)
+    // pure map: no exchange anywhere in the (uncached) screen plan
+    val plan = planOf(operators.Multimodal.integrity(spark, sf))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    out.unpersist()
+  }
+
   test("bucketed tables join without an exchange") {
     val db = graft.catalog.GraftDatabase(spark, scratch("bucketed"))
     db.writeBucketed(Tables(spark, sf, "orders")
