@@ -616,6 +616,54 @@ object Curation {
         col("cum_tokens"))
   }
 
+  /** C36: per-source percentile quality gate (r12) — keep each
+    * source's top `keepPct`% of documents by quality. A single GLOBAL
+    * quality threshold overculls clean sources and underculls noisy
+    * ones (their score distributions differ); per-source calibration
+    * is the standard fix, and it needs a per-source RANK — the same
+    * single-task-per-key hazard as the C12/C28 windows, solved by the
+    * same machinery: rank = [[Ranks.keyedPrefixSum]] of ones under
+    * (q DESC, doc_id), shard = the C28 analytic floor((1−q)·S). The
+    * per-source denominators come FREE from
+    * [[Ranks.keyedPrefixSumWithKeyTotals]] (the offset fold already
+    * computes each key's total on the driver), so the gate costs the
+    * one prefix-sum exchange plus a broadcast of n_sources rows —
+    * no second corpus aggregation, no join-back exchange. The keep
+    * test is all-integer (`rn·100 ≤ keepPct·n`), cross-engine exact.
+    */
+  def qualityPercentileGate(spark: SparkSession, dir: String,
+      keepPct: Int = 20): DataFrame =
+    qualityPercentileGateOf(docs(spark, dir), keepPct)
+
+  /** [[qualityPercentileGate]] over an arbitrary
+    * (doc_id, source, text) frame. */
+  def qualityPercentileGateOf(d: DataFrame, keepPct: Int): DataFrame = {
+    import graft.functions.TextFunctions.qualityFromGate
+    val spark = d.sparkSession
+    val base = d
+      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+      .select(col("doc_id"), col("source"),
+        qualityFromGate(col("__g")).as("q"))
+      .withColumn("one", lit(1L))
+    val nSh = 2 * spark.sparkContext.defaultParallelism
+    val (ranked, keyTotals) = Ranks.keyedPrefixSumWithKeyTotals(
+      base, Seq("source"), Seq(col("q").desc, col("doc_id").asc), "one",
+      floor((lit(1.0) - col("q")) * nSh), "rn", nullShard = Long.MaxValue)
+    val totals = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keyTotals.toSeq.map { case (k, n) =>
+          org.apache.spark.sql.Row(k.head.asInstanceOf[String], n)
+        }, 1),
+      org.apache.spark.sql.types.StructType(Nil)
+        .add("__src", org.apache.spark.sql.types.StringType)
+        .add("n", org.apache.spark.sql.types.LongType))
+    // null-safe join key: a NULL source is its own partition in the
+    // window semantics this replaces, so it must find its total too
+    ranked.join(broadcast(totals), col("source") <=> col("__src"))
+      .filter(col("rn") * 100 <= lit(keepPct.toLong) * col("n"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n"))
+  }
+
   /** C29: cluster-balance mixing — the semantic counterpart of C14's
     * source mixing: assign every embedding to a deterministic k-means
     * cell (D2's quantizer machinery) and cap each cell at
@@ -1063,6 +1111,20 @@ object Curation {
       """SELECT CAST(COUNT(*) AS BIGINT) AS total_members,
         |  TRUE AS n_cells_ok, TRUE AS kept_rule_ok
         |FROM embeddings""".stripMargin,
+    "curate_quality_percentile" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
+        |  + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|it|a)\b')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) * 8.0) * 0.4
+        |  + (1.0 - LEAST(1.0, (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE)) * 10.0)) * 0.2 AS q
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY q DESC, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM s)
+        |SELECT doc_id, source, rn, n FROM r
+        |WHERE rn * 100 <= 20 * n""".stripMargin,
     "curate_token_budget" ->
       """WITH s AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -1212,6 +1274,7 @@ object Curation {
     "curate_source_overlap" -> (sourceOverlap _),
     "curate_corpus_diff" -> (corpusDiffQuery _),
     "curate_token_budget" -> ((s, d) => tokenBudget(s, d)),
+    "curate_quality_percentile" -> ((s, d) => qualityPercentileGate(s, d)),
     "curate_cluster_mix" -> ((s, d) => clusterMix(s, d)),
     "curate_cluster_mix_check" -> ((s, d) => clusterMixCheck(s, d))
   )

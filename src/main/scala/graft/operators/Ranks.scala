@@ -185,7 +185,22 @@ object Ranks {
     */
   def keyedPrefixSum(df: DataFrame, keyCols: Seq[String],
       order: Seq[Column], valueCol: String, shard: Column,
-      out: String, nullShard: Long = Long.MinValue): DataFrame = {
+      out: String, nullShard: Long = Long.MinValue): DataFrame =
+    keyedPrefixSumWithKeyTotals(df, keyCols, order, valueCol, shard,
+      out, nullShard)._1
+
+  /** [[keyedPrefixSum]] that also returns each key's TOTAL value sum
+    * — the offset fold already computes it on the driver (the running
+    * sum after a key's last shard IS the key total), so callers that
+    * would otherwise pay a separate per-key aggregation job plus a
+    * join to learn it (C36's per-source percentile denominator) read
+    * it from here for free. Map keys are the key column values in
+    * `keyCols` order.
+    */
+  def keyedPrefixSumWithKeyTotals(df: DataFrame, keyCols: Seq[String],
+      order: Seq[Column], valueCol: String, shard: Column,
+      out: String,
+      nullShard: Long = Long.MinValue): (DataFrame, Map[List[Any], Long]) = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val n = spark.sparkContext.defaultParallelism
@@ -243,13 +258,17 @@ object Ranks {
         "plain per-key window already parallelizes (parallelism = " +
         "n_keys); use that instead")
     // Exclusive offsets: for each key, Σ of totals with smaller shard.
+    // The running sum after a key's LAST shard is that key's total —
+    // collected alongside for keyedPrefixSumWithKeyTotals callers.
     val offsets = new scala.collection.mutable.HashMap[(List[Any], Long), Long]
+    val keyTotals = Map.newBuilder[List[Any], Long]
     totals.groupBy(_._1._1).foreach { case (key, grp) =>
       var run = 0L
       grp.sortBy(_._1._2).foreach { case (g, tot) =>
         offsets.update(g, run)
         run += tot
       }
+      keyTotals += key -> run
     }
     val bcOff = spark.sparkContext.broadcast(offsets.toMap)
     // Job 2: same shuffle files (stage skip) — offset + running sum.
@@ -266,7 +285,7 @@ object Ranks {
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       schema.fields.patch(sIdx, Nil, 1)).add(out, LongType, nullable = false)
-    spark.createDataFrame(outRdd, outSchema)
+    (spark.createDataFrame(outRdd, outSchema), keyTotals.result())
   }
 
   /** Analytic within-key shard for an integral order column: equal-

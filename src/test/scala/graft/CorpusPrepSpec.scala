@@ -761,6 +761,33 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(out.agg(sum(col("n_docs"))).head().getLong(0) == binned.count())
   }
 
+  test("quality percentile gate ≡ window form; per-source calibration") {
+    import graft.functions.TextFunctions.qualityFromGate
+    val base = Tables(spark, sf, "documents")
+      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+      .select(col("doc_id"), col("source"),
+        qualityFromGate(col("__g")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val expected = base
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("q").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") * 100 <= lit(20L) * col("n"))
+      .select("doc_id", "rn", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = graft.operators.Curation.qualityPercentileGate(spark, sf)
+      .select("doc_id", "rn", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the calibration property the gate exists for: EVERY source with
+    // ≥5 docs keeps at least one (a global threshold can zero one out)
+    val kept = graft.operators.Curation.qualityPercentileGate(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("k"),
+        max(col("n")).as("n"))
+    assert(kept.filter(col("n") >= 5 && col("k") < 1).count() == 0)
+  }
+
   test("pack split: sequences tile exactly, docs tile exactly, split docs") {
     val L = 64L // small seqLen so real docs split across sequences
     val spans = graft.operators.Pipeline.packTokenSpans(spark, sf, 64)
