@@ -350,6 +350,30 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         decSum(col("value")).as("total_value"))
 
+  /** B31 (r12): HOPPING 1-hour windows on a 15-min hop — the
+    * sliding-aggregation form dashboards/alerting actually consume
+    * (B8 covers tumbling; a hop is NOT expressible as one tumbling
+    * bucket per event). Each event lands in exactly W/H = 4 windows,
+    * enumerated analytically in bigint epoch-ms (`explode` of the 4
+    * hop offsets — `pmod` snaps to the hop grid, negatives included),
+    * then ONE map-side-combined aggregation whose output is bounded
+    * by windows × types, never events. No timestamp types anywhere,
+    * so ns-vs-µs parquet precision can't skew the compare (the B8
+    * rule), and the streaming twin (G1's `window(..., "1 hour",
+    * "15 minutes")`) shares the semantics.
+    */
+  def eventsHopping(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), col("ms"), col("value"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(
+        ((col("ms") - pmod(col("ms"), lit(900000L))) -
+          col("i") * lit(900000L)).as("win_start_ms"),
+        col("event_type"), col("value"))
+      .groupBy(col("win_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+
   /** B9: gap-based sessionization (30 min) via window functions. All
     * time math in epoch ms. Partition key = user_id (high cardinality
     * at scale → even shuffle; no global sort anywhere).
@@ -976,6 +1000,15 @@ object Analytics {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_hopping" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, value
+        |  FROM events),
+        |x AS (SELECT event_type, value,
+        |  (ms - ms % 900000) - 900000 * u.i AS win_start_ms
+        |  FROM e, LATERAL unnest(generate_series(0, 3)) AS u(i))
+        |SELECT win_start_ms, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
@@ -1149,6 +1182,7 @@ object Analytics {
     "q4_order_priority" -> (q4OrderPriority _),
     "q_min_price_per_brand" -> (qMinPricePerBrand _),
     "q_events_windowed" -> (eventsWindowed _),
+    "q_events_hopping" -> (eventsHopping _),
     "q_events_retention" -> (eventsRetention _),
     "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_gapfill" -> (eventsGapfill _),

@@ -24,6 +24,28 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hopping windows: 4 windows per event, hop-grid starts, tumbling cross-check") {
+    val hop = graft.operators.Analytics.eventsHopping(spark, sf).persist()
+    val nEvents = Tables.eventsWithMs(spark, sf).count()
+    // every event lands in exactly W/H = 4 windows
+    assert(hop.agg(sum(col("n_events"))).head().getLong(0) == 4 * nEvents)
+    // window starts sit on the 15-min hop grid
+    assert(hop.filter(pmod(col("win_start_ms"), lit(900000L)) =!= 0L)
+      .count() == 0)
+    // the window starting exactly on an hour boundary must contain at
+    // least every event of B8's matching tumbling hour (it spans the
+    // same [s, s+1h) range)
+    val tumbling = graft.operators.Analytics.eventsWindowed(spark, sf)
+      .select(col("hour_ms"), col("event_type"),
+        col("n_events").as("n_tumble"))
+    val joined = hop.join(tumbling,
+      col("win_start_ms") === col("hour_ms") &&
+        hop("event_type") === tumbling("event_type"))
+    assert(joined.filter(col("n_events") =!= col("n_tumble")).count() == 0)
+    assert(joined.count() > 0)
+    hop.unpersist()
+  }
+
   test("eventsWithMs: ms equals the wall-clock reading of ts as UTC epoch millis") {
     val df = Tables.eventsWithMs(spark, sf)
     // Independent derivation through date_format (pure wall-clock
