@@ -84,9 +84,11 @@ SCALE10 = [
     "curate_dup_ngrams", "curate_boilerplate",
     # round 10 additions, both engines recompute from the raw tables
     "q_events_gapfill", "curate_decontam_fuzzy",
-    # round 12: token-exact packing with doc splitting (C12c),
-    # like-for-like — both engines compute from the raw documents
-    "pipeline_pack_split"]
+    # round 12: token-exact packing with doc splitting (C12c), blob
+    # integrity screen (F6), per-source percentile gate (C36), hopping
+    # windows (B31) — all like-for-like, both engines from raw tables
+    "pipeline_pack_split", "mm_integrity", "curate_quality_percentile",
+    "q_events_hopping"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
