@@ -25,6 +25,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** G1b (r12): HOPPING 1-hour windows on a 15-min hop — the
+    * streaming twin of B31's analytic batch form (same semantics:
+    * every event lands in exactly 4 windows on the 15-min grid).
+    * Spark's native sliding `window(ts, "1 hour", "15 minutes")`
+    * does the enumeration in-plan; state stays bounded by
+    * (watermark horizon / hop × event types).
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** G5: streaming trending — top-k event types per hour window,
     * as TWO chained stateful aggregations (Spark 4's
     * multiple-stateful-operator support, append mode): windowed

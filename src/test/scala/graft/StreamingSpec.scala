@@ -40,6 +40,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G1b: hopping windows — 4 windows per event, exact overlap sums") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hoppingAgg(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hop_out").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("hop_out")
+        .select(col("window_start").cast("string"), col("n_events"),
+          col("total_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // 10:05 → windows starting 09:15/09:30/09:45/10:00;
+      // 10:20 → 09:30/09:45/10:00/10:15 — B31's exact semantics
+      assert(rows == Set(
+        ("2024-01-01 09:15:00", 1L, 1.0),
+        ("2024-01-01 09:30:00", 2L, 3.0),
+        ("2024-01-01 09:45:00", 2L, 3.0),
+        ("2024-01-01 10:00:00", 2L, 3.0),
+        ("2024-01-01 10:15:00", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("G5: streaming trending chains two stateful aggregations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
