@@ -1004,7 +1004,7 @@ object Analytics {
       """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, value
         |  FROM events),
         |x AS (SELECT event_type, value,
-        |  (ms - ms % 900000) - 900000 * u.i AS win_start_ms
+        |  900000 * (ms // 900000) - 900000 * u.i AS win_start_ms
         |  FROM e, LATERAL unnest(generate_series(0, 3)) AS u(i))
         |SELECT win_start_ms, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value

@@ -591,17 +591,23 @@ object Curation {
     tokenBudgetOf(docs(spark, dir), budget)
 
   /** [[tokenBudget]] over an arbitrary (doc_id, source, text) frame. */
-  def tokenBudgetOf(d: DataFrame, budget: Long): DataFrame = {
+  /** (doc_id, source, n_tokens, q) — token count AND quality from
+    * ONE GateStats byte pass (the C8 treatment — spec-pinned
+    * arithmetic-identical to the regex forms; the regex qualityScore
+    * + wsTokenCount pair was two more full passes over every
+    * document's bytes). Shared by C28 and C36 so the projection that
+    * must match the oracles' q-formula lives in exactly one place.
+    */
+  private def scoredDocs(d: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.qualityFromGate
-    val base = d
-      // token count AND quality from ONE GateStats byte pass (the C8
-      // treatment — spec-pinned arithmetic-identical to the regex
-      // forms); the regex qualityScore + wsTokenCount pair was two
-      // more full passes over every document's bytes
-      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
+    d.withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
       .select(col("doc_id"), col("source"),
         col("__g.n_ws").as("n_tokens"),
         qualityFromGate(col("__g")).as("q"))
+  }
+
+  def tokenBudgetOf(d: DataFrame, budget: Long): DataFrame = {
+    val base = scoredDocs(d)
     val nSh = 2 * d.sparkSession.sparkContext.defaultParallelism
     // nullShard = MaxValue: the window this replaces orders q DESC,
     // which is NULLS LAST in Spark — a null-q doc (null text) must
@@ -638,13 +644,8 @@ object Curation {
   /** [[qualityPercentileGate]] over an arbitrary
     * (doc_id, source, text) frame. */
   def qualityPercentileGateOf(d: DataFrame, keepPct: Int): DataFrame = {
-    import graft.functions.TextFunctions.qualityFromGate
     val spark = d.sparkSession
-    val base = d
-      .withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
-      .select(col("doc_id"), col("source"),
-        qualityFromGate(col("__g")).as("q"))
-      .withColumn("one", lit(1L))
+    val base = scoredDocs(d).drop("n_tokens").withColumn("one", lit(1L))
     val nSh = 2 * spark.sparkContext.defaultParallelism
     val (ranked, keyTotals) = Ranks.keyedPrefixSumWithKeyTotals(
       base, Seq("source"), Seq(col("q").desc, col("doc_id").asc), "one",

@@ -141,8 +141,8 @@ object Multimodal {
     */
   def integrity(spark: SparkSession, dir: String): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
-    val body = to_binary(col("text"), lit("utf-8"))
-    val payload = when(m === 0,
+    val body = col("payload") // the F1 stand-in bytes, one definition
+    val tagged = when(m === 0,
         concat(unhex(lit("89504E470D0A1A0A")), body))
       .when(m === 1, concat(unhex(lit("FFD8FF")), body))
       .when(m === 2, concat(unhex(lit("52494646")), body))
@@ -150,8 +150,8 @@ object Multimodal {
     val declared = when(m === 1, lit("jpeg"))
       .when(m === 2, lit("riff")).otherwise(lit("png"))
     val head = hex(substring(col("payload"), 1, 8))
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), payload.as("payload"),
+    withPayload(spark, dir)
+      .select(col("doc_id"), tagged.as("payload"),
         declared.as("declared"))
       .select(col("doc_id"), col("declared"),
         when(head === "89504E470D0A1A0A", "png")

@@ -177,11 +177,13 @@ object Ranks {
     * order key upstream) rather than NPE-ing in the offset fold:
     * `Long.MinValue` (default) matches ASC NULLS FIRST window
     * semantics; pass `Long.MaxValue` when the window being replaced
-    * ordered DESC (Spark's DESC is NULLS LAST). Such rows carry a
-    * NULL value in both production callers (NULL text ⇒ NULL tokens,
-    * summed as 0), so other rows' sums never depend on the choice —
-    * but the null row's OWN cum does, and a budget filter downstream
-    * sees it (ADVICE r11).
+    * ordered DESC (Spark's DESC is NULLS LAST). When null-shard rows
+    * carry a NULL value (C12/C28: NULL text ⇒ NULL tokens, summed as
+    * 0) other rows' sums don't depend on the choice — but when the
+    * value is a non-null constant (C36 ranks with `one = 1`), every
+    * row AFTER the null block shifts by the null count, so the
+    * placement must match the window's null order exactly; and the
+    * null row's OWN cum always depends on it (ADVICE r11).
     */
   def keyedPrefixSum(df: DataFrame, keyCols: Seq[String],
       order: Seq[Column], valueCol: String, shard: Column,

@@ -775,17 +775,24 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("rn") * 100 <= lit(20L) * col("n"))
       .select("doc_id", "rn", "n").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val got = graft.operators.Curation.qualityPercentileGate(spark, sf)
-      .select("doc_id", "rn", "n").collect()
+    val gate = graft.operators.Curation.qualityPercentileGate(spark, sf)
+      .persist()
+    val got = gate.select("doc_id", "rn", "n").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
     assert(got.nonEmpty)
     // the calibration property the gate exists for: EVERY source with
-    // ≥5 docs keeps at least one (a global threshold can zero one out)
-    val kept = graft.operators.Curation.qualityPercentileGate(spark, sf)
-      .groupBy(col("source")).agg(count(lit(1)).as("k"),
-        max(col("n")).as("n"))
-    assert(kept.filter(col("n") >= 5 && col("k") < 1).count() == 0)
+    // ≥5 docs keeps at least one (a global threshold can zero one
+    // out). Derived from the DOCUMENTS table, not the gate's output —
+    // grouping the output can never see a source the gate dropped
+    // entirely, which is exactly the failure this must catch.
+    val bigSources = Tables(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 5).select("source")
+    val uncovered = bigSources.join(gate.select("source").distinct(),
+      Seq("source"), "left_anti").count()
+    assert(uncovered == 0, s"$uncovered ≥5-doc sources kept nothing")
+    gate.unpersist()
   }
 
   test("pack split: sequences tile exactly, docs tile exactly, split docs") {
