@@ -25,20 +25,39 @@ object Tables {
     * (`spark.sql.legacy.parquet.nanosAsLong`, set by [[eventsWithMs]]
     * before NANOS-encoded reads), and a JVM-global memo would leak
     * one session's conf-shaped schema into another — Bench/Verify run
-    * one session, so they keep the full benefit. Driver-side listing
-    * only, no job.
+    * one session, so they keep the full benefit. The memo is held in
+    * a WEAK per-session map (ADVICE r12): the old string key used
+    * `identityHashCode(spark)`, which is not unique — after a session
+    * is GC'd (or by coincidence between two live sessions) another
+    * session could collide onto the same key and be served a schema
+    * inferred under the OTHER session's conf, the exact nanosAsLong
+    * leak the session scoping exists to prevent. Identity-keyed weak
+    * references are collision-free among live sessions by
+    * construction, and a dead session's entries become collectable
+    * instead of accumulating until a size-cap clear. Driver-side
+    * listing only, no job.
     */
-  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+  private val schemaMemos = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.types.StructType]]())
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     graft.sources.ParquetStats.listingSig(spark, path) match {
       case None => spark.read.parquet(path) // unreadable: fail as before
       case Some(sig) =>
-        if (schemaMemo.size > 4096) schemaMemo.clear() // scratch churn cap
-        val key = s"${System.identityHashCode(spark)}#$path#$sig"
-        val sch = schemaMemo.computeIfAbsent(key,
+        val memo = schemaMemos.synchronized {
+          var m = schemaMemos.get(spark)
+          if (m == null) {
+            m = new java.util.concurrent.ConcurrentHashMap[
+              String, org.apache.spark.sql.types.StructType]()
+            schemaMemos.put(spark, m)
+          }
+          m
+        }
+        if (memo.size > 4096) memo.clear() // scratch churn cap
+        val sch = memo.computeIfAbsent(s"$path#$sig",
           _ => spark.read.parquet(path).schema)
         spark.read.schema(sch).parquet(path)
     }

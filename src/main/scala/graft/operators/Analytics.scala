@@ -788,12 +788,19 @@ object Analytics {
     * map-side combined; the per-type moments re-aggregate the
     * hours-sized table; the flag join is hours-vs-types, AQE-sized.
     */
-  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val hourly = events(spark, dir)
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyFromHourly(events(spark, dir)
       .groupBy(col("event_type"),
         (col("ms") - pmod(col("ms"), lit(3600000L))).as("hour_ms"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The B28 flagging logic over an (event_type, hour_ms, n_events)
+    * hourly table — shared by the inline form and the B32 served
+    * form (which derives the hourly table from the rollup artifact
+    * instead of an events scan).
+    */
+  private def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     // S and Q sum in decimal — the input is the hours-sized hourly
     // table, so the exactness costs nothing at the events scale
     val stats = hourly.groupBy(col("event_type"))
@@ -826,11 +833,16 @@ object Analytics {
   def eventsGapfill(spark: SparkSession, dir: String): DataFrame =
     eventsGapfillOf(events(spark, dir))
 
-  def eventsGapfillOf(ev: DataFrame): DataFrame = {
-    val hourly = ev
+  def eventsGapfillOf(ev: DataFrame): DataFrame =
+    gapfillFromHourly(ev
       .groupBy(col("event_type"),
         (col("ms") - pmod(col("ms"), lit(3600000L))).as("hour_ms"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The B30 densification over an (event_type, hour_ms, n_events)
+    * hourly table — shared by the inline form and the B32 served
+    * form. */
+  private def gapfillFromHourly(hourly: DataFrame): DataFrame = {
     val dense = hourly.groupBy(col("event_type"))
       .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
       .select(col("event_type"),
@@ -841,10 +853,102 @@ object Analytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  // ---------------------------------------------------------------
+  // B32 (r13): shared quarter-hour events rollup artifact
+  // ---------------------------------------------------------------
+
+  /** B32: ONE persisted quarter-hour rollup serving the whole
+    * dashboard family. B28 (anomaly), B30 (gap-fill) and B31
+    * (hopping) each re-aggregated the full events table to the same
+    * time-bucketed shape inside their own query; at 100 TB that is
+    * three corpus scans for three dashboard panels. The rollup is the
+    * finest grain all three divide into — 15 minutes (B31's hop; an
+    * hour is exactly 4 buckets) — keyed (event_type, q15_ms) with
+    * `n_events` and the DECIMAL(38,6) `sum_value` kept EXACT (cast to
+    * double only at serve time), so every served answer is
+    * bit-identical to its inline form: counts and decimal sums are
+    * associative, and the bucket grids nest (q15 → hour by the same
+    * pmod floor; all grids share the epoch origin). Maintained
+    * streaming-side by G1's tumbling 15-min windowed agg
+    * (spec-pinned ≡ this build); size = types × corpus-timespan
+    * quarters, never event count.
+    */
+  def buildEventsRollup(db: graft.catalog.GraftDatabase,
+      ev: DataFrame): Unit =
+    db.write(ev
+      .groupBy(col("event_type"),
+        (col("ms") - pmod(col("ms"), lit(900000L))).as("q15_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec4(col("value"))).as("sum_value")),
+      "events_q15", org.apache.spark.sql.SaveMode.Overwrite)
+
+  // build-once memo (the served-model convention: listing-sig
+  // sidecar, signature re-checked per invocation)
+  private val rollupReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The served rollup for a corpus dir: build once, re-attach via
+    * the events file-listing signature. */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val key = p.getName + "_" + java.security.MessageDigest
+      .getInstance("MD5").digest(p.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val db = graft.catalog.GraftDatabase(spark,
+      s"${CsvQueries.scratchRoot}/evroll_$key/db")
+    val sig = graft.sources.ParquetStats
+      .listingSig(spark, s"$dir/events.parquet").getOrElse("missing")
+    if (rollupReady.get(key) != sig) {
+      val fresh =
+        try db.read("rollup_sig").collect()(0).getString(0) == sig
+        catch { case _: Exception => false }
+      if (!fresh) {
+        spark.catalog.refreshByPath(s"$dir/events.parquet")
+        buildEventsRollup(db, events(spark, dir))
+        db.write(spark.createDataset(Seq(sig))(
+          org.apache.spark.sql.Encoders.STRING).toDF("sig"), "rollup_sig",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      rollupReady.put(key, sig)
+      ()
+    }
+    db.read("events_q15",
+      "event_type string, q15_ms bigint, n_events bigint, " +
+        "sum_value decimal(38,6)")
+  }
+
+  /** B31 served from the rollup: each window is the sum of its 4
+    * quarter buckets — same analytic hop enumeration, input 5–6
+    * orders of magnitude smaller than events. */
+  def eventsHoppingServed(spark: SparkSession, dir: String): DataFrame =
+    eventsRollup(spark, dir)
+      .select(col("event_type"), col("n_events"), col("sum_value"),
+        col("q15_ms"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .groupBy((col("q15_ms") - col("i") * 900000L).as("win_start_ms"),
+        col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("total_value"))
+
+  /** The hourly table derived from the rollup (grids nest: q15 is on
+    * the hour grid's refinement, same epoch origin). */
+  private def hourlyFromRollup(spark: SparkSession, dir: String): DataFrame =
+    eventsRollup(spark, dir)
+      .groupBy(col("event_type"),
+        (col("q15_ms") - pmod(col("q15_ms"), lit(3600000L))).as("hour_ms"))
+      .agg(sum(col("n_events")).as("n_events"))
+
+  /** B28 served from the rollup. */
+  def eventsAnomalyServed(spark: SparkSession, dir: String): DataFrame =
+    anomalyFromHourly(hourlyFromRollup(spark, dir))
+
+  /** B30 served from the rollup. */
+  def eventsGapfillServed(spark: SparkSession, dir: String): DataFrame =
+    gapfillFromHourly(hourlyFromRollup(spark, dir))
+
   /** DuckDB oracle twins — aliases must match the Spark side exactly
     * (the driver's compare sorts columns by name before hashing).
     */
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_events_gapfill" ->
       """WITH h AS (SELECT event_type,
         |    epoch_ms(date_trunc('hour', ts)) AS hour_ms,
@@ -873,8 +977,15 @@ object Analytics {
         |    > 9 * (CAST(st.n_hours AS HUGEINT) * st.q - st.s * st.s) AS anomalous
         |FROM h JOIN st USING (event_type)""".stripMargin,
     "q_events_retention" ->
+      // Week index as a true floor grid (the q_events_hopping fix,
+      // same class): DuckDB `//` truncates toward zero, so pre-epoch
+      // ms would land in week 0 while Spark's
+      // `(ms - pmod(ms, wk)) div wk` floors. Snapping to the week
+      // grid with the portable floor-mod FIRST makes the numerator an
+      // exact (possibly negative) multiple, where truncation = floor.
       """WITH w AS (SELECT DISTINCT user_id,
-        |    epoch_ms(ts) // 86400000 // 7 AS wk FROM events),
+        |    (epoch_ms(ts) - ((epoch_ms(ts) % 604800000 + 604800000)
+        |      % 604800000)) // 604800000 AS wk FROM events),
         |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1),
         |s AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f
         |  GROUP BY 1),
@@ -1001,10 +1112,16 @@ object Analytics {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_hopping" ->
+      // True floor grid (ADVICE r12): DuckDB's `//` and `%` both
+      // follow the dividend's sign (-7 // 2 = -3), so neither matches
+      // Spark's pmod snap for pre-epoch ms; the double-mod below is
+      // the portable floor-mod and agrees with pmod for ALL ms
+      // (verified: ms=-100 -> -900000 on both engines).
       """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, value
         |  FROM events),
         |x AS (SELECT event_type, value,
-        |  900000 * (ms // 900000) - 900000 * u.i AS win_start_ms
+        |  ms - ((ms % 900000 + 900000) % 900000) - 900000 * u.i
+        |    AS win_start_ms
         |  FROM e, LATERAL unnest(generate_series(0, 3)) AS u(i))
         |SELECT win_start_ms, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
@@ -1168,6 +1285,14 @@ object Analytics {
         |FROM lineitem GROUP BY 1""".stripMargin
   )
 
+  // B32 served rows: counts and decimal sums are associative and the
+  // bucket grids nest, so each served answer is EXACTLY its inline
+  // twin's — the oracles are shared verbatim (the oracle recomputes
+  // from raw events; the Spark side serves the persisted rollup).
+  val oracles: Map[String, String] = baseOracles ++
+    Seq("q_events_hopping", "q_events_anomaly", "q_events_gapfill")
+      .map(k => s"${k}_served" -> baseOracles(k)).toMap
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -1183,9 +1308,12 @@ object Analytics {
     "q_min_price_per_brand" -> (qMinPricePerBrand _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_hopping" -> (eventsHopping _),
+    "q_events_hopping_served" -> (eventsHoppingServed _),
     "q_events_retention" -> (eventsRetention _),
     "q_events_anomaly" -> (eventsAnomaly _),
+    "q_events_anomaly_served" -> (eventsAnomalyServed _),
     "q_events_gapfill" -> (eventsGapfill _),
+    "q_events_gapfill_served" -> (eventsGapfillServed _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_sessionize_native" -> (eventsSessionizeNative _),
     "q_events_json" -> (eventsJson _),

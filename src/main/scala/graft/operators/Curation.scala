@@ -590,7 +590,6 @@ object Curation {
       budget: Long = 5000): DataFrame =
     tokenBudgetOf(docs(spark, dir), budget)
 
-  /** [[tokenBudget]] over an arbitrary (doc_id, source, text) frame. */
   /** (doc_id, source, n_tokens, q) — token count AND quality from
     * ONE GateStats byte pass (the C8 treatment — spec-pinned
     * arithmetic-identical to the regex forms; the regex qualityScore
@@ -598,14 +597,16 @@ object Curation {
     * document's bytes). Shared by C28 and C36 so the projection that
     * must match the oracles' q-formula lives in exactly one place.
     */
-  private def scoredDocs(d: DataFrame): DataFrame = {
+  private def scoredDocs(d: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
     import graft.functions.TextFunctions.qualityFromGate
     d.withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))
-      .select(col("doc_id"), col("source"),
+      .select(passthrough.map(col) ++ Seq(col("doc_id"), col("source"),
         col("__g.n_ws").as("n_tokens"),
-        qualityFromGate(col("__g")).as("q"))
+        qualityFromGate(col("__g")).as("q")): _*)
   }
 
+  /** [[tokenBudget]] over an arbitrary (doc_id, source, text) frame. */
   def tokenBudgetOf(d: DataFrame, budget: Long): DataFrame = {
     val base = scoredDocs(d)
     val nSh = 2 * d.sparkSession.sparkContext.defaultParallelism
@@ -643,7 +644,55 @@ object Curation {
 
   /** [[qualityPercentileGate]] over an arbitrary
     * (doc_id, source, text) frame. */
-  def qualityPercentileGateOf(d: DataFrame, keepPct: Int): DataFrame = {
+  def qualityPercentileGateOf(d: DataFrame, keepPct: Int): DataFrame =
+    qualityPercentileGateOf2(d, keepPct).drop("negq")
+
+  /** C36b (r13): batch-calibrated per-source quality THRESHOLDS,
+    * persisted as a D9-style artifact — the production shape of the
+    * percentile gate. C36 itself cannot stream (a rank needs the full
+    * source), but its keep set is equivalent to a comparison against
+    * each source's BOUNDARY row: the batch order is (q DESC NULLS
+    * LAST, doc_id ASC), so "rank ≤ ⌊keepPct·n/100⌋" ⇔ "(q, doc_id)
+    * ≤_lex the ⌊keepPct·n/100⌋-th row". This build runs the C36 rank
+    * once on the calibration corpus and persists ONE row per source —
+    * the boundary's sort key plus audit counts — which a stateless
+    * broadcast join then serves at ingest (G18), exactly G16's
+    * served-model geometry. Tie-exactness: doc_id is globally unique,
+    * so the lexicographic test reproduces the batch keep set
+    * bit-for-bit, ties at the threshold quality included.
+    *
+    * Artifact encoding: the sort key is stored NEGATED
+    * (`negq = -coalesce(q, -∞)`) so (q DESC NULLS LAST, doc_id ASC)
+    * becomes one ASCENDING struct comparison at serve time — a null
+    * quality (null text) maps to negq = +∞, after every scored doc,
+    * the exact nullShard placement the rank build uses. A source
+    * whose keep count is zero (keepPct·n < 100) gets NO row: the
+    * serve-side inner join drops it entirely, matching batch.
+    */
+  def buildQualityGate(db: graft.catalog.GraftDatabase, name: String,
+      d: DataFrame, keepPct: Int = 20): Unit = {
+    val kept = qualityPercentileGateOf2(d, keepPct)
+    val bounds = kept
+      .groupBy(col("source"))
+      .agg(max_by(struct(col("negq"), col("doc_id")), col("rn")).as("b"),
+        max(col("rn")).as("n_kept"), max(col("n")).as("n_docs"))
+      .select(col("source"), col("b.negq").as("negq_star"),
+        col("b.doc_id").as("doc_star"), col("n_kept"), col("n_docs"))
+    val ow = org.apache.spark.sql.SaveMode.Overwrite // recalibration
+    db.write(bounds, s"${name}_thresholds", ow)
+    db.write(bounds.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(keepPct)),
+      org.apache.spark.sql.types.StructType(Nil)
+        .add("keep_pct", org.apache.spark.sql.types.IntegerType)),
+      s"${name}_meta", ow)
+  }
+
+  /** [[qualityPercentileGateOf]] carrying the serve-side sort key
+    * (`negq`) — shared by the C36 query row and the gate build, so
+    * the boundary the artifact stores is BY CONSTRUCTION the key the
+    * serve test compares. */
+  private def qualityPercentileGateOf2(d: DataFrame,
+      keepPct: Int): DataFrame = {
     val spark = d.sparkSession
     val base = scoredDocs(d).drop("n_tokens").withColumn("one", lit(1L))
     val nSh = 2 * spark.sparkContext.defaultParallelism
@@ -662,7 +711,83 @@ object Curation {
     // window semantics this replaces, so it must find its total too
     ranked.join(broadcast(totals), col("source") <=> col("__src"))
       .filter(col("rn") * 100 <= lit(keepPct.toLong) * col("n"))
-      .select(col("doc_id"), col("source"), col("rn"), col("n"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n"),
+        negQualityKey(col("q")).as("negq"))
+  }
+
+  /** The serve-side encoding of (q DESC NULLS LAST): ascending key,
+    * null → +∞ (after every scored doc). */
+  private def negQualityKey(q: Column): Column =
+    -coalesce(q, lit(Double.NegativeInfinity))
+
+  /** C36b serve: gate ANY (doc_id, source, text) frame — static or
+    * streaming — against a persisted [[buildQualityGate]] artifact.
+    * Stateless: one GateStats byte pass for q (the scoredDocs
+    * projection, so the formula matches the calibration build), one
+    * broadcast inner join on source (null-safe — a null source
+    * calibrates and serves like any other partition), one
+    * lexicographic struct comparison. No state store, no watermark
+    * requirement; on a stream this is a stream-static join and
+    * verdicts emit with the micro-batch. Sources absent from the
+    * calibration corpus are DROPPED (no threshold ⇒ no verdict ⇒ the
+    * conservative gate; recalibrate to admit them).
+    *
+    * `passthrough` names input columns to carry into the output
+    * (e.g. `ts` on a stream). Emits passthrough + (doc_id, source,
+    * q, n_kept, n_docs).
+    */
+  def qualityGateFromModel(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val thr = db.read(s"${name}_thresholds")
+      .withColumnRenamed("source", "__src")
+    scoredDocs(docs, passthrough).drop("n_tokens")
+      .join(broadcast(thr), col("source") <=> col("__src"))
+      .filter(struct(negQualityKey(col("q")), col("doc_id")) <=
+        struct(col("negq_star"), col("doc_star")))
+      .select(passthrough.map(col) ++ Seq(col("doc_id"), col("source"),
+        col("q"), col("n_kept"), col("n_docs")): _*)
+  }
+
+  // build-once memo for the served gate (the C30/C31 convention:
+  // re-attached across processes via the corpus listing signature
+  // sidecar, signature re-checked on EVERY invocation)
+  private val qgReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The `curate_quality_gate_served` query row: [[buildQualityGate]]
+    * once per corpus dir (memoized, sidecar-staleness like the served
+    * LM models), then the stateless [[qualityGateFromModel]] serve
+    * over the same documents table — the production serving shape on
+    * the calibration corpus, where its keep set is C36's by
+    * construction and the oracle can pin it. `q` is dropped from the
+    * row: the keep decision and counts are integer-exact cross-engine;
+    * the raw double never enters a hash compare (the C36 rule).
+    */
+  def qualityGateServed(spark: SparkSession, dir: String,
+      keepPct: Int = 20): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val key = p.getName + "_" + java.security.MessageDigest
+      .getInstance("MD5").digest(p.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val db = graft.catalog.GraftDatabase(spark,
+      s"${CsvQueries.scratchRoot}/qgate_$key/db")
+    val sig = graft.sources.ParquetStats
+      .listingSig(spark, s"$dir/documents.parquet").getOrElse("missing")
+    if (qgReady.get(key) != sig) {
+      val fresh =
+        try db.read("gate_sig").collect()(0).getString(0) == sig
+        catch { case _: Exception => false }
+      if (!fresh) {
+        spark.catalog.refreshByPath(s"$dir/documents.parquet")
+        buildQualityGate(db, "qgate", docs(spark, dir), keepPct)
+        db.write(spark.createDataset(Seq(sig))(
+          org.apache.spark.sql.Encoders.STRING).toDF("sig"), "gate_sig",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      qgReady.put(key, sig)
+      ()
+    }
+    qualityGateFromModel(db, "qgate", docs(spark, dir)).drop("q")
   }
 
   /** C29: cluster-balance mixing — the semantic counterpart of C14's
@@ -1126,6 +1251,26 @@ object Curation {
         |  COUNT(*) OVER (PARTITION BY source) AS n FROM s)
         |SELECT doc_id, source, rn, n FROM r
         |WHERE rn * 100 <= 20 * n""".stripMargin,
+    // served C36b: same keep set as curate_quality_percentile by
+    // construction; output swaps the per-doc rank for the artifact's
+    // audit counts (n_kept = the source's boundary rank = (20*n)//100,
+    // exact because the keep test is rn*100 <= 20*n over unique ranks)
+    "curate_quality_gate_served" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
+        |  + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|it|a)\b')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) * 8.0) * 0.4
+        |  + (1.0 - LEAST(1.0, (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE)) * 10.0)) * 0.2 AS q
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY q DESC, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM s)
+        |SELECT doc_id, source,
+        |  CAST((20 * n) // 100 AS BIGINT) AS n_kept,
+        |  CAST(n AS BIGINT) AS n_docs
+        |FROM r WHERE rn * 100 <= 20 * n""".stripMargin,
     "curate_token_budget" ->
       """WITH s AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -1276,6 +1421,7 @@ object Curation {
     "curate_corpus_diff" -> (corpusDiffQuery _),
     "curate_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "curate_quality_percentile" -> ((s, d) => qualityPercentileGate(s, d)),
+    "curate_quality_gate_served" -> ((s, d) => qualityGateServed(s, d)),
     "curate_cluster_mix" -> ((s, d) => clusterMix(s, d)),
     "curate_cluster_mix_check" -> ((s, d) => clusterMixCheck(s, d))
   )

@@ -42,6 +42,20 @@ object ParquetStats {
     * memo, take the uncached route"). Top-level only: every table
     * layout these memos guard (single file, or a flat directory of
     * part files) keeps its data files as direct children.
+    *
+    * Deliberate staleness caveat (ADVICE r12): a file rewritten
+    * in-place to the IDENTICAL byte length within one mtime tick
+    * yields the same signature, so consumers ([[graft.Tables]]'s
+    * schema memo, [[longColumnRange]]'s bounds memo, the served-model
+    * sidecars) would serve the pre-rewrite metadata. This is the
+    * listing-only contract's price and it is kept on purpose: a
+    * content-derived component would put a footer read on EVERY
+    * table read's driver path — the exact per-read cost the memos
+    * exist to remove — to close a window that real table commits
+    * (new part files, different sizes, atomic renames) never hit.
+    * Writers that rewrite in place same-length within a tick (test
+    * scratch dirs at worst) must touch the file or write a fresh
+    * name to invalidate.
     */
   def listingSig(spark: SparkSession, dir: String): Option[String] = {
     try {

@@ -42,6 +42,26 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** B32 maintenance (r13): the 15-min tumbling agg whose output rows
+    * ARE the quarter-hour rollup artifact's — (event_type, q15_ms,
+    * n_events, exact DECIMAL sum_value). G1's geometry at the rollup
+    * grain: state bounded by (watermark horizon / 15 min × types);
+    * each closed window appends one artifact row, which is how the
+    * B28/B30/B31 served dashboard rows stay fresh without any events
+    * re-scan (streamed ≡ the batch `buildEventsRollup` rows,
+    * spec-pinned).
+    */
+  def rollupAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(38, 6))).as("sum_value"))
+      .select(col("event_type"),
+        unix_millis(col("window.start")).as("q15_ms"),
+        col("n_events"), col("sum_value"))
+
   /** G5: streaming trending — top-k event types per hour window,
     * as TWO chained stateful aggregations (Spark 4's
     * multiple-stateful-operator support, append mode): windowed

@@ -81,6 +81,24 @@ object StreamingCuration {
       docs: DataFrame): DataFrame =
     graft.operators.LanguageModel.mooreLewisStream(db, name, docs)
 
+  /** G18: streaming per-source quality-percentile gate — a
+    * (ts, doc_id, source, text) stream gated under a persisted C36b
+    * artifact ([[Curation.buildQualityGate]]) at ingest. C36's rank
+    * needs the full source, so the production shape is
+    * batch-calibrated per-source boundary thresholds served as a
+    * STATELESS stream-static broadcast join — G16's geometry with a
+    * threshold table instead of a count-map pair. No state store, no
+    * watermark requirement; verdicts emit with the micro-batch, and
+    * the keep set on the calibration corpus is bit-identical to the
+    * batch gate (tie docs included — the boundary stores the full
+    * (quality, doc_id) sort key, spec-pinned).
+    *
+    * Emits (ts, doc_id, source, q, n_kept, n_docs) per micro-batch.
+    */
+  def gateQuality(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame): DataFrame =
+    Curation.qualityGateFromModel(db, name, docs, passthrough = Seq("ts"))
+
   /** G14: streaming DSIR scoring — a (ts, doc_id, text) stream
     * weighted against a persisted C33 model (`buildDsirModel`
     * artifacts) at ingest: the domain-relevance gate running where

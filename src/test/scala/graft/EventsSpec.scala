@@ -46,6 +46,53 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     hop.unpersist()
   }
 
+  test("hopping grid: oracle's double-mod equals pmod snap for NEGATIVE ms too") {
+    import spark.implicits._
+    // ADVICE r12: the first oracle fix swapped one truncating form
+    // (sign-of-dividend %) for another (//), so pre-epoch ms still
+    // diverged. The oracle now uses the portable floor-mod
+    // `ms - ((ms % H + H) % H)`; Spark's `%` is dividend-sign exactly
+    // like DuckDB's, so evaluating the oracle arithmetic HERE proves
+    // the cross-engine contract on the rows the 2024-only fixture
+    // never exercises.
+    val ms = Seq(-100L, -1L, -900000L, -900001L, -1755300000123L,
+      0L, 1L, 899999L, 900000L, 1755300000123L).toDF("ms")
+    val both = ms.select(col("ms"),
+      (col("ms") - pmod(col("ms"), lit(900000L))).as("spark_grid"),
+      (col("ms") - ((col("ms") % 900000L + 900000L) % 900000L))
+        .as("oracle_grid"))
+    assert(both.filter(col("spark_grid") =!= col("oracle_grid"))
+      .count() == 0)
+    // pin the concrete divergence case from the ADVICE: ms=-100 must
+    // land in the window starting at -900000, never 0
+    assert(both.filter(col("ms") === -100L)
+      .head().getLong(1) == -900000L)
+    // same class, week grid (q_events_retention): the retention
+    // operator's `(ms - pmod(ms, wk)) div wk` and the oracle's
+    // snap-then-divide must agree for negative ms (ms=-100 -> week -1)
+    val wk = 604800000L
+    val weeks = ms.select(col("ms"),
+      expr(s"(ms - pmod(ms, $wk)) div $wk").as("spark_wk"),
+      ((col("ms") - ((col("ms") % wk + wk) % wk)) / wk).cast("long")
+        .as("oracle_wk"))
+    assert(weeks.filter(col("spark_wk") =!= col("oracle_wk")).count() == 0)
+    assert(weeks.filter(col("ms") === -100L).head().getLong(1) == -1L)
+  }
+
+  test("B32: rollup-served anomaly/gapfill/hopping equal their inline forms row-for-row") {
+    // counts and decimal sums are associative and the grids nest, so
+    // served must be EXACT — any drift means the rollup grain or the
+    // serve-side re-aggregation broke the arithmetic contract
+    for (base <- Seq("q_events_anomaly", "q_events_gapfill",
+        "q_events_hopping")) {
+      val inline = SparkEntry.queries(base)(spark, sf)
+      val served = SparkEntry.queries(s"${base}_served")(spark, sf)
+      assert(served.count() == inline.count(), s"$base count")
+      assert(served.exceptAll(inline).count() == 0, s"$base extra rows")
+      assert(inline.exceptAll(served).count() == 0, s"$base missing rows")
+    }
+  }
+
   test("eventsWithMs: ms equals the wall-clock reading of ts as UTC epoch millis") {
     val df = Tables.eventsWithMs(spark, sf)
     // Independent derivation through date_format (pure wall-clock

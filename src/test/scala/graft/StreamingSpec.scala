@@ -69,6 +69,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("B32 maintenance: streamed 15-min rollup rows equal the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events across quarter boundaries, duplicate types per quarter,
+    // value sums that exercise the exact-decimal contract
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.25),
+      (Timestamp.valueOf("2024-01-01 10:07:00"), "click", 2.5),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "view", 0.125),
+      (Timestamp.valueOf("2024-01-01 10:59:59"), "view", 8.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "view", 16.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.rollupAgg(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("roll_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("roll_out")
+      val db = graft.catalog.GraftDatabase(spark,
+        scratch("rollup_stream") + "/db")
+      graft.operators.Analytics.buildEventsRollup(db,
+        rows.toDF("ts", "event_type", "value")
+          .withColumn("ms", unix_millis(col("ts"))))
+      val want = db.read("events_q15")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("G5: streaming trending chains two stateful aggregations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -364,6 +397,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(got.except(want).count() == 0)
       assert(want.except(got).count() == 0)
     } finally q.stop()
+  }
+
+  test("G18: streamed quality gate equals the batch percentile keep set, ties included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cur = graft.operators.Curation
+    val db = GraftDatabase(spark, scratch("qgate_stream") + "/db")
+    // Calibration corpus: the real documents table PLUS a planted
+    // tie block — per source, several docs with IDENTICAL text (so
+    // identical q) straddling the 20% boundary. The boundary
+    // threshold must split the tie by doc_id exactly as the batch
+    // rank does; a quality-only threshold would keep all or none.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val tied = (0 until 40).map(i =>
+      (100000L + i, "tiesrc", "steady tied words repeated enough to score"))
+      .toDF("doc_id", "source", "text")
+    val cal = docs.unionByName(tied)
+    cur.buildQualityGate(db, "qg", cal, keepPct = 20)
+    val want = cur.qualityPercentileGateOf(cal, 20)
+      .select("doc_id", "source", "n").persist()
+    // the tie block must actually straddle the boundary for this
+    // test to exercise tie-splitting (8 of 40 identical-q docs kept)
+    assert(want.filter(col("source") === "tiesrc").count() == 8)
+
+    // batch serve ≡ batch rank on the calibration corpus
+    val servedBatch = cur.qualityGateFromModel(db, "qg", cal)
+      .select(col("doc_id"), col("source"), col("n_docs").as("n"))
+    assert(servedBatch.count() == want.count())
+    assert(servedBatch.except(want).count() == 0)
+    assert(want.except(servedBatch).count() == 0)
+
+    // streamed serve ≡ batch keep set; stateless (same micro-batch,
+    // no watermark flush row); an unseen source is dropped
+    val rows = cal.select("doc_id", "source", "text").collect()
+      .map(r => (ts(0), r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq :+ ((ts(0), 999999L, "unseen_source", "never calibrated"))
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val q = graft.streaming.StreamingCuration
+      .gateQuality(db, "qg", mem.toDF().toDF("ts", "doc_id", "source", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate_stream_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("qgate_stream_out")
+        .select(col("doc_id"), col("source"), col("n_docs").as("n"))
+      assert(got.filter(col("source") === "unseen_source").count() == 0)
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+      assert(want.except(got).count() == 0)
+    } finally { q.stop(); want.unpersist() }
   }
 
   test("gopher battery is stream-applicable: per-batch rows equal batch") {

@@ -9,7 +9,14 @@ timed over the SAME sf parquet tables, on the same machine, with the
 same core budget DuckDB defaults to (all cores; Spark runs local[32]).
 
 Usage:
-  python3 tools/baseline_local.py [sfDir] [oracleSqlJson] [outJson]
+  python3 tools/baseline_local.py [sfDir] [oracleSqlJson] [outJson] [benchJson]
+
+benchJson is the SPARK board the like-for-like headline sums (default
+bench_full.json); the headline block records the path it ACTUALLY
+read as "spark_bench" — VERDICT r12 found a stale default label after
+a later run overwrote bench_full.json, so the source of the 39.788 s
+total was misattributed. Pass the round-stamped board explicitly
+(e.g. bench_sf01_r13.json) so the audit trail names the right file.
 
 Defaults: /root/testdata/sf0.1, target/verify_local/oracle_sql.json
 (written by `sbt "runMain graft.Verify ..."`), BASELINE_LOCAL.json.
@@ -84,7 +91,7 @@ def main():
     # SELECT over a pre-loaded table) and the scale10 ASYMMETRIC set
     # (a served artifact vs a from-raw recompute, a build vs a COUNT,
     # a sketch vs an exact plan).
-    bench_path = "bench_full.json"
+    bench_path = sys.argv[4] if len(sys.argv) > 4 else "bench_full.json"
     if os.path.exists(bench_path):
         import importlib.util as _ilu
         _spec = _ilu.spec_from_file_location(

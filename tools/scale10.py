@@ -88,7 +88,12 @@ SCALE10 = [
     # integrity screen (F6), per-source percentile gate (C36), hopping
     # windows (B31) — all like-for-like, both engines from raw tables
     "pipeline_pack_split", "mm_integrity", "curate_quality_percentile",
-    "q_events_hopping"]
+    "q_events_hopping",
+    # round 13: served twins (C36b quality-gate artifact; B32 rollup
+    # family) — on the board for auditability, excluded from totals
+    # via ASYMMETRIC below (served artifact vs from-raw recompute)
+    "curate_quality_gate_served", "q_events_hopping_served",
+    "q_events_anomaly_served", "q_events_gapfill_served"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
@@ -142,6 +147,24 @@ ASYMMETRIC = {
         "fixture file; the twin is a SELECT over a pre-loaded table "
         "[favors duckdb: spark does categorically more work; kept "
         "as the labeled stand-in for the upload family]",
+    "curate_quality_gate_served": "spark serves the persisted C36b "
+        "threshold artifact (stateless broadcast gate); duckdb "
+        "re-ranks the whole corpus from raw text "
+        "[favors spark: exclusion avoids flattering spark's totals; "
+        "the from-raw curate_quality_percentile row IS in the totals]",
+    "q_events_hopping_served": "spark serves the persisted B32 "
+        "quarter-hour rollup; duckdb re-aggregates raw events "
+        "[favors spark: exclusion avoids flattering spark's totals; "
+        "the from-raw q_events_hopping row IS in the totals]",
+    "q_events_anomaly_served": "spark serves the persisted B32 "
+        "rollup; duckdb re-aggregates raw events "
+        "[favors spark: exclusion avoids flattering spark's totals; "
+        "q_events_anomaly is not itself on the 10x board, so this "
+        "row is evidence-only]",
+    "q_events_gapfill_served": "spark serves the persisted B32 "
+        "rollup; duckdb re-aggregates raw events "
+        "[favors spark: exclusion avoids flattering spark's totals; "
+        "the from-raw q_events_gapfill row IS in the totals]",
 }
 SCALE10 += sorted(ASYMMETRIC.keys() - set(SCALE10))
 
