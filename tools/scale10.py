@@ -91,7 +91,10 @@ SCALE10 = [
     "q_events_hopping",
     # round 13: served twins (C36b quality-gate artifact; B32 rollup
     # family) — on the board for auditability, excluded from totals
-    # via ASYMMETRIC below (served artifact vs from-raw recompute)
+    # via ASYMMETRIC below (served artifact vs from-raw recompute) —
+    # plus q_events_anomaly, the one dashboard-family from-raw row
+    # that had never been on the 10x board (like-for-like, counts)
+    "q_events_anomaly",
     "curate_quality_gate_served", "q_events_hopping_served",
     "q_events_anomaly_served", "q_events_gapfill_served"]
 
@@ -159,8 +162,7 @@ ASYMMETRIC = {
     "q_events_anomaly_served": "spark serves the persisted B32 "
         "rollup; duckdb re-aggregates raw events "
         "[favors spark: exclusion avoids flattering spark's totals; "
-        "q_events_anomaly is not itself on the 10x board, so this "
-        "row is evidence-only]",
+        "the from-raw q_events_anomaly row IS in the totals]",
     "q_events_gapfill_served": "spark serves the persisted B32 "
         "rollup; duckdb re-aggregates raw events "
         "[favors spark: exclusion avoids flattering spark's totals; "
