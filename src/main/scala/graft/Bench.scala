@@ -166,7 +166,10 @@ object Bench {
       "text_tfidf_top_terms", "text_index_build", "text_search_ranked",
       "text_perplexity",
       "curate_contamination", "pipeline_clean_corpus", "mm_frames",
-      "layout_zorder")
+      "layout_zorder",
+      // r12/r13 additions (also in the scale10 like-for-like list)
+      "q_events_hopping", "curate_quality_percentile",
+      "pipeline_pack_split", "mm_integrity")
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
 

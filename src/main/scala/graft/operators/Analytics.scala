@@ -799,14 +799,29 @@ object Analytics {
     * form (which derives the hourly table from the rollup artifact
     * instead of an events scan).
     */
-  private def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+  private def anomalyFromHourly(hourly: DataFrame): DataFrame =
+    anomalyFlagsAgainst(hourly, anomalyStatsFrom(hourly))
+
+  /** The B28 calibration aggregate: per-type (n_hours, Σn, Σn²) in
+    * DECIMAL(38,0) — the input is the hours-sized hourly table, so
+    * the exactness costs nothing at the events scale. Shared by the
+    * inline/served forms (self-stats) and the G19 gate (frozen
+    * stats persisted as an artifact).
+    */
+  private[graft] def anomalyStatsFrom(hourly: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    // S and Q sum in decimal — the input is the hours-sized hourly
-    // table, so the exactness costs nothing at the events scale
-    val stats = hourly.groupBy(col("event_type"))
+    hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(col("n_events").cast(dec)).as("s"),
         sum(col("n_events").cast(dec) * col("n_events")).as("q"))
+  }
+
+  /** The B28 integer-exact 3σ test of an hourly table against a
+    * (possibly frozen) stats table — cross-multiplied so no division
+    * or sqrt ever enters the compare. */
+  private[graft] def anomalyFlagsAgainst(hourly: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val nh = col("n_hours").cast(dec)
     val dev = nh * col("n_events") - col("s")
     hourly.join(stats, Seq("event_type"))
@@ -940,6 +955,12 @@ object Analytics {
   /** B28 served from the rollup. */
   def eventsAnomalyServed(spark: SparkSession, dir: String): DataFrame =
     anomalyFromHourly(hourlyFromRollup(spark, dir))
+
+  /** FROZEN per-type calibration stats off the B32 rollup artifact —
+    * the static side of the G19 streaming anomaly gate. Tiny frame
+    * (one row per event type), broadcast by the consumer. */
+  def anomalyStatsServed(spark: SparkSession, dir: String): DataFrame =
+    anomalyStatsFrom(hourlyFromRollup(spark, dir))
 
   /** B30 served from the rollup. */
   def eventsGapfillServed(spark: SparkSession, dir: String): DataFrame =

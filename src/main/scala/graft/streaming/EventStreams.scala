@@ -62,6 +62,34 @@ object EventStreams {
         unix_millis(col("window.start")).as("q15_ms"),
         col("n_events"), col("sum_value"))
 
+  /** G19 (r13): streaming anomaly gate — arriving events bucket into
+    * G1's tumbling hour; each CLOSED hour is flagged against FROZEN
+    * per-type calibration stats (`Analytics.anomalyStatsServed`, one
+    * row per type off the B32 rollup artifact) with B28's
+    * integer-exact cross-multiplied 3σ test. This is the production
+    * split of B28: the batch form self-calibrates (stats from the
+    * same window it flags — right for retrospective audits), the
+    * stream flags NEW hours against a pinned baseline — right for
+    * alerting, and the reason the stats ride an artifact instead of
+    * a second stateful aggregation. State = the one windowed agg
+    * (watermark-bounded); the stats join is stream-static broadcast,
+    * stateless. Streamed verdicts ≡ the batch test on the same
+    * hourly rows (spec-pinned, planted-anomaly case included).
+    *
+    * Emits (event_type, hour_ms, n_events, anomalous) per closed
+    * window in append mode.
+    */
+  def anomalyGate(calibStats: DataFrame, events: DataFrame): DataFrame =
+    graft.operators.Analytics.anomalyFlagsAgainst(
+      events
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("event_type"),
+          unix_millis(col("window.start")).as("hour_ms"),
+          col("n_events")),
+      broadcast(calibStats))
+
   /** G5: streaming trending — top-k event types per hour window,
     * as TWO chained stateful aggregations (Spark 4's
     * multiple-stateful-operator support, append mode): windowed

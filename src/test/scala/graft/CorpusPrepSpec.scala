@@ -684,6 +684,38 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(second != first, "stale model served")
   }
 
+  test("quality-gate staleness: same-count corpus swap recalibrates the thresholds") {
+    import spark.implicits._
+    val cur = graft.operators.Curation
+    val dir = scratch("qgate_swap")
+    def write(texts: Seq[String]): Unit = {
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, "srcA", t) }
+        .toDF("doc_id", "source", "text")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ()
+    }
+    // 10 docs of stepwise quality (longer = higher q here): top-20%
+    // keeps 2; which 2 depends entirely on the corpus content
+    def corpus(tag: String) = (1 to 10).map(i =>
+      (s"$tag " * (5 * i)).trim + " and the of to is in it.")
+    write(corpus("alpha"))
+    val first = cur.qualityGateServed(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first.size == 2)
+    // same row count, shuffled quality order: doc_id 0 (shortest ->
+    // worst) becomes the longest -> best; a stale gate would keep
+    // the OLD boundary and misjudge it
+    write(corpus("alpha").reverse)
+    val second = cur.qualityGateServed(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline = cur.qualityPercentileGateOf(
+      spark.read.parquet(s"$dir/documents.parquet"), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(second == inline, "served keep set diverged from batch rank")
+    assert(second != first, "stale thresholds served after corpus swap")
+  }
+
   test("curriculum: served-from-model output equals the inline retrain") {
     val lm = graft.operators.LanguageModel
     val served = lm.curriculum(spark, sf, 4)

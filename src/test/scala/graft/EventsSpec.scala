@@ -93,6 +93,33 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B32 rollup staleness: same-count events swap rebuilds the artifact") {
+    import spark.implicits._
+    val an = graft.operators.Analytics
+    val dir = scratch("rollup_swap")
+    def write(hours: Seq[Int]): Unit = {
+      hours.zipWithIndex.map { case (h, i) =>
+        (i.toLong, new java.sql.Timestamp(h * 3600000L), i.toLong,
+          "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      ()
+    }
+    write(Seq(0, 0, 1, 2))
+    def hoursOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("hour_ms", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = hoursOf(an.eventsGapfillServed(spark, dir))
+    assert(first == Set((0L, 2L), (3600000L, 1L), (7200000L, 1L)))
+    // same row count, different hour histogram — a stale rollup
+    // would keep serving the old buckets
+    write(Seq(5, 6, 6, 6))
+    val second = hoursOf(an.eventsGapfillServed(spark, dir))
+    assert(second == Set((18000000L, 1L), (21600000L, 3L)))
+    assert(second != first)
+  }
+
   test("eventsWithMs: ms equals the wall-clock reading of ts as UTC epoch millis") {
     val df = Tables.eventsWithMs(spark, sf)
     // Independent derivation through date_format (pure wall-clock

@@ -102,6 +102,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G19: streamed anomaly verdicts equal the batch test against frozen stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val an = graft.operators.Analytics
+    // frozen calibration: 24 steady hours of ~100/h for 'steady',
+    // 24 quiet hours of ~10/h for 'spiky' (batch-computed stats —
+    // the same frame anomalyStatsServed would read off the artifact)
+    val calibHourly = ((0 until 24).map(h =>
+      ("steady", h * 3600000L, 100L + (h % 3))) ++
+      (0 until 24).map(h => ("spiky", h * 3600000L, 10L)))
+      .toDF("event_type", "hour_ms", "n_events")
+    val stats = an.anomalyStatsFrom(calibHourly)
+    // new traffic: a normal steady hour, a normal spiky hour, and a
+    // planted 50x spike — hour 30, plus a flush row far past the
+    // watermark so every window closes
+    def ev(h: Int, m: Int, t: String) =
+      (new Timestamp(h * 3600000L + m * 60000L), t)
+    val rows =
+      (0 until 101).map(m => ev(30, m % 60, "steady")) ++
+      (0 until 10).map(m => ev(30, m, "spiky")) ++
+      (0 until 500).map(m => ev(31, m % 60, "spiky")) :+ ev(99, 0, "steady")
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.anomalyGate(stats,
+        mem.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(ev(200, 0, "steady")) // advance watermark past flush
+      q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .filter(col("hour_ms") < 99L * 3600000L)
+      val batchHourly = rows.toDF("ts", "event_type")
+        .withColumn("ms", unix_millis(col("ts")))
+        .filter(col("ms") < 99L * 3600000L)
+        .groupBy(col("event_type"),
+          (col("ms") - pmod(col("ms"), lit(3600000L))).as("hour_ms"))
+        .agg(count(lit(1)).as("n_events"))
+      val want = an.anomalyFlagsAgainst(batchHourly, stats)
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+      // the planted 50x spiky hour must flag; the normal hours must not
+      assert(got.filter(col("event_type") === "spiky" &&
+        col("hour_ms") === 31L * 3600000L).head().getBoolean(3))
+      assert(!got.filter(col("event_type") === "steady" &&
+        col("hour_ms") === 30L * 3600000L).head().getBoolean(3))
+    } finally q.stop()
+  }
+
   test("G5: streaming trending chains two stateful aggregations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
