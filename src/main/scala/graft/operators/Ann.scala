@@ -48,6 +48,17 @@ object Ann {
   }
 
   private def topkOverPred(corpus: DataFrame, queries: DataFrame,
+      k: Int, pred: Column): DataFrame =
+    topkAgg(corpus, queries, k, pred)
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+
+  /** The pre-explode (query_id, tk) aggregate — tk is the
+    * RANK-ORDERED top-k (score desc, id asc) struct array. Shared by
+    * the row-per-neighbor forms above and D14, which folds the array
+    * in rank order. */
+  private def topkAgg(corpus: DataFrame, queries: DataFrame,
       k: Int, pred: Column): DataFrame = {
     val q = queries.filter(pred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -57,9 +68,34 @@ object Ann {
     sims.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
         .as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+  }
+
+  /** D14 (r13): margin-scored neighbor mining — the CCMatrix/LASER
+    * acceptance criterion for mined pairs (Artetxe & Schwenk 2019):
+    * a best-neighbor's raw cosine is incomparable across queries
+    * (hubness — some vectors are near EVERYTHING), so the score is
+    * the top-1 similarity NORMALIZED by the query's k-NN neighborhood
+    * density: margin = sim₁ · |tk| / Σ_{r≤k} sim_r. margin ≈ 1 means
+    * "no closer than the neighborhood at large" (reject); the
+    * published mining recipe thresholds at ~1.04–1.06.
+    *
+    * Exactness: built ON the D1 partial-top-k aggregate (only q·k
+    * scored rows cross the shuffle), and the Σ folds the tk array IN
+    * RANK ORDER from an explicit 0.0 — the oracle folds the same
+    * list with the same seed, so the IEEE sum is bit-identical (the
+    * D13 rule: fixed parenthesization is what makes double outputs
+    * hash-comparable at all).
+    */
+  def marginMining(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    topkAgg(e, e, k, col("vec_id") < nQueries)
+      .select(col("query_id"),
+        col("tk").getItem(0).getField("id").as("neighbor_id"),
+        col("tk").getItem(0).getField("score").as("sim"),
+        (col("tk").getItem(0).getField("score") * size(col("tk")) /
+          aggregate(col("tk"), lit(0.0),
+            (acc, s) => acc + s.getField("score"))).as("margin"))
   }
 
   /** D6: filtered exact top-k — metadata predicate composed with
@@ -305,6 +341,34 @@ object Ann {
   }
 
   val oracles: Map[String, String] = Map(
+    // D14: the fold seeds an explicit 0.0 and runs in rank order on
+    // BOTH engines (list built with ORDER BY sim DESC, id ASC), so
+    // the double sum's parenthesization — hence the margin — is
+    // bit-identical.
+    "ann_margin" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+        |  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+        |    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s),
+        |g AS (SELECT query_id,
+        |    list(sim ORDER BY rank) FILTER (rank <= 10) AS sims,
+        |    MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS neighbor_id,
+        |    MAX(CASE WHEN rank = 1 THEN sim END) AS sim
+        |  FROM r GROUP BY query_id)
+        |SELECT query_id, neighbor_id, sim,
+        |  sim * len(sims) / list_reduce([CAST(0.0 AS DOUBLE)] || sims,
+        |    (x, y) -> x + y) AS margin
+        |FROM g""".stripMargin,
     "ann_topk_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |  FROM embeddings WHERE vec_id < 5),
@@ -342,6 +406,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact" -> ((s, d) => topkExact(s, d)),
+    "ann_margin" -> ((s, d) => marginMining(s, d)),
     "ann_topk_filtered" -> ((s, d) => topkFiltered(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopk(s, d))
   )

@@ -949,6 +949,31 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("D14 margin mining: top-1 + rank-ordered fold, recomputed from D1 rows") {
+    val margin = Ann.marginMining(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // recompute from the oracle-green D1 rows with the same explicit
+    // 0.0-seeded rank-order fold
+    val byQ = Ann.topkExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(margin.keySet == byQ.keySet)
+    byQ.foreach { case (q, rows) =>
+      val ordered = rows.sortBy(_._2) // by rank
+      val (top1Id, top1Sim) = (ordered.head._3, ordered.head._4)
+      val sum = ordered.map(_._4).foldLeft(0.0)(_ + _)
+      val want = top1Sim * ordered.length / sum
+      val (gn, gs, gm) = margin(q)
+      assert(gn == top1Id)
+      assert(gs == top1Sim) // bit-equal, not approx
+      assert(gm == want)
+      // hubness normalization: top-1 is at least as similar as the
+      // neighborhood average by construction
+      assert(gm >= 1.0)
+    }
+  }
+
   test("IVF recall@10 vs exact top-10") {
     val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

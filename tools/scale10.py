@@ -96,7 +96,10 @@ SCALE10 = [
     # that had never been on the 10x board (like-for-like, counts)
     "q_events_anomaly",
     "curate_quality_gate_served", "q_events_hopping_served",
-    "q_events_anomaly_served", "q_events_gapfill_served"]
+    "q_events_anomaly_served", "q_events_gapfill_served",
+    # D14 margin mining: like-for-like (both engines score the raw
+    # embeddings, same cosine arithmetic as ann_topk_exact)
+    "ann_margin"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
