@@ -90,6 +90,40 @@ object EventStreams {
           col("n_events")),
       broadcast(calibStats))
 
+  /** G21 (r13): STREAM-STREAM interval join — view→click attribution
+    * within an event-time window, the funnel's (B23) streaming
+    * sibling and the one join geometry the G-surface lacked (G7/G8/
+    * G11/G14/G16/G18/G19 are all stream-STATIC): both sides arrive
+    * live, so matches need buffered state on BOTH sides. The
+    * time-range predicate (click in [view, view + window]) plus a
+    * watermark on EACH input is what lets Spark bound that state —
+    * a view older than (watermark − window) can never match a future
+    * click and is evicted; without the range condition the join
+    * would buffer both streams forever (Spark rejects it in append
+    * mode for exactly that reason).
+    *
+    * All event-time math on the timestamp columns (the join executes
+    * on Spark's internal microsecond event time); the emitted lag is
+    * derived in exact epoch-ms. Streamed matches ≡ the batch inner
+    * join on the same rows (spec-pinned).
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      windowSec: Long = 1800): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val c = clicks.select(col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    v.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") +
+            expr(s"INTERVAL $windowSec seconds"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"),
+        (unix_millis(col("click_ts")) - unix_millis(col("view_ts")))
+          .as("lag_ms"))
+  }
+
   /** G5: streaming trending — top-k event types per hour window,
     * as TWO chained stateful aggregations (Spark 4's
     * multiple-stateful-operator support, append mode): windowed

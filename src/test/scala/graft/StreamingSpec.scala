@@ -102,6 +102,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G21: stream-stream attribution join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // base well past epoch: Spark's INITIAL watermark is epoch 0, so
+    // an epoch-0 event is dropped as late before any data arrives
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Int) = new Timestamp(base + min * 60000L)
+    // user 1: click 10 min after view (match); user 2: click 40 min
+    // after view (outside the 30-min window); user 3: click with no
+    // view; user 1 second click at 25 min (second match row); user 4:
+    // click BEFORE its view (no match — the interval is one-sided)
+    val views = Seq((1L, t(0)), (2L, t(0)), (4L, t(50)))
+    val clicks = Seq((1L, t(10)), (1L, t(25)), (2L, t(40)), (3L, t(5)),
+      (4L, t(45)))
+    val vMem = MemoryStream[(Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.attributionJoin(
+        vMem.toDF().toDF("user_id", "ts"),
+        cMem.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      vMem.addData(views: _*)
+      cMem.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance BOTH watermarks past every buffered row so all
+      // matches flush (stream-stream inner joins emit only once the
+      // watermark proves no further match can arrive)
+      vMem.addData((99L, t(600)))
+      cMem.addData((99L, t(700)))
+      q.processAllAvailable()
+      val got = spark.table("attr_out").filter(col("user_id") =!= 99L)
+      val want = views.toDF("user_id", "view_ts")
+        .join(clicks.toDF("click_user", "click_ts"),
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("view_ts") &&
+            col("click_ts") <= col("view_ts") + expr("INTERVAL 1800 seconds"))
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          (unix_millis(col("click_ts")) - unix_millis(col("view_ts")))
+            .as("lag_ms"))
+      assert(want.count() == 2) // fixture sanity: exactly the 2 matches
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("G19: streamed anomaly verdicts equal the batch test against frozen stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
