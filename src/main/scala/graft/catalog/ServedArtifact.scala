@@ -1,0 +1,75 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once/serve-many scratch artifact database, shared by every
+  * served-model path (C30/C31 LM models, the C36b quality gate, the
+  * B32 events rollup). One copy of the protocol the pattern's history
+  * demanded: key on the FULL source path (basename + path-MD5 — two
+  * same-named corpora must never share an artifact, the late-r8
+  * review fix), re-check the file-listing signature on EVERY
+  * invocation (a long-lived driver must notice a corpus swap, the r9
+  * fix), re-attach across processes via the sig sidecar table, and
+  * refresh Spark's session-level listing cache before a rebuild reads
+  * a swapped path (FAILED_READ_FILE otherwise). Extracted in r13 —
+  * this block existed in four verbatim copies, and two of its three
+  * historical bugs had to be fixed in more than one of them.
+  */
+object ServedArtifact {
+
+  // (prefix, dir) -> last verified signature; values are tiny strings
+  // and entries are bounded by distinct served corpora per process
+  private val ready =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch-db directory key for `dir`: basename for readability +
+    * 6-byte MD5 over the full path (plus `keyExtra`, for artifacts
+    * parameterized beyond the corpus — e.g. C31's target-source set,
+    * where two target definitions over one corpus need two scratch
+    * dbs, not a shared db thrashing rebuilds), filesystem-safe. */
+  def keyOf(dir: String, keyExtra: String = ""): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val ident =
+      if (keyExtra.isEmpty) p.toString else s"${p.toString}|$keyExtra"
+    p.getName + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** The served database for (`prefix`, `dir`, `keyExtra`), building
+    * via `build` exactly when the sidecar signature disagrees with
+    * the current listing of `sigSource` (a table path under `dir`).
+    * `extraSig` folds build PARAMETERS into the staleness contract —
+    * an artifact built at keepPct=20 must not serve a keepPct=50
+    * request; use `keyExtra` instead when both parameterizations must
+    * stay servable side by side.
+    */
+  def db(spark: SparkSession, prefix: String, dir: String,
+      sigSource: String, extraSig: String = "", keyExtra: String = "")(
+      build: GraftDatabase => Unit): GraftDatabase = {
+    val key = s"${prefix}_${keyOf(dir, keyExtra)}"
+    val d = GraftDatabase(spark,
+      s"${graft.operators.CsvQueries.scratchRoot}/$key/db")
+    val listing = graft.sources.ParquetStats
+      .listingSig(spark, sigSource).getOrElse("missing")
+    val sig = if (extraSig.isEmpty) listing else s"$listing#$extraSig"
+    if (ready.get(key) != sig) {
+      val fresh =
+        try d.read("artifact_sig").collect()(0).getString(0) == sig
+        catch { case _: Exception => false }
+      if (!fresh) {
+        // The signature change proves the files moved under us — but
+        // Spark's session-level listing cache may still plan the OLD
+        // file set for this path. Invalidate before the rebuild reads.
+        spark.catalog.refreshByPath(sigSource)
+        build(d)
+        d.write(spark.createDataset(Seq(sig))(
+          org.apache.spark.sql.Encoders.STRING).toDF("sig"),
+          "artifact_sig", org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      ready.put(key, sig)
+      ()
+    }
+    d
+  }
+}

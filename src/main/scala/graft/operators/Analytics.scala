@@ -818,16 +818,31 @@ object Analytics {
 
   /** The B28 integer-exact 3σ test of an hourly table against a
     * (possibly frozen) stats table — cross-multiplied so no division
-    * or sqrt ever enters the compare. */
+    * or sqrt ever enters the compare.
+    *
+    * `flagUnseen = true` (the G19 alerting gate): an event type with
+    * NO calibration row cannot be scored, and silently dropping it is
+    * the anti-conservative direction for an alert — a brand-new
+    * traffic class is exactly what must page. The gate left-joins and
+    * flags such hours anomalous. The batch forms keep the inner join
+    * (self-calibrated stats always cover every type, so the joins
+    * are equal there by construction).
+    */
   private[graft] def anomalyFlagsAgainst(hourly: DataFrame,
-      stats: DataFrame): DataFrame = {
+      stats: DataFrame, flagUnseen: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
     val nh = col("n_hours").cast(dec)
     val dev = nh * col("n_events") - col("s")
-    hourly.join(stats, Seq("event_type"))
-      .select(col("event_type"), col("hour_ms"), col("n_events"),
-        (dev * dev > lit(9L).cast(dec) * (nh * col("q") - col("s") * col("s")))
-          .as("anomalous"))
+    val test =
+      dev * dev > lit(9L).cast(dec) * (nh * col("q") - col("s") * col("s"))
+    if (flagUnseen)
+      hourly.join(stats, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("hour_ms"), col("n_events"),
+          coalesce(test, lit(true)).as("anomalous"))
+    else
+      hourly.join(stats, Seq("event_type"))
+        .select(col("event_type"), col("hour_ms"), col("n_events"),
+          test.as("anomalous"))
   }
 
   /** B30: dense hourly series per event type — gap-fill. An event
@@ -897,40 +912,16 @@ object Analytics {
         sum(dec4(col("value"))).as("sum_value")),
       "events_q15", org.apache.spark.sql.SaveMode.Overwrite)
 
-  // build-once memo (the served-model convention: listing-sig
-  // sidecar, signature re-checked per invocation)
-  private val rollupReady =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The served rollup for a corpus dir: build once, re-attach via
-    * the events file-listing signature. */
-  def eventsRollup(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val key = p.getName + "_" + java.security.MessageDigest
-      .getInstance("MD5").digest(p.toString.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val db = graft.catalog.GraftDatabase(spark,
-      s"${CsvQueries.scratchRoot}/evroll_$key/db")
-    val sig = graft.sources.ParquetStats
-      .listingSig(spark, s"$dir/events.parquet").getOrElse("missing")
-    if (rollupReady.get(key) != sig) {
-      val fresh =
-        try db.read("rollup_sig").collect()(0).getString(0) == sig
-        catch { case _: Exception => false }
-      if (!fresh) {
-        spark.catalog.refreshByPath(s"$dir/events.parquet")
-        buildEventsRollup(db, events(spark, dir))
-        db.write(spark.createDataset(Seq(sig))(
-          org.apache.spark.sql.Encoders.STRING).toDF("sig"), "rollup_sig",
-          org.apache.spark.sql.SaveMode.Overwrite)
-      }
-      rollupReady.put(key, sig)
-      ()
-    }
-    db.read("events_q15",
+    * the events file-listing signature (the shared
+    * [[graft.catalog.ServedArtifact]] protocol). */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.catalog.ServedArtifact.db(spark, "evroll", dir,
+      s"$dir/events.parquet") { d =>
+      buildEventsRollup(d, events(spark, dir))
+    }.read("events_q15",
       "event_type string, q15_ms bigint, n_events bigint, " +
         "sum_value decimal(38,6)")
-  }
 
   /** B31 served from the rollup: each window is the sum of its 4
     * quarter buckets — same analytic hop enumeration, input 5–6

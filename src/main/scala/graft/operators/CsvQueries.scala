@@ -23,7 +23,7 @@ object CsvQueries {
   /** Scratch space inside the repo (driver runs from anywhere).
     * Shared across operator modules so the layout lives in one place.
     */
-  private[operators] val scratchRoot = "/root/repo/target/graft_scratch"
+  private[graft] val scratchRoot = "/root/repo/target/graft_scratch"
 
   private[operators] def scratch(qname: String, sfDir: String): String = {
     val key = new org.apache.hadoop.fs.Path(sfDir).getName

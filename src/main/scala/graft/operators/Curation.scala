@@ -738,7 +738,11 @@ object Curation {
     */
   def qualityGateFromModel(db: graft.catalog.GraftDatabase, name: String,
       docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
-    val thr = db.read(s"${name}_thresholds")
+    // DDL read: schema inference would launch a footer job at
+    // DataFrame construction on this zero-pre-action serving path
+    val thr = db.read(s"${name}_thresholds",
+        "source string, negq_star double, doc_star bigint, " +
+          "n_kept bigint, n_docs bigint")
       .withColumnRenamed("source", "__src")
     scoredDocs(docs, passthrough).drop("n_tokens")
       .join(broadcast(thr), col("source") <=> col("__src"))
@@ -748,44 +752,23 @@ object Curation {
         col("q"), col("n_kept"), col("n_docs")): _*)
   }
 
-  // build-once memo for the served gate (the C30/C31 convention:
-  // re-attached across processes via the corpus listing signature
-  // sidecar, signature re-checked on EVERY invocation)
-  private val qgReady =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The `curate_quality_gate_served` query row: [[buildQualityGate]]
-    * once per corpus dir (memoized, sidecar-staleness like the served
-    * LM models), then the stateless [[qualityGateFromModel]] serve
-    * over the same documents table — the production serving shape on
-    * the calibration corpus, where its keep set is C36's by
-    * construction and the oracle can pin it. `q` is dropped from the
-    * row: the keep decision and counts are integer-exact cross-engine;
-    * the raw double never enters a hash compare (the C36 rule).
+    * once per corpus dir (memoized, sidecar-staleness — the shared
+    * [[graft.catalog.ServedArtifact]] protocol; keepPct folds into
+    * the signature so a different percentile RECALIBRATES instead of
+    * serving the old thresholds), then the stateless
+    * [[qualityGateFromModel]] serve over the same documents table —
+    * the production serving shape on the calibration corpus, where
+    * its keep set is C36's by construction and the oracle can pin it.
+    * `q` is dropped from the row: the keep decision and counts are
+    * integer-exact cross-engine; the raw double never enters a hash
+    * compare (the C36 rule).
     */
   def qualityGateServed(spark: SparkSession, dir: String,
       keepPct: Int = 20): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val key = p.getName + "_" + java.security.MessageDigest
-      .getInstance("MD5").digest(p.toString.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val db = graft.catalog.GraftDatabase(spark,
-      s"${CsvQueries.scratchRoot}/qgate_$key/db")
-    val sig = graft.sources.ParquetStats
-      .listingSig(spark, s"$dir/documents.parquet").getOrElse("missing")
-    if (qgReady.get(key) != sig) {
-      val fresh =
-        try db.read("gate_sig").collect()(0).getString(0) == sig
-        catch { case _: Exception => false }
-      if (!fresh) {
-        spark.catalog.refreshByPath(s"$dir/documents.parquet")
-        buildQualityGate(db, "qgate", docs(spark, dir), keepPct)
-        db.write(spark.createDataset(Seq(sig))(
-          org.apache.spark.sql.Encoders.STRING).toDF("sig"), "gate_sig",
-          org.apache.spark.sql.SaveMode.Overwrite)
-      }
-      qgReady.put(key, sig)
-      ()
+    val db = graft.catalog.ServedArtifact.db(spark, "qgate", dir,
+      s"$dir/documents.parquet", extraSig = s"keepPct=$keepPct") { d =>
+      buildQualityGate(d, "qgate", docs(spark, dir), keepPct)
     }
     qualityGateFromModel(db, "qgate", docs(spark, dir)).drop("q")
   }

@@ -355,50 +355,18 @@ object LanguageModel {
   // signature is re-checked on EVERY invocation (the keySet shortcut
   // left a long-lived driver serving a stale model after a corpus
   // swap), at the cost of one FS listing.
-  private val lmReady =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def corpusSig(spark: SparkSession, dir: String): String =
-    artifactSig(spark, s"$dir/documents.parquet")
-
-  private def oneRowSig(spark: SparkSession, sig: String): DataFrame =
-    spark.createDataset(Seq(sig))(
-      org.apache.spark.sql.Encoders.STRING).toDF("sig")
-
+  // r13: the memo + sidecar protocol lives in
+  // graft.catalog.ServedArtifact (it existed in four verbatim copies
+  // across LM/Curation/Analytics; two of its historical bugs had to
+  // be fixed in more than one copy).
   private def servedCorpusModel(spark: SparkSession,
-      dir: String): graft.catalog.GraftDatabase = {
-    // key on the FULL path, not the basename: two corpora named
-    // ".../v1/corpus" and ".../v2/corpus" must not share a scratch
-    // model (late-r8 review fix). The md5 prefix keeps the scratch
-    // dir name filesystem-safe; the basename stays for readability.
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val key = p.getName + "_" + java.security.MessageDigest
-      .getInstance("MD5").digest(p.toString.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val db = graft.catalog.GraftDatabase(spark,
-      s"${CsvQueries.scratchRoot}/lmmodel_$key/db")
-    val sig = corpusSig(spark, dir)
-    if (lmReady.get(key) != sig) {
-      val fresh =
-        try db.read("corpus_sig").collect()(0).getString(0) == sig
-        catch { case _: Exception => false }
-      if (!fresh) {
-        // The signature change proves the files moved under us — but
-        // Spark's session-level listing cache may still plan the OLD
-        // file set for this path (FAILED_READ_FILE on a swapped
-        // corpus). Invalidate it before the rebuild reads.
-        spark.catalog.refreshByPath(s"$dir/documents.parquet")
-        val docs = Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        buildLmModel(db, docs, "corpus")
-        db.write(oneRowSig(spark, sig), "corpus_sig",
-          org.apache.spark.sql.SaveMode.Overwrite)
-      }
-      lmReady.put(key, sig)
-      ()
+      dir: String): graft.catalog.GraftDatabase =
+    graft.catalog.ServedArtifact.db(spark, "lmmodel", dir,
+      s"$dir/documents.parquet") { db =>
+      buildLmModel(db,
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "corpus")
     }
-    db
-  }
 
   /** C31: Moore-Lewis cross-entropy-difference selection (Moore &
     * Lewis 2010; the CCNet-style domain filter) — every document
@@ -501,43 +469,19 @@ object LanguageModel {
       docs.select(col("doc_id"), col("text")), maxBroadcastModel,
       Some(db.tablePath(s"${name}_bytgt")))
 
-  // Build-once-per-corpus scratch artifact (the servedCorpusModel
-  // pattern): keyed on the FULL corpus path AND the target set — two
-  // corpora, or two target definitions over one corpus, never share
-  // a model. Staleness = corpus file-listing sidecar, re-checked per
-  // invocation (see lmReady).
-  private val mlReady =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  // Build-once-per-corpus scratch artifact (ServedArtifact): keyed
+  // on the FULL corpus path AND the target set — two corpora, or two
+  // target definitions over one corpus, never share a model.
   private def servedMlDb(spark: SparkSession, dir: String,
-      targetSrcs: Seq[String]): graft.catalog.GraftDatabase = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val ident = p.toString + "|" + targetSrcs.mkString(",")
-    val key = p.getName + "_" + java.security.MessageDigest
-      .getInstance("MD5").digest(ident.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val db = graft.catalog.GraftDatabase(spark,
-      s"${CsvQueries.scratchRoot}/mlmodel_$key/db")
-    val sig = corpusSig(spark, dir)
-    if (mlReady.get(key) != sig) {
-      val fresh =
-        try db.read("ml_sig").collect()(0).getString(0) == sig
-        catch { case _: Exception => false }
-      if (!fresh) {
-        // see servedCorpusModel: drop the stale listing cache before
-        // the rebuild reads the swapped corpus
-        spark.catalog.refreshByPath(s"$dir/documents.parquet")
-        val docs = Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("source"), col("text"))
-        buildMlModel(db, docs, "ml", targetSrcs)
-        db.write(oneRowSig(spark, sig), "ml_sig",
-          org.apache.spark.sql.SaveMode.Overwrite)
-      }
-      mlReady.put(key, sig)
-      ()
+      targetSrcs: Seq[String]): graft.catalog.GraftDatabase =
+    graft.catalog.ServedArtifact.db(spark, "mlmodel", dir,
+      s"$dir/documents.parquet",
+      keyExtra = targetSrcs.mkString(",")) { db =>
+      buildMlModel(db,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")),
+        "ml", targetSrcs)
     }
-    db
-  }
 
   // Served-ML broadcast memo — lmServeMemo's discipline (appId
   // validity, file-listing staleness, caller-cap re-check, LRU 8)

@@ -75,6 +75,12 @@ object EventStreams {
     * (watermark-bounded); the stats join is stream-static broadcast,
     * stateless. Streamed verdicts ≡ the batch test on the same
     * hourly rows (spec-pinned, planted-anomaly case included).
+    * An event type ABSENT from the calibration stats flags anomalous
+    * outright (left join + flagUnseen): a brand-new traffic class is
+    * precisely what an alerting gate must not swallow — the opposite
+    * default from C36b's conservative-DROP, because a quality gate
+    * failing closed loses one doc while an alert failing silent
+    * loses the incident.
     *
     * Emits (event_type, hour_ms, n_events, anomalous) per closed
     * window in append mode.
@@ -88,7 +94,7 @@ object EventStreams {
         .select(col("event_type"),
           unix_millis(col("window.start")).as("hour_ms"),
           col("n_events")),
-      broadcast(calibStats))
+      broadcast(calibStats), flagUnseen = true)
 
   /** G21 (r13): STREAM-STREAM interval join — view→click attribution
     * within an event-time window, the funnel's (B23) streaming

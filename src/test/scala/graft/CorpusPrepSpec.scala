@@ -714,6 +714,12 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(second == inline, "served keep set diverged from batch rank")
     assert(second != first, "stale thresholds served after corpus swap")
+    // a different keepPct must RECALIBRATE (the parameter folds into
+    // the artifact signature), never serve the 20% thresholds
+    val half = cur.qualityGateServed(spark, dir, keepPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.size == 5, s"keepPct=50 over 10 docs must keep 5: $half")
+    assert(second.subsetOf(half))
   }
 
   test("curriculum: served-from-model output equals the inline retrain") {

@@ -166,10 +166,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // watermark so every window closes
     def ev(h: Int, m: Int, t: String) =
       (new Timestamp(h * 3600000L + m * 60000L), t)
+    // ...and a type the calibration never saw: must flag, not vanish
     val rows =
       (0 until 101).map(m => ev(30, m % 60, "steady")) ++
       (0 until 10).map(m => ev(30, m, "spiky")) ++
-      (0 until 500).map(m => ev(31, m % 60, "spiky")) :+ ev(99, 0, "steady")
+      (0 until 500).map(m => ev(31, m % 60, "spiky")) ++
+      (0 until 3).map(m => ev(30, m, "novel")) :+ ev(99, 0, "steady")
     val mem = MemoryStream[(Timestamp, String)]
     val q = EventStreams.anomalyGate(stats,
         mem.toDF().toDF("ts", "event_type"))
@@ -188,7 +190,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .groupBy(col("event_type"),
           (col("ms") - pmod(col("ms"), lit(3600000L))).as("hour_ms"))
         .agg(count(lit(1)).as("n_events"))
-      val want = an.anomalyFlagsAgainst(batchHourly, stats)
+      val want = an.anomalyFlagsAgainst(batchHourly, stats,
+        flagUnseen = true)
       assert(got.count() == want.count())
       assert(got.exceptAll(want).count() == 0)
       assert(want.exceptAll(got).count() == 0)
@@ -197,6 +200,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         col("hour_ms") === 31L * 3600000L).head().getBoolean(3))
       assert(!got.filter(col("event_type") === "steady" &&
         col("hour_ms") === 30L * 3600000L).head().getBoolean(3))
+      // the never-calibrated type must surface as anomalous, not be
+      // silently dropped by the stats join
+      assert(got.filter(col("event_type") === "novel")
+        .head().getBoolean(3))
     } finally q.stop()
   }
 
