@@ -773,6 +773,72 @@ object Curation {
     qualityGateFromModel(db, "qgate", docs(spark, dir)).drop("q")
   }
 
+  /** C37 (r13): temperature-scaled source mixing (the UniMax / T5
+    * "temperature sampling" recipe, here at T=2): a proportional mix
+    * lets giant sources drown small ones and a uniform mix starves
+    * the giants, so each source's quota follows n_s^(1/T) —
+    * quota_s = ⌊budget · √n_s / Σ_t √n_t⌋ — and the quota is filled
+    * by md5-of-id order (C17's deterministic draw: uniform within
+    * the source, reproducible bit-for-bit months later, no RNG).
+    *
+    * Cross-engine exactness of the DOUBLE quota: T is fixed at 2
+    * because IEEE-754 requires sqrt to be correctly rounded (a
+    * generic pow(n, 1/T) is not), the Σ folds the per-source terms
+    * in source-name order (NULLS LAST, DuckDB's ORDER BY default)
+    * from an explicit 0.0 seed on both engines, and ⌊·⌋ of
+    * bit-identical doubles is bit-identical. The keep test is then
+    * all-integer (rn ≤ quota).
+    *
+    * Scale shape: per-source rank = [[Ranks.keyedPrefixSum]] of ones
+    * under (h ASC, doc_id ASC) with an analytic h-prefix shard
+    * (monotone in the order key by construction — floor of a
+    * monotone map); the per-source counts the quota formula needs
+    * come FREE from [[Ranks.keyedPrefixSumWithKeyTotals]]'s offset
+    * fold, so the whole mix costs ONE corpus exchange plus an
+    * n_sources broadcast — the C36 geometry with a hash order
+    * instead of a quality order.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+      budget: Long = 300): DataFrame =
+    temperatureMixOf(docs(spark, dir), budget)
+
+  /** [[temperatureMix]] over an arbitrary (doc_id, source) frame. */
+  def temperatureMixOf(d: DataFrame, budget: Long): DataFrame = {
+    val spark = d.sparkSession
+    val nSh = 2 * spark.sparkContext.defaultParallelism
+    val base = d.select(col("doc_id"), col("source"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("one", lit(1L))
+    // shard = first 16 bits of h scaled to nSh buckets: monotone in
+    // (h, doc_id) because floor∘(·nSh/65536)∘hexPrefix is monotone
+    // in h; balance follows md5 uniformity
+    val shard = floor(
+      conv(substring(col("h"), 1, 4), 16, 10).cast("long") * nSh / 65536)
+    val (ranked, keyTotals) = Ranks.keyedPrefixSumWithKeyTotals(
+      base, Seq("source"), Seq(col("h").asc, col("doc_id").asc), "one",
+      shard, "rn", nullShard = Long.MaxValue)
+    // quota arithmetic on the driver over the free per-source totals
+    // (sources are few by nature); fold order = (nulls last, name) to
+    // mirror the oracle's ORDER BY source
+    val counts = keyTotals.toSeq.map { case (k, n) =>
+      (k.head.asInstanceOf[String], n) }
+    val sorted = counts.sortBy { case (s, _) => (s == null, s) }
+    val denom = sorted.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble) }
+    val quotas = counts.map { case (s, n) =>
+      org.apache.spark.sql.Row(s, n,
+        math.floor(budget * math.sqrt(n.toDouble) / denom).toLong) }
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(quotas, 1),
+      org.apache.spark.sql.types.StructType(Nil)
+        .add("__src", org.apache.spark.sql.types.StringType)
+        .add("n_docs", org.apache.spark.sql.types.LongType)
+        .add("quota", org.apache.spark.sql.types.LongType))
+    ranked.join(broadcast(q), col("source") <=> col("__src"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_docs"), col("quota"))
+  }
+
   /** C29: cluster-balance mixing — the semantic counterpart of C14's
     * source mixing: assign every embedding to a deterministic k-means
     * cell (D2's quantizer machinery) and cap each cell at
@@ -1254,6 +1320,27 @@ object Curation {
         |  CAST((20 * n) // 100 AS BIGINT) AS n_kept,
         |  CAST(n AS BIGINT) AS n_docs
         |FROM r WHERE rn * 100 <= 20 * n""".stripMargin,
+    // C37: sqrt is IEEE correctly-rounded on both engines; the Σ
+    // folds per-source terms in source order from an explicit 0.0
+    // seed (matching the Scala driver fold), so the double quota —
+    // hence the integer keep boundary — is bit-identical
+    "curate_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        |den AS (SELECT list_reduce(
+        |    [CAST(0.0 AS DOUBLE)] ||
+        |      list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+        |    (x, y) -> x + y) AS denom FROM n),
+        |q AS (SELECT source, n_docs,
+        |    CAST(FLOOR(300 * sqrt(CAST(n_docs AS DOUBLE)) / den.denom)
+        |      AS BIGINT) AS quota
+        |  FROM n, den),
+        |r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY h, doc_id) AS rn FROM d)
+        |SELECT r.doc_id, r.source, q.n_docs, q.quota
+        |FROM r JOIN q USING (source) WHERE rn <= q.quota""".stripMargin,
     "curate_token_budget" ->
       """WITH s AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -1405,6 +1492,7 @@ object Curation {
     "curate_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "curate_quality_percentile" -> ((s, d) => qualityPercentileGate(s, d)),
     "curate_quality_gate_served" -> ((s, d) => qualityGateServed(s, d)),
+    "curate_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "curate_cluster_mix" -> ((s, d) => clusterMix(s, d)),
     "curate_cluster_mix_check" -> ((s, d) => clusterMixCheck(s, d))
   )

@@ -684,6 +684,39 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(second != first, "stale model served")
   }
 
+  test("C37 temperature mix: sublinear quotas, md5-order fill, exact keep counts") {
+    import spark.implicits._
+    val cur = graft.operators.Curation
+    // skewed sources: 100/25/4 docs — T=2 must compress the spread
+    // (10:5:2 in sqrt space, not 25:6.25:1)
+    val d = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 125).map(i => (i.toLong, "mid")) ++
+      (125 until 129).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val out = cur.temperatureMixOf(d, budget = 50).persist()
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val denom = math.sqrt(100.0) + math.sqrt(25.0) + math.sqrt(4.0) // 17
+    def quota(n: Int) = math.floor(50 * math.sqrt(n.toDouble) / denom).toLong
+    assert(kept("big") == quota(100))   // 29
+    assert(kept("mid") == quota(25))    // 14
+    assert(kept("small") == math.min(4L, quota(4))) // quota 5 > n=4
+    // sublinear: big/small count ratio 25x, kept ratio must be ~7x
+    assert(kept("big").toDouble / kept("small") < 10.0)
+    // md5-order fill: the kept set per source is exactly the quota
+    // smallest (md5(id), id) pairs — recompute on the driver
+    val wantBig = (0 until 100).map(_.toLong)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .take(quota(100).toInt).toSet
+    val gotBig = out.filter(col("source") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotBig == wantBig)
+    out.unpersist()
+    ()
+  }
+
   test("quality-gate staleness: same-count corpus swap recalibrates the thresholds") {
     import spark.implicits._
     val cur = graft.operators.Curation

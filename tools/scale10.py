@@ -99,7 +99,10 @@ SCALE10 = [
     "q_events_anomaly_served", "q_events_gapfill_served",
     # D14 margin mining: like-for-like (both engines score the raw
     # embeddings, same cosine arithmetic as ann_topk_exact)
-    "ann_margin"]
+    "ann_margin",
+    # C37 temperature mixing: like-for-like (both engines rank the
+    # raw corpus and recompute the quota arithmetic)
+    "curate_temperature_mix"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
