@@ -22,6 +22,13 @@ object ServedArtifact {
   private val ready =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // per-key build lock (r13 review): two threads cold-serving the
+  // same key must not both run build() — concurrent Overwrite jobs
+  // on one parquet path corrupt or fail each other. Lock objects are
+  // as bounded as `ready` entries.
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Scratch-db directory key for `dir`: basename for readability +
     * 6-byte MD5 over the full path (plus `keyExtra`, for artifacts
     * parameterized beyond the corpus — e.g. C31's target-source set,
@@ -50,25 +57,36 @@ object ServedArtifact {
     val key = s"${prefix}_${keyOf(dir, keyExtra)}"
     val d = GraftDatabase(spark,
       s"${graft.operators.CsvQueries.scratchRoot}/$key/db")
-    val listing = graft.sources.ParquetStats
-      .listingSig(spark, sigSource).getOrElse("missing")
+    // Unlistable source = LOUD error, not a "missing" sentinel: a
+    // served artifact's corpus must be listable, and treating an IO
+    // hiccup as staleness would kick off a spurious full rebuild on
+    // the serving path mid-incident (r13 review).
+    val listing = graft.sources.ParquetStats.listingSig(spark, sigSource)
+      .getOrElse(throw new IllegalStateException(
+        s"served-artifact source not listable: $sigSource"))
     val sig = if (extraSig.isEmpty) listing else s"$listing#$extraSig"
     if (ready.get(key) != sig) {
-      val fresh =
-        try d.read("artifact_sig").collect()(0).getString(0) == sig
-        catch { case _: Exception => false }
-      if (!fresh) {
-        // The signature change proves the files moved under us — but
-        // Spark's session-level listing cache may still plan the OLD
-        // file set for this path. Invalidate before the rebuild reads.
-        spark.catalog.refreshByPath(sigSource)
-        build(d)
-        d.write(spark.createDataset(Seq(sig))(
-          org.apache.spark.sql.Encoders.STRING).toDF("sig"),
-          "artifact_sig", org.apache.spark.sql.SaveMode.Overwrite)
+      locks.computeIfAbsent(key, _ => new Object()).synchronized {
+        // re-check under the lock: a racing thread may have built
+        if (ready.get(key) != sig) {
+          val fresh =
+            try d.read("artifact_sig").collect()(0).getString(0) == sig
+            catch { case _: Exception => false }
+          if (!fresh) {
+            // The signature change proves the files moved under us —
+            // but Spark's session-level listing cache may still plan
+            // the OLD file set for this path. Invalidate before the
+            // rebuild reads.
+            spark.catalog.refreshByPath(sigSource)
+            build(d)
+            d.write(spark.createDataset(Seq(sig))(
+              org.apache.spark.sql.Encoders.STRING).toDF("sig"),
+              "artifact_sig", org.apache.spark.sql.SaveMode.Overwrite)
+          }
+          ready.put(key, sig)
+          ()
+        }
       }
-      ready.put(key, sig)
-      ()
     }
     d
   }

@@ -699,21 +699,29 @@ object Curation {
     val (ranked, keyTotals) = Ranks.keyedPrefixSumWithKeyTotals(
       base, Seq("source"), Seq(col("q").desc, col("doc_id").asc), "one",
       floor((lit(1.0) - col("q")) * nSh), "rn", nullShard = Long.MaxValue)
-    val totals = spark.createDataFrame(
+    // null-safe join key: a NULL source is its own partition in the
+    // window semantics this replaces, so it must find its total too
+    ranked.join(broadcast(keyTotalsFrame(spark, keyTotals, "n")),
+        col("source") <=> col("__src"))
+      .filter(col("rn") * 100 <= lit(keepPct.toLong) * col("n"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n"),
+        negQualityKey(col("q")).as("negq"))
+  }
+
+  /** A `keyedPrefixSumWithKeyTotals` totals map (single string key) as
+    * a one-partition broadcastable (__src, `nName`) frame — shared by
+    * the C36 gate and the C37 mix (r13 review: this construction was
+    * growing verbatim copies the way the served-artifact memo did). */
+  private def keyTotalsFrame(spark: SparkSession,
+      keyTotals: Map[List[Any], Long], nName: String): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.parallelize(
         keyTotals.toSeq.map { case (k, n) =>
           org.apache.spark.sql.Row(k.head.asInstanceOf[String], n)
         }, 1),
       org.apache.spark.sql.types.StructType(Nil)
         .add("__src", org.apache.spark.sql.types.StringType)
-        .add("n", org.apache.spark.sql.types.LongType))
-    // null-safe join key: a NULL source is its own partition in the
-    // window semantics this replaces, so it must find its total too
-    ranked.join(broadcast(totals), col("source") <=> col("__src"))
-      .filter(col("rn") * 100 <= lit(keepPct.toLong) * col("n"))
-      .select(col("doc_id"), col("source"), col("rn"), col("n"),
-        negQualityKey(col("q")).as("negq"))
-  }
+        .add(nName, org.apache.spark.sql.types.LongType))
 
   /** The serve-side encoding of (q DESC NULLS LAST): ascending key,
     * null → +∞ (after every scored doc). */
@@ -817,23 +825,34 @@ object Curation {
     val (ranked, keyTotals) = Ranks.keyedPrefixSumWithKeyTotals(
       base, Seq("source"), Seq(col("h").asc, col("doc_id").asc), "one",
       shard, "rn", nullShard = Long.MaxValue)
-    // quota arithmetic on the driver over the free per-source totals
-    // (sources are few by nature); fold order = (nulls last, name) to
-    // mirror the oracle's ORDER BY source
+    // Denominator fold on the driver over the free per-source totals
+    // (sources are few by nature). Fold order must mirror the
+    // oracle's ORDER BY source exactly: DuckDB's default collation is
+    // BINARY (UTF-8 bytes), while Java's compareTo orders UTF-16 code
+    // units — the two disagree for supplementary-plane names, and a
+    // different parenthesization can move the IEEE sum an ulp and the
+    // floor across an integer (r13 review). Sort by UTF-8 bytes,
+    // nulls last (DuckDB's ASC default).
     val counts = keyTotals.toSeq.map { case (k, n) =>
       (k.head.asInstanceOf[String], n) }
-    val sorted = counts.sortBy { case (s, _) => (s == null, s) }
+    implicit val utf8Order: Ordering[Array[Byte]] = (a, b) => {
+      val len = math.min(a.length, b.length)
+      var i = 0
+      while (i < len && a(i) == b(i)) i += 1
+      if (i < len) (a(i) & 0xff) - (b(i) & 0xff) else a.length - b.length
+    }
+    val sorted = counts.sortBy { case (s, _) =>
+      (s == null, if (s == null) Array.empty[Byte] else s.getBytes("UTF-8"))
+    }
     val denom = sorted.foldLeft(0.0) { case (acc, (_, n)) =>
       acc + math.sqrt(n.toDouble) }
-    val quotas = counts.map { case (s, n) =>
-      org.apache.spark.sql.Row(s, n,
-        math.floor(budget * math.sqrt(n.toDouble) / denom).toLong) }
-    val q = spark.createDataFrame(
-      spark.sparkContext.parallelize(quotas, 1),
-      org.apache.spark.sql.types.StructType(Nil)
-        .add("__src", org.apache.spark.sql.types.StringType)
-        .add("n_docs", org.apache.spark.sql.types.LongType)
-        .add("quota", org.apache.spark.sql.types.LongType))
+    // quota = ⌊budget·√n/denom⌋ — computed IN-PLAN from the totals
+    // frame (Spark's sqrt/floor are the same correctly-rounded IEEE
+    // ops as the driver's; one arithmetic, one place)
+    val q = keyTotalsFrame(spark, keyTotals, "n_docs")
+      .withColumn("quota",
+        floor(lit(budget.toDouble) * sqrt(col("n_docs").cast("double"))
+          / lit(denom)))
     ranked.join(broadcast(q), col("source") <=> col("__src"))
       .filter(col("rn") <= col("quota"))
       .select(col("doc_id"), col("source"), col("n_docs"), col("quota"))
@@ -1340,7 +1359,8 @@ object Curation {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY h, doc_id) AS rn FROM d)
         |SELECT r.doc_id, r.source, q.n_docs, q.quota
-        |FROM r JOIN q USING (source) WHERE rn <= q.quota""".stripMargin,
+        |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+        |WHERE rn <= q.quota""".stripMargin,
     "curate_token_budget" ->
       """WITH s AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,

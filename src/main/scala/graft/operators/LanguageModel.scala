@@ -296,7 +296,7 @@ object LanguageModel {
     // extra corpus pass per curriculum run. The corpus model is built
     // once per corpus dir (memoized per JVM, re-attached across
     // processes via the corpus file-listing signature sidecar —
-    // `corpus_sig`, same staleness contract as C31's ml_sig) and
+    // ServedArtifact's `artifact_sig`, shared with C31/C36b/B32) and
     // scoring reduces to the
     // stats-gated byte pass + the doc-count-sized rank. Served ≡
     // inline is spec-pinned ([[curriculumInline]]): same train split
@@ -387,8 +387,8 @@ object LanguageModel {
     * Lifecycle (r9, the E19/D9 shape): the (bg, tgt, c2) table is a
     * MODEL, not per-query work — [[mooreLewis]] builds it once per
     * (corpus dir, target set) into a scratch artifact (re-attached
-    * across processes via the `ml_sig` file-listing staleness
-    * signature — a doc-count probe was replaced in r9 because a
+    * across processes via ServedArtifact's `artifact_sig` file-listing
+    * staleness signature — a doc-count probe was replaced in r9 because a
     * same-count content swap defeats it) and serves every
     * invocation from it; repeat serves under an unchanged artifact
     * reuse the memoized broadcast pair, so scoring a crawl increment
