@@ -190,6 +190,31 @@ object TextQueries {
         expr(s"substring(text, chunk_start, $size)").as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
 
+  /** E22 (r13): rule-based sentence segmentation — the granularity
+    * bitext mining (D14), sentence-level dedup, and citation-span
+    * work consume below E14's fixed-size chunks. Boundary = terminal
+    * punctuation run + whitespace (`[.!?]+[ \t\r\n]+`), splitting
+    * AWAY the boundary; abbreviation false-splits are the documented
+    * price of a rules segmenter and fall identically on both engines.
+    *
+    * Cross-engine exactness: the whitespace class is spelled out
+    * because Java's `\s` includes U+000B while RE2's does not — the
+    * one regex-dialect divergence a shared pattern string would
+    * silently smuggle into the oracle. `sent_idx` is the 1-based
+    * index in the UNFILTERED split array (stable under the blank
+    * filter, identical both sides). One codegen map pass + an
+    * explode bounded by sentences-per-doc; no shuffle at all.
+    */
+  def sentences(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(col("text"), "[.!?]+[ \\t\\r\\n]+", -1).as("arr"))
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("i", "sentence")))
+      .filter(length(trim(col("sentence"))) > 0)
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("sent_idx"),
+        col("sentence"),
+        length(col("sentence")).cast("long").as("n_chars"))
+
   /** E15: corpus vocabulary — the fixed-size token inventory a
     * tokenizer build pins before encoding: id = 1-based rank of the
     * lowercased whitespace token under (occurrences DESC, term ASC),
@@ -434,6 +459,18 @@ object TextQueries {
     "fr" -> "\\b(le|les|et|est|une|dans|que)\\b")
 
   val oracles: Map[String, String] = Map(
+    // E22: explicit whitespace class — Java \s includes U+000B,
+    // RE2's does not; the spelled-out class is dialect-neutral
+    "text_sentences" ->
+      """WITH s AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '[.!?]+[ \t\r\n]+') AS arr
+        |  FROM documents),
+        |x AS (SELECT doc_id, CAST(u.i AS BIGINT) AS sent_idx,
+        |    arr[u.i] AS sentence
+        |  FROM s, LATERAL unnest(generate_series(1, len(arr))) AS u(i))
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(length(sentence) AS BIGINT) AS n_chars
+        |FROM x WHERE length(trim(sentence)) > 0""".stripMargin,
     "text_chunks" ->
       """WITH s AS (SELECT doc_id, text,
         |  unnest(generate_series(1, greatest(length(text), 1), 300)) AS chunk_start
@@ -572,6 +609,7 @@ object TextQueries {
     "text_top_bigrams" -> ((s, d) => topBigrams(s, d)),
     "text_corpus_stats" -> (corpusStats _),
     "text_chunks" -> ((s, d) => chunks(s, d)),
+    "text_sentences" -> ((s, d) => sentences(s, d)),
     "text_vocab" -> ((s, d) => vocabulary(s, d)),
     "text_vocab_approx" -> ((s, d) => vocabularyApprox(s, d)),
     "text_encode_ids" -> ((s, d) => encodeIds(s, d))

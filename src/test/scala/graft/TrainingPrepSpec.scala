@@ -39,6 +39,38 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt == 0)
   }
 
+  test("E22 sentences: boundary splitting, stable idx under blank filter, edge docs") {
+    // the driver corpus is single-sentence docs, so the real
+    // splitting behavior must be pinned on synthetic text
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = scratch("sentences")
+    Seq(
+      (1L, "Hello world. How are you?? Fine!\nDone."),
+      (2L, "No terminal punctuation at all"),
+      (3L, "Trailing blanks. ! .  "), // boundary runs collapse; blanks drop
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextQueries.sentences(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      // multi-char terminators ("??") are one boundary; the final
+      // sentence keeps its punctuation (no trailing whitespace after)
+      (1L, 1L, "Hello world", 11L),
+      (1L, 2L, "How are you", 11L),
+      (1L, 3L, "Fine", 4L),
+      (1L, 4L, "Done.", 5L),
+      (2L, 1L, "No terminal punctuation at all", 30L),
+      // doc 3: "Trailing blanks" + the blank tail pieces (filtered);
+      // sent_idx stays the UNFILTERED array position
+      (3L, 1L, "Trailing blanks", 15L)))
+    // null text yields no rows rather than a null-sentence row
+    assert(!out.exists(_._1 == 4L))
+  }
+
   test("quality classifier: bounded probs, threshold consistency, signal direction") {
     import spark.implicits._
     val out = graft.operators.Curation.qualityClassifier(spark, sf)

@@ -102,7 +102,9 @@ SCALE10 = [
     "ann_margin",
     # C37 temperature mixing: like-for-like (both engines rank the
     # raw corpus and recompute the quota arithmetic)
-    "curate_temperature_mix"]
+    "curate_temperature_mix",
+    # E22 sentence segmentation: like-for-like map pass
+    "text_sentences"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
