@@ -215,6 +215,59 @@ object TextQueries {
         col("sentence"),
         length(col("sentence")).cast("long").as("n_chars"))
 
+  /** E23 (r13): mergeable distinct-token cardinality sketches —
+    * Spark 4's Apache DataSketches HLL surface (`hll_sketch_agg` /
+    * `hll_union_agg`) doing the thing exact distinct-counting cannot
+    * at 100 TB: per-source sketches build in ONE map-side-combined
+    * pass (KB-sized state per source, never a distinct shuffle), and
+    * the corpus-wide cardinality comes from UNIONING the sketches —
+    * no second scan, and the same merge serves new shards
+    * incrementally (sketch-union is associative; the dataset-card
+    * refresh never re-reads old shards). B11's approx_count_distinct
+    * answers once and is gone; a persisted sketch is the REUSABLE
+    * form. Tokenization = E15's `\S+` convention.
+    *
+    * Approximate (HLL, lgK=12 default ⇒ ~1.6% rse) ⇒ rows-only; the
+    * `_check` twin recomputes the EXACT distinct counts in both
+    * engines and pins |est/exact − 1| ≤ 5% per source and corpus-wide
+    * (the AnnChecks discipline).
+    */
+  def tokenCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val per = perSourceTokenSketches(spark, dir)
+    per.select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est_distinct"))
+      .unionByName(per.agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("__ALL__").as("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct")))
+  }
+
+  private def perSourceTokenSketches(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+          .as("tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+
+  /** The E23 invariant row: exact distinct counts (both engines can
+    * compute these) + the 5% accuracy flag only Spark can attest. */
+  def tokenCardinalityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+          .as("tok"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+      .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+        .select(lit("__ALL__").as("source"), col("exact_distinct")))
+    exact.join(tokenCardinality(spark, dir), Seq("source"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("est_distinct").cast("double") /
+          col("exact_distinct").cast("double") - 1.0) <= 0.05)
+          .as("within_5pct"))
+  }
+
   /** E15: corpus vocabulary — the fixed-size token inventory a
     * tokenizer build pins before encoding: id = 1-based rank of the
     * lowercased whitespace token under (occurrences DESC, term ASC),
@@ -459,6 +512,19 @@ object TextQueries {
     "fr" -> "\\b(le|les|et|est|une|dans|que)\\b")
 
   val oracles: Map[String, String] = Map(
+    // E23 _check: exact distinct counts from the same tokenization;
+    // the accuracy flag is Spark's to attest (TRUE expected)
+    "text_token_cardinality_check" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |p AS (SELECT source, COUNT(DISTINCT tok) AS exact_distinct
+        |  FROM t GROUP BY source
+        |  UNION ALL
+        |  SELECT '__ALL__', COUNT(DISTINCT tok) FROM t)
+        |SELECT source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_5pct
+        |FROM p""".stripMargin,
     // E22: explicit whitespace class — Java \s includes U+000B,
     // RE2's does not; the spelled-out class is dialect-neutral
     "text_sentences" ->
@@ -610,6 +676,9 @@ object TextQueries {
     "text_corpus_stats" -> (corpusStats _),
     "text_chunks" -> ((s, d) => chunks(s, d)),
     "text_sentences" -> ((s, d) => sentences(s, d)),
+    "text_token_cardinality" -> ((s, d) => tokenCardinality(s, d)),
+    "text_token_cardinality_check" ->
+      ((s, d) => tokenCardinalityCheck(s, d)),
     "text_vocab" -> ((s, d) => vocabulary(s, d)),
     "text_vocab_approx" -> ((s, d) => vocabularyApprox(s, d)),
     "text_encode_ids" -> ((s, d) => encodeIds(s, d))

@@ -71,6 +71,30 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("E23 sketches: union of per-source sketches equals the one-pass corpus sketch") {
+    // the property that makes the sketch an ARTIFACT rather than a
+    // one-shot answer: merging per-shard sketches reproduces the
+    // whole-corpus estimate exactly (same lgK), so a new shard
+    // updates the dataset card without re-reading old shards
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+          .as("tok"))
+    val viaUnion = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+    val onePass = docs.agg(hll_sketch_agg(col("tok")).as("sk"))
+      .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+    assert(viaUnion == onePass)
+    // and the check row's accuracy contract holds everywhere
+    val bad = graft.operators.TextQueries
+      .tokenCardinalityCheck(spark, sf)
+      .filter(!col("within_5pct")).count()
+    assert(bad == 0)
+  }
+
   test("quality classifier: bounded probs, threshold consistency, signal direction") {
     import spark.implicits._
     val out = graft.operators.Curation.qualityClassifier(spark, sf)
