@@ -230,10 +230,19 @@ object TextQueries {
     * Approximate (HLL, lgK=12 default ⇒ ~1.6% rse) ⇒ rows-only; the
     * `_check` twin recomputes the EXACT distinct counts in both
     * engines and pins |est/exact − 1| ≤ 5% per source and corpus-wide
-    * (the AnnChecks discipline).
+    * (the AnnChecks discipline). `"__ALL__"` is a RESERVED sentinel
+    * for the corpus row (no generator source uses it; a corpus that
+    * did would need a different marker). Oracle tokenization pairs
+    * Java `\S+` with RE2 `\S+` — the E15-family convention (they
+    * differ only on U+000B, absent from the corpora; E22 documents
+    * the dialect detail).
     */
   def tokenCardinality(spark: SparkSession, dir: String): DataFrame = {
-    val per = perSourceTokenSketches(spark, dir)
+    val per = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(lowerTokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
     per.select(col("source"),
         hll_sketch_estimate(col("sk")).as("est_distinct"))
       .unionByName(per.agg(hll_union_agg(col("sk")).as("sk"))
@@ -241,31 +250,35 @@ object TextQueries {
           hll_sketch_estimate(col("sk")).as("est_distinct")))
   }
 
-  private def perSourceTokenSketches(spark: SparkSession,
-      dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("source"),
-        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
-          .as("tok"))
-      .groupBy(col("source"))
-      .agg(hll_sketch_agg(col("tok")).as("sk"))
-
   /** The E23 invariant row: exact distinct counts (both engines can
-    * compute these) + the 5% accuracy flag only Spark can attest. */
+    * compute these) + the 5% accuracy flag only Spark can attest.
+    * ONE tokenize pass: the exact branches both derive from a
+    * persisted distinct (source, tok) frame (tokenization dominates;
+    * the naive form re-scanned the corpus per branch); the estimate
+    * column is the MAIN row's own, so the check attests what the
+    * query serves. Null-safe join: a NULL source is a real group in
+    * both engines' GROUP BY and must not be dropped by the compare.
+    */
   def tokenCardinalityCheck(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+    val pairs = Tables(spark, dir, "documents")
       .select(col("source"),
-        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
-          .as("tok"))
-    val exact = toks.groupBy(col("source"))
-      .agg(countDistinct(col("tok")).as("exact_distinct"))
-      .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+        explode(lowerTokens(col("text"))).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = pairs.groupBy(col("source"))
+      .agg(count(col("tok")).as("exact_distinct")) // pairs are distinct
+      .unionByName(pairs.agg(countDistinct(col("tok"))
+          .as("exact_distinct"))
         .select(lit("__ALL__").as("source"), col("exact_distinct")))
-    exact.join(tokenCardinality(spark, dir), Seq("source"))
+    val out = exact.join(tokenCardinality(spark, dir)
+          .withColumnRenamed("source", "__esrc"),
+        col("source") <=> col("__esrc"))
       .select(col("source"), col("exact_distinct"),
         (abs(col("est_distinct").cast("double") /
           col("exact_distinct").cast("double") - 1.0) <= 0.05)
           .as("within_5pct"))
+    graft.CacheHygiene.unpersistAfterUse(pairs)
+    out
   }
 
   /** E15: corpus vocabulary — the fixed-size token inventory a
