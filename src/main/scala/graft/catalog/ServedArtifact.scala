@@ -69,19 +69,26 @@ object ServedArtifact {
       locks.computeIfAbsent(key, _ => new Object()).synchronized {
         // re-check under the lock: a racing thread may have built
         if (ready.get(key) != sig) {
-          val fresh =
-            try d.read("artifact_sig").collect()(0).getString(0) == sig
-            catch { case _: Exception => false }
-          if (!fresh) {
+          if (!sidecarFresh(spark, d, sig)) {
             // The signature change proves the files moved under us —
             // but Spark's session-level listing cache may still plan
             // the OLD file set for this path. Invalidate before the
             // rebuild reads.
             spark.catalog.refreshByPath(sigSource)
-            build(d)
-            d.write(spark.createDataset(Seq(sig))(
-              org.apache.spark.sql.Encoders.STRING).toDF("sig"),
-              "artifact_sig", org.apache.spark.sql.SaveMode.Overwrite)
+            // The JVM lock above only serializes THREADS; two driver
+            // PROCESSES cold-serving one key would still interleave
+            // SaveMode.Overwrite jobs on the same parquet path (r14
+            // ADVICE). The FS lock serializes across processes, and
+            // the freshness re-check under it turns "lost the race"
+            // into "serve the winner's build".
+            withBuildLock(spark, d) {
+              if (!sidecarFresh(spark, d, sig)) {
+                build(d)
+                d.write(spark.createDataset(Seq(sig))(
+                  org.apache.spark.sql.Encoders.STRING).toDF("sig"),
+                  "artifact_sig", org.apache.spark.sql.SaveMode.Overwrite)
+              }
+            }
           }
           ready.put(key, sig)
           ()
@@ -89,5 +96,70 @@ object ServedArtifact {
       }
     }
     d
+  }
+
+  /** Is the on-disk sidecar's signature equal to `sig`? Distinguishes
+    * the three cases the old catch-all conflated (r14 ADVICE): a
+    * MISSING sidecar table (cold or swapped artifact → stale, build),
+    * a PRESENT-but-unreadable one (an interrupted earlier build left
+    * the dir without committed parquet — AnalysisException at plan
+    * time → stale, rebuild), and a genuine IO error on a listable
+    * table, which now propagates loudly instead of triggering a
+    * spurious full rebuild on the serving path mid-incident — the
+    * same treatment the unlistable-source check above gives
+    * `listingSig`.
+    */
+  private def sidecarFresh(spark: SparkSession, d: GraftDatabase,
+      sig: String): Boolean = {
+    val sigPath = new org.apache.hadoop.fs.Path(d.tablePath("artifact_sig"))
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(sigPath) && {
+      val rows =
+        try d.read("artifact_sig").collect()
+        catch {
+          // plan-time failure = uncommitted/half-written sidecar
+          case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row]
+        }
+      rows.nonEmpty && rows(0).getString(0) == sig
+    }
+  }
+
+  /** Run `body` holding an exclusive marker file under the artifact
+    * db — Hadoop `create(path, overwrite=false)` is the atomic
+    * acquire (throws when the file exists, on local FS and HDFS
+    * alike). A lock older than [[BuildLockStaleMs]] is presumed
+    * abandoned by a crashed builder and broken; waiting acquirers
+    * poll rather than queue (cold builds are rare and bounded).
+    */
+  private val BuildLockStaleMs = 30L * 60 * 1000
+
+  private def withBuildLock[T](spark: SparkSession, d: GraftDatabase)(
+      body: => T): T = {
+    val lockPath = new org.apache.hadoop.fs.Path(d.path, "_build.lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lockPath.getParent)
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockPath, false)
+        out.writeBytes(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val st =
+            try Some(fs.getFileStatus(lockPath))
+            catch { case _: java.io.FileNotFoundException => None }
+          st match {
+            case Some(s) if System.currentTimeMillis() -
+                s.getModificationTime > BuildLockStaleMs =>
+              fs.delete(lockPath, false); ()
+            case Some(_) => Thread.sleep(200)
+            case None => () // holder released between create and stat
+          }
+      }
+    }
+    try body finally fs.delete(lockPath, false)
   }
 }

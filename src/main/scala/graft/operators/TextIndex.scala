@@ -41,7 +41,18 @@ object TextIndex {
     */
   def buildIndex(db: graft.catalog.GraftDatabase, table: String,
       docs: DataFrame, nBuckets: Int): Unit = {
-    val (postings, lens, stats) = batchArtifacts(docs, batchId = -1L)
+    // The three artifacts are separate ACTIONS over one tokenize
+    // subtree — unpersisted, Spark re-runs the corpus-scale tokenize
+    // per action (r13 VERDICT #1: this tripled the build's scan
+    // cost). Persist the tokenized frame for exactly the span of the
+    // dependent writes: MEMORY_AND_DISK so a 100 TB corpus spills
+    // instead of evicting (an eviction would silently re-tokenize),
+    // released synchronously below — the writes all run inside this
+    // call, so no listener machinery is needed.
+    val tok = tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val (postings, lens, stats) = batchArtifacts(tok, batchId = -1L)
     db.writeBucketed(postings, table, "term", nBuckets)
     db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets)
     // Per-term document frequency, persisted at BUILD time so ranked
@@ -61,14 +72,24 @@ object TextIndex {
     // them, so corpus size never needs a read-modify-write (which a
     // foreachBatch replay would double-apply)
     db.write(stats, s"${table}_corpus", org.apache.spark.sql.SaveMode.Overwrite)
+    } finally tok.unpersist(blocking = false)
   }
 
-  /** The three per-batch index artifacts from ONE tokenize pass:
+  /** One tokenize projection of a (doc_id, text) frame — THE shared
+    * subtree of every index artifact. Callers that action more than
+    * one derived artifact must persist this frame across those
+    * actions (see [[buildIndex]]) or each action re-tokenizes.
+    */
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+
+  /** The three per-batch index artifacts over a [[tokenized]] frame:
     * positional postings, doc lengths, and the 1-row batch stats.
+    * `tok` should already be persisted by the caller when all three
+    * will be actioned.
     */
   private[graft] def batchArtifacts(
-      docs: DataFrame, batchId: Long): (DataFrame, DataFrame, DataFrame) = {
-    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      tok: DataFrame, batchId: Long): (DataFrame, DataFrame, DataFrame) = {
     val postings = tok
       .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))

@@ -252,12 +252,15 @@ object TextQueries {
 
   /** The E23 invariant row: exact distinct counts (both engines can
     * compute these) + the 5% accuracy flag only Spark can attest.
-    * ONE tokenize pass: the exact branches both derive from a
-    * persisted distinct (source, tok) frame (tokenization dominates;
-    * the naive form re-scanned the corpus per branch); the estimate
-    * column is the MAIN row's own, so the check attests what the
-    * query serves. Null-safe join: a NULL source is a real group in
-    * both engines' GROUP BY and must not be dropped by the compare.
+    * The EXACT branches share ONE tokenize pass (both derive from a
+    * persisted distinct (source, tok) frame — the naive form
+    * re-scanned the corpus per branch); the estimate branch
+    * deliberately re-runs [[tokenCardinality]] itself — its own
+    * tokenize scan — so the check attests the row the main query
+    * actually serves, not a reconstruction (r14 ADVICE: the old
+    * comment overclaimed one pass for all three). Null-safe join: a
+    * NULL source is a real group in both engines' GROUP BY and must
+    * not be dropped by the compare.
     */
   def tokenCardinalityCheck(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables(spark, dir, "documents")
