@@ -59,9 +59,15 @@ object Ann {
     * the row-per-neighbor forms above and D14, which folds the array
     * in rank order. */
   private def topkAgg(corpus: DataFrame, queries: DataFrame,
-      k: Int, pred: Column): DataFrame = {
-    val q = queries.filter(pred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      k: Int, pred: Column): DataFrame =
+    topkAggOf(corpus, queries.filter(pred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")), k)
+
+  /** [[topkAgg]] for an already-projected (query_id, qe) query frame
+    * — D14b's backward pass discovers its query set IN-PLAN (the
+    * mined neighbors) rather than by predicate. */
+  private def topkAggOf(corpus: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val sims = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineSimilarity(col("qe"), col("embedding")))
@@ -96,6 +102,47 @@ object Ann {
         (col("tk").getItem(0).getField("score") * size(col("tk")) /
           aggregate(col("tk"), lit(0.0),
             (acc, s) => acc + s.getField("score"))).as("margin"))
+  }
+
+  /** D14b (r14): BIDIRECTIONAL margin-scored pair mining — the full
+    * CCMatrix/LASER ratio score (Schwenk et al. 2021 §3.1): a mined
+    * pair (x, y) is accepted on cos(x,y) normalized by the mean k-NN
+    * similarity of BOTH endpoints,
+    * margin = cos(x,y) / (Σ_{z∈NNk(x)} cos(x,z)/(2k) +
+    * Σ_{z∈NNk(y)} cos(y,z)/(2k)) — the one-sided D14 form misprices
+    * pairs whose TARGET is a hub (y near everything inflates x's
+    * top-1 without being a good pair; the backward sum exposes it).
+    *
+    * Two broadcast round-trips, no extra corpus machinery: pass 1 is
+    * the D1 partial-top-k aggregate for the query side (top-1 mate +
+    * forward k-NN sum); the DISTINCT mined mates — bounded by the
+    * query count — become pass 2's query frame via [[topkAggOf]],
+    * discovered in-plan (no driver collect). Both folds run in rank
+    * order from an explicit 0.0 and the margin's parenthesization is
+    * pinned, so doubles are bit-identical with the oracle.
+    */
+  def marginPairs(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val ksum = (tk: Column) => aggregate(tk, lit(0.0),
+      (acc, s) => acc + s.getField("score"))
+    val fwd = topkAgg(e, e, k, col("vec_id") < nQueries)
+      .select(col("query_id"),
+        col("tk").getItem(0).getField("id").as("neighbor_id"),
+        col("tk").getItem(0).getField("score").as("sim"),
+        ksum(col("tk")).as("__fsum"),
+        size(col("tk")).cast("double").as("__fk"))
+    val mates = e.join(fwd.select(col("neighbor_id").as("vec_id")).distinct(),
+        Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val bwd = topkAggOf(e, mates, k)
+      .select(col("query_id").as("neighbor_id"),
+        ksum(col("tk")).as("__bsum"),
+        size(col("tk")).cast("double").as("__bk"))
+    fwd.join(broadcast(bwd), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        (col("sim") / ((col("__fsum") / (col("__fk") * lit(2.0))) +
+          (col("__bsum") / (col("__bk") * lit(2.0))))).as("margin"))
   }
 
   /** D6: filtered exact top-k — metadata predicate composed with
@@ -369,6 +416,54 @@ object Ann {
         |  sim * len(sims) / list_reduce([CAST(0.0 AS DOUBLE)] || sims,
         |    (x, y) -> x + y) AS margin
         |FROM g""".stripMargin,
+    // D14b: forward list from g, backward lists from a second
+    // ranked pass over the mined mates; both folds seed 0.0 in rank
+    // order and the margin parenthesizes exactly as marginPairs.
+    "ann_margin_pairs" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+        |  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+        |    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s),
+        |g AS (SELECT query_id,
+        |    list(sim ORDER BY rank) FILTER (rank <= 10) AS sims,
+        |    MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS neighbor_id,
+        |    MAX(CASE WHEN rank = 1 THEN sim END) AS sim
+        |  FROM r GROUP BY query_id),
+        |nq AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings
+        |  WHERE vec_id IN (SELECT DISTINCT neighbor_id FROM g)),
+        |s2 AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_reduce([CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |    for i in range(1, len(qe) + 1)], (x, y) -> x + y)
+        |  / (sqrt(list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |      for i in range(1, len(qe) + 1)], (x, y) -> x + y))
+        |    * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |      for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y))) AS sim
+        |  FROM nq, embeddings e WHERE e.vec_id != nq.query_id),
+        |r2 AS (SELECT query_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s2),
+        |g2 AS (SELECT query_id AS neighbor_id,
+        |    list(sim ORDER BY rank) FILTER (rank <= 10) AS bsims
+        |  FROM r2 GROUP BY query_id)
+        |SELECT g.query_id, g.neighbor_id, g.sim,
+        |  g.sim / ((list_reduce([CAST(0.0 AS DOUBLE)] || g.sims,
+        |      (x, y) -> x + y) / (CAST(len(g.sims) AS DOUBLE) * 2.0))
+        |    + (list_reduce([CAST(0.0 AS DOUBLE)] || g2.bsims,
+        |      (x, y) -> x + y) / (CAST(len(g2.bsims) AS DOUBLE) * 2.0)))
+        |    AS margin
+        |FROM g JOIN g2 ON g.neighbor_id = g2.neighbor_id""".stripMargin,
     "ann_topk_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |  FROM embeddings WHERE vec_id < 5),
@@ -407,6 +502,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact" -> ((s, d) => topkExact(s, d)),
     "ann_margin" -> ((s, d) => marginMining(s, d)),
+    "ann_margin_pairs" -> ((s, d) => marginPairs(s, d)),
     "ann_topk_filtered" -> ((s, d) => topkFiltered(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopk(s, d))
   )

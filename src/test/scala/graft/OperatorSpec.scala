@@ -974,6 +974,37 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("D14b margin pairs: bidirectional denominator recomputed from per-endpoint k-NN") {
+    val pairs = Ann.marginPairs(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val fwd = Ann.marginMining(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(pairs.keySet == fwd.keySet)
+    // the mined PAIR is the forward top-1 (the backward pass only
+    // re-scores it), and sim is bit-equal across both forms
+    pairs.foreach { case (q, (n, s, _)) =>
+      assert(fwd(q)._1 == n); assert(fwd(q)._2 == s)
+    }
+    // recompute each pair's margin from the two endpoints' k-NN sums
+    // (forward from D1 rows; backward via the single-query D1 form),
+    // with the same 0.0-seeded rank-order folds and parenthesization
+    val byQ = Ann.topkExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    pairs.foreach { case (q, (n, s, m)) =>
+      val f = byQ(q).sortBy(_._2).map(_._3)
+      val b = Ann.topkExactOne(spark, sf, 10, n)
+        .orderBy(col("rank")).collect().map(_.getDouble(3))
+      val fsum = f.foldLeft(0.0)(_ + _)
+      val bsum = b.foldLeft(0.0)(_ + _)
+      val want = s / ((fsum / (f.length.toDouble * 2.0)) +
+        (bsum / (b.length.toDouble * 2.0)))
+      assert(m == want) // bit-equal, not approx
+    }
+    ()
+  }
+
   test("IVF recall@10 vs exact top-10") {
     val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
