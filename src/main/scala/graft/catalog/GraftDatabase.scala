@@ -732,6 +732,33 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     fs.delete(bak, true)
   }
 
+  /** Replace `table`'s contents with `df` via the [[compact]] swap
+    * protocol: write to a scratch dir, rename current out to
+    * `_old_<table>`, rename the new files in, drop the backup. Unlike
+    * `SaveMode.Overwrite` on the live path — which DELETES the
+    * current files before the job's first commit, so a concurrent
+    * reader planning mid-write sees an empty or partial table — the
+    * readable window here is two metadata renames. Built for the
+    * served-model maintainers (G22 gate recalibration): a serving
+    * stream re-plans the static side per micro-batch and must never
+    * observe a half-published model. Crash between the renames
+    * strands the table in `_old_<table>`; the next replaceTable (or
+    * compact) restores it first, same recovery as compact.
+    */
+  def replaceTable(df: DataFrame, table: String): Unit = {
+    val src = new Path(tablePath(table))
+    val prevBak = new Path(tablePath(s"_old_$table"))
+    if (!fs.exists(src) && fs.exists(prevBak)) renameOrThrow(prevBak, src)
+    val tmp = new Path(tablePath(s"_swap_$table"))
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(tablePath(s"_old_$table"))
+    fs.delete(bak, true)
+    if (fs.exists(src)) renameOrThrow(src, bak)
+    renameOrThrow(tmp, src)
+    fs.delete(bak, true)
+  }
+
   /** Recursively remove the whole database. */
   def drop(): Unit = fs.delete(new Path(path), true)
 

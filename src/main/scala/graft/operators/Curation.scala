@@ -671,21 +671,42 @@ object Curation {
     */
   def buildQualityGate(db: graft.catalog.GraftDatabase, name: String,
       d: DataFrame, keepPct: Int = 20): Unit = {
-    val kept = qualityPercentileGateOf2(d, keepPct)
-    val bounds = kept
+    val ow = org.apache.spark.sql.SaveMode.Overwrite // recalibration
+    db.write(qualityGateBounds(d, keepPct), s"${name}_thresholds", ow)
+    db.write(keepPctMeta(d.sparkSession, keepPct), s"${name}_meta", ow)
+  }
+
+  /** C36b/G22 maintainer: RE-calibrate a LIVE gate artifact against a
+    * fresh corpus snapshot while serving continues. Same artifacts as
+    * [[buildQualityGate]], published through the rename-swap
+    * (`replaceTable`) instead of `SaveMode.Overwrite`: a serving
+    * stream re-plans the threshold table per micro-batch
+    * ([[graft.streaming.StreamingCuration.gateQualityMaintained]]),
+    * and Overwrite deletes the live files before the new ones commit
+    * — a concurrently planning batch would gate against an empty
+    * model. Run it from a periodic batch job (or a foreachBatch hook
+    * on a calibration stream); the next micro-batch serves the new
+    * thresholds, no restart.
+    */
+  def recalibrateQualityGate(db: graft.catalog.GraftDatabase,
+      name: String, d: DataFrame, keepPct: Int = 20): Unit = {
+    db.replaceTable(qualityGateBounds(d, keepPct), s"${name}_thresholds")
+    db.replaceTable(keepPctMeta(d.sparkSession, keepPct), s"${name}_meta")
+  }
+
+  private def qualityGateBounds(d: DataFrame, keepPct: Int): DataFrame =
+    qualityPercentileGateOf2(d, keepPct)
       .groupBy(col("source"))
       .agg(max_by(struct(col("negq"), col("doc_id")), col("rn")).as("b"),
         max(col("rn")).as("n_kept"), max(col("n")).as("n_docs"))
       .select(col("source"), col("b.negq").as("negq_star"),
         col("b.doc_id").as("doc_star"), col("n_kept"), col("n_docs"))
-    val ow = org.apache.spark.sql.SaveMode.Overwrite // recalibration
-    db.write(bounds, s"${name}_thresholds", ow)
-    db.write(bounds.sparkSession.createDataFrame(
+
+  private def keepPctMeta(spark: SparkSession, keepPct: Int): DataFrame =
+    spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(keepPct)),
       org.apache.spark.sql.types.StructType(Nil)
-        .add("keep_pct", org.apache.spark.sql.types.IntegerType)),
-      s"${name}_meta", ow)
-  }
+        .add("keep_pct", org.apache.spark.sql.types.IntegerType))
 
   /** [[qualityPercentileGateOf]] carrying the serve-side sort key
     * (`negq`) — shared by the C36 query row and the gate build, so

@@ -99,6 +99,35 @@ object StreamingCuration {
       docs: DataFrame): DataFrame =
     Curation.qualityGateFromModel(db, name, docs, passthrough = Seq("ts"))
 
+  /** G22 (r14): the MAINTAINED form of [[gateQuality]] — a gate that
+    * tracks calibration drift without a stream restart. [[gateQuality]]
+    * builds its stream-static join ONCE at `start()`, so the
+    * thresholds it broadcasts are frozen for the stream's lifetime; a
+    * quality distribution that drifts (or a deliberate
+    * [[Curation.recalibrateQualityGate]]) would serve stale
+    * boundaries forever. This form is the G12 foreachBatch pattern
+    * instead: each micro-batch constructs the gate plan FRESH, so the
+    * threshold table is re-listed and re-broadcast per batch, and a
+    * recalibration published between batches (rename-swap — never a
+    * half-model) takes effect on the very next batch. Verdicts
+    * publish exactly-once to `{name}_gated` keyed by batch id
+    * (staging-rename, replays converge — same contract as G2/G10),
+    * tagged with the batch that gated them.
+    */
+  def gateQualityMaintained(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        IngestPublish.publishFiles(db, s"${name}_gated",
+          Curation.qualityGateFromModel(db, name, batch,
+            passthrough = Seq("ts"))
+            .withColumn("batch_id", lit(batchId)),
+          batchId)
+        ()
+    }
+
   /** G14: streaming DSIR scoring — a (ts, doc_id, text) stream
     * weighted against a persisted C33 model (`buildDsirModel`
     * artifacts) at ingest: the domain-relevance gate running where

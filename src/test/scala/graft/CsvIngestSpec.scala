@@ -745,6 +745,24 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(db.tableNameForFile("/some/path/dogs.csv") == "dogs")
   }
 
+  test("replaceTable swaps contents and recovers a table stranded in _old_") {
+    import spark.implicits._
+    val db = GraftDatabase(spark, scratch("replace") + "/db")
+    db.write(Seq(1L, 2L).toDF("x"), "t")
+    db.replaceTable(Seq(10L, 20L, 30L).toDF("x"), "t")
+    assert(db.read("t").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(10L, 20L, 30L))
+    // crash between the two renames: src gone, backup present — the
+    // next replaceTable restores before swapping, so no rows are lost
+    val fs = new org.apache.hadoop.fs.Path(db.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(db.tablePath("t")),
+      new org.apache.hadoop.fs.Path(db.tablePath("_old_t"))))
+    db.replaceTable(Seq(7L).toDF("x"), "t")
+    assert(db.read("t").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.tablePath("_old_t"))))
+  }
+
   test("csv and json export round-trip") {
     val dir = scratch("export")
     val db = GraftDatabase(spark, s"$dir/db")

@@ -556,6 +556,69 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { q.stop(); want.unpersist() }
   }
 
+  test("G22: maintained gate serves a mid-stream recalibration on the next batch; replay converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cur = graft.operators.Curation
+    val db = GraftDatabase(spark, scratch("qgate_maint") + "/db")
+    // 10 docs of stepwise quality (longer = higher q); top-20% keeps
+    // 2 — which 2 depends entirely on corpus content (the
+    // CorpusPrepSpec swap fixture)
+    def texts = (1 to 10).map(i =>
+      ("alpha " * (5 * i)).trim + " and the of to is in it.")
+    val alpha = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "srcA", t) }
+      .toDF("doc_id", "source", "text")
+    val beta = texts.reverse.zipWithIndex
+      .map { case (t, i) => (i.toLong, "srcA", t) }
+      .toDF("doc_id", "source", "text")
+    cur.buildQualityGate(db, "qg", alpha, keepPct = 20)
+    def keepSet(d: org.apache.spark.sql.DataFrame) =
+      cur.qualityPercentileGateOf(d, 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (wantA, wantB) = (keepSet(alpha), keepSet(beta))
+    assert(wantA != wantB, "fixture must make recalibration observable")
+    def streamRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (ts(0), r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    val (rowsA, rowsB) = (streamRows(alpha), streamRows(beta))
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val q = graft.streaming.StreamingCuration
+      .gateQualityMaintained(db, "qg",
+        mem.toDF().toDF("ts", "doc_id", "source", "text"))
+      .option("checkpointLocation", scratch("qgate_maint_ckpt"))
+      .start()
+    try {
+      mem.addData(rowsA: _*)
+      q.processAllAvailable()
+      // drift: the corpus swaps (same texts, reassigned ids) and a
+      // periodic batch job recalibrates — the stream stays up; the
+      // swap publish never exposes a half-model
+      cur.recalibrateQualityGate(db, "qg", beta, keepPct = 20)
+      mem.addData(rowsB: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // fresh read per assertion: the replay below renames NEW files
+    // under the b1 prefix, so a frame captured before it would plan
+    // the deleted file set
+    def keptIn(b: Long) = db.read("qg_gated")
+      .filter(col("batch_id") === b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIn(0L) == wantA, "pre-recalibration batch serves the old gate")
+    assert(keptIn(1L) == wantB, "next batch after recalibration serves the new gate")
+    // foreachBatch replay converges: re-publishing batch 1 verbatim
+    // (write-succeeded-commit-lost) changes nothing
+    val total = db.read("qg_gated").count()
+    graft.streaming.IngestPublish.publishFiles(db, "qg_gated",
+      cur.qualityGateFromModel(db, "qg",
+          rowsB.toDF("ts", "doc_id", "source", "text"),
+          passthrough = Seq("ts"))
+        .withColumn("batch_id", lit(1L)),
+      1L)
+    assert(db.read("qg_gated").count() == total)
+    assert(keptIn(1L) == wantB)
+  }
+
   test("gopher battery is stream-applicable: per-batch rows equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
