@@ -250,6 +250,64 @@ object TextQueries {
           hll_sketch_estimate(col("sk")).as("est_distinct")))
   }
 
+  /** E23b (r14): the sketches as a PERSISTED per-shard artifact —
+    * the incremental dataset-card form [[tokenCardinality]]'s doc
+    * promises. `{name}_sketch` holds one (batch_id, source, sk) row
+    * per shard×source; the base build is batch −1 and appends
+    * publish batch partials exactly-once (the D10/G10 discipline:
+    * staging-rename keyed by batch id, replays converge — never a
+    * read-modify-write of the base rows). Serving unions the rows
+    * per source — a SKETCH-table-only job, so a new shard updates
+    * the corpus card without re-reading any old shard's text; union
+    * ≡ one-pass is exact at fixed lgK (TrainingPrepSpec pins the
+    * estimates equal, not approximately equal).
+    */
+  def buildTokenSketches(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame): Unit =
+    db.write(shardSketches(docs, batchId = -1L), s"${name}_sketch",
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Publish one new shard's sketch partials under `batchId` —
+    * idempotent; also the streaming micro-batch body
+    * ([[graft.streaming.StreamingTextIndex.maintainTokenSketches]]).
+    * Appended docs are NEW by the same contract as the text index's
+    * G10 appends; re-sketching an existing document only wastes a
+    * little accuracy headroom (HLL insertion is idempotent per
+    * distinct token), it never double-counts.
+    */
+  def appendTokenSketches(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"negative batchId $batchId is reserved for the base build")
+    graft.streaming.IngestPublish.publishFiles(db, s"${name}_sketch",
+      shardSketches(docs, batchId), batchId)
+    ()
+  }
+
+  private def shardSketches(docs: DataFrame, batchId: Long): DataFrame =
+    docs.select(col("source"),
+        explode(lowerTokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok")).as("sk"))
+      .select(lit(batchId).as("batch_id"), col("source"), col("sk"))
+
+  /** Serve the corpus card from the persisted sketches alone: per-
+    * source estimates + the `__ALL__` corpus row, same schema as
+    * [[tokenCardinality]]. Cost is proportional to shards×sources,
+    * never to corpus text.
+    */
+  def tokenCardinalityFromSketches(db: graft.catalog.GraftDatabase,
+      name: String): DataFrame = {
+    val per = db.read(s"${name}_sketch")
+      .groupBy(col("source"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+    per.select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est_distinct"))
+      .unionByName(per.agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("__ALL__").as("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct")))
+  }
+
   /** The E23 invariant row: exact distinct counts (both engines can
     * compute these) + the 5% accuracy flag only Spark can attest.
     * The EXACT branches share ONE tokenize pass (both derive from a

@@ -77,6 +77,23 @@ object StreamingTextIndex {
     } finally tok.unpersist(blocking = false)
   }
 
+  /** E23b streaming twin: maintain a persisted token-cardinality
+    * sketch table from a streaming (source, text) document frame —
+    * each micro-batch publishes its per-source HLL partials
+    * exactly-once under its batch id
+    * ([[graft.operators.TextQueries.appendTokenSketches]]), and the
+    * corpus card serves from the sketch table at any moment
+    * (`tokenCardinalityFromSketches`) without touching document
+    * text. Caller sets checkpoint/trigger and `.start()`s.
+    */
+  def maintainTokenSketches(db: GraftDatabase, name: String,
+      docStream: DataFrame): DataStreamWriter[Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextQueries.appendTokenSketches(
+          db, name, batch, batchId)
+    }
+
   /** Stage `df` as a bucketed write (one file per non-empty bucket),
     * then rename into the artifact dir under the batch prefix —
     * clearing any files from an earlier attempt of the same batch.

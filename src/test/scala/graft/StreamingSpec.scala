@@ -1052,6 +1052,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Seq(late(2)).toDF("doc_id", "text"), 2, 1L)
     assert(served(db) == streamed)
   }
+  test("E23b streaming twin: streamed sketch appends serve the one-pass corpus card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tq = graft.operators.TextQueries
+    val db = GraftDatabase(spark, scratch("tok_sketch_stream") + "/db")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    tq.buildTokenSketches(db, "tc", docs.filter(col("doc_id") < cut))
+    val late = docs.filter(col("doc_id") >= cut).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingTextIndex
+      .maintainTokenSketches(db, "tc",
+        mem.toDF().toDF("source", "text"))
+      .option("checkpointLocation", scratch("tok_sketch_ckpt"))
+      .start()
+    try {
+      val (h1, h2) = late.splitAt(late.length / 2)
+      mem.addData(h1: _*)
+      q.processAllAvailable()
+      mem.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = tq.tokenCardinalityFromSketches(db, "tc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val onePass = tq.tokenCardinality(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == onePass)
+  }
+
   test("G17: streamed hybrid RRF serving equals the batch fusion per query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

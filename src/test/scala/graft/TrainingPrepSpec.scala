@@ -95,6 +95,32 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0)
   }
 
+  test("E23b: persisted sketch artifact — append updates the card without old shards; replay converges") {
+    import org.apache.spark.sql.functions._
+    val tq = graft.operators.TextQueries
+    val db = graft.catalog.GraftDatabase(spark, scratch("tok_sketch") + "/db")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val (shardA, shardB) =
+      (docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+    tq.buildTokenSketches(db, "tc", shardA)
+    tq.appendTokenSketches(db, "tc", shardB, batchId = 0L)
+    def card(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val served = card(tq.tokenCardinalityFromSketches(db, "tc"))
+    // EXACT equality with the one-pass whole-corpus query (fixed
+    // lgK makes sketch union lossless) — incl. the __ALL__ row
+    assert(served == card(tq.tokenCardinality(spark, sf)))
+    // the serve is a sketch-table job: shards × sources rows, no text
+    assert(db.read("tc_sketch").count() ==
+      2 * docs.select("source").distinct().count())
+    // at-least-once append replays converge (same batch id, same shard)
+    tq.appendTokenSketches(db, "tc", shardB, batchId = 0L)
+    assert(card(tq.tokenCardinalityFromSketches(db, "tc")) == served)
+  }
+
   test("quality classifier: bounded probs, threshold consistency, signal direction") {
     import spark.implicits._
     val out = graft.operators.Curation.qualityClassifier(spark, sf)
