@@ -372,12 +372,37 @@ object Pipeline {
     * would funnel 100 TB through one task.
     */
   def shuffleOrder(spark: SparkSession, dir: String): DataFrame =
-    Ranks.hashOrderedRowNumber(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h")),
-      col("h"),
-      Seq(col("h").asc, col("doc_id").asc), "pos")
-      .select(col("doc_id"), col("pos"))
+    shuffleRanked(spark, dir).select(col("doc_id"), col("pos"))
+
+  // C25 and C27 consume ONE global shuffle rank: the manifest is an
+  // aggregation OF the shuffle order, so when both run in a session
+  // the rank's scan+hash+exchange and its offsets job must be paid
+  // once, not per query (r13 VERDICT #7 — the second total-order
+  // action was C27's whole constant). The memo holds the ranked
+  // frame per corpus; its zipRanked offsets are already folded, and
+  // later actions re-read the SAME rdd's shuffle files (stage skip),
+  // re-running only the post-shuffle stage. Staleness rides the
+  // parquet listing signature, the ServedArtifact rule — a swapped
+  // corpus rebuilds, never serves a stale permutation. n_chars is
+  // carried through the exchange (~8 bytes/row) so C27 needs no
+  // corpus-scale join back.
+  private val shuffleMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+
+  private def shuffleRanked(spark: SparkSession, dir: String): DataFrame = {
+    val sig = graft.sources.ParquetStats
+      .listingSig(spark, s"$dir/documents.parquet")
+      .getOrElse(throw new IllegalStateException(
+        s"documents table not listable: $dir"))
+    shuffleMemo.compute(dir, (_, cur) =>
+      if (cur != null && cur._1 == sig) cur
+      else (sig, Ranks.hashOrderedRowNumber(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            md5(col("doc_id").cast("string")).as("h")),
+        col("h"),
+        Seq(col("h").asc, col("doc_id").asc), "pos")))._2
+  }
 
   /** C27: training-shard manifest — the release artifact a training
     * run consumes: fixed-size shards cut from the C22 global shuffle
@@ -397,12 +422,7 @@ object Pipeline {
     */
   def shardManifest(spark: SparkSession, dir: String,
       shardSize: Int = 100): DataFrame = {
-    val ranked = Ranks.hashOrderedRowNumber(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          md5(col("doc_id").cast("string")).as("h")),
-      col("h"),
-      Seq(col("h").asc, col("doc_id").asc), "pos")
+    val ranked = shuffleRanked(spark, dir)
     val p0 = col("pos") - 1
     ranked
       .select(col("doc_id"), col("n_chars"), col("pos"),
