@@ -86,20 +86,28 @@ object Analytics {
     val c = Tables(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
     val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
-    // Aggregation pushed BELOW the fact-fact join: the group key is
-    // the order key (o_orderdate is functionally dependent on it) and
-    // every order-level predicate is independent of the lineitem
-    // rows, so per-order revenue is exact before the join. The join
-    // then consumes one row per order instead of one per line item —
-    // map-side partial aggregation shrinks the big exchange ~4× and
-    // the post-join aggregate disappears (10×: 2.3 → 1.6 s,
-    // DriveQ3Probe; rows proven identical).
-    val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
-      .groupBy(col("l_orderkey"))
+    // JOIN-FIRST shape with a shuffle-hash fact join (r14,
+    // DriveQ100Probe interleaved min-of-5/7 at three scales). The
+    // r10 pre-agg-below-the-join shape aggregated EVERY filtered
+    // lineitem (a corpus-wide 15M-group decimal hash agg at 100×)
+    // before the selective dims could prune; joining first means the
+    // orders-date and customer-segment filters drop ~80% of lineitem
+    // rows before any aggregation touches them, and hashing the
+    // filtered orders side (hint) replaces the SMJ's two corpus-scale
+    // sorts. Build-side memory is bounded: the SHJ build is the
+    // FILTERED orders partition (rows/shuffle.partitions), and
+    // shuffle.partitions scales with the cluster. Measured
+    // (shipped-pre-agg-SMJ → this): sf0.1 0.96→0.44 s, scale10
+    // 0.87→0.77 s, 100× 5.39→3.14 s. Grouping on (l_orderkey,
+    // o_orderdate) is row-identical to the pre-agg form —
+    // o_orderdate is functionally dependent on the order key — and
+    // the decimal sum keeps revenue exact in any partition order.
+    Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
       .select(
         col("l_orderkey"),
         col("revenue"),

@@ -104,7 +104,10 @@ SCALE10 = [
     # raw corpus and recompute the quota arithmetic)
     "curate_temperature_mix",
     # E22 sentence segmentation: like-for-like map pass
-    "text_sentences"]
+    "text_sentences",
+    # round 14: bidirectional margin pairs (D14b) — like-for-like
+    # (both engines score raw embeddings twice, same cosine arithmetic)
+    "ann_margin_pairs"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
