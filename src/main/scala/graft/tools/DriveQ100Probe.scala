@@ -85,7 +85,27 @@ object DriveQ100Probe {
       ("q3_joinfirst_SHJ", () => q3Of(shj = true, preAgg = false)),
       ("q5_shipped_SMJ", () => q5Of(shj = false)),
       ("q5_all_SHJ", () => q5Of(shj = true)),
-      ("q5_o_SHJ", () => q5Of(shj = false, oOnly = true)))
+      ("q5_o_SHJ", () => q5Of(shj = false, oOnly = true)),
+      ("q3_bucketed_shipped", () =>
+        graft.operators.Analytics.q3Bucketed(spark, sf)),
+      ("q3_bucketed_joinfirst", () => {
+        val (db, n) = graft.operators.Analytics.bucketedWarehouseProbe(spark, sf)
+        val c = Tables(spark, sf, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = db.readBucketed(s"orders_b$n")
+          .filter(col("o_orderdate") < cutoff)
+        db.readBucketed(s"lineitem_b$n")
+          .filter(col("l_shipdate") > cutoff)
+          .join(o.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+      }))
 
     val best = scala.collection.mutable.Map[String, Double]()
     variants.foreach { case (_, f) => f().count() } // warm
