@@ -30,6 +30,14 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold",
       sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10MB"))
+    // Join-strategy preference knob (r14): preferSortMergeJoin=false
+    // lets the planner pick shuffled-hash wherever one side hashes
+    // locally (broadcast still wins below the threshold). Surgical
+    // hints carried the measured q3 win; this stays env-only until a
+    // full-board sweep at 1x AND 10x shows a clean aggregate win
+    // (r15 candidate d).
+    .config("spark.sql.join.preferSortMergeJoin",
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
     // Every bucketed read in this engine is DELIBERATE — the layout
     // exists for bucket PRUNING (text-index term probes) or exchange
     // elision (q3/q5 twins, _len joins). Spark's
