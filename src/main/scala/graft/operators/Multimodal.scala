@@ -162,7 +162,115 @@ object Multimodal {
       .withColumn("valid", col("declared") === col("detected"))
   }
 
+  /** F7 (r14): perceptual-hash near-duplicate detection — the image
+    * dedup every multimodal training pipeline runs (screenshots,
+    * re-encodes, and thumbnails share pixels but never bytes, so C2's
+    * checksum dedup misses them). The real recipe is dHash (Krawetz):
+    * downsample to a 9×8 grayscale grid, emit one bit per horizontal
+    * gradient (p(r,c) < p(r,c+1)), and call images near-duplicate
+    * when the 64-bit hashes sit within a small Hamming distance.
+    *
+    * Stub boundary, deliberately DIFFERENT from [[decodeOne]]'s
+    * md5 arithmetic: pHash's entire point is LOCALITY (similar
+    * pixels ⇒ nearby hashes), which an avalanche hash destroys, so
+    * the pixel stand-in samples the payload's own code points on the
+    * 9×8 grid (position (r·9+c) mod n). A one-character edit
+    * perturbs at most a couple of grid cells — exactly the
+    * robustness a real decoded-pixel dHash has, spec-pinned. A real
+    * build swaps the sampling expression for decoded grayscale; the
+    * hash layout, banding, and verify are unchanged.
+    *
+    * Scale shape: the hash is one codegen map pass (128 substring
+    * reads, no shuffle); candidate pairs come from 16-bit BAND
+    * buckets (Hamming ≤ 3 over four bands ⇒ at least one band equal,
+    * the pigeonhole that makes the search exact — no all-pairs scan
+    * anywhere); each bucket carries (id, hash) structs so the verify
+    * is a bit_count on the exploded pair, no join back. Hot buckets
+    * cap at `maxBucket` (the C3/C4 `maxOcc` discipline — a capped
+    * bucket is a near-constant corpus artifact, logged by size here
+    * as bucket overflow means the 16-bit band is degenerate).
+    * The hash lives in two 32-bit halves (lo = grid rows 0–3) —
+    * BIGINT-safe in both engines (no sign games at bit 63).
+    */
+  def phashNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+    def px(k: Int): org.apache.spark.sql.Column =
+      ascii(col("text").substr(
+        (lit(k) % length(col("text"))) + lit(1), lit(1)))
+    def half(rows: Range): org.apache.spark.sql.Column =
+      rows.flatMap { r =>
+        (0 until 8).map { c =>
+          val bit = r % 4 * 8 + c
+          shiftleft(
+            when(px(r * 9 + c) < px(r * 9 + c + 1), lit(1L))
+              .otherwise(lit(0L)), bit)
+        }
+      }.reduce(_ bitwiseOR _)
+    val hashed = d.select(col("doc_id"),
+      half(0 until 4).as("h_lo"), half(4 until 8).as("h_hi"))
+    val bands = array(
+      struct(lit(0).as("band"), (col("h_lo") % 65536).as("v")),
+      struct(lit(1).as("band"), shiftright(col("h_lo"), 16).as("v")),
+      struct(lit(2).as("band"), (col("h_hi") % 65536).as("v")),
+      struct(lit(3).as("band"), shiftright(col("h_hi"), 16).as("v")))
+    val members = col("ids")
+    val pairsOf = flatten(transform(members, (x, i) =>
+      transform(slice(members, i + 2, size(members)),
+        y => struct(x.as("a"), y.as("b")))))
+    hashed
+      .select(col("doc_id"), col("h_lo"), col("h_hi"),
+        explode(bands).as("bv"))
+      .groupBy(col("bv.band"), col("bv.v"))
+      .agg(sort_array(collect_set(
+        struct(col("doc_id"), col("h_lo"), col("h_hi")))).as("ids"))
+      .filter(size(members) >= 2 && size(members) <= maxBucket)
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.a.doc_id").as("doc_id_a"),
+        col("p.b.doc_id").as("doc_id_b"),
+        (bit_count(col("p.a.h_lo").bitwiseXOR(col("p.b.h_lo"))) +
+          bit_count(col("p.a.h_hi").bitwiseXOR(col("p.b.h_hi"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val oracles: Map[String, String] = Map(
+    // F7: identical grid sampling, bit packing (OR-fold over two
+    // 32-bit halves), 16-bit banding, and bit_count verify — pairs
+    // and Hamming distances integer-exact cross-engine.
+    "mm_phash_neardup" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_reduce([CASE WHEN
+        |      ascii(substr(text, 1 + (((i//8)*9 + (i%8)) % len(text)), 1))
+        |    < ascii(substr(text, 1 + (((i//8)*9 + (i%8) + 1) % len(text)), 1))
+        |    THEN 1::BIGINT << CAST(((i//8) % 4) * 8 + (i%8) AS INT)
+        |    ELSE 0::BIGINT END for i in range(0, 32)],
+        |    (x, y) -> x | y) AS h_lo,
+        |  list_reduce([CASE WHEN
+        |      ascii(substr(text, 1 + (((i//8)*9 + (i%8)) % len(text)), 1))
+        |    < ascii(substr(text, 1 + (((i//8)*9 + (i%8) + 1) % len(text)), 1))
+        |    THEN 1::BIGINT << CAST(((i//8) % 4) * 8 + (i%8) AS INT)
+        |    ELSE 0::BIGINT END for i in range(32, 64)],
+        |    (x, y) -> x | y) AS h_hi
+        |  FROM documents WHERE text IS NOT NULL AND len(text) >= 1),
+        |b0 AS (SELECT doc_id, h_lo, h_hi,
+        |    unnest([h_lo % 65536, h_lo // 65536,
+        |            h_hi % 65536, h_hi // 65536]) AS v,
+        |    unnest([0, 1, 2, 3]) AS band
+        |  FROM h),
+        |b AS (SELECT * FROM b0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY band, v) <= 1000),
+        |p AS (SELECT DISTINCT
+        |    LEAST(x.doc_id, y.doc_id) AS doc_id_a,
+        |    GREATEST(x.doc_id, y.doc_id) AS doc_id_b,
+        |    CAST(bit_count(xor(x.h_lo, y.h_lo))
+        |       + bit_count(xor(x.h_hi, y.h_hi)) AS INTEGER) AS hamming
+        |  FROM b x JOIN b y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+        |SELECT doc_id_a, doc_id_b, hamming FROM p
+        |WHERE hamming <= 3""".stripMargin,
     "mm_integrity" ->
       """WITH p AS (SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INTEGER)
@@ -232,6 +340,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) => meta(s, d)),
+    "mm_phash_neardup" -> ((s, d) => phashNearDup(s, d)),
     "mm_integrity" -> ((s, d) => integrity(s, d)),
     "mm_partitioned" -> (partitionedMedia _),
     "mm_resize" -> ((s, d) => resize(s, d)),

@@ -1604,6 +1604,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     out.unpersist()
   }
 
+  test("F7 pHash near-dup: locality — byte-different edits pair, unrelated do not") {
+    import spark.implicits._
+    val dir = scratch("phash")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the hills before dusk arrives"
+    // grid samples character positions (r*9+c) mod n and their +1
+    // neighbors, i.e. indexes 0..71 here — an edit beyond that range
+    // is byte-visible but pixel-invisible (hamming 0), and an edit ON
+    // the grid flips at most two gradient bits in one band
+    val editTail = base.dropRight(1) + "X"
+    val editMid = base.updated(40, 'Z')
+    val other = "completely unrelated content sharing nothing at all " +
+      "0123456789 zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"
+    Seq((1L, base), (2L, base), (3L, editTail), (4L, editMid), (5L, other))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = operators.Multimodal.phashNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0, s"exact dup must hash equal: $pairs")
+    // the locality property a checksum dedup (C2) cannot have: the
+    // BYTES differ, the perceptual hash does not
+    assert(editTail != base && pairs((1L, 3L)) == 0, s"$pairs")
+    assert(editMid != base && pairs.contains((1L, 4L)) &&
+      pairs((1L, 4L)) <= 3, s"on-grid edit must stay near: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L },
+      s"unrelated text must not pair: $pairs")
+  }
+
   test("bucketed tables join without an exchange") {
     val db = graft.catalog.GraftDatabase(spark, scratch("bucketed"))
     db.writeBucketed(Tables(spark, sf, "orders")

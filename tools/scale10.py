@@ -107,7 +107,10 @@ SCALE10 = [
     "text_sentences",
     # round 14: bidirectional margin pairs (D14b) — like-for-like
     # (both engines score raw embeddings twice, same cosine arithmetic)
-    "ann_margin_pairs"]
+    "ann_margin_pairs",
+    # round 14: pHash near-dup (F7) — like-for-like (both engines
+    # compute the gradient hash + banded self-pair from raw text)
+    "mm_phash_neardup"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
