@@ -242,17 +242,40 @@ object Analytics {
   /** B4: six-table star join. Only the FIXED-cardinality dims carry a
     * broadcast() hint (region = 5 rows, nation = 25 at every scale
     * factor); supplier and customer grow with SF, so their join
-    * strategy is left to AQE — broadcast-hash while small,
-    * shuffle-hash at scale, never a forced OOM.
+    * strategy is left to AQE while the corpus is small — broadcast-
+    * hash under the threshold, never a forced OOM.
+    *
+    * Scale-adaptive SHJ gate (r14): past [[BigJoinRows]] lineitem
+    * rows the SMJ sorts dominate and the filtered sides hash locally
+    * — measured at the 100× join scale (DriveQ100Probe, interleaved):
+    * unhinted 7.17 s vs all-SHJ 4.09 s — while BELOW it the same
+    * hints BLOCK AQE's dim broadcasts and LOSE up to 2.3× (10×:
+    * 0.75 → 1.73 s). The regime signal is the exact parquet-footer
+    * row count ([[graft.sources.ParquetStats.rowCount]] — driver
+    * milliseconds, memoized per listing signature, NO Spark job:
+    * the E19/E21 gate lesson is that a gate must not cost a jobs'
+    * worth of work, and this one doesn't). Unknown stats take the
+    * small-regime default — the adaptive plan, never a forced hash
+    * build. Rows identical either way (spec-pinned).
     */
-  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val BigJoinRows = 20000000L
+
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame =
+    q5RegionRevenueOf(spark, dir,
+      big = graft.sources.ParquetStats
+        .rowCount(spark, s"$dir/lineitem.parquet")
+        .exists(_ > BigJoinRows))
+
+  private[graft] def q5RegionRevenueOf(spark: SparkSession, dir: String,
+      big: Boolean): DataFrame = {
     val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables(spark, dir, "nation")
-    val s = Tables(spark, dir, "supplier")
-    val c = Tables(spark, dir, "customer")
-    val o = Tables(spark, dir, "orders")
+    def shj(d: DataFrame): DataFrame = if (big) d.hint("shuffle_hash") else d
+    val s = shj(Tables(spark, dir, "supplier"))
+    val c = shj(Tables(spark, dir, "customer"))
+    val o = shj(Tables(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
     val l = Tables(spark, dir, "lineitem")
     // Customer and supplier in the same nation (TPC-H Q5 semantics).
     l.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -113,6 +113,50 @@ object ParquetStats {
     } catch { case NonFatal(_) => None }
   }
 
+  // rowCount memo: (dir # listingSig) -> exact row total
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Exact row count of the parquet table under `dir` from footer
+    * record counts alone — no Spark job, no data pages; memoized per
+    * [[listingSig]]. The r14 scale-adaptive join gate reads this
+    * (rows are the right regime signal for JOIN strategy — byte
+    * stats see compression, and the q5 gate wants "how many rows
+    * will the sorts move"). None when the listing or a footer is
+    * unreadable, or past `maxFiles` — callers take the safe default.
+    */
+  def rowCount(spark: SparkSession, dir: String,
+      maxFiles: Int = 65536): Option[Long] = {
+    val sig = listingSig(spark, dir).getOrElse(return None)
+    val key = s"$dir#$sig"
+    val hit = countMemo.get(key)
+    if (hit != null) return Some(hit)
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return None
+      val it = fs.listFiles(root, true)
+      var total = 0L
+      var files = 0
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && st.getLen > 0 &&
+            !name.startsWith("_") && !name.startsWith(".")) {
+          files += 1
+          if (files > maxFiles) return None
+          val reader =
+            ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try total += reader.getRecordCount
+          finally reader.close()
+        }
+      }
+      countMemo.put(key, total)
+      Some(total)
+    } catch { case NonFatal(_) => None }
+  }
+
   /** Σ total_uncompressed_size of `column` over every parquet file
     * under `dir` (recursive). None when the listing or any footer is
     * unreadable, or past `maxFiles` (callers must treat None as

@@ -1402,6 +1402,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(topo.contains("BroadcastHashJoin"), topo.take(2000))
   }
 
+  test("q5 scale-adaptive gate: small corpus takes the adaptive plan; big path is row-identical") {
+    // the footer row-count gate must read SMALL here (testdata is
+    // nowhere near BigJoinRows), so the served plan is the unhinted
+    // adaptive one...
+    assert(graft.sources.ParquetStats
+      .rowCount(spark, s"$sf/lineitem.parquet")
+      .exists(_ < operators.Analytics.BigJoinRows))
+    val small = operators.Analytics.q5RegionRevenueOf(spark, sf, big = false)
+    val big = operators.Analytics.q5RegionRevenueOf(spark, sf, big = true)
+    // ...and the big-regime plan actually forces the hash joins
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+    // both regimes produce the identical result set (decimal sums
+    // are partition-order exact)
+    assert(small.except(big).count() == 0)
+    assert(big.except(small).count() == 0)
+  }
+
   test("text pipeline stays inside whole-stage codegen") {
     // '*(n)' marks WholeStageCodegen stages in the plan string
     val plan = planOf(operators.TextQueries.tokenStats(spark, sf))
