@@ -19,6 +19,11 @@ object GraftFunctions {
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
   /** 60-bit SimHash of a token array (md5 token hashes). */
+  /** F7 dHash grid hash: array<long>[2] = (h_lo, h_hi) 32-bit halves
+    * (one-pass native expression; see [[expressions.DHash64]]). */
+  def dhash64(text: Column): Column =
+    toCol(expressions.DHash64(toExpr(text)))
+
   def simhash60(tokens: Column): Column =
     toCol(SimHash60(toExpr(tokens)))
 

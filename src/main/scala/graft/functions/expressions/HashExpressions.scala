@@ -881,6 +881,89 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** F7 dHash (r14): the 9×8-grid gradient perceptual hash in ONE
+  * forward pass — output array<long>[2] = (h_lo, h_hi), the two
+  * BIGINT-safe 32-bit halves (grid rows 0–3 / 4–7) the pHash
+  * near-dup banding consumes.
+  *
+  * Semantics contract (hash-pinned by the `mm_phash_neardup` oracle
+  * at three SFs): pixel(k) = code point of the k mod numChars-th
+  * CHARACTER — exactly `ascii(substr(text, 1 + k % len, 1))` in
+  * both engines — and bit (r,c) = pixel(r·9+c) < pixel(r·9+c+1),
+  * packed at (r mod 4)·8 + c. Only sample indexes 0‥71 exist, so
+  * the pass decodes at most the first 72 code points (or the whole
+  * string when shorter, for the wrap): the compositional
+  * `ascii(substring)` form this replaces paid an O(position) UTF-8
+  * seek PER PIXEL — 128 seeks/row was the whole cost of the F7 scan
+  * stage (10× isolated: 1.63 s compositional).
+  */
+case class DHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dhash64"
+
+  def hash(s: UTF8String): ArrayData = {
+    // decode code points of the first min(numChars, 72) characters
+    // in one forward byte walk (UTF-8; matches substr's character
+    // = code point counting)
+    val bytes = s.getBytes
+    if (bytes.length == 0) // callers filter empties; never div-by-zero
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](0L, 0L))
+    val px = new Array[Int](72)
+    var m = 0
+    var i = 0
+    while (i < bytes.length && m < 72) {
+      val b0 = bytes(i) & 0xFF
+      if (b0 < 0x80) { px(m) = b0; i += 1 }
+      else if (b0 < 0xE0) {
+        px(m) = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+      } else if (b0 < 0xF0) {
+        px(m) = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F); i += 3
+      } else {
+        px(m) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+      }
+      m += 1
+    }
+    val n = if (i >= bytes.length) m else s.numChars()
+    // n = total chars; m = decoded prefix (= min(n, 72))
+    def at(k: Int): Int = px(k % n)
+    var lo = 0L
+    var hi = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (at(r * 9 + c) < at(r * 9 + c + 1)) {
+          val bit = (r % 4) * 8 + c
+          if (r < 4) lo |= (1L << bit) else hi |= (1L << bit)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](lo, hi))
+  }
+
+  override def nullSafeEval(v: Any): Any = hash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("dhash", this, classOf[DHash64].getName)
+      s"${ev.value} = $ref.hash($s);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** C20 window hasher: the 64-bit hash of EVERY w-token window of a
   * text column in ONE byte pass — tokenize (TokenScan, the \s+
   * boundary rule every oracle pin shares), xxhash64 each token from
