@@ -125,13 +125,49 @@ object ServedArtifact {
   }
 
   /** Run `body` holding an exclusive marker file under the artifact
-    * db — Hadoop `create(path, overwrite=false)` is the atomic
-    * acquire (throws when the file exists, on local FS and HDFS
-    * alike). A lock older than [[BuildLockStaleMs]] is presumed
-    * abandoned by a crashed builder and broken; waiting acquirers
-    * poll rather than queue (cold builds are rare and bounded).
+    * db. The acquire is atomic: on HDFS, `create(path,
+    * overwrite=false)` is enforced server-side; on the LOCAL
+    * filesystem Hadoop's create is check-then-create (r14 ADVICE),
+    * so the local path uses `File.createNewFile` (O_CREAT|O_EXCL).
+    * A lock older than [[BuildLockStaleMs]] is presumed abandoned by
+    * a crashed builder and broken — but only after TWO sightings of
+    * the SAME modification time (r14 ADVICE): a single stat-then-
+    * delete lets two waiters both judge a lock stale and waiter B
+    * delete the lock waiter A just re-created. Requiring the
+    * re-stat's mtime to equal the one previously observed stale
+    * means a lock recreated between sightings (new mtime) is never
+    * broken, and after a break the waiter loops back to the ATOMIC
+    * create — it never assumes acquisition (a concurrent breaker's
+    * delete is idempotent; exactly one of them wins the create).
+    * Waiting acquirers poll rather than queue (cold builds are rare
+    * and bounded).
     */
   private val BuildLockStaleMs = 30L * 60 * 1000
+
+  /** Create the lock file atomically-if-absent; false when present. */
+  private def tryCreateLock(fs: org.apache.hadoop.fs.FileSystem,
+      lockPath: org.apache.hadoop.fs.Path): Boolean = {
+    val local = fs.getScheme == "file"
+    if (local) {
+      val f = new java.io.File(lockPath.toUri.getPath)
+      if (!f.createNewFile()) false
+      else {
+        val w = new java.io.FileOutputStream(f)
+        w.write(java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName.getBytes("UTF-8"))
+        w.close()
+        true
+      }
+    } else {
+      try {
+        val out = fs.create(lockPath, false)
+        out.writeBytes(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
 
   private def withBuildLock[T](spark: SparkSession, d: GraftDatabase)(
       body: => T): T = {
@@ -139,25 +175,27 @@ object ServedArtifact {
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lockPath.getParent)
     var acquired = false
+    var staleSeen = Long.MinValue // mtime observed stale last iteration
     while (!acquired) {
-      try {
-        val out = fs.create(lockPath, false)
-        out.writeBytes(
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
-        out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val st =
-            try Some(fs.getFileStatus(lockPath))
-            catch { case _: java.io.FileNotFoundException => None }
-          st match {
-            case Some(s) if System.currentTimeMillis() -
-                s.getModificationTime > BuildLockStaleMs =>
-              fs.delete(lockPath, false); ()
-            case Some(_) => Thread.sleep(200)
-            case None => () // holder released between create and stat
-          }
+      if (tryCreateLock(fs, lockPath)) acquired = true
+      else {
+        val st =
+          try Some(fs.getFileStatus(lockPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s) if System.currentTimeMillis() -
+              s.getModificationTime > BuildLockStaleMs =>
+            if (s.getModificationTime == staleSeen) {
+              // second sighting, same mtime: genuinely abandoned
+              fs.delete(lockPath, false)
+              staleSeen = Long.MinValue
+            } else {
+              staleSeen = s.getModificationTime
+              Thread.sleep(200)
+            }
+          case Some(_) => staleSeen = Long.MinValue; Thread.sleep(200)
+          case None => staleSeen = Long.MinValue // released mid-check
+        }
       }
     }
     try body finally fs.delete(lockPath, false)

@@ -914,17 +914,21 @@ case class DHash64(child: Expression) extends UnaryExpression {
     val px = new Array[Int](72)
     var m = 0
     var i = 0
+    // continuation reads clamp to the buffer (r14 ADVICE): Spark
+    // never validates UTF-8 (binary cast to string), so a truncated
+    // multi-byte tail must hash as end-of-string, not throw
+    def cont(j: Int): Int = if (j < bytes.length) bytes(j) & 0x3F else 0
     while (i < bytes.length && m < 72) {
       val b0 = bytes(i) & 0xFF
       if (b0 < 0x80) { px(m) = b0; i += 1 }
       else if (b0 < 0xE0) {
-        px(m) = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+        px(m) = ((b0 & 0x1F) << 6) | cont(i + 1); i += 2
       } else if (b0 < 0xF0) {
-        px(m) = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
-          (bytes(i + 2) & 0x3F); i += 3
+        px(m) = ((b0 & 0x0F) << 12) | (cont(i + 1) << 6) |
+          cont(i + 2); i += 3
       } else {
-        px(m) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
-          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+        px(m) = ((b0 & 0x07) << 18) | (cont(i + 1) << 12) |
+          (cont(i + 2) << 6) | cont(i + 3); i += 4
       }
       m += 1
     }

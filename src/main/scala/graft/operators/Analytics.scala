@@ -73,13 +73,17 @@ object Analytics {
         col("l_quantity") < lit(24.0))
       .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
-  /** B3: customer ⋈ orders ⋈ lineitem + agg + deterministic top-10.
-    * No broadcast() hint on customer: it scales linearly with the
-    * corpus (a forced hint bypasses Spark's size threshold — executor
-    * OOM at the 100 TB design point). AQE's runtime size estimate
-    * picks broadcast-hash while the filtered side is small and
-    * shuffle-hash once it isn't; PlanSpec pins the small-scale choice.
-    * orders⋈lineitem shuffles on the order key (AQE handles skew).
+  /** B3: customer ⋈ orders ⋈ lineitem + agg + deterministic top-10,
+    * in the r14 JOIN-FIRST shuffle-hash shape: lineitem joins the
+    * filtered orders side under an explicit shuffle_hash hint (the
+    * build side is one filtered-orders PARTITION, which shrinks as
+    * shuffle.partitions scales with the cluster — never a forced
+    * broadcast of a corpus-linear side), and only the customer join
+    * is left to AQE's runtime size estimate (broadcast-hash while
+    * the filtered segment is small, shuffle-hash once it isn't;
+    * PlanSpec pins the small-scale choice). orders⋈lineitem shuffles
+    * on the order key (AQE handles skew); the inline comment below
+    * carries the measured three-scale history of the rewrite.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1997-06-01").cast("timestamp")

@@ -670,29 +670,30 @@ object Curation {
     * serve-side inner join drops it entirely, matching batch.
     */
   def buildQualityGate(db: graft.catalog.GraftDatabase, name: String,
-      d: DataFrame, keepPct: Int = 20): Unit = {
-    val ow = org.apache.spark.sql.SaveMode.Overwrite // recalibration
-    db.write(qualityGateBounds(d, keepPct), s"${name}_thresholds", ow)
-    db.write(keepPctMeta(d.sparkSession, keepPct), s"${name}_meta", ow)
-  }
+      d: DataFrame, keepPct: Int = 20): Unit =
+    db.write(qualityGateBounds(d, keepPct), s"${name}_thresholds",
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** C36b/G22 maintainer: RE-calibrate a LIVE gate artifact against a
-    * fresh corpus snapshot while serving continues. Same artifacts as
+    * fresh corpus snapshot while serving continues. Same artifact as
     * [[buildQualityGate]], published through the rename-swap
     * (`replaceTable`) instead of `SaveMode.Overwrite`: a serving
     * stream re-plans the threshold table per micro-batch
     * ([[graft.streaming.StreamingCuration.gateQualityMaintained]]),
     * and Overwrite deletes the live files before the new ones commit
     * — a concurrently planning batch would gate against an empty
-    * model. Run it from a periodic batch job (or a foreachBatch hook
-    * on a calibration stream); the next micro-batch serves the new
-    * thresholds, no restart.
+    * model. The gate is ONE table — `keep_pct` rides as a column of
+    * every threshold row rather than a separate meta table (r14
+    * ADVICE: two independent swaps let a concurrent micro-batch plan
+    * new thresholds against old meta, a mixed model when keepPct
+    * changes, and doubled the missing-table rename windows) — so a
+    * recalibration is a single atomic unit. Run it from a periodic
+    * batch job (or a foreachBatch hook on a calibration stream); the
+    * next micro-batch serves the new thresholds, no restart.
     */
   def recalibrateQualityGate(db: graft.catalog.GraftDatabase,
-      name: String, d: DataFrame, keepPct: Int = 20): Unit = {
+      name: String, d: DataFrame, keepPct: Int = 20): Unit =
     db.replaceTable(qualityGateBounds(d, keepPct), s"${name}_thresholds")
-    db.replaceTable(keepPctMeta(d.sparkSession, keepPct), s"${name}_meta")
-  }
 
   private def qualityGateBounds(d: DataFrame, keepPct: Int): DataFrame =
     qualityPercentileGateOf2(d, keepPct)
@@ -700,13 +701,8 @@ object Curation {
       .agg(max_by(struct(col("negq"), col("doc_id")), col("rn")).as("b"),
         max(col("rn")).as("n_kept"), max(col("n")).as("n_docs"))
       .select(col("source"), col("b.negq").as("negq_star"),
-        col("b.doc_id").as("doc_star"), col("n_kept"), col("n_docs"))
-
-  private def keepPctMeta(spark: SparkSession, keepPct: Int): DataFrame =
-    spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(keepPct)),
-      org.apache.spark.sql.types.StructType(Nil)
-        .add("keep_pct", org.apache.spark.sql.types.IntegerType))
+        col("b.doc_id").as("doc_star"), col("n_kept"), col("n_docs"),
+        lit(keepPct).as("keep_pct"))
 
   /** [[qualityPercentileGateOf]] carrying the serve-side sort key
     * (`negq`) — shared by the C36 query row and the gate build, so
@@ -771,7 +767,7 @@ object Curation {
     // DataFrame construction on this zero-pre-action serving path
     val thr = db.read(s"${name}_thresholds",
         "source string, negq_star double, doc_star bigint, " +
-          "n_kept bigint, n_docs bigint")
+          "n_kept bigint, n_docs bigint, keep_pct int")
       .withColumnRenamed("source", "__src")
     scoredDocs(docs, passthrough).drop("n_tokens")
       .join(broadcast(thr), col("source") <=> col("__src"))

@@ -394,9 +394,15 @@ object Pipeline {
       .listingSig(spark, s"$dir/documents.parquet")
       .getOrElse(throw new IllegalStateException(
         s"documents table not listable: $dir"))
+    // the staleness key folds in the SparkContext's identity (r14
+    // ADVICE): a cached frame is bound to the session that planned
+    // it, and a same-JVM session restart with an unchanged listing
+    // would otherwise serve a frame whose context is stopped —
+    // every downstream action would fail on a dead SparkContext
+    val ctxSig = s"${spark.sparkContext.applicationId}:$sig"
     shuffleMemo.compute(dir, (_, cur) =>
-      if (cur != null && cur._1 == sig) cur
-      else (sig, Ranks.hashOrderedRowNumber(
+      if (cur != null && cur._1 == ctxSig) cur
+      else (ctxSig, Ranks.hashOrderedRowNumber(
         Tables(spark, dir, "documents")
           .select(col("doc_id"), col("n_chars"),
             md5(col("doc_id").cast("string")).as("h")),
