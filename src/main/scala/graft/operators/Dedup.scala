@@ -340,6 +340,31 @@ object Dedup {
     verifyJaccard(cands, docs, threshold, wVerify)
   }
 
+  /** C4 cap audit (no-silent-caps, r14 VERDICT #3): the LSH buckets
+    * [[minhashLsh]]'s `maxBucket` cap DROPS, with their sizes — the
+    * F7 [[Multimodal.phashCapAudit]] schema (site, bucket, occ, cap)
+    * so a pipeline can union the audit surfaces of every capped
+    * dedup family. A count aggregation only: no member list ever
+    * materializes for a degenerate bucket here either.
+    */
+  def minhashCapAudit(spark: SparkSession, dir: String, k: Int = 128,
+      bands: Int = 32, maxBucket: Int = 1000): DataFrame = {
+    val r = k / bands
+    docShingleHashes(spark, dir)
+      .select(minhashFromHashes(col("sh"), k, 42L).as("sig"))
+      .select(col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r)))
+          .as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBucket)
+      .select(lit("dedup_minhash").as("site"),
+        concat_ws(":", col("band"), col("bucket")).as("bucket"),
+        col("occ"), lit(maxBucket).as("cap"))
+  }
+
   /** C35: cross-corpus fuzzy decontamination — flag every training
     * document whose shingle-Jaccard against ANY benchmark document
     * clears τ (the near-duplicate leak C13's exact-gram screen
@@ -1063,6 +1088,25 @@ object Dedup {
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** C20a cap audit (no-silent-caps, r14 VERDICT #3): the window
+    * hashes [[substringPairs]]'s `maxOcc` cap DROPS, with their
+    * total occurrence counts — the shared (site, bucket, occ, cap)
+    * audit schema (see [[Multimodal.phashCapAudit]]). A run that
+    * reports "no shared substrings" while this surface is non-empty
+    * had its candidates eaten by boilerplate (site headers, license
+    * blocks) — exactly the signal a production pipeline needs to
+    * distinguish the two.
+    */
+  def substringCapAudit(spark: SparkSession, dir: String, w: Int = 12,
+      maxOcc: Int = 1000): DataFrame =
+    windowHashes(Tables(spark, dir, "documents"), w)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+      .select(lit("dedup_substring").as("site"),
+        col("h").cast("string").as("bucket"),
+        col("occ"), lit(maxOcc).as("cap"))
 
   /** C20b: duplicated-span coverage — for every document, how many
     * of its tokens sit inside at least one w-token window that

@@ -180,54 +180,186 @@ object Multimodal {
     * build swaps the sampling expression for decoded grayscale; the
     * hash layout, banding, and verify are unchanged.
     *
-    * Scale shape: the hash is one codegen map pass (128 substring
-    * reads, no shuffle); candidate pairs come from 16-bit BAND
-    * buckets (Hamming ≤ 3 over four bands ⇒ at least one band equal,
-    * the pigeonhole that makes the search exact — no all-pairs scan
-    * anywhere); each bucket carries (id, hash) structs so the verify
-    * is a bit_count on the exploded pair, no join back. Hot buckets
-    * cap at `maxBucket` (the C3/C4 `maxOcc` discipline — a capped
-    * bucket is a near-constant corpus artifact, logged by size here
-    * as bucket overflow means the 16-bit band is degenerate).
+    * Scale shape: the hash is one native codegen map pass
+    * ([[graft.functions.expressions.DHash64]], no shuffle);
+    * candidate pairs come from 16-bit BAND buckets (Hamming ≤ 3 over
+    * four bands ⇒ at least one band equal, the pigeonhole that makes
+    * the search exact — no all-pairs scan anywhere), generated by
+    * the C20a count-gated self-join in [[phashPairsOf]]: over-cap
+    * buckets (`maxBucket`, the C3/C4 `maxOcc` discipline — bucket
+    * overflow means the 16-bit band is degenerate, near-blank
+    * thumbnails) are dropped BEFORE any pair materializes, and the
+    * verify is a bit_count on the joined row. [[phashCapAudit]]
+    * surfaces what the cap dropped — a capped band is a corpus
+    * artifact worth knowing about, never a silent absence.
     * The hash lives in two 32-bit halves (lo = grid rows 0–3) —
     * BIGINT-safe in both engines (no sign games at bit 63).
     */
   def phashNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-      .filter(col("text").isNotNull && length(col("text")) >= 1)
-    // native one-pass grid hash (H2 discipline): the compositional
-    // ascii(substring) form paid an O(position) UTF-8 seek per pixel
-    // — 128 seeks/row WAS the F7 scan stage (10× isolated 1.63 s;
-    // the expression decodes ≤72 code points once)
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    phashPairsOf(phashHashesOf(Tables(spark, dir, "documents")),
+      maxHamming, maxBucket)
+
+  /** The (doc_id, h_lo, h_hi) dHash projection of a (doc_id, text)
+    * frame — one native codegen map pass, shared by the inline
+    * query, the cap audit, the index build, and the ingest screen.
+    * (The compositional ascii(substring) form this replaced paid an
+    * O(position) UTF-8 seek per pixel — 128 seeks/row WAS the F7
+    * scan stage, 10× isolated 1.63 s; the expression decodes ≤72
+    * code points once.)
+    */
+  private def phashHashesOf(d: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val h2 = graft.functions.GraftFunctions.dhash64(col("text"))
-    val hashed = d.select(col("doc_id"), h2.as("hh"))
-      .select(col("doc_id"),
-        col("hh").getItem(0).as("h_lo"), col("hh").getItem(1).as("h_hi"))
+    val keep = carry.map(col)
+    d.filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(keep ++ Seq(col("doc_id"), h2.as("hh")): _*)
+      .select(keep ++ Seq(col("doc_id"),
+        col("hh").getItem(0).as("h_lo"),
+        col("hh").getItem(1).as("h_hi")): _*)
+  }
+
+  /** F7 pair generation over a (doc_id, h_lo, h_hi) frame — the C20a
+    * count-gated self-join shape (r14 VERDICT #1). The r14 form
+    * collect_set the full member structs per (band, v) and applied
+    * `maxBucket` AFTER the aggregation — so a degenerate band (blank
+    * thumbnails all hashing one 16-bit value) materialized its whole
+    * corpus-scale bucket in one ObjectHashAggregate buffer before
+    * being discarded, the exact trap Dedup.scala's C20a comment
+    * documents. Here the cap is an analytic COUNT over the SAME
+    * (band, v)-partitioned lineage — over-cap buckets are dropped
+    * BEFORE any pair row exists, all-codegen — and pairs come from a
+    * partitioned self-equi-join on (band, v) (shuffle_hash: the
+    * distinct side GROWS with the corpus and must never become a
+    * driver broadcast). Both join inputs and the occ analytic share
+    * one exchange subtree, so ReuseExchange ships the banded rows
+    * once. ≤ maxBucket² pairs per bucket, ever.
+    */
+  private[graft] def phashPairsOf(hashed: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val bv = bandedOf(hashed)
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("v"))))
+      .filter(col("occ") >= 2 && col("occ") <= maxBucket)
+      .select(col("band"), col("v"), col("doc_id"), col("h_lo"), col("h_hi"))
+    bv.select(col("band"), col("v"), col("doc_id").as("doc_id_a"),
+        col("h_lo").as("alo"), col("h_hi").as("ahi"))
+      .join(bv.select(col("band"), col("v"), col("doc_id").as("doc_id_b"),
+          col("h_lo").as("blo"), col("h_hi").as("bhi"))
+        .hint("shuffle_hash"), Seq("band", "v"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The four 16-bit bands of a (doc_id, h_lo, h_hi) frame, exploded
+    * to (band, v, doc_id, h_lo, h_hi) — Hamming ≤ 3 over four bands
+    * ⇒ at least one band equal (pigeonhole), so banded equality is
+    * an EXACT candidate generator, shared by the inline query, the
+    * index build, and the ingest screen.
+    */
+  private def bandedOf(hashed: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val bands = array(
       struct(lit(0).as("band"), (col("h_lo") % 65536).as("v")),
       struct(lit(1).as("band"), shiftright(col("h_lo"), 16).as("v")),
       struct(lit(2).as("band"), (col("h_hi") % 65536).as("v")),
       struct(lit(3).as("band"), shiftright(col("h_hi"), 16).as("v")))
-    val members = col("ids")
-    val pairsOf = flatten(transform(members, (x, i) =>
-      transform(slice(members, i + 2, size(members)),
-        y => struct(x.as("a"), y.as("b")))))
+    val keep = carry.map(col)
     hashed
-      .select(col("doc_id"), col("h_lo"), col("h_hi"),
-        explode(bands).as("bv"))
-      .groupBy(col("bv.band"), col("bv.v"))
-      .agg(sort_array(collect_set(
-        struct(col("doc_id"), col("h_lo"), col("h_hi")))).as("ids"))
-      .filter(size(members) >= 2 && size(members) <= maxBucket)
-      .select(explode(pairsOf).as("p"))
-      .select(col("p.a.doc_id").as("doc_id_a"),
-        col("p.b.doc_id").as("doc_id_b"),
-        (bit_count(col("p.a.h_lo").bitwiseXOR(col("p.b.h_lo"))) +
-          bit_count(col("p.a.h_hi").bitwiseXOR(col("p.b.h_hi"))))
-          .cast("int").as("hamming"))
+      .select(keep ++ Seq(col("doc_id"), col("h_lo"), col("h_hi"),
+        explode(bands).as("bv")): _*)
+      .select(keep ++ Seq(col("bv.band").as("band"), col("bv.v").as("v"),
+        col("doc_id"), col("h_lo"), col("h_hi")): _*)
+  }
+
+  /** F7 cap audit (no-silent-caps, r14 VERDICT #3): the (band, v)
+    * buckets [[phashNearDup]]'s `maxBucket` cap DROPS, with their
+    * sizes — so a production run can distinguish "no near-dups"
+    * from "a degenerate band (blank thumbnails) ate the candidates".
+    * Pure aggregation over the same banded lineage, output rows =
+    * over-cap buckets only (normally zero).
+    */
+  def phashCapAudit(spark: SparkSession, dir: String,
+      maxBucket: Int = 1000): DataFrame =
+    bandedOf(phashHashesOf(Tables(spark, dir, "documents")))
+      .groupBy(col("band"), col("v"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBucket)
+      .select(lit("mm_phash_neardup").as("site"),
+        concat_ws(":", col("band"), col("v")).as("bucket"),
+        col("occ"), lit(maxBucket).as("cap"))
+
+  /** F7 lifecycle (the D9/C32b discipline): persist the corpus's
+    * banded pHash index once, screen every incoming media batch
+    * against it with no corpus re-scan. `{name}_bands` holds the
+    * (band, v, doc_id, h_lo, h_hi) rows with over-cap bands dropped
+    * AT BUILD — a capped index bounds every future probe join no
+    * matter how degenerate a band is — and the dropped bands are
+    * persisted to `{name}_capped` (the no-silent-caps audit rows,
+    * C32b's capped-fingerprint logging made queryable); `{name}_meta`
+    * pins maxBucket so probes screen under the build's cap.
+    */
+  def buildPhashIndex(db: graft.catalog.GraftDatabase, docs: DataFrame,
+      name: String, maxBucket: Int = 1000): Unit = {
+    val banded = bandedOf(phashHashesOf(docs))
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("v"))))
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    db.write(banded.filter(col("occ") <= maxBucket)
+      .select(col("band"), col("v"), col("doc_id"),
+        col("h_lo"), col("h_hi")), s"${name}_bands", ow)
+    db.write(banded.filter(col("occ") > maxBucket)
+      .groupBy(col("band"), col("v")).agg(max(col("occ")).as("occ"))
+      .select(col("band"), col("v"), col("occ")), s"${name}_capped", ow)
+    import db.spark.implicits._
+    db.write(Seq(maxBucket).toDF("max_bucket"), s"${name}_meta", ow)
+  }
+
+  /** Screen a new (doc_id, text) media batch against a stored pHash
+    * index: the batch hashes map-side (stateless one-pass DHash64),
+    * candidates come from the banded equi-join against the capped
+    * index — shuffle_hash on the index side: the index GROWS with
+    * the corpus and must never become a driver broadcast — and the
+    * Hamming verify is a bit_count on the joined row. Emits distinct
+    * (new_doc_id, index_doc_id, hamming ≤ maxHamming): the
+    * ingest-time near-dup screen a multimodal crawl runs before
+    * admitting a batch (C32b's winnow screen for pixels instead of
+    * tokens). Exactness carries over: Hamming ≤ 3 ⇒ a shared band,
+    * unless that band was capped at build — which the `{name}_capped`
+    * audit table records.
+    */
+  def phashNewPairs(db: graft.catalog.GraftDatabase, name: String,
+      newDocs: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashScreenRows(db, name, newDocs, maxHamming).distinct()
+
+  /** Pre-distinct screen rows (a pair surfaces once per shared band)
+    * with `carry` columns threaded through — shared by the batch
+    * screen (then `.distinct()`) and the streaming twin (then a
+    * watermarked `dropDuplicates`, the append-mode-legal dedup).
+    */
+  private[graft] def phashScreenRows(db: graft.catalog.GraftDatabase,
+      name: String, newDocs: DataFrame, maxHamming: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
+    bandedOf(phashHashesOf(newDocs, carry), carry)
+      .select(keep ++ Seq(col("band"), col("v"),
+        col("doc_id").as("new_doc_id"),
+        col("h_lo").as("alo"), col("h_hi").as("ahi")): _*)
+      .join(db.read(s"${name}_bands").hint("shuffle_hash"),
+        Seq("band", "v"))
+      .select(keep ++ Seq(col("new_doc_id"),
+        col("doc_id").as("index_doc_id"),
+        (bit_count(col("alo").bitwiseXOR(col("h_lo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("h_hi"))))
+          .cast("int").as("hamming")): _*)
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   val oracles: Map[String, String] = Map(

@@ -108,6 +108,28 @@ object StreamingDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** F7 streaming screen (r15): the pHash near-dup counterpart of
+    * [[winnowScreenStream]] — a (ts, doc_id, text) media stream
+    * hashes MAP-SIDE (stateless one-pass DHash64 + band explode),
+    * candidates come from a stream-static join against the capped
+    * `{name}_bands` index of
+    * [[graft.operators.Multimodal.buildPhashIndex]], and the Hamming
+    * verify is a per-row bit_count — the only state is the
+    * watermarked per-pair dedup (a pair surfaces once per shared
+    * band; `dropDuplicates` under the `ts` watermark is the
+    * append-mode-legal distinct). A new image within Hamming ≤
+    * maxHamming of any indexed one surfaces in its own micro-batch,
+    * identical arithmetic to the batch
+    * [[graft.operators.Multimodal.phashNewPairs]] (spec-pinned).
+    */
+  def phashScreenStream(db: graft.catalog.GraftDatabase, name: String,
+      stream: DataFrame, maxHamming: Int = 3,
+      watermark: String = "1 hour"): DataFrame =
+    graft.operators.Multimodal.phashScreenRows(db, name,
+        stream.withWatermark("ts", watermark), maxHamming,
+        carry = Seq("ts"))
+      .dropDuplicates("ts", "new_doc_id", "index_doc_id")
+
   /** Convenience form of [[incrementalNoveltyStreamManaged]] — with
     * NO persistent index (there is no handle to release it through,
     * and a leaked corpus-scale cache per call is worse than the

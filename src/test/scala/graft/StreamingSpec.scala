@@ -681,6 +681,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("F7 streamed pHash screening equals the batch screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("phash_stream") + "/db")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the hills before dusk arrives"
+    graft.operators.Multimodal.buildPhashIndex(db,
+      Seq((1L, base),
+        (5L, "completely unrelated content sharing nothing at all " +
+          "0123456789 zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"))
+        .toDF("doc_id", "text"), "phs")
+    val batch = Seq((301L, base.updated(40, 'Z')),
+      (302L, "fresh material with no perceptual overlap qqq rrr sss " +
+        "ttt uuu vvv www then some more filler words here"))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .phashScreenStream(db, "phs",
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("phash_screen_out").start()
+    try {
+      mem.addData(batch.map { case (id, t) => (ts(0), id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData((ts(300), -1L, "flush flush flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("phash_screen_out")
+        .filter(col("new_doc_id") >= 0)
+        .select("new_doc_id", "index_doc_id", "hamming")
+      val want = graft.operators.Multimodal.phashNewPairs(db, "phs",
+        batch.toDF("doc_id", "text"))
+        .select(col("new_doc_id"), col("index_doc_id"), col("hamming"))
+      assert(want.count() > 0, "fixture must plant a near-dup")
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+    } finally q.stop()
+  }
+
   test("G6: streaming curation gates quality+lang, dedups, redacts PII") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
