@@ -24,7 +24,8 @@ import graft.Tables
   * Floors are set with margin below the measured recalls at all three
   * SFs (tools/DriveRecallProbe, 2026-08: ivf .76-1.0, pq .34-.38,
   * ivfpq .34-.42, refine .74-.80, hnsw .98-1.0, lsh .67-.71,
-  * semantic .26-.29, pca .76-1.0) — they catch structural
+  * semantic .26-.29, pca .76-1.0; r15: hnsw_routed .92-1.0 at
+  * nProbe=8/16, .84-1.0 at nProbe=4) — they catch structural
   * regressions, not noise:
   * every path is deterministic (fixed seeds, fixed tie-breaks), so a
   * flip means the algorithm changed, not the dice.
@@ -86,6 +87,16 @@ object AnnChecks {
   def hnswCheck(spark: SparkSession, dir: String): DataFrame =
     recallCheck("hnsw", 10, 90,
       Hnsw.hnswTopk(spark, dir), Ann.topkExact(spark, dir))
+
+  /** D7b: the routed form composes two approximations — HNSW's beam
+    * (.98-1.0 alone) and the IVF routing trade (a true neighbor in a
+    * cell farther than all nProbe probed ones is unreachable), so
+    * its floor sits between hnsw's 90 and ivf's 60 (measured r15 at
+    * the default nProbe=8/16: .98/.92/1.0 at sf0.001/.01/.1).
+    */
+  def hnswRoutedCheck(spark: SparkSession, dir: String): DataFrame =
+    recallCheck("hnsw_routed", 10, 80,
+      Hnsw.hnswTopkRouted(spark, dir), Ann.topkExact(spark, dir))
 
   /** The refine stage's contract is stronger than a recall floor: its
     * emitted scores must BE the exact dot products of the emitted
@@ -168,6 +179,7 @@ object AnnChecks {
     "ann_pq_check" -> recallOracle("pq", 25),
     "ann_ivfpq_check" -> recallOracle("ivfpq", 25),
     "ann_hnsw_check" -> recallOracle("hnsw", 90),
+    "ann_hnsw_routed_check" -> recallOracle("hnsw_routed", 80),
     "ann_pca_check" -> recallOracle("pca", 65),
     "ann_ivfpq_refine_check" ->
       """SELECT 'ivfpq_refine' AS method,
@@ -183,6 +195,7 @@ object AnnChecks {
     "ann_pq_check" -> (pqCheck _),
     "ann_ivfpq_check" -> (ivfPqCheck _),
     "ann_hnsw_check" -> (hnswCheck _),
+    "ann_hnsw_routed_check" -> (hnswRoutedCheck _),
     "ann_pca_check" -> (pcaCheck _),
     "ann_ivfpq_refine_check" -> ((s, d) => ivfPqRefineCheck(s, d)),
     "dedup_embedding_lsh_check" -> (embeddingLshCheck _),

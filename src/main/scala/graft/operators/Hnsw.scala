@@ -309,12 +309,7 @@ object Hnsw {
       .mapPartitions(it =>
         partitionSearch(it, queries, k, m, efConstruction, efSearch))
       .toDF("query_id", "neighbor_id", "sim")
-    cands.groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
-        .as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+    mergeTopk(cands, k)
   }
 
   /** Persisted HNSW lifecycle (VERDICT r5 #6): build each
@@ -375,15 +370,196 @@ object Hnsw {
         }
       })
       .toDF("query_id", "neighbor_id", "sim")
+    mergeTopk(cands, k)
+  }
+
+  /** The q·k candidate rows → ranked top-k merge (H3 aggregator)
+    * shared by every HNSW serving shape. */
+  private def mergeTopk(cands: DataFrame, k: Int): DataFrame =
     cands.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(k)(col("sim"), col("neighbor_id"))
         .as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("idx", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         (col("idx") + 1).as("rank"), col("s.score").as("sim"))
+
+  // ---------------------------------------------------------------
+  // D7b (r15): IVF-routed HNSW — coarse quantizer over the shards
+  // ---------------------------------------------------------------
+
+  /** The nProbe nearest cells of a RAW query vector under the
+    * quantizer's own metric (squared L2 on unnormalized vectors —
+    * routing must mirror assignment or a vector and its queries land
+    * in different cells). Ties break on cell id: deterministic.
+    */
+  private[graft] def routeCells(cents: Array[Array[Double]],
+      q: Array[Double], nProbe: Int): Array[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var d = 0
+      while (d < q.length) { val t = c(d) - q(d); s += t * t; d += 1 }
+      (s, i)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
+  /** Queries grouped by routed cell: cell → (query_id, normalized
+    * query) list. Each query appears in exactly nProbe cells — the
+    * spec pins shards-visited from this map.
+    */
+  private[graft] def routedQueries(cents: Array[Array[Double]],
+      qs: Array[(Long, Array[Double], Array[Double])],
+      nProbe: Int): Map[Int, Array[(Long, Array[Double])]] =
+    qs.flatMap { case (qid, raw, unit) =>
+      routeCells(cents, raw, nProbe).map(c => (c, (qid, unit)))
+    }.groupBy(_._1).map { case (c, a) => (c, a.map(_._2).sortBy(_._1)) }
+
+  /** `ann_hnsw` (routed form, r15 — VERDICT r14 #4): per-partition
+    * graphs made every query visit ALL P shards — O(P·ef·M) per
+    * query, linear in shard count at cluster scale. Here the D2
+    * coarse quantizer routes instead: one graph per k-means CELL
+    * (cells stay ~constant-sized as nCells grows with the corpus),
+    * and each query searches only its nProbe nearest cells — serve
+    * cost O(nProbe·ef·M), independent of both corpus size AND shard
+    * count. The inline form goes further: only ROUTED cells build
+    * graphs at all (the unrouted remainder of the corpus is filtered
+    * out before the cell shuffle), so a small query batch indexes
+    * only the fraction of the corpus it can reach. Routing recall:
+    * a true neighbor hides only if it sits in a cell farther from
+    * the query than all nProbe probed ones — the IVF trade (D2),
+    * pinned by the `ann_hnsw_routed_check` oracle floor (80, with
+    * margin under the measured .92–1.0 across SFs at the default
+    * nProbe=8 of 16 cells — DriveRecallProbe r15).
+    *
+    * Build determinism: group rows sort by vec_id before insertion
+    * (a groupByKey iterator has no guaranteed order, unlike the
+    * partition iterator [[hnswTopk]]'s build relies on), so rebuilds
+    * are bit-identical — spec-pinned alongside the unrouted form's.
+    */
+  def hnswTopkRouted(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, m: Int = 8, efConstruction: Int = 64,
+      efSearch: Int = 48, nCells: Int = 16, iters: Int = 3,
+      nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Ann.trainCentroids(e, nCells, iters)
+    graft.CacheHygiene.unpersistAfterUse(e)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val raw = v.toArray.map(_.toDouble)
+        (id, raw, normalize(raw))
+      }
+      .sortBy(_._1)
+    val routed = routedQueries(cents, qs, nProbe)
+    val cellSet = routed.keySet.toSeq
+    val mm = m
+    val efc = efConstruction
+    val efs = efSearch
+    val kk = k
+    val cands = e
+      .withColumn("cell", Ann.cellExpr(cents, col("embedding")))
+      // unrouted cells never shuffle, never build a graph
+      .filter(col("cell").isInCollection(cellSet))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.map { case (_, id, v) => (id, v) }
+          .toArray.sortBy(_._1)
+        partitionSearch(rows.iterator, routed(cell), kk, mm, efc, efs)
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+    mergeTopk(cands, k)
+  }
+
+  /** D7b persisted lifecycle: the routed twin of [[buildHnswIndex]].
+    * `{name}_centroids` is the D2 quantizer table (nCells rows — the
+    * bounded piece a server loads to plan probes); `{name}_graphs`
+    * holds ONE graph blob per CELL (vectors ride in the blob, as in
+    * the unrouted index). Build cost is the unrouted build plus one
+    * cell shuffle; rebuilds are bit-identical (sorted insertion
+    * order + hash levels).
+    */
+  def buildHnswIndexRouted(db: graft.catalog.GraftDatabase, e: DataFrame,
+      name: String, nCells: Int = 16, iters: Int = 3, m: Int = 8,
+      efConstruction: Int = 64): Unit = {
+    val spark = db.spark
+    import spark.implicits._
+    val ep = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Ann.trainCentroids(ep, nCells, iters)
+    graft.CacheHygiene.unpersistAfterUse(ep)
+    db.write(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid"),
+      s"${name}_centroids", org.apache.spark.sql.SaveMode.Overwrite)
+    val mm = m
+    val efc = efConstruction
+    val blobs = ep
+      .withColumn("cell", Ann.cellExpr(cents, col("embedding")))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val rows = it.map { case (_, id, v) => (id, v) }
+          .toArray.sortBy(_._1)
+        val ids = rows.map(_._1)
+        val vecs = rows.map(r => normalize(r._2.toArray.map(_.toDouble)))
+        val g = new Graph(vecs, ids, mm, efc)
+        var i = 0
+        while (i < ids.length) { g.insert(i); i += 1 }
+        (cell, serializeGraph(g, ids, vecs, mm))
+      }
+      .toDF("cell", "graph")
+    db.write(blobs, s"${name}_graphs",
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Serve top-k from a routed index: the centroid table routes each
+    * query to its nProbe nearest cells DRIVER-side (nCells rows —
+    * bounded); only routed blobs deserialize (an unrouted blob is
+    * skipped before the gunzip, not after), and each graph searches
+    * only the queries routed to it. Per-query cost O(nProbe·ef·M) —
+    * shard-count-independent, the scale fix for [[hnswTopkFromIndex]]
+    * whose every query visited all P partition graphs.
+    */
+  def hnswTopkFromIndexRouted(db: graft.catalog.GraftDatabase,
+      name: String, queries: DataFrame, k: Int = 10,
+      efSearch: Int = 48, nProbe: Int = 8): DataFrame = {
+    val spark = db.spark
+    import spark.implicits._
+    val cents = Ann.loadCentroids(db, name)
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val raw = v.toArray.map(_.toDouble)
+        (id, raw, normalize(raw))
+      }
+      .sortBy(_._1)
+    val routed = routedQueries(cents, qs, nProbe)
+    val kk = k
+    val efs = efSearch
+    val cands = db.read(s"${name}_graphs").select(col("cell"), col("graph"))
+      .as[(Int, Array[Byte])]
+      .mapPartitions(_.flatMap { case (cell, blob) =>
+        routed.get(cell) match {
+          case None => Iterator.empty
+          case Some(qarr) =>
+            val g = deserializeGraph(blob)
+            qarr.iterator.flatMap { case (qid, qv) =>
+              g.search(qv, kk + 1, efs).iterator
+                .filter(_._1 != qid).take(kk)
+                .map { case (nid, s) => (qid, nid, s) }
+            }
+        }
+      })
+      .toDF("query_id", "neighbor_id", "sim")
+    mergeTopk(cands, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_hnsw" -> ((s, d) => hnswTopk(s, d))
+    "ann_hnsw" -> ((s, d) => hnswTopk(s, d)),
+    "ann_hnsw_routed" -> ((s, d) => hnswTopkRouted(s, d))
   )
 }

@@ -30,6 +30,10 @@ object DriveRecallProbe {
       r("ivfpq", IvfPq.annIvfPq(spark, dir))
       r("ivfpq_refine", IvfPq.annIvfPqRefined(spark, dir))
       r("hnsw", Hnsw.hnswTopk(spark, dir))
+      // r15 routed sweep: nProbe of 16 cells — the floor evidence
+      // for ann_hnsw_routed_check
+      for (np <- Seq(4, 6, 8, 12))
+        r(s"hnsw_routed$np", Hnsw.hnswTopkRouted(spark, dir, nProbe = np))
       // pinned D12 config (r=32, of=8); the r5-era sweep that chose it
       // measured r16/of4 .32–.70, r32/of8 .76–1.0 across SFs
       r("pca", Pca.annPcaRefined(spark, dir))

@@ -1350,6 +1350,63 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       "the same build must return the same ranking")
   }
 
+  test("D7b routed HNSW: recall holds with <= nProbe of nCells cells searched, deterministic") {
+    import spark.implicits._
+    val nCells = 16
+    val nProbe = 8
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // shards-visited pin: the routing map IS the search plan — each
+    // query appears in exactly nProbe cells, and the routed set is a
+    // strict subset of the quantizer (un-probed cells never build,
+    // never deserialize, never search)
+    val cents = Ann.trainCentroids(e, nCells, 3)
+    val qs = e.filter(col("vec_id") < 5).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) =>
+        val raw = v.toArray.map(_.toDouble)
+        (id, raw, raw)
+      }
+    val routed = Hnsw.routedQueries(cents, qs, nProbe)
+    val perQuery = routed.toSeq
+      .flatMap { case (c, arr) => arr.map(q => (q._1, c)) }
+      .groupBy(_._1).map { case (_, cs) => cs.map(_._2).distinct.size }
+    assert(perQuery.forall(_ == nProbe) && nProbe < nCells,
+      s"each query must probe exactly nProbe ($nProbe) of $nCells " +
+        s"cells: $perQuery")
+    val exact = Ann.topkExact(spark, sf).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Hnsw
+      .hnswTopkRouted(spark, sf, nCells = nCells, nProbe = nProbe)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = run()
+    val pairs = got.map { case (q, n, _) => (q, n) }
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"routed recall=$recall")
+    assert(run() == got, "sorted insertion + hash levels: rebuild " +
+      "must return the same ranking")
+  }
+
+  test("D7b routed lifecycle: served from stored cell graphs equals inline routed") {
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("ann_routed") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    Hnsw.buildHnswIndexRouted(db, e, "hr")
+    assert(db.read("hr_centroids").count() == 16L)
+    val served = rows(Hnsw.hnswTopkFromIndexRouted(db, "hr", queries))
+    // same deterministic training + sorted insertion: the stored
+    // cell graphs ARE the inline build's graphs, so serving answers
+    // exactly what the inline routed form answers
+    assert(served == rows(Hnsw.hnswTopkRouted(spark, sf)))
+    Hnsw.buildHnswIndexRouted(db, e, "hr")
+    assert(rows(Hnsw.hnswTopkFromIndexRouted(db, "hr", queries)) == served)
+  }
+
   test("HNSW candidate generation is a map-side scan, no shuffle " +
       "before the top-k merge") {
     val plan = Hnsw.hnswTopk(spark, sf)
@@ -1649,6 +1706,106 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       pairs((1L, 4L)) <= 3, s"on-grid edit must stay near: $pairs")
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L },
       s"unrelated text must not pair: $pairs")
+  }
+
+  test("F7 plan shape: count-gated self-join, no corpus-scale ObjectHashAggregate") {
+    // r14 VERDICT #1: the collect_set-then-filter form materialized a
+    // degenerate band's whole bucket in one ObjectHashAggregate
+    // buffer before the cap could drop it; the C20a shape count-gates
+    // BEFORE any member row exists, so the plan must be codegen
+    // aggregates + a partitioned self-join only
+    val plan = planOf(operators.Multimodal.phashNearDup(spark, sf))
+    assert(!plan.contains("ObjectHashAggregate"),
+      "F7 must not collect bucket members:\n" + plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin"),
+      "pair generation must be the partitioned self-join:\n" +
+        plan.take(3000))
+  }
+
+  test("F7 cap audit: a degenerate band surfaces in the audit, pairs stay capped") {
+    import spark.implicits._
+    val dir = scratch("phash_cap")
+    val t = "all these thumbnails are byte for byte identical content"
+    (1L to 5L).map((_, t)).toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // 5 identical hashes > maxBucket=3 in every band: pairs must be
+    // EMPTY (capped), and the audit must say exactly why
+    assert(operators.Multimodal.phashNearDup(spark, dir,
+      maxBucket = 3).count() == 0)
+    val audit = operators.Multimodal.phashCapAudit(spark, dir,
+      maxBucket = 3).collect()
+    assert(audit.length == 4, s"all four bands degenerate: ${audit.toSeq}")
+    assert(audit.forall(r => r.getString(0) == "mm_phash_neardup" &&
+      r.getLong(2) == 5L && r.getInt(3) == 3), audit.toSeq.toString)
+    // at the default cap nothing is dropped and the audit is empty
+    assert(operators.Multimodal.phashCapAudit(spark, dir).count() == 0)
+    assert(operators.Multimodal.phashNearDup(spark, dir).count() == 10)
+  }
+
+  test("C20a/C4 cap audits: planted boilerplate surfaces; default-cap runs are silent") {
+    import spark.implicits._
+    val dir = scratch("substr_cap")
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ")
+    ((1L to 4L).map(i => (i, run)) :+
+      (9L, (1 to 14).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the shared 12-token window occurs 4 times: maxOcc=3 caps it
+    assert(operators.Dedup.substringPairs(spark, dir,
+      maxOcc = 3).count() == 0)
+    val audit = operators.Dedup.substringCapAudit(spark, dir,
+      maxOcc = 3).collect()
+    assert(audit.length == 1 && audit(0).getString(0) == "dedup_substring"
+      && audit(0).getLong(2) == 4L, audit.toSeq.toString)
+    assert(operators.Dedup.substringCapAudit(spark, dir).count() == 0)
+    assert(operators.Dedup.substringPairs(spark, dir).count() == 6)
+    // C4: five identical docs overflow every LSH band bucket at cap 3
+    val dir2 = scratch("minhash_cap")
+    val t2 = (1 to 30).map(i => s"mh$i").mkString(" ")
+    (1L to 5L).map((_, t2)).toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(operators.Dedup.minhashLsh(spark, dir2,
+      maxBucket = 3).count() == 0)
+    val a2 = operators.Dedup.minhashCapAudit(spark, dir2, maxBucket = 3)
+      .collect()
+    assert(a2.length == 32 && a2.forall(r =>
+      r.getString(0) == "dedup_minhash" && r.getLong(2) == 5L),
+      a2.length.toString)
+    assert(operators.Dedup.minhashCapAudit(spark, dir2).count() == 0)
+  }
+
+  test("F7 index lifecycle: screen finds a planted near-dup, capped band is logged, clean batch silent") {
+    import spark.implicits._
+    val db = graft.catalog.GraftDatabase(spark, scratch("phash_idx") + "/db")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the hills before dusk arrives"
+    val corpus = Seq(
+      (1L, base),
+      (5L, "completely unrelated content sharing nothing at all " +
+        "0123456789 zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"))
+      .toDF("doc_id", "text")
+    operators.Multimodal.buildPhashIndex(db, corpus, "ph")
+    assert(db.read("ph_capped").count() == 0)
+    // a batch holding one on-grid edit of an indexed doc + one clean
+    val batch = Seq((301L, base.updated(40, 'Z')),
+      (302L, "fresh material with no perceptual overlap qqq rrr sss " +
+        "ttt uuu vvv www then some more filler words here"))
+      .toDF("doc_id", "text")
+    val found = operators.Multimodal.phashNewPairs(db, "ph", batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(found.contains((301L, 1L)) && found((301L, 1L)) <= 3,
+      s"planted near-dup must surface: $found")
+    assert(!found.keys.exists(_._1 == 302L),
+      s"clean doc must screen silent: $found")
+    // degenerate build: identical docs overflow cap=1 → bands dropped
+    // AT BUILD, audit row persisted, and the screen goes (documented)
+    // silent for that class
+    operators.Multimodal.buildPhashIndex(db,
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "ph2",
+      maxBucket = 1)
+    assert(db.read("ph2_capped").count() == 4)
+    assert(operators.Multimodal.phashNewPairs(db, "ph2",
+      Seq((303L, base)).toDF("doc_id", "text")).count() == 0)
   }
 
   test("bucketed tables join without an exchange") {
