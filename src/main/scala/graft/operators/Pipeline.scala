@@ -113,12 +113,29 @@ object Pipeline {
     // driver-side metadata only, still no job, so the small path
     // keeps its one-plan property. Unknown footers (non-parquet,
     // too many files) take the safe-at-scale persisted path.
+    val textBytes = graft.sources.ParquetStats
+      .uncompressedColumnBytes(spark, s"$dir/documents.parquet", "text")
     val smallCorpus = Tables(spark, dir, "documents")
       .queryExecution.optimizedPlan.stats.sizeInBytes
       .min(BigInt(Long.MaxValue)).toLong <= smallMaxBytes &&
-      graft.sources.ParquetStats
-        .uncompressedColumnBytes(spark, s"$dir/documents.parquet", "text")
-        .exists(_ <= smallMaxTextBytes)
+      textBytes.exists(_ <= smallMaxTextBytes)
+    // r15 (DriveCleanBcastAb, interleaved min-of-7 at 10×): the tail
+    // joins left to AQE's runtime broadcast conversion cost a stage
+    // boundary + driver replan EACH (the r12 wave ledger's 1.35 s of
+    // between-stage gap on 1.07 s of job time); explicit broadcast()
+    // hints let the static planner emit the broadcast joins directly
+    // — 1.28 → 0.92 s, identical rows. The hints are stats-gated
+    // twice over (H13): they apply only under a text-bytes bound an
+    // order below the driver's broadcast capacity, because a forced
+    // hint bypasses Spark's size threshold and the prefix/verify
+    // frames carry the survivors' shingle arrays (~text-sized).
+    // Between this bound and smallMaxTextBytes the AQE-decided small
+    // path keeps running; above that, the persisted width-pinned
+    // shape.
+    val bcastSmall = textBytes.exists(_ <= sys.env.getOrElse(
+      "SPARK_GRAFT_CLEAN_BCAST_MAX_TEXT_BYTES",
+      (1L * 1024 * 1024 * 1024).toString).toLong)
+    def hintIf(d: DataFrame): DataFrame = if (bcastSmall) broadcast(d) else d
     if (smallCorpus) {
       // r12 probe, kept as a negative result (DriveCleanAb at 10×,
       // interleaved min-of-7): replacing the prefix candidates + two
@@ -139,7 +156,8 @@ object Pipeline {
             (size(col("sh")) - ceil(size(col("sh")) * t) + 1).cast("int"))))
           .as("shingle"))
       val cands = prefix.select(col("doc_id").as("doc_id_a"), col("shingle"))
-        .join(prefix.select(col("doc_id").as("doc_id_b"), col("shingle")),
+        .join(hintIf(
+          prefix.select(col("doc_id").as("doc_id_b"), col("shingle"))),
           Seq("shingle"))
         .filter(col("doc_id_a") < col("doc_id_b"))
         .select(col("doc_id_a"), col("doc_id_b"))
@@ -147,14 +165,15 @@ object Pipeline {
         col("sh").as("sh_a"))
       val sb = canonicalPlan.select(col("doc_id").as("doc_id_b"),
         col("sh").as("sh_b"))
-      val dupIds = cands.join(sa, Seq("doc_id_a")).join(sb, Seq("doc_id_b"))
+      val dupIds = cands.join(hintIf(sa), Seq("doc_id_a"))
+        .join(hintIf(sb), Seq("doc_id_b"))
         .withColumn("inter", graft.functions.GraftFunctions
           .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
         .withColumn("jaccard", col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
         .filter(col("jaccard") >= t)
         .select(col("doc_id_b").as("doc_id"))
-      return canonicalPlan.join(dupIds, Seq("doc_id"), "left_anti")
+      return canonicalPlan.join(hintIf(dupIds), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("pred_lang"), col("quality"),
           col("n_tokens"))
     }

@@ -157,18 +157,33 @@ object ParquetStats {
     } catch { case NonFatal(_) => None }
   }
 
+  // (dir # column # listingSig) -> Σ uncompressed bytes
+  private val colBytesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]()
+
   /** Σ total_uncompressed_size of `column` over every parquet file
     * under `dir` (recursive). None when the listing or any footer is
     * unreadable, or past `maxFiles` (callers must treat None as
-    * "unknown — take the safe-at-scale route").
+    * "unknown — take the safe-at-scale route"). Memoized per
+    * (dir, column, [[listingSig]]) like [[longColumnRange]] — the
+    * clean-corpus gate re-reads it every invocation (r15), and a
+    * footer walk per query is pure constant; a rewrite changes the
+    * signature and re-reads.
     */
   def uncompressedColumnBytes(spark: SparkSession, dir: String,
-      column: String, maxFiles: Int = 65536): Option[Long] =
-    foldFooters(spark, dir, maxFiles)(0L) { (total, c) =>
+      column: String, maxFiles: Int = 65536): Option[Long] = {
+    val sig = listingSig(spark, dir).getOrElse(return None)
+    val key = s"$dir#$column#$sig"
+    val hit = colBytesMemo.get(key)
+    if (hit != null) return Some(hit.longValue)
+    val r = foldFooters(spark, dir, maxFiles)(0L) { (total, c) =>
       Some(if (c.getPath.toDotString == column)
         total + c.getTotalUncompressedSize
       else total)
     }
+    r.foreach(v => colBytesMemo.put(key, java.lang.Long.valueOf(v)))
+    r
+  }
 
   // (lo, hi, seenNonNull) accumulator for longColumnRange
   private val rangeMemo = new java.util.concurrent.ConcurrentHashMap[
