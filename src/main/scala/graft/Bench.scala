@@ -169,7 +169,9 @@ object Bench {
       "layout_zorder",
       // r12/r13 additions (also in the scale10 like-for-like list)
       "q_events_hopping", "curate_quality_percentile",
-      "pipeline_pack_split", "mm_integrity")
+      "pipeline_pack_split", "mm_integrity",
+      // r15: the F7 count-gated shape and the routed-HNSW serve
+      "mm_phash_neardup", "ann_hnsw_routed")
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
 

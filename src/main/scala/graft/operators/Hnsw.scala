@@ -234,6 +234,38 @@ object Hnsw {
     bos.toByteArray
   }
 
+  /** Just the (id, unit vector) rows of a serialized graph —
+    * adjacency skipped, for the routed append's cell rebuilds. */
+  private def deserializeRows(bytes: Array[Byte])
+      : Array[(Long, Array[Double])] = {
+    val in = new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = in.readInt()
+    val dim = in.readInt()
+    in.readInt() // m
+    in.readInt() // entry
+    val out = new Array[(Long, Array[Double])](n)
+    var i = 0
+    while (i < n) {
+      val id = in.readLong()
+      val v = new Array[Double](dim)
+      var d = 0
+      while (d < dim) { v(d) = in.readDouble(); d += 1 }
+      val layers = in.readInt()
+      var l = 0
+      while (l < layers) {
+        val cnt = in.readInt()
+        var c = 0
+        while (c < cnt) { in.readInt(); c += 1 }
+        l += 1
+      }
+      out(i) = (id, v)
+      i += 1
+    }
+    in.close()
+    out
+  }
+
   private def deserializeGraph(bytes: Array[Byte]): Graph = {
     val in = new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes)))
@@ -502,18 +534,76 @@ object Hnsw {
       .as[(Int, Long, Seq[Float])]
       .groupByKey(_._1)
       .mapGroups { (cell, it) =>
-        val rows = it.map { case (_, id, v) => (id, v) }
-          .toArray.sortBy(_._1)
-        val ids = rows.map(_._1)
-        val vecs = rows.map(r => normalize(r._2.toArray.map(_.toDouble)))
-        val g = new Graph(vecs, ids, mm, efc)
-        var i = 0
-        while (i < ids.length) { g.insert(i); i += 1 }
-        (cell, serializeGraph(g, ids, vecs, mm))
+        (cell, buildCellBlob(it.map { case (_, id, v) =>
+          (id, normalize(v.toArray.map(_.toDouble)))
+        }.toArray, mm, efc))
       }
       .toDF("cell", "graph")
     db.write(blobs, s"${name}_graphs",
       org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** One cell's graph blob from (id, unit vector) rows — sorted-id
+    * insertion order, so ANY row arrival order (fresh build, append
+    * rebuild, replay) serializes to the same bytes. */
+  private def buildCellBlob(rows: Array[(Long, Array[Double])],
+      m: Int, efc: Int): Array[Byte] = {
+    val sorted = rows.sortBy(_._1)
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val g = new Graph(vecs, ids, m, efc)
+    var i = 0
+    while (i < ids.length) { g.insert(i); i += 1 }
+    serializeGraph(g, ids, vecs, m)
+  }
+
+  /** D10-parity append for the routed index: assign the new batch
+    * with the STORED centroids (frozen quantizer — the D10 contract:
+    * an append-maintained index is bit-identical to a one-pass
+    * assignment of the union corpus under the SAME quantizer,
+    * because cell membership depends only on the quantizer and
+    * [[buildCellBlob]]'s sorted insertion makes a rebuilt cell
+    * independent of arrival order and append batching),
+    * then rebuild ONLY the affected cells' graphs — untouched blobs
+    * pass through by reference, never deserialized. Rebuild rows
+    * dedupe by vec_id, so a replayed append (write-succeeded-
+    * commit-lost) converges instead of double-inserting; the new
+    * table publishes through the replaceTable rename-swap (a
+    * concurrent reader never observes a half-rebuilt index).
+    */
+  def appendHnswIndexRouted(db: graft.catalog.GraftDatabase,
+      name: String, newVecs: DataFrame, m: Int = 8,
+      efConstruction: Int = 64): Unit = {
+    val spark = db.spark
+    import spark.implicits._
+    val cents = Ann.loadCentroids(db, name)
+    val assigned = newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", Ann.cellExpr(cents, col("embedding")))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+    val affected = assigned.map(_._1).distinct().collect().toSet
+    val existing = db.read(s"${name}_graphs")
+      .select(col("cell"), col("graph")).as[(Int, Array[Byte])]
+    val mm = m
+    val efc = efConstruction
+    val untouched = existing.filter(r => !affected(r._1))
+    val oldRows = existing.filter(r => affected(r._1))
+      .flatMap { case (cell, blob) =>
+        deserializeRows(blob).iterator.map { case (id, v) => (cell, id, v) }
+      }
+    val newRows = assigned.filter(r => affected(r._1))
+      .map { case (cell, id, v) =>
+        (cell, id, normalize(v.toArray.map(_.toDouble)))
+      }
+    val rebuilt = oldRows.union(newRows)
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val byId = scala.collection.mutable.HashMap[Long, Array[Double]]()
+        it.foreach { case (_, id, v) => byId.getOrElseUpdate(id, v) }
+        (cell, buildCellBlob(byId.toArray, mm, efc))
+      }
+    db.replaceTable(untouched.union(rebuilt).toDF("cell", "graph"),
+      s"${name}_graphs")
   }
 
   /** Serve top-k from a routed index: the centroid table routes each

@@ -155,6 +155,27 @@ object StreamingAnn {
         ()
     }
 
+  /** D7b streaming serve: [[serveHnswStream]] against a ROUTED index
+    * — each micro-batch routes its queries to nProbe cells via the
+    * stored quantizer and deserializes only the routed blobs, so a
+    * serving stream's per-batch cost is O(q·nProbe·ef·M) regardless
+    * of how many cells the index has grown to. Exactly-once under
+    * the same batch-id staging rename as every serving stream.
+    */
+  def serveHnswRoutedStream(db: graft.catalog.GraftDatabase,
+      name: String, queries: DataFrame, k: Int = 10,
+      efSearch: Int = 48, nProbe: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        IngestPublish.publishFiles(db, s"${name}_results",
+          graft.operators.Hnsw.hnswTopkFromIndexRouted(db, name, batch,
+            k, efSearch, nProbe).withColumn("batch_id", lit(batchId)),
+          batchId)
+        ()
+    }
+
   /** G17: streaming hybrid lexical+vector serving — a (query_id,
     * terms) query stream answered per micro-batch by the D13 RRF
     * fusion over the persisted text index and the embedding store,

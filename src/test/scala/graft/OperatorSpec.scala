@@ -1407,6 +1407,44 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(Hnsw.hnswTopkFromIndexRouted(db, "hr", queries)) == served)
   }
 
+  test("D7b routed append: batch-split independent, replay-convergent, zero-row safe") {
+    val db = graft.catalog.GraftDatabase(spark,
+      scratch("ann_routed_app") + "/db")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val rest = e.filter(col("vec_id") % 2 === 1)
+    val queries = e.filter(col("vec_id") < 5)
+    def blobs(name: String) = db.read(s"${name}_graphs")
+      .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    // deterministic training: two base builds share one quantizer,
+    // so "a" (one append) vs "b" (the same rows split across two
+    // appends, interleaved differently) must converge to BIT-equal
+    // cell graphs — sorted insertion makes a rebuilt cell
+    // independent of arrival order and batching
+    Hnsw.buildHnswIndexRouted(db, base, "a")
+    Hnsw.buildHnswIndexRouted(db, base, "b")
+    assert(blobs("a") == blobs("b"), "deterministic base build")
+    Hnsw.appendHnswIndexRouted(db, "a", rest)
+    Hnsw.appendHnswIndexRouted(db, "b", rest.filter(col("vec_id") % 4 === 3))
+    Hnsw.appendHnswIndexRouted(db, "b", rest.filter(col("vec_id") % 4 === 1))
+    assert(blobs("a") == blobs("b"),
+      "append-maintained graphs must not depend on append batching")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val want = rows(Hnsw.hnswTopkFromIndexRouted(db, "a", queries))
+    assert(want.nonEmpty &&
+      rows(Hnsw.hnswTopkFromIndexRouted(db, "b", queries)) == want)
+    // replay: the same append twice converges (vec_id dedupe), and a
+    // zero-row append is a pure re-publish
+    Hnsw.appendHnswIndexRouted(db, "a", rest)
+    Hnsw.appendHnswIndexRouted(db, "a", rest.limit(0))
+    assert(blobs("a") == blobs("b"))
+    assert(rows(Hnsw.hnswTopkFromIndexRouted(db, "a", queries)) == want)
+  }
+
   test("HNSW candidate generation is a map-side scan, no shuffle " +
       "before the top-k merge") {
     val plan = Hnsw.hnswTopk(spark, sf)

@@ -399,6 +399,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       qvecs.toSeq.toDF("vec_id", "embedding"))
     assert(hGot.drop("batch_id").except(hWant).count() == 0)
     assert(hGot.count() == hWant.count())
+    // D7b: the routed index serves streams identically to its batch
+    graft.operators.Hnsw.buildHnswIndexRouted(db, e, "hnswr")
+    val hrGot = run("hnswr",
+      graft.streaming.StreamingAnn.serveHnswRoutedStream(db, "hnswr", _))
+    val hrWant = graft.operators.Hnsw.hnswTopkFromIndexRouted(db, "hnswr",
+      qvecs.toSeq.toDF("vec_id", "embedding"))
+    assert(hrGot.drop("batch_id").except(hrWant).count() == 0)
+    assert(hrGot.count() == hrWant.count())
     // a replayed batch converges to one copy of its results
     graft.streaming.IngestPublish.publishFiles(db, "pq_results",
       graft.operators.Pq.adcTopKFromIndex(db, "pq",
