@@ -475,7 +475,6 @@ object Hnsw {
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Ann.trainCentroids(e, nCells, iters)
-    graft.CacheHygiene.unpersistAfterUse(e)
     val qs = e.filter(col("vec_id") < nQueries)
       .as[(Long, Seq[Float])].collect()
       .map { case (id, v) =>
@@ -483,6 +482,10 @@ object Hnsw {
         (id, raw, normalize(raw))
       }
       .sortBy(_._1)
+    // hygiene AFTER the query collect: that collect is itself an
+    // action over the cached frame, and an earlier registration
+    // would release the cache before the corpus-scale search pass
+    graft.CacheHygiene.unpersistAfterUse(e)
     val routed = routedQueries(cents, qs, nProbe)
     val cellSet = routed.keySet.toSeq
     val mm = m
