@@ -95,6 +95,54 @@ class ServedArtifactSpec extends AnyFunSuite with SparkTestBase {
       "waiter must serve the winner's build, not rerun its own")
   }
 
+  test("lock recreated between stale sightings is NOT broken (r15 two-sighting rule)") {
+    // r14 ADVICE race: waiter A and waiter B both stat a stale lock;
+    // A breaks it and re-creates a FRESH lock; single-sighting B then
+    // deletes A's fresh lock and two builds run concurrently. The
+    // two-sighting rule requires the SAME stale mtime on a re-stat
+    // before deleting — a lock whose mtime changed between sightings
+    // (a new holder) is live and must be waited on.
+    val dir = corpusDir("served_twosight")
+    val builds = new AtomicInteger(0)
+    val key = "tsight_" + ServedArtifact.keyOf(dir)
+    val dbPath = new Path(
+      s"${graft.operators.CsvQueries.scratchRoot}/$key/db")
+    val lock = new Path(dbPath, "_build.lock")
+    val fs = fsOf(lock)
+    fs.delete(dbPath.getParent, true)
+    fs.mkdirs(dbPath)
+    fs.create(lock, true).close()
+    val old = System.currentTimeMillis() - 45L * 60 * 1000
+    fs.setTimes(lock, old, old) // stale: first sighting will record it
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      ServedArtifact.db(spark, "tsight", dir,
+        s"$dir/documents.parquet") { d =>
+        builds.incrementAndGet()
+        d.write(spark.range(1).toDF("x"), "t",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      done.countDown()
+    })
+    t.start()
+    // between the waiter's first sighting and its re-stat (200 ms
+    // poll), the stale lock is replaced by a FRESH one — the
+    // interleaving where a new holder re-created the lock
+    Thread.sleep(100)
+    fs.delete(lock, false)
+    fs.create(lock, false).close() // fresh mtime = now
+    // the waiter must keep waiting on the fresh lock (the old
+    // single-sighting code would have deleted it and built here)
+    Thread.sleep(1200)
+    assert(done.getCount == 1 && builds.get() == 0,
+      "a lock recreated between sightings is live — must not be broken")
+    // holder releases: waiter acquires and builds exactly once
+    fs.delete(lock, false)
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(builds.get() == 1)
+    assert(!fs.exists(lock), "lock released after the build")
+  }
+
   test("half-written sidecar (dir without committed parquet) reads as stale, rebuilds") {
     val dir = corpusDir("served_half_sidecar")
     val builds = new AtomicInteger(0)
