@@ -24,7 +24,7 @@ object SparkEntry {
       operators.Pipeline.queries ++ operators.TextIndex.queries ++
       operators.Curation.queries ++ operators.Layout.queries ++
       operators.Bpe.queries ++ operators.LanguageModel.queries ++
-      operators.HybridSearch.queries
+      operators.HybridSearch.queries ++ operators.Distribution.queries
 
   /** DuckDB oracle twins (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] =
@@ -36,5 +36,5 @@ object SparkEntry {
       operators.Pipeline.oracles ++ operators.TextIndex.oracles ++
       operators.Curation.oracles ++ operators.Layout.oracles ++
       operators.Bpe.oracles ++ operators.LanguageModel.oracles ++
-      operators.HybridSearch.oracles
+      operators.HybridSearch.oracles ++ operators.Distribution.oracles
 }

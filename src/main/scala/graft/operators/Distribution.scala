@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** C38 (r15): per-source value-distribution artifact — the NUMERIC
+  * corpus-card twin of E23b's cardinality sketches. A data release
+  * ships each source's document-length distribution (p50/p90/p99)
+  * next to the corpus; maintaining it incrementally must not re-read
+  * old shards.
+  *
+  * Design note — why an EXACT histogram and not a KLL/GK quantile
+  * sketch: the mergeable-quantile-sketch family (DataSketches KLL)
+  * compacts with random coin flips from one shared `static Random`,
+  * so two runs — or one run with a different task interleaving —
+  * publish DIFFERENT artifacts and serve different quantiles. That
+  * breaks both of this repo's contracts at once: artifacts must be
+  * bit-reproducible (the C17/C25 "months later, any cluster" rule)
+  * and query rows must hash-match a DuckDB oracle. A value histogram
+  * is the order-insensitive alternative: per-shard (source, v, cnt)
+  * rows merge by SUM — commutative, associative, exact — so
+  * split-shard builds, appends, replays, and any Spark merge order
+  * produce the SAME artifact, and quantiles extracted from it are
+  * EXACT type-1 order statistics the oracle reproduces hash-green
+  * (strictly stronger than a sketch's ±ε rank guarantee). The trade
+  * is state ∝ distinct values rather than O(k·log n): right for
+  * bounded/quantized domains (doc lengths, capped at [[DefaultMaxV]]
+  * with an overflow bucket; a continuous column quantizes to a fixed
+  * grid first — the cap and grid are part of the artifact's
+  * contract, mirrored in the oracle). KLL remains the choice only
+  * when the domain can't be quantized AND ±ε is acceptable — at
+  * which point reproducibility is forfeit, which is why it is
+  * rejected here.
+  *
+  * Scale shape: the corpus-scale pass is one map-side-combined
+  * groupBy((source, v)) — shuffle rows = the histogram, never the
+  * corpus. Quantile extraction runs a cumulative window PER SOURCE
+  * over histogram rows only (distinct capped values — bounded by
+  * contract, so the per-source task is bounded); the keep test is
+  * all-integer (cum·100 ≥ p·n cross-multiplication), cross-engine
+  * exact.
+  */
+object Distribution {
+
+  /** Values above the cap land in one overflow bucket — bounds the
+    * histogram state no matter what the column holds. 2^20 chars is
+    * lossless for any realistic document-length column. */
+  val DefaultMaxV = 1 << 20
+
+  private def capped(v: Column, maxV: Int): Column =
+    least(v, lit(maxV.toLong))
+
+  /** One-pass per-(source, v) histogram of `documents.n_chars`. */
+  private def lengthHistogramOf(docs: DataFrame, maxV: Int): DataFrame =
+    docs.select(col("source"), capped(col("n_chars"), maxV).as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact type-1 quantiles (smallest v whose cumulative count
+    * reaches ⌈p·n⌉) per source + the `__ALL__` corpus row, from any
+    * (source, v, cnt) histogram. `probsX100` keeps the threshold
+    * arithmetic integer: ⌈(k·n)/100⌉ via cross-multiplication.
+    */
+  private def quantilesOf(hist: DataFrame,
+      probsX100: Seq[Int]): DataFrame = {
+    def extract(h: DataFrame): DataFrame = {
+      val cum = h
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("source"))))
+      cum.groupBy(col("source"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          probsX100.map(p =>
+            min(when(col("cum") * 100 >= col("n") * p, col("v")))
+              .as(s"p$p")): _*)
+    }
+    extract(hist)
+      .unionByName(extract(
+        hist.groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+          .select(lit("__ALL__").as("source"), col("v"), col("cnt"))))
+  }
+
+  /** `q_doclen_quantiles`: per-source + corpus document-length
+    * p50/p90/p99 — the length panel of a data card, exact. */
+  def docLengthQuantiles(spark: SparkSession, dir: String,
+      maxV: Int = DefaultMaxV): DataFrame =
+    docLengthQuantilesOf(Tables(spark, dir, "documents"), maxV)
+
+  /** [[docLengthQuantiles]] over any (source, n_chars) frame. */
+  private[graft] def docLengthQuantilesOf(docs: DataFrame,
+      maxV: Int = DefaultMaxV): DataFrame =
+    quantilesOf(lengthHistogramOf(docs, maxV), Seq(50, 90, 99))
+
+  // ---------------------------------------------------------------
+  // Persisted per-shard artifact + incremental append (E23b
+  // discipline: base build at batch −1, appends publish partials
+  // exactly-once, serving reads the histogram table alone)
+  // ---------------------------------------------------------------
+
+  private def shardHistogram(docs: DataFrame, batchId: Long,
+      maxV: Int): DataFrame =
+    lengthHistogramOf(docs, maxV)
+      .select(lit(batchId).as("batch_id"), col("source"), col("v"),
+        col("cnt"))
+
+  def buildLengthHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame, maxV: Int = DefaultMaxV): Unit = {
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    db.write(shardHistogram(docs, batchId = -1L, maxV),
+      s"${name}_hist", ow)
+    import db.spark.implicits._
+    db.write(Seq(maxV).toDF("max_v"), s"${name}_meta", ow)
+  }
+
+  /** Publish one new shard's histogram partials under `batchId` —
+    * idempotent (staging-rename keyed by batch id, the D10/G10
+    * discipline; a replayed batch converges instead of
+    * double-counting). Also the streaming micro-batch body
+    * ([[graft.streaming.StreamingCuration.maintainLengthHistogram]]).
+    */
+  def appendLengthHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"negative batchId $batchId is reserved for the base build")
+    val maxV = db.read(s"${name}_meta").collect()(0).getInt(0)
+    graft.streaming.IngestPublish.publishFiles(db, s"${name}_hist",
+      shardHistogram(docs, batchId, maxV), batchId)
+    ()
+  }
+
+  /** Serve the length panel from the persisted histogram alone —
+    * cost ∝ histogram rows (shards × sources × distinct capped
+    * values), never corpus text. SUM-merge across shards is exact,
+    * so this EQUALS [[docLengthQuantiles]] over the union corpus —
+    * spec-pinned as equality, not approximation.
+    */
+  def lengthQuantilesFromHistogram(db: graft.catalog.GraftDatabase,
+      name: String): DataFrame =
+    quantilesOf(
+      db.read(s"${name}_hist")
+        .groupBy(col("source"), col("v"))
+        .agg(sum(col("cnt")).as("cnt")),
+      Seq(50, 90, 99))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doclen_quantiles" -> ((s, d) => docLengthQuantiles(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical histogram → cumulative → integer cross-multiplied
+    // type-1 extraction; the __ALL__ row folds the same histogram
+    "q_doclen_quantiles" ->
+      """WITH h AS (SELECT source, LEAST(n_chars, 1048576) AS v,
+        |    COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |ab AS (
+        |  SELECT source, v, cnt FROM h
+        |  UNION ALL
+        |  SELECT '__ALL__' AS source, v, SUM(cnt) AS cnt
+        |  FROM h GROUP BY 2),
+        |c AS (SELECT source, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM ab)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+        |  MIN(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+        |  MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+        |FROM c GROUP BY source""".stripMargin
+  )
+}

@@ -128,6 +128,28 @@ object StreamingCuration {
         ()
     }
 
+  /** C38 streaming twin: maintain a persisted per-shard length
+    * histogram from a (source, text) document stream (extra columns
+    * ride along untouched) —
+    * each micro-batch publishes its histogram partials exactly-once
+    * under its batch id ([[graft.operators.Distribution
+    * .appendLengthHistogram]]); SUM-merge exactness means the served
+    * quantile panel after any number of micro-batches EQUALS the
+    * one-pass batch panel over everything ingested (spec-pinned as
+    * equality — the artifact is order-insensitive by design).
+    */
+  def maintainLengthHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Distribution.appendLengthHistogram(db, name,
+          batch.withColumn("n_chars", length(col("text")).cast("bigint")),
+          batchId)
+        ()
+    }
+
   /** G14: streaming DSIR scoring — a (ts, doc_id, text) stream
     * weighted against a persisted C33 model (`buildDsirModel`
     * artifacts) at ingest: the domain-relevance gate running where

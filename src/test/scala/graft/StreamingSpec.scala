@@ -1130,6 +1130,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(served == onePass)
   }
 
+  test("C38 streaming twin: streamed histogram appends serve the one-pass length panel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dist = graft.operators.Distribution
+    val db = GraftDatabase(spark, scratch("len_hist_stream") + "/db")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    dist.buildLengthHistogram(db, "lh",
+      docs.filter(col("doc_id") < cut))
+    val late = docs.filter(col("doc_id") >= cut).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingCuration
+      .maintainLengthHistogram(db, "lh",
+        mem.toDF().toDF("source", "text"))
+      .option("checkpointLocation", scratch("len_hist_ckpt"))
+      .start()
+    try {
+      val (h1, h2) = late.splitAt(late.length / 2)
+      mem.addData(h1: _*)
+      q.processAllAvailable()
+      mem.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def panel(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // n_chars == length(text) in the corpus, so the streamed twin
+    // (which derives n_chars from text) converges to the one-pass
+    // panel exactly
+    assert(panel(dist.lengthQuantilesFromHistogram(db, "lh")) ==
+      panel(dist.docLengthQuantiles(spark, sf)))
+  }
+
   test("G17: streamed hybrid RRF serving equals the batch fusion per query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -121,6 +121,39 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     assert(card(tq.tokenCardinalityFromSketches(db, "tc")) == served)
   }
 
+  test("C38: persisted length histogram — exact incremental quantiles; replay converges; overflow capped") {
+    import org.apache.spark.sql.functions._
+    val dist = graft.operators.Distribution
+    val db = graft.catalog.GraftDatabase(spark, scratch("len_hist") + "/db")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val (shardA, shardB) =
+      (docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+    dist.buildLengthHistogram(db, "lh", shardA)
+    dist.appendLengthHistogram(db, "lh", shardB, batchId = 0L)
+    def panel(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val served = panel(dist.lengthQuantilesFromHistogram(db, "lh"))
+    // SUM-merge is exact: served EQUALS the one-pass corpus panel,
+    // __ALL__ row included — equality, not approximation
+    assert(served == panel(dist.docLengthQuantiles(spark, sf)))
+    assert(served.contains("__ALL__") && served.size >= 2)
+    // at-least-once replay of the same batch converges
+    dist.appendLengthHistogram(db, "lh", shardB, batchId = 0L)
+    assert(panel(dist.lengthQuantilesFromHistogram(db, "lh")) == served)
+    // overflow bucket: a tiny cap folds the tail into v = maxV, so
+    // every quantile at or beyond the capped mass reads exactly maxV
+    dist.buildLengthHistogram(db, "cap", docs, maxV = 10)
+    val capped = panel(dist.lengthQuantilesFromHistogram(db, "cap"))
+    assert(capped("__ALL__")._4 == 10L,
+      s"p99 must land in the overflow bucket: $capped")
+    assert(capped("__ALL__")._1 == served("__ALL__")._1,
+      "cap changes values, never counts")
+  }
+
   test("quality classifier: bounded probs, threshold consistency, signal direction") {
     import spark.implicits._
     val out = graft.operators.Curation.qualityClassifier(spark, sf)
