@@ -597,7 +597,7 @@ object Curation {
     * document's bytes). Shared by C28 and C36 so the projection that
     * must match the oracles' q-formula lives in exactly one place.
     */
-  private def scoredDocs(d: DataFrame,
+  private[operators] def scoredDocs(d: DataFrame,
       passthrough: Seq[String] = Nil): DataFrame = {
     import graft.functions.TextFunctions.qualityFromGate
     d.withColumn("__g", graft.functions.GraftFunctions.gateStats(col("text")))

@@ -147,8 +147,30 @@ object Distribution {
         .agg(sum(col("cnt")).as("cnt")),
       Seq(50, 90, 99))
 
+  /** `q_quality_quantiles`: the CONTINUOUS-domain form of the panel —
+    * per-source quality-score p50/p90/p99 on a fixed 10⁻⁴ grid, the
+    * distribution a curator reads before picking a C36 keep
+    * percentile or a C22 threshold. This is the quantize-first
+    * contract the histogram design requires for continuous columns:
+    * v = ⌊q·10⁴⌋ (one multiply+floor of the C36 quality double, whose
+    * fixed IEEE parenthesization both engines share — the grid value
+    * is emitted as the INTEGER grid unit, so the compared row never
+    * carries a raw double), value error ≤ 10⁻⁴ of the score range by
+    * construction, rank exact within the grid. Same histogram/
+    * cumulative/extraction machinery as the length panel.
+    */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesOf(
+      Curation.scoredDocs(Tables(spark, dir, "documents"))
+        .select(col("source"),
+          floor(col("q") * 10000).cast("bigint").as("v"))
+        .groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq(50, 90, 99))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_doclen_quantiles" -> ((s, d) => docLengthQuantiles(s, d))
+    "q_doclen_quantiles" -> ((s, d) => docLengthQuantiles(s, d)),
+    "q_quality_quantiles" -> (qualityQuantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +180,34 @@ object Distribution {
       """WITH h AS (SELECT source, LEAST(n_chars, 1048576) AS v,
         |    COUNT(*) AS cnt
         |  FROM documents GROUP BY 1, 2),
+        |ab AS (
+        |  SELECT source, v, cnt FROM h
+        |  UNION ALL
+        |  SELECT '__ALL__' AS source, v, SUM(cnt) AS cnt
+        |  FROM h GROUP BY 2),
+        |c AS (SELECT source, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM ab)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+        |  MIN(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+        |  MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+        |FROM c GROUP BY source""".stripMargin,
+    // same extraction over the quality score quantized to the 10^-4
+    // grid; q's formula is the C36 oracle's verbatim (fixed IEEE
+    // parenthesization), and only the integer grid unit is compared
+    "q_quality_quantiles" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0) * 0.4
+        |  + LEAST(1.0, (CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|it|a)\b')) AS DOUBLE)
+        |      / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)) * 8.0) * 0.4
+        |  + (1.0 - LEAST(1.0, (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE)) * 10.0)) * 0.2 AS q
+        |  FROM documents),
+        |h AS (SELECT source, CAST(FLOOR(q * 10000) AS BIGINT) AS v,
+        |    COUNT(*) AS cnt
+        |  FROM s GROUP BY 1, 2),
         |ab AS (
         |  SELECT source, v, cnt FROM h
         |  UNION ALL
