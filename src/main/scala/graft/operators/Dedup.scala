@@ -833,12 +833,22 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxIters: Int = 50,
       maxDriverEdges: Long = 4L * 1000 * 1000,
-      reliableCheckpointDir: Option[String] = None): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
-    val pairs = ngramJaccard(spark, dir, threshold)
-      .select(col("doc_id_a"), col("doc_id_b"))
-    val labels = clusterLabels(spark, pairs, maxIters, maxDriverEdges,
-      reliableCheckpointDir)
+      reliableCheckpointDir: Option[String] = None): DataFrame =
+    clustersOver(
+      Tables(spark, dir, "documents").select(col("doc_id")),
+      ngramJaccard(spark, dir, threshold)
+        .select(col("doc_id_a"), col("doc_id_b")),
+      maxIters, maxDriverEdges, reliableCheckpointDir)
+
+  /** The C9 labeling tail over ANY vertex universe + pair frame —
+    * shared with the pHash cluster view (F7c): label propagation on
+    * the pair graph, unlabeled universe members become their own
+    * singleton cluster, sizes attached. */
+  private[operators] def clustersOver(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int, maxDriverEdges: Long,
+      reliableCheckpointDir: Option[String]): DataFrame = {
+    val labels = clusterLabels(docs.sparkSession, pairs, maxIters,
+      maxDriverEdges, reliableCheckpointDir)
     val withCluster = docs.join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
     val sizes = withCluster.groupBy(col("cluster_id"))

@@ -278,6 +278,30 @@ object Multimodal {
         col("doc_id"), col("h_lo"), col("h_hi")): _*)
   }
 
+  /** F7c (r15): pHash near-dup CLUSTERS — the decision an image
+    * dedup actually ships: connected components over the F7 pair
+    * graph (a screenshot, its re-encode, and its thumbnail form ONE
+    * cluster even when the thumbnail only pairs with the re-encode),
+    * every payload labeled with its cluster's canonical minimum
+    * doc_id + cluster size; "keep one per cluster" is then
+    * `doc_id = cluster_id`. Pure composition: F7's count-gated pairs
+    * feed C9's label machinery ([[Dedup.clustersOver]] — driver
+    * union-find under the edge bound, distributed min-label
+    * propagation past it), so every scale property of both parents
+    * carries over unchanged.
+    */
+  def phashClusters(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000, maxIters: Int = 50,
+      maxDriverEdges: Long = 4L * 1000 * 1000,
+      reliableCheckpointDir: Option[String] = None): DataFrame =
+    Dedup.clustersOver(
+      Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
+        .select(col("doc_id")),
+      phashNearDup(spark, dir, maxHamming, maxBucket)
+        .select(col("doc_id_a"), col("doc_id_b")),
+      maxIters, maxDriverEdges, reliableCheckpointDir)
+
   /** F7 cap audit (no-silent-caps, r14 VERDICT #3): the (band, v)
     * buckets [[phashNearDup]]'s `maxBucket` cap DROPS, with their
     * sizes — so a production run can distinguish "no near-dups"
@@ -362,11 +386,11 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  val oracles: Map[String, String] = Map(
-    // F7: identical grid sampling, bit packing (OR-fold over two
-    // 32-bit halves), 16-bit banding, and bit_count verify — pairs
-    // and Hamming distances integer-exact cross-engine.
-    "mm_phash_neardup" ->
+  // F7: identical grid sampling, bit packing (OR-fold over two
+  // 32-bit halves), 16-bit banding, and bit_count verify — pairs
+  // and Hamming distances integer-exact cross-engine. Shared by the
+  // pair row and (as a subquery) the F7c cluster row.
+  private val phashPairsOracle =
       """WITH h AS (SELECT doc_id,
         |  list_reduce([CASE WHEN
         |      ascii(substr(text, 1 + (((i//8)*9 + (i%8)) % len(text)), 1))
@@ -396,7 +420,32 @@ object Multimodal {
         |  FROM b x JOIN b y
         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
         |SELECT doc_id_a, doc_id_b, hamming FROM p
-        |WHERE hamming <= 3""".stripMargin,
+        |WHERE hamming <= 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_phash_neardup" -> phashPairsOracle,
+    // F7c: connected components over the pHash pair graph (the C9
+    // recursive-CTE mirror) — universe = the hashed set (non-null,
+    // non-empty payload stand-ins), singletons label themselves
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_id_a, doc_id_b FROM (
+         |$phashPairsOracle
+         |) pp),
+         |e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+         |      UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN e ON reach.id = e.dst),
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |allc AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |         FROM (SELECT doc_id FROM documents
+         |               WHERE text IS NOT NULL AND len(text) >= 1) d
+         |         LEFT JOIN lab ON d.doc_id = lab.id)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM allc""".stripMargin,
     "mm_integrity" ->
       """WITH p AS (SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INTEGER)
@@ -467,6 +516,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) => meta(s, d)),
     "mm_phash_neardup" -> ((s, d) => phashNearDup(s, d)),
+    "mm_phash_clusters" -> ((s, d) => phashClusters(s, d)),
     "mm_integrity" -> ((s, d) => integrity(s, d)),
     "mm_partitioned" -> (partitionedMedia _),
     "mm_resize" -> ((s, d) => resize(s, d)),

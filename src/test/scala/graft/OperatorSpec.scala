@@ -1746,6 +1746,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unrelated text must not pair: $pairs")
   }
 
+  test("F7c pHash clusters: transitive chain lands in one cluster, unrelated is a singleton") {
+    import spark.implicits._
+    val dir = scratch("phash_clusters")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the hills before dusk arrives"
+    // hand-computed grid edits: each flips exactly 2 gradient bits,
+    // disjoint cells, so base~e1 = 2, e1~e2 = 2, base~e2 = 4 — a true
+    // chain (ends beyond maxHamming=3, middle links inside it)
+    val e1 = base.updated(5, 'A')
+    val e2 = e1.updated(11, 'A')
+    val other = "completely unrelated content sharing nothing at all " +
+      "0123456789 zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"
+    Seq((1L, base), (2L, e1), (3L, e2), (5L, other))
+      .toDF("doc_id", "text").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = operators.Multimodal.phashNearDup(spark, dir)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the chain must be a CHAIN for the test to exercise transitivity:
+    // adjacent edits pair, the two ends do not
+    assert(pairs((1L, 2L)) && pairs((2L, 3L)), pairs.toString)
+    assert(!pairs((1L, 3L)),
+      s"fixture: ends must not pair directly, got $pairs")
+    val got = operators.Multimodal.phashClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (1L, 3L) && got(2L) == (1L, 3L) &&
+      got(3L) == (1L, 3L), s"chain must close transitively: $got")
+    assert(got(5L) == (5L, 1L), s"unrelated must stay a singleton: $got")
+  }
+
   test("F7 plan shape: count-gated self-join, no corpus-scale ObjectHashAggregate") {
     // r14 VERDICT #1: the collect_set-then-filter form materialized a
     // degenerate band's whole bucket in one ObjectHashAggregate
