@@ -110,7 +110,12 @@ SCALE10 = [
     "ann_margin_pairs",
     # round 14: pHash near-dup (F7) — like-for-like (both engines
     # compute the gradient hash + banded self-pair from raw text)
-    "mm_phash_neardup"]
+    "mm_phash_neardup",
+    # round 15: pHash clusters (F7c, both engines close the pair
+    # graph transitively from raw text) and the C38 distribution
+    # panels (both engines build the same histogram + type-1
+    # extraction from the raw tables) — all like-for-like
+    "mm_phash_clusters", "q_doclen_quantiles", "q_quality_quantiles"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
