@@ -102,20 +102,50 @@ object Distribution {
   // exactly-once, serving reads the histogram table alone)
   // ---------------------------------------------------------------
 
-  private def shardHistogram(docs: DataFrame, batchId: Long,
-      maxV: Int): DataFrame =
-    lengthHistogramOf(docs, maxV)
+  /** One shard's (batch_id, source, v, cnt) partials from any
+    * pre-quantized (source, v) frame — shared by both panels. */
+  private def shardHistogramOf(sv: DataFrame, batchId: Long): DataFrame =
+    sv.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
       .select(lit(batchId).as("batch_id"), col("source"), col("v"),
         col("cnt"))
 
-  def buildLengthHistogram(db: graft.catalog.GraftDatabase,
-      name: String, docs: DataFrame, maxV: Int = DefaultMaxV): Unit = {
+  private def buildHistogram(db: graft.catalog.GraftDatabase,
+      name: String, sv: DataFrame, maxV: Int): Unit = {
     val ow = org.apache.spark.sql.SaveMode.Overwrite
-    db.write(shardHistogram(docs, batchId = -1L, maxV),
-      s"${name}_hist", ow)
+    db.write(shardHistogramOf(sv, batchId = -1L), s"${name}_hist", ow)
     import db.spark.implicits._
     db.write(Seq(maxV).toDF("max_v"), s"${name}_meta", ow)
   }
+
+  private def appendHistogram(db: graft.catalog.GraftDatabase,
+      name: String, sv: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"negative batchId $batchId is reserved for the base build")
+    graft.streaming.IngestPublish.publishFiles(db, s"${name}_hist",
+      shardHistogramOf(sv, batchId), batchId)
+    ()
+  }
+
+  /** The length panel's (source, v) projection of a (source, n_chars)
+    * frame, under the artifact's stored cap. */
+  private def lengthSv(db: graft.catalog.GraftDatabase, name: String,
+      docs: DataFrame): DataFrame = {
+    val maxV = db.read(s"${name}_meta").collect()(0).getInt(0)
+    docs.select(col("source"), capped(col("n_chars"), maxV).as("v"))
+  }
+
+  /** The quality panel's (source, v) projection of a (doc_id, source,
+    * text) frame — the C36 score on the 10⁻⁴ grid. */
+  private def qualitySv(docs: DataFrame): DataFrame =
+    Curation.scoredDocs(docs)
+      .select(col("source"), floor(col("q") * 10000).cast("bigint").as("v"))
+
+  def buildLengthHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame, maxV: Int = DefaultMaxV): Unit =
+    buildHistogram(db, name,
+      docs.select(col("source"), capped(col("n_chars"), maxV).as("v")),
+      maxV)
 
   /** Publish one new shard's histogram partials under `batchId` —
     * idempotent (staging-rename keyed by batch id, the D10/G10
@@ -124,28 +154,39 @@ object Distribution {
     * ([[graft.streaming.StreamingCuration.maintainLengthHistogram]]).
     */
   def appendLengthHistogram(db: graft.catalog.GraftDatabase,
-      name: String, docs: DataFrame, batchId: Long): Unit = {
-    require(batchId >= 0,
-      s"negative batchId $batchId is reserved for the base build")
-    val maxV = db.read(s"${name}_meta").collect()(0).getInt(0)
-    graft.streaming.IngestPublish.publishFiles(db, s"${name}_hist",
-      shardHistogram(docs, batchId, maxV), batchId)
-    ()
-  }
+      name: String, docs: DataFrame, batchId: Long): Unit =
+    appendHistogram(db, name, lengthSv(db, name, docs), batchId)
 
-  /** Serve the length panel from the persisted histogram alone —
-    * cost ∝ histogram rows (shards × sources × distinct capped
-    * values), never corpus text. SUM-merge across shards is exact,
-    * so this EQUALS [[docLengthQuantiles]] over the union corpus —
-    * spec-pinned as equality, not approximation.
+  /** The quality panel as the same persisted artifact — the one a
+    * curator actually maintains incrementally (the C36 keep-percentile
+    * and C22 threshold decisions read this distribution). Build takes
+    * (doc_id, source, text); the score quantizes to the 10⁻⁴ grid
+    * BEFORE the histogram, so the artifact carries integer grid units
+    * only (the no-raw-doubles rule) and grid quantization is part of
+    * the artifact's contract.
     */
-  def lengthQuantilesFromHistogram(db: graft.catalog.GraftDatabase,
+  def buildQualityHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame): Unit =
+    buildHistogram(db, name, qualitySv(docs), maxV = 10001)
+
+  def appendQualityHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame, batchId: Long): Unit =
+    appendHistogram(db, name, qualitySv(docs), batchId)
+
+  /** Serve either panel from its persisted histogram alone — cost ∝
+    * histogram rows (shards × sources × distinct grid values), never
+    * corpus text. SUM-merge across shards is exact, so this EQUALS
+    * the one-pass inline panel over the union corpus — spec-pinned as
+    * equality, not approximation.
+    */
+  def quantilesFromHistogram(db: graft.catalog.GraftDatabase,
       name: String): DataFrame =
     quantilesOf(
       db.read(s"${name}_hist")
         .groupBy(col("source"), col("v"))
         .agg(sum(col("cnt")).as("cnt")),
       Seq(50, 90, 99))
+
 
   /** `q_quality_quantiles`: the CONTINUOUS-domain form of the panel —
     * per-source quality-score p50/p90/p99 on a fixed 10⁻⁴ grid, the
@@ -161,9 +202,7 @@ object Distribution {
     */
   def qualityQuantiles(spark: SparkSession, dir: String): DataFrame =
     quantilesOf(
-      Curation.scoredDocs(Tables(spark, dir, "documents"))
-        .select(col("source"),
-          floor(col("q") * 10000).cast("bigint").as("v"))
+      qualitySv(Tables(spark, dir, "documents"))
         .groupBy(col("source"), col("v"))
         .agg(count(lit(1)).as("cnt")),
       Seq(50, 90, 99))

@@ -150,6 +150,22 @@ object StreamingCuration {
         ()
     }
 
+  /** C38 quality-panel streaming twin: same maintenance geometry as
+    * [[maintainLengthHistogram]] over a (doc_id, source, text)
+    * stream — the score quantizes to the grid inside the micro-batch
+    * (one GateStats byte pass), partials publish exactly-once.
+    */
+  def maintainQualityHistogram(db: graft.catalog.GraftDatabase,
+      name: String, docs: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Distribution.appendQualityHistogram(db, name,
+          batch, batchId)
+        ()
+    }
+
   /** G14: streaming DSIR scoring — a (ts, doc_id, text) stream
     * weighted against a persisted C33 model (`buildDsirModel`
     * artifacts) at ingest: the domain-relevance gate running where

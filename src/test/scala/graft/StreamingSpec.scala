@@ -1162,7 +1162,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // n_chars == length(text) in the corpus, so the streamed twin
     // (which derives n_chars from text) converges to the one-pass
     // panel exactly
-    assert(panel(dist.lengthQuantilesFromHistogram(db, "lh")) ==
+    assert(panel(dist.quantilesFromHistogram(db, "lh")) ==
       panel(dist.docLengthQuantiles(spark, sf)))
   }
 

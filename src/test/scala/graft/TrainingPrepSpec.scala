@@ -136,22 +136,33 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     def panel(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val served = panel(dist.lengthQuantilesFromHistogram(db, "lh"))
+    val served = panel(dist.quantilesFromHistogram(db, "lh"))
     // SUM-merge is exact: served EQUALS the one-pass corpus panel,
     // __ALL__ row included — equality, not approximation
     assert(served == panel(dist.docLengthQuantiles(spark, sf)))
     assert(served.contains("__ALL__") && served.size >= 2)
     // at-least-once replay of the same batch converges
     dist.appendLengthHistogram(db, "lh", shardB, batchId = 0L)
-    assert(panel(dist.lengthQuantilesFromHistogram(db, "lh")) == served)
+    assert(panel(dist.quantilesFromHistogram(db, "lh")) == served)
     // overflow bucket: a tiny cap folds the tail into v = maxV, so
     // every quantile at or beyond the capped mass reads exactly maxV
     dist.buildLengthHistogram(db, "cap", docs, maxV = 10)
-    val capped = panel(dist.lengthQuantilesFromHistogram(db, "cap"))
+    val capped = panel(dist.quantilesFromHistogram(db, "cap"))
     assert(capped("__ALL__")._4 == 10L,
       s"p99 must land in the overflow bucket: $capped")
     assert(capped("__ALL__")._1 == served("__ALL__")._1,
       "cap changes values, never counts")
+    // the QUALITY panel rides the same artifact machinery: grid
+    // quantization happens BEFORE the histogram, so split-build +
+    // append serves the inline panel exactly too
+    val tdocs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    dist.buildQualityHistogram(db, "qh",
+      tdocs.filter(col("doc_id") < cut))
+    dist.appendQualityHistogram(db, "qh",
+      tdocs.filter(col("doc_id") >= cut), batchId = 0L)
+    assert(panel(dist.quantilesFromHistogram(db, "qh")) ==
+      panel(dist.qualityQuantiles(spark, sf)))
   }
 
   test("quality classifier: bounded probs, threshold consistency, signal direction") {
