@@ -133,14 +133,23 @@ object ServedArtifact {
     * a crashed builder and broken — but only after TWO sightings of
     * the SAME modification time (r14 ADVICE): a single stat-then-
     * delete lets two waiters both judge a lock stale and waiter B
-    * delete the lock waiter A just re-created. Requiring the
-    * re-stat's mtime to equal the one previously observed stale
-    * means a lock recreated between sightings (new mtime) is never
-    * broken, and after a break the waiter loops back to the ATOMIC
-    * create — it never assumes acquisition (a concurrent breaker's
-    * delete is idempotent; exactly one of them wins the create).
-    * Waiting acquirers poll rather than queue (cold builds are rare
-    * and bounded).
+    * delete the lock waiter A just re-created. The break itself is
+    * an atomic RENAME to a waiter-unique tomb (r15 review: a bare
+    * delete re-opened the race — B's delete, decided from a stat
+    * taken before A's delete+create, could land after it and remove
+    * A's fresh lock): exactly one of N concurrent breakers wins the
+    * rename, and the winner then verifies the TOMB's mtime is the
+    * stale one it expected — if a new holder's fresh lock was stolen
+    * in the stat→rename instant, it is renamed straight back.
+    * After a break the waiter loops back to the ATOMIC create — it
+    * never assumes acquisition. Residual honesty: a plain FS has no
+    * compare-and-swap, so a fresh acquisition landing inside the
+    * microsecond rename-back window while a THIRD waiter creates is
+    * still unguarded — after a 30-minute stale period, with the
+    * two-sighting gate in front, this is the narrowest window the
+    * primitive set allows; a production deployment points the lock
+    * at a metadata service instead. Waiting acquirers poll rather
+    * than queue (cold builds are rare and bounded).
     */
   private val BuildLockStaleMs = 30L * 60 * 1000
 
@@ -186,8 +195,26 @@ object ServedArtifact {
           case Some(s) if System.currentTimeMillis() -
               s.getModificationTime > BuildLockStaleMs =>
             if (s.getModificationTime == staleSeen) {
-              // second sighting, same mtime: genuinely abandoned
-              fs.delete(lockPath, false)
+              // second sighting, same mtime: genuinely abandoned.
+              // Atomic steal: rename to a waiter-unique tomb (only
+              // one of N breakers succeeds), verify the tomb IS the
+              // stale lock, then discard it — a fresh lock stolen in
+              // the stat→rename instant goes straight back.
+              val tomb = new org.apache.hadoop.fs.Path(
+                lockPath.getParent,
+                s"_build.lock.tomb.${java.util.UUID.randomUUID}")
+              val stolen =
+                try fs.rename(lockPath, tomb)
+                catch { case _: java.io.IOException => false }
+              if (stolen) {
+                val tombSt =
+                  try Some(fs.getFileStatus(tomb))
+                  catch { case _: java.io.FileNotFoundException => None }
+                if (tombSt.exists(_.getModificationTime == staleSeen))
+                  fs.delete(tomb, false) // confirmed stale: broken
+                else if (!fs.rename(tomb, lockPath))
+                  fs.delete(tomb, false) // third-party won create
+              }
               staleSeen = Long.MinValue
             } else {
               staleSeen = s.getModificationTime

@@ -305,15 +305,7 @@ object Dedup {
     val wBand = pinWidth(spark, st.getLong(0) * bands)
     val wVerify = pinWidth(spark, st.getLong(1))
     graft.CacheHygiene.unpersistAfterUse(docs)
-    val sigs = docs.select(
-      col("doc_id"),
-      minhashFromHashes(col("sh"), k, 42L).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r)))
-          .as("bucket"))
+    val banded = lshBanded(docs, k, bands)
     // ONE shuffle for candidate generation: collect each bucket's
     // members (bounded by the skew cap — degenerate boilerplate
     // buckets are dropped; exact dups are C1's job anyway), then
@@ -340,6 +332,24 @@ object Dedup {
     verifyJaccard(cands, docs, threshold, wVerify)
   }
 
+  /** The (doc_id, band, bucket) LSH banding projection of a hashed-
+    * shingle frame — ONE definition shared by [[minhashLsh]]'s
+    * candidate generation and [[minhashCapAudit]] (r15 review: a
+    * copy-pasted derivation would let the audit silently diverge
+    * from the bucketing the cap actually drops — the divergence the
+    * F7 side prevents by sharing `bandedOf`). */
+  private def lshBanded(withShingles: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    withShingles.select(
+        col("doc_id"), minhashFromHashes(col("sh"), k, 42L).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r)))
+          .as("bucket"))
+  }
+
   /** C4 cap audit (no-silent-caps, r14 VERDICT #3): the LSH buckets
     * [[minhashLsh]]'s `maxBucket` cap DROPS, with their sizes — the
     * F7 [[Multimodal.phashCapAudit]] schema (site, bucket, occ, cap)
@@ -348,22 +358,14 @@ object Dedup {
     * materializes for a degenerate bucket here either.
     */
   def minhashCapAudit(spark: SparkSession, dir: String, k: Int = 128,
-      bands: Int = 32, maxBucket: Int = 1000): DataFrame = {
-    val r = k / bands
-    docShingleHashes(spark, dir)
-      .select(minhashFromHashes(col("sh"), k, 42L).as("sig"))
-      .select(col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r)))
-          .as("bucket"))
+      bands: Int = 32, maxBucket: Int = 1000): DataFrame =
+    lshBanded(docShingleHashes(spark, dir), k, bands)
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxBucket)
       .select(lit("dedup_minhash").as("site"),
         concat_ws(":", col("band"), col("bucket")).as("bucket"),
         col("occ"), lit(maxBucket).as("cap"))
-  }
 
   /** C35: cross-corpus fuzzy decontamination — flag every training
     * document whose shingle-Jaccard against ANY benchmark document

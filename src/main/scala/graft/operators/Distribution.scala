@@ -53,9 +53,16 @@ object Distribution {
   private def capped(v: Column, maxV: Int): Column =
     least(v, lit(maxV.toLong))
 
-  /** One-pass per-(source, v) histogram of `documents.n_chars`. */
+  /** One-pass per-(source, v) histogram of `documents.n_chars`.
+    * Null grid values are EXCLUDED from the distribution (an
+    * unscored/unmeasured doc has no place on a value axis) — and
+    * must be, for cross-engine exactness: Spark's `ORDER BY v`
+    * sorts nulls first while DuckDB's sorts them last, so a null
+    * row would shift every cumulative count on one engine only.
+    */
   private def lengthHistogramOf(docs: DataFrame, maxV: Int): DataFrame =
     docs.select(col("source"), capped(col("n_chars"), maxV).as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -105,7 +112,8 @@ object Distribution {
   /** One shard's (batch_id, source, v, cnt) partials from any
     * pre-quantized (source, v) frame — shared by both panels. */
   private def shardHistogramOf(sv: DataFrame, batchId: Long): DataFrame =
-    sv.groupBy(col("source"), col("v"))
+    sv.filter(col("v").isNotNull) // the no-nulls-on-the-axis rule
+      .groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .select(lit(batchId).as("batch_id"), col("source"), col("v"),
         col("cnt"))
@@ -137,9 +145,20 @@ object Distribution {
 
   /** The quality panel's (source, v) projection of a (doc_id, source,
     * text) frame — the C36 score on the 10⁻⁴ grid. */
+  /** Grid cells for the quality axis: q ∈ [0, 1] by the score's
+    * construction, so ⌊q·10⁴⌋ ∈ [0, 10000] and the cap below is a
+    * provable no-op on BOTH engines (which is why the oracle carries
+    * no LEAST) — it exists so the stored `max_v` meta states a bound
+    * the artifact actually enforces rather than a dead field (r15
+    * review). */
+  private val QualityGridCells = 10001
+
   private def qualitySv(docs: DataFrame): DataFrame =
     Curation.scoredDocs(docs)
-      .select(col("source"), floor(col("q") * 10000).cast("bigint").as("v"))
+      .select(col("source"),
+        capped(floor(col("q") * 10000).cast("bigint"),
+          QualityGridCells).as("v"))
+      .filter(col("v").isNotNull) // null text ⇒ no score ⇒ off the axis
 
   def buildLengthHistogram(db: graft.catalog.GraftDatabase,
       name: String, docs: DataFrame, maxV: Int = DefaultMaxV): Unit =
@@ -167,7 +186,7 @@ object Distribution {
     */
   def buildQualityHistogram(db: graft.catalog.GraftDatabase,
       name: String, docs: DataFrame): Unit =
-    buildHistogram(db, name, qualitySv(docs), maxV = 10001)
+    buildHistogram(db, name, qualitySv(docs), maxV = QualityGridCells)
 
   def appendQualityHistogram(db: graft.catalog.GraftDatabase,
       name: String, docs: DataFrame, batchId: Long): Unit =
@@ -218,7 +237,7 @@ object Distribution {
     "q_doclen_quantiles" ->
       """WITH h AS (SELECT source, LEAST(n_chars, 1048576) AS v,
         |    COUNT(*) AS cnt
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |ab AS (
         |  SELECT source, v, cnt FROM h
         |  UNION ALL
@@ -246,7 +265,7 @@ object Distribution {
         |  FROM documents),
         |h AS (SELECT source, CAST(FLOOR(q * 10000) AS BIGINT) AS v,
         |    COUNT(*) AS cnt
-        |  FROM s GROUP BY 1, 2),
+        |  FROM s WHERE q IS NOT NULL GROUP BY 1, 2),
         |ab AS (
         |  SELECT source, v, cnt FROM h
         |  UNION ALL

@@ -544,6 +544,12 @@ object Hnsw {
       .toDF("cell", "graph")
     db.write(blobs, s"${name}_graphs",
       org.apache.spark.sql.SaveMode.Overwrite)
+    // id registry: the membership sidecar the append's immutability
+    // screen anti-joins against (ids live inside gzip blobs — without
+    // the registry an append would deserialize the whole index to
+    // learn what it already holds)
+    db.write(ep.select(col("vec_id")), s"${name}_ids",
+      org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** One cell's graph blob from (id, unit vector) rows — sorted-id
@@ -580,33 +586,67 @@ object Hnsw {
     val spark = db.spark
     import spark.implicits._
     val cents = Ann.loadCentroids(db, name)
+    // IMMUTABILITY SCREEN (r15 review): ids already in the index are
+    // dropped BEFORE assignment — a re-sent id with a CHANGED vector
+    // would otherwise land in a different cell and shadow-place the
+    // entry (per-cell dedupe cannot see across cells). The `_ids`
+    // registry makes the screen one anti-join; changing a vector is
+    // delete + rebuild, never re-append.
+    //
+    // persisted: the affected-cells probe and the rebuild write are
+    // two actions over the same screen + assignment pass
     val assigned = newVecs.select(col("vec_id"), col("embedding"))
+      .join(db.read(s"${name}_ids"), Seq("vec_id"), "left_anti")
       .withColumn("cell", Ann.cellExpr(cents, col("embedding")))
       .select(col("cell"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Seq[Float])]
-    val affected = assigned.map(_._1).distinct().collect().toSet
-    val existing = db.read(s"${name}_graphs")
-      .select(col("cell"), col("graph")).as[(Int, Array[Byte])]
-    val mm = m
-    val efc = efConstruction
-    val untouched = existing.filter(r => !affected(r._1))
-    val oldRows = existing.filter(r => affected(r._1))
-      .flatMap { case (cell, blob) =>
-        deserializeRows(blob).iterator.map { case (id, v) => (cell, id, v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = assigned.map(_._1).distinct().collect().toSet
+      val existing = db.read(s"${name}_graphs")
+        .select(col("cell"), col("graph")).as[(Int, Array[Byte])]
+      val mm = m
+      val efc = efConstruction
+      val untouched = existing.filter(r => !affected(r._1))
+      // stored rows flagged 0, batch rows 1: if a replay races the
+      // registry update (crash between the graphs swap and the ids
+      // swap below), the STORED vector wins — deterministically,
+      // whatever order the shuffle iterator interleaves the union
+      // (r15 review: first-wins over iterator order published
+      // bit-different graphs across runs).
+      val oldRows = existing.filter(r => affected(r._1))
+        .flatMap { case (cell, blob) =>
+          deserializeRows(blob).iterator
+            .map { case (id, v) => (cell, id, v, 0) }
+        }
+      // every cell in `assigned` is affected by construction
+      val newRows = assigned.map { case (cell, id, v) =>
+        (cell, id, normalize(v.toArray.map(_.toDouble)), 1)
       }
-    val newRows = assigned.filter(r => affected(r._1))
-      .map { case (cell, id, v) =>
-        (cell, id, normalize(v.toArray.map(_.toDouble)))
-      }
-    val rebuilt = oldRows.union(newRows)
-      .groupByKey(_._1)
-      .mapGroups { (cell, it) =>
-        val byId = scala.collection.mutable.HashMap[Long, Array[Double]]()
-        it.foreach { case (_, id, v) => byId.getOrElseUpdate(id, v) }
-        (cell, buildCellBlob(byId.toArray, mm, efc))
-      }
-    db.replaceTable(untouched.union(rebuilt).toDF("cell", "graph"),
-      s"${name}_graphs")
+      val rebuilt = oldRows.union(newRows)
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val byId =
+            scala.collection.mutable.HashMap[Long, (Array[Double], Int)]()
+          it.foreach { case (_, id, v, flag) =>
+            val cur = byId.get(id)
+            if (cur.isEmpty || flag < cur.get._2) byId(id) = (v, flag)
+          }
+          (cell, buildCellBlob(
+            byId.iterator.map { case (id, (v, _)) => (id, v) }.toArray,
+            mm, efc))
+        }
+      db.replaceTable(untouched.union(rebuilt).toDF("cell", "graph"),
+        s"${name}_graphs")
+      // registry second: a crash between the swaps leaves ids
+      // missing, and the replay converges through the anti-join
+      // (unscreened identical rows) + the stored-wins dedupe above
+      db.replaceTable(
+        db.read(s"${name}_ids")
+          .unionByName(assigned.select(col("vec_id")).toDF("vec_id"))
+          .distinct(),
+        s"${name}_ids")
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Serve top-k from a routed index: the centroid table routes each

@@ -331,19 +331,25 @@ object Multimodal {
     */
   def buildPhashIndex(db: graft.catalog.GraftDatabase, docs: DataFrame,
       name: String, maxBucket: Int = 1000): Unit = {
+    // persisted: the kept-bands write and the capped-audit write are
+    // two actions over the same corpus-scale hash + window lineage
+    // (r15 review: unpersisted, the whole pass executed twice)
     val banded = bandedOf(phashHashesOf(docs))
       .withColumn("occ", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("v"))))
-    val ow = org.apache.spark.sql.SaveMode.Overwrite
-    db.write(banded.filter(col("occ") <= maxBucket)
-      .select(col("band"), col("v"), col("doc_id"),
-        col("h_lo"), col("h_hi")), s"${name}_bands", ow)
-    db.write(banded.filter(col("occ") > maxBucket)
-      .groupBy(col("band"), col("v")).agg(max(col("occ")).as("occ"))
-      .select(col("band"), col("v"), col("occ")), s"${name}_capped", ow)
-    import db.spark.implicits._
-    db.write(Seq(maxBucket).toDF("max_bucket"), s"${name}_meta", ow)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ow = org.apache.spark.sql.SaveMode.Overwrite
+      db.write(banded.filter(col("occ") <= maxBucket)
+        .select(col("band"), col("v"), col("doc_id"),
+          col("h_lo"), col("h_hi")), s"${name}_bands", ow)
+      db.write(banded.filter(col("occ") > maxBucket)
+        .groupBy(col("band"), col("v")).agg(max(col("occ")).as("occ"))
+        .select(col("band"), col("v"), col("occ")), s"${name}_capped", ow)
+      import db.spark.implicits._
+      db.write(Seq(maxBucket).toDF("max_bucket"), s"${name}_meta", ow)
+    } finally banded.unpersist(blocking = false)
   }
 
   /** Screen a new (doc_id, text) media batch against a stored pHash

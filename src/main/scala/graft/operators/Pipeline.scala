@@ -113,7 +113,11 @@ object Pipeline {
     // driver-side metadata only, still no job, so the small path
     // keeps its one-plan property. Unknown footers (non-parquet,
     // too many files) take the safe-at-scale persisted path.
-    val textBytes = graft.sources.ParquetStats
+    // lazy: the footer walk only runs once the cheap Catalyst-stats
+    // gate has already passed (r15 review: an eager val paid a
+    // driver walk of up to 65536 footers at the large-corpus design
+    // point for a value the large path never reads)
+    lazy val textBytes = graft.sources.ParquetStats
       .uncompressedColumnBytes(spark, s"$dir/documents.parquet", "text")
     val smallCorpus = Tables(spark, dir, "documents")
       .queryExecution.optimizedPlan.stats.sizeInBytes
@@ -132,7 +136,7 @@ object Pipeline {
     // Between this bound and smallMaxTextBytes the AQE-decided small
     // path keeps running; above that, the persisted width-pinned
     // shape.
-    val bcastSmall = textBytes.exists(_ <= sys.env.getOrElse(
+    lazy val bcastSmall = textBytes.exists(_ <= sys.env.getOrElse(
       "SPARK_GRAFT_CLEAN_BCAST_MAX_TEXT_BYTES",
       (1L * 1024 * 1024 * 1024).toString).toLong)
     def hintIf(d: DataFrame): DataFrame = if (bcastSmall) broadcast(d) else d

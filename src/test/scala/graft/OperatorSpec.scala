@@ -1443,6 +1443,16 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     Hnsw.appendHnswIndexRouted(db, "a", rest.limit(0))
     assert(blobs("a") == blobs("b"))
     assert(rows(Hnsw.hnswTopkFromIndexRouted(db, "a", queries)) == want)
+    // immutability: re-appending EXISTING ids with perturbed vectors
+    // changes nothing — the stored vector wins deterministically
+    // (changing a vector is delete + rebuild, never re-append)
+    import spark.implicits._
+    Hnsw.appendHnswIndexRouted(db, "a",
+      rest.as[(Long, Seq[Float])]
+        .map { case (id, v) => (id, v.map(_ * 2.0f)) }
+        .toDF("vec_id", "embedding"))
+    assert(blobs("a") == blobs("b"),
+      "stored entries are immutable under re-append")
   }
 
   test("HNSW candidate generation is a map-side scan, no shuffle " +
