@@ -259,38 +259,42 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     */
   def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
       nFiles: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     // Interleaving RAW values lets the widest column's high bits
     // dominate the curve (its top bits sit above every bit the
     // narrower columns can set), collapsing the layout back to a
     // single-column sort. Normalize each column onto the curve's
     // per-column bit budget first: shift (x − min) so the observed
     // span occupies exactly ⌊63/k⌋ bits. One metadata-scale min/max
-    // pass (the same range-bound pass Delta's ZORDER does), pure
-    // integer arithmetic, no overflow (shift, not multiply).
+    // pass (the same range-bound pass Delta's ZORDER does); the span
+    // is computed in BigInt because a full-range signed column (e.g.
+    // xxhash64 keys, lo≈Long.Min, hi≈Long.Max) wraps `hi - lo`
+    // negative in 64-bit arithmetic (r15 review).
     val bits = 63 / zCols.size
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val aggs = count(lit(1)) +:
+      zCols.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    // Empty input (or all-null z-columns): nothing to lay out and no
-    // normalization derivable. Leave the table un-bootstrapped so
-    // upsertZOrdered's next non-empty batch lays it out — a streaming
-    // foreachBatch can legitimately deliver an empty first batch.
-    // A MIX (some z-columns all-null, others not) is a caller error:
-    // no curve bounds exist for the null column, so name it instead
-    // of NPE-ing in getLong below.
+    // Empty INPUT: nothing to lay out — leave the table
+    // un-bootstrapped so upsertZOrdered's next non-empty batch lays
+    // it out (a streaming foreachBatch can legitimately deliver an
+    // empty first batch). A z-column with NO derivable bounds over a
+    // NON-empty input (entirely null, or not castable to long — e.g.
+    // a string column) is a caller error and is named LOUDLY: the
+    // r15 review found the all-uncastable case taking the silent
+    // empty-input return, leaving no table and no error.
+    if (stats.getLong(0) == 0L) return
     val nullCols = zCols.zipWithIndex.filter { case (_, i) =>
-      stats.isNullAt(2 * i) }.map(_._1)
-    if (nullCols.size == zCols.size) return
+      stats.isNullAt(1 + 2 * i) }.map(_._1)
     require(nullCols.isEmpty,
       s"writeZOrdered: z-column(s) ${nullCols.mkString(", ")} are " +
         "entirely NULL (or not castable to long); cannot derive curve " +
-        "bounds for them while other z-columns have data")
+        "bounds over a non-empty input")
     val metas = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = stats.getLong(2 * i)
-      val hi = stats.getLong(2 * i + 1)
-      val span = math.max(hi - lo, 1L)
-      val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val lo = stats.getLong(1 + 2 * i)
+      val hi = stats.getLong(2 + 2 * i)
+      val span = (BigInt(hi) - BigInt(lo)).max(BigInt(1))
+      val spanBits = span.bitLength
       ZColMeta(c, lo, hi, spanBits - bits)
     }
     df.withColumn("__z", zCurve(metas))
@@ -332,8 +336,17 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     // O(log F) and constant generated-code size, where a chained-when
     // sum is O(F) per row and outgrows the 64KB codegen method limit
     // at real file counts.
-    val idxExpr = graft.functions.GraftFunctions.segmentIndex(
-      col("__z"), files.map(_.zmin).toArray)
+    // NULL z-values (a null z-column on some row — which the
+    // bootstrap path admits as long as the column has SOME data)
+    // yield a null curve value; route them to segment 0
+    // deterministically (bootstrap's range partitioning sorts nulls
+    // first, i.e. into the lowest file) instead of NPE-ing the
+    // foreachBatch on `getInt` below (r15 review — a permanent
+    // stream failure, replayed forever).
+    val idxExpr = org.apache.spark.sql.functions.coalesce(
+      graft.functions.GraftFunctions.segmentIndex(
+        col("__z"), files.map(_.zmin).toArray),
+      org.apache.spark.sql.functions.lit(0))
     val assigned = batch.withColumn("__z", zCurve(metas))
       .withColumn("__fi", idxExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -514,18 +527,21 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
   private case class ZFileMeta(name: String, zmin: Long, zmax: Long)
 
   /** The curve key: clamp into the recorded bounds, rebase, shift
-    * onto the bit budget, interleave.
+    * onto the bit budget, interleave — the normalization is the
+    * NATIVE [[graft.functions.expressions.ZNormalize]] (r15 review):
+    * the Column-arithmetic form could not express the semantics for
+    * a full-range column (lo≈Long.Min, hi≈Long.Max — xxhash64 keys),
+    * where the rebase must WRAP (ANSI `-` throws ARITHMETIC_OVERFLOW)
+    * and the down-shift must be logical (`shiftright` sign-extends,
+    * diverging from the driver twin [[zVal]]'s `>>>` and putting
+    * sidecar corner ranges in a different space than row curve
+    * values).
     */
   private def zCurve(metas: Seq[ZColMeta]): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val normed = metas.map { m =>
-      val clamped = greatest(lit(m.lo),
-        least(col(m.name).cast("long"), lit(m.hi))) - lit(m.lo)
-      if (m.shift > 0) shiftright(clamped, m.shift)
-      else if (m.shift < 0) shiftleft(clamped, -m.shift)
-      else clamped
-    }
-    graft.functions.GraftFunctions.zorder(normed: _*)
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.zorder(metas.map(m =>
+      graft.functions.GraftFunctions.znormalize(
+        col(m.name).cast("long"), m.lo, m.hi, m.shift)): _*)
   }
 
   /** Driver twin of [[zCurve]] for corner points. */
@@ -558,8 +574,14 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        val los = metas.indices.map(i => r.getLong(1 + 2 * i))
-        val his = metas.indices.map(i => r.getLong(2 + 2 * i))
+        // a file whose z-column is entirely null (range partitioning
+        // packs nulls-first rows together) has no corner stats —
+        // treat the missing corner as the column's lower bound, the
+        // same place appendZOrdered routes null-curve rows
+        def corner(i: Int, fallback: Long): Long =
+          if (r.isNullAt(i)) fallback else r.getLong(i)
+        val los = metas.indices.map(i => corner(1 + 2 * i, metas(i).lo))
+        val his = metas.indices.map(i => corner(2 + 2 * i, metas(i).lo))
         ZFileMeta(new Path(r.getString(0)).getName,
           zVal(metas, los), zVal(metas, his))
       }.toSeq

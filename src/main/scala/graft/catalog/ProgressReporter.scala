@@ -63,6 +63,17 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
       // inherited from the spawning thread — drop it (see scaladoc)
       spark.sparkContext.clearJobGroup()
       var last = 0L
+      // Adaptive decay (r15 review): every append is a NEW parquet
+      // part-file (the event log is append-only), so a fixed
+      // sub-second cadence over a long corpus load accumulates
+      // thousands of tiny files in _csv_progress_ — the small-files
+      // pathology compact() exists to fight. Short uploads keep the
+      // configured cadence (the first appends land at intervalMs);
+      // the gap then doubles per append up to a 10 s ceiling, so a
+      // 3-hour load leaves ~1k bookkeeping files instead of ~43k
+      // while a poller still sees it advance.
+      var gapMs = intervalMs
+      var lastAppendAt = 0L
       while (running) {
         // Latch-paced, not sleep+interrupt: the latch drops instantly
         // at completion (no residual tick wait), and the thread is
@@ -71,8 +82,12 @@ class ProgressReporter(db: GraftDatabase, taskId: String, table: String,
         // (ClosedByInterruptException) and strand a corrupt part.
         done.await(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         val r = rowsRead.get()
-        if (running && r > 0L && r != last) {
+        val nowMs = System.currentTimeMillis()
+        if (running && r > 0L && r != last &&
+            nowMs - lastAppendAt >= gapMs) {
           last = r
+          lastAppendAt = nowMs
+          gapMs = math.min(gapMs * 2, math.max(intervalMs, 10000L))
           // A transient FS failure on a bookkeeping row must not kill
           // the flusher (or the upload): drop the tick, try next time.
           try db.progress.update(taskId, table, bytesTodo,

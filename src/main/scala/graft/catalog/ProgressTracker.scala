@@ -99,13 +99,27 @@ class ProgressTracker(db: GraftDatabase) {
   def fail(id: String, table: String, error: String): Unit =
     append(id, table, 0L, 0L, 0L, "", None, Some(error), Long.MaxValue)
 
-  /** Latest state per task id. */
+  /** Latest state per task id — a FIELD-WISE merge, not just the
+    * max-seq row (r15 review): `update()` events carry started = ""
+    * and `fail()` carries bytes_todo = 0, so reading the latest row
+    * verbatim loses the original start time after the first mid-load
+    * flush and the denominator after a failure — the reference's
+    * in-place UPDATE never clears either (__init__.py:200-221).
+    * `started` resolves as the partition max (any ISO timestamp
+    * out-sorts the empty string), `bytes_todo` likewise (the real
+    * total dominates fail()'s 0); everything else reads off the
+    * latest event.
+    */
   def current(): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val w = Window.partitionBy(col("id"))
     spark.read.parquet(path)
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col("seq").desc)))
+      .withColumn("__started", max(col("started")).over(w))
+      .withColumn("__todo", max(col("bytes_todo")).over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .withColumn("started", col("__started"))
+      .withColumn("bytes_todo", col("__todo"))
+      .drop("__rn", "__started", "__todo")
   }
 
   def exists: Boolean = db.tableExists(tableName)

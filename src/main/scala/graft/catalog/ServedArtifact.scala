@@ -153,7 +153,12 @@ object ServedArtifact {
     */
   private val BuildLockStaleMs = 30L * 60 * 1000
 
-  /** Create the lock file atomically-if-absent; false when present. */
+  /** Create the lock file atomically-if-absent; false when present.
+    * If the CREATE succeeded but writing the holder tag fails (r15
+    * review: a transient IO hiccup mid-write), the half-created lock
+    * is deleted before reporting failure — otherwise the creator
+    * itself and every waiter would spin on an orphan nobody holds
+    * until the stale break. */
   private def tryCreateLock(fs: org.apache.hadoop.fs.FileSystem,
       lockPath: org.apache.hadoop.fs.Path): Boolean = {
     val local = fs.getScheme == "file"
@@ -161,20 +166,35 @@ object ServedArtifact {
       val f = new java.io.File(lockPath.toUri.getPath)
       if (!f.createNewFile()) false
       else {
-        val w = new java.io.FileOutputStream(f)
-        w.write(java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getName.getBytes("UTF-8"))
-        w.close()
-        true
+        try {
+          val w = new java.io.FileOutputStream(f)
+          try w.write(java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getName.getBytes("UTF-8"))
+          finally w.close()
+          true
+        } catch {
+          case e: java.io.IOException => f.delete(); throw e
+        }
       }
     } else {
-      try {
-        val out = fs.create(lockPath, false)
-        out.writeBytes(
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      val created =
+        try Some(fs.create(lockPath, false))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            out.writeBytes(java.lang.management.ManagementFactory
+              .getRuntimeMXBean.getName)
+            out.close()
+            true
+          } catch {
+            case e: java.io.IOException =>
+              try fs.delete(lockPath, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+      }
     }
   }
 
@@ -225,6 +245,29 @@ object ServedArtifact {
         }
       }
     }
-    try body finally fs.delete(lockPath, false)
+    // HEARTBEAT (r15 review): the stale break judges liveness by the
+    // lock's mtime, which create() sets exactly once — a LIVE build
+    // running past BuildLockStaleMs would look abandoned and have
+    // its lock stolen, re-admitting the concurrent-Overwrite corruption
+    // the lock exists to prevent. The holder refreshes the mtime at
+    // a third of the stale threshold for as long as the build runs.
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(BuildLockStaleMs / 3)
+          val now = System.currentTimeMillis()
+          try fs.setTimes(lockPath, now, now)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    beat.setDaemon(true)
+    beat.setName("graft-build-lock-heartbeat")
+    beat.start()
+    try body
+    finally {
+      beat.interrupt()
+      fs.delete(lockPath, false)
+    }
   }
 }

@@ -228,6 +228,11 @@ object GraftFunctions {
   def segmentIndex(c: Column, bounds: Array[Long]): Column =
     toCol(SegmentIndex(toExpr(c), bounds))
 
+  /** Z-curve column normalization: clamp to [lo, hi], rebase with
+    * wrap semantics, logical-shift onto the bit budget. */
+  def znormalize(c: Column, lo: Long, hi: Long, shift: Int): Column =
+    toCol(ZNormalize(toExpr(c), lo, hi, shift))
+
   /** Squared-L2 argmin cell of a float vector vs literal centroids. */
   def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
     toCol(NearestCell(toExpr(vec), cents))

@@ -93,6 +93,46 @@ case class ZOrderLong(children: Seq[Expression]) extends Expression
     copy(children = newChildren)
 }
 
+/** Z-curve per-column normalization: clamp into [lo, hi], rebase to
+  * the unsigned offset `clamped - lo`, shift onto the per-column bit
+  * budget (r15). Native because the Column-arithmetic form it
+  * replaces cannot express the semantics under ANSI mode: a
+  * full-range column (xxhash64 keys, lo≈Long.Min, hi≈Long.Max) needs
+  * the subtraction to WRAP (two's complement IS the correct unsigned
+  * offset) and the down-shift to be LOGICAL — Spark's ANSI `-` throws
+  * ARITHMETIC_OVERFLOW instead of wrapping, and `shiftright`
+  * sign-extends. Java arithmetic in a native expression does exactly
+  * the right thing, and keeps the driver twin (`zVal`) semantics
+  * identical by construction.
+  */
+case class ZNormalize(child: Expression, lo: Long, hi: Long, shift: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_znormalize"
+
+  def norm(v: Long): Long = {
+    val clamped = math.min(math.max(v, lo), hi) - lo // wraps: unsigned offset
+    if (shift > 0) clamped >>> shift
+    else if (shift < 0) clamped << -shift
+    else clamped
+  }
+
+  override def nullSafeEval(v: Any): Any = norm(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("znorm", this,
+        classOf[ZNormalize].getName)
+      s"${ev.value} = $ref.norm($v);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Index of the curve segment containing a value: the largest i with
   * bounds(i) ≤ v (0 when v is below every bound). `bounds` are the
   * sorted per-file z-minima of a clustered table — binary search per

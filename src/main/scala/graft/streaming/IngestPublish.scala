@@ -69,15 +69,38 @@ private[graft] object IngestPublish {
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
+    moveUnderPrefix(fs, staging, dest, batchId)
+    fs.delete(staging, true)
+    n
+  }
+
+  /** The exactly-once move core, ONE definition (r15 review: a
+    * verbatim copy lived in StreamingTextIndex, the divergence class
+    * the ServedArtifact consolidation already documented): delete any
+    * earlier attempt's files under the batch's zero-padded prefix,
+    * then rename every staged data file in — with the rename result
+    * CHECKED. Hadoop rename reports failure by returning `false`
+    * (the renameOrThrow rule at GraftDatabase.scala): unchecked, a
+    * failed rename silently drops part of a batch while the
+    * checkpoint commits and the batch never replays — data loss
+    * reported as success. Throwing instead fails the micro-batch;
+    * the restart replays it and the earlier-attempt delete converges
+    * to exactly one copy.
+    */
+  private[streaming] def moveUnderPrefix(
+      fs: org.apache.hadoop.fs.FileSystem, staging: Path, dest: Path,
+      batchId: Long): Unit = {
     val prefix = f"b$batchId%019d-"
     fs.mkdirs(dest)
     fs.listStatus(dest).filter(_.getPath.getName.startsWith(prefix))
       .foreach(s => fs.delete(s.getPath, false))
     fs.listStatus(staging)
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f =>
-        fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName)))
-    fs.delete(staging, true)
-    n
+      .foreach { f =>
+        val to = new Path(dest, prefix + f.getPath.getName)
+        if (!fs.rename(f.getPath, to))
+          throw new java.io.IOException(
+            s"publish rename failed: ${f.getPath} -> $to")
+      }
   }
 }

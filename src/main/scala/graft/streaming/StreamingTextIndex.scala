@@ -131,16 +131,11 @@ object StreamingTextIndex {
     moveUnderPrefix(fs, stagePath, new Path(db.tablePath(table)), batchId)
   }
 
+  /** [[IngestPublish.moveUnderPrefix]] (the ONE checked-rename
+    * publish core) plus this path's staging-parent cleanup. */
   private def moveUnderPrefix(fs: org.apache.hadoop.fs.FileSystem,
       staging: Path, dest: Path, batchId: Long): Unit = {
-    val prefix = f"b$batchId%019d-"
-    fs.mkdirs(dest)
-    fs.listStatus(dest).filter(_.getPath.getName.startsWith(prefix))
-      .foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(staging)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f =>
-        fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName)))
+    IngestPublish.moveUnderPrefix(fs, staging, dest, batchId)
     fs.delete(staging.getParent, true)
   }
 }

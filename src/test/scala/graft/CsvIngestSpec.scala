@@ -279,6 +279,30 @@ class CsvUploaderSpec extends AnyFunSuite with SparkTestBase {
     assert(!db.tableExists("bad"))
   }
 
+  test("r15: current() keeps started and bytes_todo across updates and failure") {
+    // the reference's in-place UPDATE never clears started/bytes_todo
+    // (__init__.py:200-221); the event-log reimplementation writes
+    // started="" on update() and bytes_todo=0 on fail(), so reading
+    // the latest row verbatim lost the start time after the first
+    // mid-load flush and the denominator after a failure
+    val db = GraftDatabase(spark, scratch("progress_merge") + "/db")
+    db.progress.start("t1", "tbl", bytesTodo = 1000L,
+      started = "2026-01-01T00:00:00Z")
+    db.progress.update("t1", "tbl", bytesTodo = 1000L, bytesDone = 300L,
+      rowsDone = 3L, seq = 1L)
+    val mid = db.progress.current().filter(col("id") === "t1").head()
+    assert(mid.getAs[String]("started") == "2026-01-01T00:00:00Z",
+      "mid-load row must keep the original start time")
+    assert(mid.getAs[Long]("bytes_todo") == 1000L)
+    db.progress.fail("t1", "tbl", "boom")
+    val fin = db.progress.current().filter(col("id") === "t1").head()
+    assert(fin.getAs[String]("error") == "boom")
+    assert(fin.getAs[String]("started") == "2026-01-01T00:00:00Z",
+      "failure must not erase the start time")
+    assert(fin.getAs[Long]("bytes_todo") == 1000L,
+      "failure must not zero the denominator a progress bar divides by")
+  }
+
   test("jsonl upload unions schemas across files (A11 twin, native)") {
     import graft.sources.JsonlUploader
     val dir = scratch("jsonl_evolve")

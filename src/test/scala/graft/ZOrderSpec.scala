@@ -56,6 +56,63 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(zref(Seq(3L, 5L)), zref(Seq(7L, 2L))))
   }
 
+  test("r15: null z-values survive bootstrap AND append; all-uncastable errors loudly") {
+    import spark.implicits._
+    val db = GraftDatabase(spark, scratch("z_nulls"))
+    // bootstrap admits rows with null z-values as long as the column
+    // has SOME data (the mixed-nullability corpus)
+    val base = Seq((1L, Some(10L), 1L), (2L, Some(500L), 2L),
+      (3L, None, 3L), (4L, Some(90L), 4L), (5L, Some(700L), 5L))
+      .toDF("id", "k", "k2")
+    db.writeZOrdered(base, "zn", Seq("k", "k2"), nFiles = 2)
+    assert(db.read("zn").count() == 5)
+    // an append carrying another null-z row must not NPE the
+    // (foreachBatch-shaped) maintenance path — r15 review: a null
+    // curve value made the touched-files collect throw, a permanent
+    // stream failure
+    db.appendZOrdered("zn",
+      Seq((6L, Some(250L), 6L), (7L, Option.empty[Long], 7L))
+        .toDF("id", "k", "k2"))
+    assert(db.read("zn").count() == 7)
+    assert(db.read("zn").filter(col("k").isNull).count() == 2)
+    // every z-column derives NO bounds over NON-empty input (all
+    // null; an uncastable string already throws loudly under ANSI):
+    // loud, not a silent no-op that leaves no table and no error
+    val ex = intercept[IllegalArgumentException] {
+      db.writeZOrdered(
+        Seq((1L, Option.empty[Long], Option.empty[Long]),
+          (2L, Option.empty[Long], Option.empty[Long]))
+          .toDF("id", "ka", "kb"),
+        "zbad", Seq("ka", "kb"), nFiles = 2)
+    }
+    assert(ex.getMessage.contains("ka"))
+  }
+
+  test("r15: full-range z-column — sidecar corner ranges agree with row curve values") {
+    import spark.implicits._
+    val db = GraftDatabase(spark, scratch("z_fullrange"))
+    // xxhash64-like keys spanning nearly the whole signed range:
+    // hi - lo wraps negative in 64-bit arithmetic, and the arithmetic
+    // vs unsigned shift divergence (r15 review) put sidecar ranges
+    // and row curve values in different spaces — an append then
+    // misassigned every row's segment
+    val vals = Seq(Long.MinValue + 3, -1234567890123L, 0L,
+      987654321098L, Long.MaxValue - 7)
+    val base = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, -v) }
+      .toDF("id", "k", "k2")
+    db.writeZOrdered(base, "zf", Seq("k", "k2"), nFiles = 2)
+    assert(db.read("zf").count() == 5)
+    // the append path recomputes curve values and probes the sidecar
+    // ranges — consistency means every row lands in a segment and
+    // nothing is lost or duplicated
+    db.appendZOrdered("zf",
+      Seq((10L, Long.MinValue + 99, 17L), (11L, 42L, -9999999L))
+        .toDF("id", "k", "k2"))
+    assert(db.read("zf").count() == 7)
+    assert(db.read("zf").select(sum(col("id"))).head().getLong(0) ==
+      (0L + 1 + 2 + 3 + 4 + 10 + 11))
+  }
+
   test("segment index = last sorted bound <= value, O(log F)") {
     import spark.implicits._
     import graft.functions.GraftFunctions.segmentIndex
