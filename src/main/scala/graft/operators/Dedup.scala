@@ -849,14 +849,60 @@ object Dedup {
   private[operators] def clustersOver(docs: DataFrame, pairs: DataFrame,
       maxIters: Int, maxDriverEdges: Long,
       reliableCheckpointDir: Option[String]): DataFrame = {
-    val labels = clusterLabels(docs.sparkSession, pairs, maxIters,
-      maxDriverEdges, reliableCheckpointDir)
-    val withCluster = docs.join(labels, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val withCluster = clusterAssignments(docs.select(col("doc_id")), pairs,
+      maxIters, maxDriverEdges, reliableCheckpointDir)
     val sizes = withCluster.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     withCluster.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** The label-attach half of [[clustersOver]] WITHOUT the size
+    * join: every `docs` row gains a `cluster_id` (its transitive-
+    * closure label; unpaired docs label themselves). `docs` keeps
+    * its other columns, so a caller that doesn't need sizes (C40's
+    * split) skips the corpus-sized size aggregation + join
+    * entirely. */
+  private[operators] def clusterAssignments(docs: DataFrame,
+      pairs: DataFrame, maxIters: Int = 50,
+      maxDriverEdges: Long = 4L * 1000 * 1000,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val labels = clusterLabels(docs.sparkSession, pairs, maxIters,
+      maxDriverEdges, reliableCheckpointDir)
+    docs.join(labels, col("doc_id") === col("id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .drop("id", "label")
+  }
+
+  /** C39: quality-aware canonical selection — reduce each C9
+    * near-dup cluster to its HIGHEST-quality member (E2's score),
+    * not an arbitrary canonical. Production near-dedup keeps one
+    * representative per duplicate class; keeping the min-id (C1's
+    * convention) throws away the best-written copy whenever the
+    * duplicate class mixes a clean original with boilerplate-wrapped
+    * or truncated mirrors. Ties (exact duplicates score identically)
+    * break on doc_id, so the output is deterministic.
+    *
+    * Scale shape: the cluster labeling is C9's (bucketed candidate
+    * generation, never O(n²)); the quality score is one codegen map
+    * pass; the join is a doc_id equi-join; the per-cluster argmax is
+    * the H5 TopKPerGroup node at k=1 — the partial phase reduces
+    * every task to one candidate row per cluster with a bounded
+    * heap BEFORE the exchange, so the shuffle carries ≤ one row per
+    * (task, cluster) and no per-group sort ever materializes.
+    * (The equivalent `row_number() = 1` window form is what H10's
+    * RewriteRankFilterToTopK now also rewrites to this node, for
+    * sessions built with GraftExtensions.) Nothing here is
+    * corpus-quadratic and nothing collects.
+    */
+  def keepBestPerCluster(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(spark, dir, threshold)
+    val q = TextQueries.quality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    graft.plans.TopKPerGroup(clusters.join(q, Seq("doc_id")), k = 1,
+      groupCols = Seq("cluster_id"),
+      orderBy = Seq("quality" -> true, "doc_id" -> false))
   }
 
   /** Connected-component labels (id, label=min reachable id) of the
@@ -1383,10 +1429,12 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** CC oracle: transitive closure via recursive CTE (min reachable
-    * id per node), over the same jaccard pair set.
+  /** CC oracle prefix: transitive closure via recursive CTE (min
+    * reachable id per node), over the same jaccard pair set. Ends at
+    * the `allc` CTE (doc_id → cluster_id over the whole corpus) so
+    * the C9 / C39 / C40 oracles can all compose from it.
     */
-  private val clustersOracle =
+  private[operators] val clustersCte =
     s"""WITH RECURSIVE
        |p AS (SELECT doc_id_a, doc_id_b FROM (
        |$jaccardOracle
@@ -1399,10 +1447,30 @@ object Dedup {
        |  SELECT e.src, reach.r FROM reach JOIN e ON reach.id = e.dst),
        |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
        |allc AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
-       |         FROM documents d LEFT JOIN lab ON d.doc_id = lab.id)
+       |         FROM documents d LEFT JOIN lab ON d.doc_id = lab.id)""".stripMargin
+
+  private val clustersOracle =
+    s"""$clustersCte
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM allc""".stripMargin
+
+  /** C39 oracle: the same closure, each cluster reduced to its
+    * highest-quality member (E2's score verbatim — hash-green, so
+    * the DESC ordering is cross-engine identical; doc_id breaks
+    * exact-duplicate ties).
+    */
+  private def keepBestOracle =
+    s"""$clustersCte,
+       |siz AS (SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM allc),
+       |q AS (SELECT doc_id, quality FROM (
+       |${TextQueries.oracles("text_quality")}
+       |) tq)
+       |SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality
+       |FROM siz s JOIN q ON s.doc_id = q.doc_id
+       |QUALIFY row_number() OVER (PARTITION BY s.cluster_id
+       |  ORDER BY q.quality DESC, s.doc_id) = 1""".stripMargin
 
   private val editDistOracle =
     s"""WITH p AS (SELECT doc_id_a, doc_id_b FROM (
@@ -1515,6 +1583,7 @@ object Dedup {
     "dedup_substring" -> substringPairsOracle,
     "dedup_substring_spans" -> substringSpansOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_keep_best" -> keepBestOracle,
     "dedup_edit_distance" -> editDistOracle,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -1576,6 +1645,7 @@ object Dedup {
     "dedup_minhash" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_clusters" -> ((s, d) => nearDupClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),

@@ -230,6 +230,39 @@ object Pipeline {
           .when(col("bucket") < 90, "valid")
           .otherwise("test").as("split"))
 
+  /** C40: leakage-safe split — C11's deterministic 80/10/10 split,
+    * but the hash is keyed on the C9 near-dup CLUSTER id, so a whole
+    * duplicate class lands in one split atomically. C11 hashes raw
+    * doc_ids, which routes near-identical documents independently —
+    * at 80/10/10 odds, a fifth of every duplicate class's mass
+    * crosses the train/eval boundary and the held-out loss is
+    * contaminated by memorization. Keying on the transitive-closure
+    * label is the standard fix (the same reason C13/C35 decontam
+    * screens exist): no near-dup pair can ever straddle splits,
+    * because both members carry the same cluster_id by construction.
+    *
+    * Scale shape: C9's labeling (bucketed candidates, union-find ≤
+    * maxDriverEdges with a distributed label-propagation fallback) +
+    * one doc_id equi-join to re-attach `source` + a codegen'd
+    * md5-bucket map — no new shuffle class beyond C9 itself, and the
+    * split assignment adds zero driver state.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    Dedup.clusterAssignments(docs,
+        Dedup.ngramJaccard(spark, dir, threshold)
+          .select(col("doc_id_a"), col("doc_id_b")))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+  }
+
   /** Sequence packing: assign documents to contiguous token-budget
     * bins per source — the batching step before training. Cumulative
     * token count over a (source, doc_id) total order, bin = the
@@ -492,6 +525,15 @@ object Pipeline {
         |FROM (SELECT doc_id, source,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
         |  FROM documents) t""".stripMargin,
+    "pipeline_split_leakage_safe" ->
+      s"""${Dedup.clustersCte}
+         |SELECT a.doc_id, d.source, a.cluster_id,
+         |  CASE WHEN a.b < 80 THEN 'train' WHEN a.b < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 100 AS b
+         |  FROM allc) a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin,
     "pipeline_pack" ->
       """WITH t AS (SELECT source, doc_id,
         |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
@@ -574,6 +616,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_split" -> (deterministicSplit _),
+    "pipeline_split_leakage_safe" -> ((s, d) => leakageSafeSplit(s, d)),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
     "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),
     "pipeline_pack_split" -> ((s, d) => packTokenSpans(s, d)),

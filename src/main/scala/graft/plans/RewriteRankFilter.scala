@@ -31,6 +31,13 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
         if a.semanticEquals(rank) => Some(k - 1)
       case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute)
         if a.semanticEquals(rank) => Some(k)
+      // rn = 1 — the argmax-per-group idiom (C39 keep-best). Only
+      // k=1 is a prefix: rn = k for k > 1 selects the k-th row
+      // alone, which top-k does not express.
+      case EqualTo(a: Attribute, Literal(1, _))
+        if a.semanticEquals(rank) => Some(1)
+      case EqualTo(Literal(1, _), a: Attribute)
+        if a.semanticEquals(rank) => Some(1)
       case _ => None
     }
 

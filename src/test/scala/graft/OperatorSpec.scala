@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, Hnsw, KMeans, Pca, Pq}
+import graft.operators.{Ann, Dedup, Hnsw, KMeans, Pca, Pipeline, Pq}
 
 class ExpressionSpec extends AnyFunSuite with SparkTestBase {
 
@@ -607,6 +607,70 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     clusters.filterNot(c => inPairs(c._1)).foreach { case (id, (cid, sz)) =>
       assert(cid == id && sz == 1L)
     }
+  }
+
+  test("keep-best reduces each cluster to its highest-quality member") {
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = operators.TextQueries.quality(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = Dedup.keepBestPerCluster(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // exactly one survivor per cluster, covering every cluster
+    assert(kept.map(_._2).distinct.length == kept.length)
+    assert(kept.map(_._2).toSet == clusters.values.toSet)
+    // the survivor is the argmax under (quality desc, doc_id asc),
+    // and its attached quality/size columns are faithful
+    val byCluster = clusters.groupBy(_._2)
+    kept.foreach { case (docId, cid, size, q) =>
+      val members = byCluster(cid).keys.toSeq
+      assert(members.size == size, s"cluster $cid size")
+      val best = members.minBy(id => (-quality(id), id))
+      assert(docId == best, s"cluster $cid kept $docId want $best")
+      assert(q == quality(docId))
+    }
+    // exact duplicates score identically → tie breaks to min doc_id
+    import spark.implicits._
+    val dir = scratch("kb_tie")
+    Seq((7L, "same exact text here for everyone in this cluster ok"),
+        (3L, "same exact text here for everyone in this cluster ok"),
+        (9L, "unrelated lonely document about something else entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tied = Dedup.keepBestPerCluster(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tied == Set((3L, 3L), (9L, 9L)), tied.toString)
+  }
+
+  test("leakage-safe split never lets a near-dup pair straddle splits") {
+    val out = Pipeline.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // total function over the corpus, splits from the fixed alphabet
+    val docs = Tables(spark, sf, "documents").count()
+    assert(out.length == docs)
+    assert(out.map(_._4).toSet.subsetOf(Set("train", "valid", "test")))
+    // whole clusters route atomically: one split per cluster_id
+    out.groupBy(_._3).foreach { case (cid, members) =>
+      assert(members.map(_._4).distinct.length == 1,
+        s"cluster $cid spans splits")
+    }
+    // in particular every verified near-dup pair shares a split —
+    // the property C11's doc_id hash does NOT have
+    val splitOf = out.map(r => r._1 -> r._4).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // fixture sanity: the property is exercised
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) split apart")
+    }
+    // and the split is the C11 hash of the cluster id (deterministic
+    // re-run stability comes for free from that)
+    val clusterOf = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (docId, _, cid, _) => assert(clusterOf(docId) == cid) }
   }
 
   test("token window hashes: equality structure matches token windows") {
@@ -2014,6 +2078,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
       assert(planOf(kept).contains("Window"))
+      // rn = 1 — the argmax idiom (C39) — also rewrites
+      val argmax = Tables(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val ap = planOf(argmax)
+      assert(ap.contains("TopKPerGroupPartial"), ap.take(2000))
+      assert(!ap.contains("WindowGroupLimit"), ap.take(2000))
+      val wantTop1 = expected.groupBy(_.head)
+        .map { case (_, rows) =>
+          rows.minBy(r => (-r(2).asInstanceOf[Double],
+            r(1).asInstanceOf[Long]))
+        }.toSet
+      assert(argmax.collect().map(_.toSeq).toSet == wantTop1)
+      // rn = k for k > 1 selects the k-th row alone — must NOT rewrite
+      val second = Tables(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 2)
+        .select(col("o_custkey"), col("o_orderkey"))
+      assert(!planOf(second).contains("TopKPerGroupPartial"))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

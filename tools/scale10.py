@@ -115,7 +115,12 @@ SCALE10 = [
     # graph transitively from raw text) and the C38 distribution
     # panels (both engines build the same histogram + type-1
     # extraction from the raw tables) — all like-for-like
-    "mm_phash_clusters", "q_doclen_quantiles", "q_quality_quantiles"]
+    "mm_phash_clusters", "q_doclen_quantiles", "q_quality_quantiles",
+    # round 15: quality-argmax canonical selection (C39) and the
+    # cluster-keyed leakage-safe split (C40) — like-for-like (both
+    # engines close the pair graph from raw text; spark adds the H5
+    # top-1 node, duckdb a QUALIFY/row_number — same work class)
+    "dedup_keep_best", "pipeline_split_leakage_safe"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
