@@ -997,8 +997,11 @@ object Dedup {
     }
   }
 
-  private val jaccardOracle =
-    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+  /** [[jaccardOracle]] over any corpus relation (a table name or a
+    * parenthesized subquery) — nested WITH keeps the inner CTE names
+    * scoped, so multiple instances compose in one statement. */
+  private def jaccardOracleOver(rel: String): String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') w FROM $rel tdocs),
       |sh AS (SELECT doc_id,
       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
       |  FROM t),
@@ -1011,6 +1014,8 @@ object Dedup {
       |  CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
       |FROM cand
       |WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8""".stripMargin
+
+  private val jaccardOracle = jaccardOracleOver("documents")
 
   /** C10: edit-distance verification of near-dup pairs — Levenshtein
     * distance (and its length-normalized ratio) for every verified
@@ -1429,25 +1434,34 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** CC oracle prefix: transitive closure via recursive CTE (min
-    * reachable id per node), over the same jaccard pair set. Ends at
-    * the `allc` CTE (doc_id → cluster_id over the whole corpus) so
-    * the C9 / C39 / C40 oracles can all compose from it.
+  /** Transitive-closure CTE block (min reachable id per node) over
+    * the τ=0.8 jaccard pair set of `rel`, every CTE name suffixed
+    * with `sfx` so two closures (C40b: existing corpus + new batch)
+    * compose in one WITH RECURSIVE list. Ends at `allc$sfx`
+    * (doc_id → cluster_id over all of `rel`).
+    */
+  private[operators] def closureCtes(rel: String, sfx: String): String =
+    s"""p$sfx AS (SELECT doc_id_a, doc_id_b FROM (
+       |${jaccardOracleOver(rel)}
+       |) jp),
+       |e$sfx AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM p$sfx
+       |      UNION ALL SELECT doc_id_b, doc_id_a FROM p$sfx),
+       |reach$sfx(id, r) AS (
+       |  SELECT src, src FROM e$sfx
+       |  UNION
+       |  SELECT e$sfx.src, reach$sfx.r
+       |  FROM reach$sfx JOIN e$sfx ON reach$sfx.id = e$sfx.dst),
+       |lab$sfx AS (SELECT id, MIN(r) AS cluster_id FROM reach$sfx GROUP BY id),
+       |allc$sfx AS (SELECT d.doc_id,
+       |    COALESCE(lab$sfx.cluster_id, d.doc_id) AS cluster_id
+       |  FROM $rel d LEFT JOIN lab$sfx ON d.doc_id = lab$sfx.id)""".stripMargin
+
+  /** CC oracle prefix: the closure over the whole documents table,
+    * unsuffixed — the C9 / C39 / C40 oracles compose from it.
     */
   private[operators] val clustersCte =
     s"""WITH RECURSIVE
-       |p AS (SELECT doc_id_a, doc_id_b FROM (
-       |$jaccardOracle
-       |) jp),
-       |e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM p
-       |      UNION ALL SELECT doc_id_b, doc_id_a FROM p),
-       |reach(id, r) AS (
-       |  SELECT src, src FROM e
-       |  UNION
-       |  SELECT e.src, reach.r FROM reach JOIN e ON reach.id = e.dst),
-       |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-       |allc AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
-       |         FROM documents d LEFT JOIN lab ON d.doc_id = lab.id)""".stripMargin
+       |${closureCtes("documents", "")}""".stripMargin
 
   private val clustersOracle =
     s"""$clustersCte

@@ -248,11 +248,16 @@ object Pipeline {
     * split assignment adds zero driver state.
     */
   def leakageSafeSplit(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
-    Dedup.clusterAssignments(docs,
-        Dedup.ngramJaccard(spark, dir, threshold)
+      threshold: Double = 0.8): DataFrame =
+    leakageSafeSplitOf(Tables(spark, dir, "documents"), threshold)
+
+  /** [[leakageSafeSplit]] over any (doc_id, source, text) frame —
+    * C40b applies it to the existing-corpus slice. */
+  def leakageSafeSplitOf(docs: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    Dedup.clusterAssignments(docs.select(col("doc_id"), col("source")),
+        Dedup.ngramJaccardOf(docs.select(col("doc_id"), col("text")),
+            threshold)
           .select(col("doc_id_a"), col("doc_id_b")))
       .select(col("doc_id"), col("source"), col("cluster_id"),
         (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
@@ -261,6 +266,79 @@ object Pipeline {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "valid")
           .otherwise("test").as("split"))
+
+  /** C40b: split assignment for NEWLY-ARRIVING documents, consistent
+    * with an existing corpus's leakage-safe split — the incremental
+    * half of C40 (a production corpus is split once; every later
+    * crawl batch must join it without re-splitting the world or
+    * breaking the no-near-dup-across-splits invariant). Per
+    * intra-batch near-dup cluster of the new docs:
+    *
+    *   - matches exactly one existing split's documents (at C3's
+    *     τ=0.8 shingle-Jaccard) → INHERIT that split (the new copy
+    *     of a train-side near-dup class must not land in eval);
+    *   - matches documents in ≥2 different splits → `quarantine`:
+    *     the cluster BRIDGES existing splits, and admitting it to
+    *     either side would create a cross-split near-dup pair
+    *     (the C40 invariant) — exclusion is the only safe routing;
+    *   - matches nothing → C40's md5-bucket hash of its own cluster
+    *     id, the same 80/10/10 draw the existing corpus used.
+    *
+    * New docs are clustered among THEMSELVES first (two new mutual
+    * near-dups must share a fate even when only one of them matches
+    * the old corpus), and the inherited/quarantine decision is taken
+    * per cluster, not per doc.
+    *
+    * The new batch is C35's deterministic id-slice (doc_id % newMod
+    * = 0) so both engines see identical corpora; in production it is
+    * a crawl batch — MBs against a 100 TB corpus, which is the
+    * asymmetry the plan exploits: the cross-match reuses C35's
+    * machinery VERBATIM (index the SMALL new batch on the driver,
+    * stream the big corpus ONCE map-side — zero shuffles, exact
+    * Jaccard; LSH fallback above the driver bound), the intra-batch
+    * clustering runs on the batch alone, and the only corpus-scale
+    * work beyond that single pass is the existing split's own C9
+    * labeling (in production: a stored artifact read back, not
+    * recomputed — C32b's winnow screen is the still-cheaper variant
+    * when even one corpus pass per batch is too much, at the cost of
+    * fingerprint- rather than τ-exact matching).
+    */
+  def splitAssignNew(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, newMod: Int = 20): DataFrame = {
+    val all = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % newMod === 0
+    val existingSplit = leakageSafeSplitOf(all.filter(!isNew), threshold)
+    val newBatch = all.filter(isNew)
+    val newClusters = Dedup.clusterAssignments(
+      newBatch.select(col("doc_id"), col("source")),
+      Dedup.ngramJaccardOf(newBatch.select(col("doc_id"), col("text")),
+          threshold)
+        .select(col("doc_id_a"), col("doc_id_b")))
+    // (existing doc, new doc) pairs at τ — C35 with the new batch as
+    // the indexed "benchmark" side
+    val matches = Dedup.fuzzyDecontam(spark, dir, threshold,
+        benchMod = newMod)
+      .select(col("bench_id").as("new_doc_id"),
+        col("doc_id").as("old_doc_id"))
+    val touched = matches
+      .join(existingSplit.select(col("doc_id").as("old_doc_id"),
+        col("split").as("old_split")), Seq("old_doc_id"))
+      .join(newClusters.select(col("doc_id").as("new_doc_id"),
+        col("cluster_id")), Seq("new_doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("old_split")).as("n_splits"),
+        min(col("old_split")).as("inherited"))
+    newClusters.join(touched, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        col("n_splits"), col("inherited"),
+        (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        when(col("n_splits") >= 2, "quarantine")
+          .when(col("n_splits") === 1, col("inherited"))
+          .otherwise(when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test")).as("split"))
   }
 
   /** Sequence packing: assign documents to contiguous token-budget
@@ -499,6 +577,57 @@ object Pipeline {
         min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** C40b oracle: two suffixed closures (existing corpus `c`, new
+    * batch `n`), the existing split's md5 CASE, the C35 cross-pair
+    * join at τ, then the per-new-cluster inherit/quarantine/hash
+    * CASE — the operator's decision table verbatim. NULL n_splits
+    * (no match) falls through both WHENs to the hash draw, exactly
+    * as the Spark `when` chain does. */
+  private def assignNewOracle: String = {
+    val corpus = "(SELECT * FROM documents WHERE doc_id % 20 <> 0)"
+    val newb = "(SELECT * FROM documents WHERE doc_id % 20 = 0)"
+    s"""WITH RECURSIVE
+       |${Dedup.closureCtes(corpus, "c")},
+       |${Dedup.closureCtes(newb, "n")},
+       |esplit AS (SELECT a.doc_id,
+       |    CASE WHEN a.b < 80 THEN 'train' WHEN a.b < 90 THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 100 AS b
+       |    FROM allcc) a),
+       |xt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') w
+       |  FROM documents),
+       |xsh AS (SELECT doc_id,
+       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) s
+       |  FROM xt),
+       |xex AS (SELECT doc_id, len(s) sz, unnest(s) shingle FROM xsh),
+       |xcand AS (SELECT b.doc_id old_doc_id, a.doc_id new_doc_id,
+       |    count(*) inter, any_value(a.sz) sa, any_value(b.sz) sb
+       |  FROM xex a JOIN xex b ON a.shingle = b.shingle
+       |    AND a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+       |  GROUP BY 1, 2),
+       |xp AS (SELECT old_doc_id, new_doc_id FROM xcand
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8),
+       |touched AS (SELECT nc.cluster_id,
+       |    COUNT(DISTINCT es.split) AS n_splits, MIN(es.split) AS inherited
+       |  FROM xp JOIN esplit es ON xp.old_doc_id = es.doc_id
+       |  JOIN allcn nc ON xp.new_doc_id = nc.doc_id
+       |  GROUP BY 1)
+       |SELECT h.doc_id, d.source, h.cluster_id,
+       |  CASE WHEN t.n_splits >= 2 THEN 'quarantine'
+       |       WHEN t.n_splits = 1 THEN t.inherited
+       |       WHEN h.hb < 80 THEN 'train'
+       |       WHEN h.hb < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 AS hb
+       |  FROM allcn) h
+       |JOIN documents d ON h.doc_id = d.doc_id
+       |LEFT JOIN touched t ON h.cluster_id = t.cluster_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "pipeline_shard_manifest" ->
       """WITH r AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (
@@ -534,6 +663,7 @@ object Pipeline {
          |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
          |      % 100 AS b
          |  FROM allc) a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin,
+    "pipeline_split_assign_new" -> assignNewOracle,
     "pipeline_pack" ->
       """WITH t AS (SELECT source, doc_id,
         |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
@@ -617,6 +747,7 @@ object Pipeline {
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_split" -> (deterministicSplit _),
     "pipeline_split_leakage_safe" -> ((s, d) => leakageSafeSplit(s, d)),
+    "pipeline_split_assign_new" -> ((s, d) => splitAssignNew(s, d)),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
     "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),
     "pipeline_pack_split" -> ((s, d) => packTokenSpans(s, d)),

@@ -673,6 +673,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     out.foreach { case (docId, _, cid, _) => assert(clusterOf(docId) == cid) }
   }
 
+  test("split-assign-new inherits, quarantines bridges, hashes the rest") {
+    import spark.implicits._
+    // New batch = doc_id % 20 == 0. Groups use disjoint vocabularies
+    // so only the planted relations clear τ=0.8. Expected splits were
+    // hand-derived from the md5 bucket of each cluster id: 21→valid,
+    // 41→train, 43→test, 103→valid; 20/40→test, 60/80/120→train.
+    val g1 = "g1a g1b g1c g1d g1e g1f g1g g1h g1i g1j g1k g1l"
+    val q = (1 to 12).map(i => s"q$i")
+    val h = (1 to 12).map(i => s"h$i").mkString(" ")
+    val k = (1 to 12).map(i => s"k$i").mkString(" ")
+    val dir = scratch("assign_new")
+    Seq(
+      // existing corpus (ids not divisible by 20)
+      21L -> g1, // near-dups new doc 20; hash-splits to 'valid'
+      41L -> q.take(10).mkString(" "), // J(41,43)=0.6 — two clusters,
+      43L -> q.drop(2).mkString(" "), //  hash-split train vs test
+      61L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+      103L -> k, // hash-splits to 'valid'
+      // new batch
+      20L -> g1, // matches 21 only → inherit 'valid' (hash said test)
+      40L -> q.mkString(" "), // bridges 41+43 → quarantine
+      60L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", // no match → hash
+      80L -> h, 100L -> h, // intra-batch pair, no match → shared hash
+      120L -> k, 140L -> k) // intra-batch pair matching 103 → 'valid'
+      .map { case (id, t) => (id, t, "srcA") }
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.splitAssignNew(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == Map(
+      20L -> (20L, "valid"), // inherited from 21
+      40L -> (40L, "quarantine"), // bridges train(41) and test(43)
+      60L -> (60L, "train"), // own md5 draw
+      80L -> (80L, "train"), 100L -> (80L, "train"), // one cluster, one fate
+      120L -> (120L, "valid"), 140L -> (120L, "valid")), // both inherit
+      got.toString)
+    // the existing corpus's split is what the inherit/quarantine
+    // decisions claim it is
+    val esplit = Pipeline.leakageSafeSplitOf(
+        Tables(spark, dir, "documents").filter(col("doc_id") % 20 =!= 0))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(esplit(21L) == "valid" && esplit(41L) == "train" &&
+      esplit(43L) == "test" && esplit(103L) == "valid", esplit.toString)
+  }
+
   test("token window hashes: equality structure matches token windows") {
     import spark.implicits._
     val gf = graft.functions.GraftFunctions

@@ -120,7 +120,12 @@ SCALE10 = [
     # cluster-keyed leakage-safe split (C40) — like-for-like (both
     # engines close the pair graph from raw text; spark adds the H5
     # top-1 node, duckdb a QUALIFY/row_number — same work class)
-    "dedup_keep_best", "pipeline_split_leakage_safe"]
+    "dedup_keep_best", "pipeline_split_leakage_safe",
+    # C40b incremental split assignment — like-for-like (spark's C35
+    # driver-indexed cross-probe vs duckdb's shingle join, the same
+    # pairing already counted for curate_decontam_fuzzy; both engines
+    # additionally close both pair graphs from raw text)
+    "pipeline_split_assign_new"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
