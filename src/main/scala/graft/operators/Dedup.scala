@@ -431,8 +431,29 @@ object Dedup {
       maxPersistBytes: Long = 8L * 1024 * 1024 * 1024,
       maxBenchSliceBytes: Long = 512L * 1024 * 1024,
       maxBenchIndexEntries: Long = 32L * 1024 * 1024): DataFrame = {
-    val isBench = col("doc_id") % benchMod === 0
-    val base = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
+    val benchBytesEst = Tables(spark, dir, "documents")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong / benchMod.toLong.max(1L)
+    fuzzyDecontamOf(spark, docShingleHashes(spark, dir),
+      col("doc_id") % benchMod === 0, benchBytesEst, threshold, k,
+      bands, maxBucket, maxPersistBytes, maxBenchSliceBytes,
+      maxBenchIndexEntries)
+  }
+
+  /** [[fuzzyDecontam]] over an already-built (doc_id, sh) frame —
+    * the entry C40b shares its single tokenize+shingle pass through.
+    * `benchBytesEst` is the caller's no-job estimate of the bench
+    * slice's bytes (file statistics), the stage-1 gate below.
+    */
+  private[operators] def fuzzyDecontamOf(spark: SparkSession,
+      baseIn: DataFrame, isBench: Column, benchBytesEst: Long,
+      threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32, maxBucket: Int = 1000,
+      maxPersistBytes: Long = 8L * 1024 * 1024 * 1024,
+      maxBenchSliceBytes: Long = 512L * 1024 * 1024,
+      maxBenchIndexEntries: Long = 32L * 1024 * 1024): DataFrame = {
+    val base = baseIn.select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
     // Two-stage gate for the indexed path (r10 ADVICE: the file-stats
     // estimate alone let a skewed or highly-compressed corpus reach
     // the collect before any bound fired). Stage 1 — FILE statistics
@@ -441,9 +462,6 @@ object Dedup {
     // the bench slice: the index costs ~12 bytes per ACTUAL entry
     // (plus transient collect boxing), so the gate bounds what the
     // driver really materializes, not a compression-ratio guess.
-    val benchBytesEst = Tables(spark, dir, "documents")
-      .queryExecution.optimizedPlan.stats.sizeInBytes
-      .min(BigInt(Long.MaxValue)).toLong / benchMod.toLong.max(1L)
     val indexed = benchBytesEst <= maxBenchSliceBytes && {
       val row = base.filter(isBench)
         .agg(sum(size(col("sh"))).as("e")).head()

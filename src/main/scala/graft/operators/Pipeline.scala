@@ -220,15 +220,27 @@ object Pipeline {
     * functions); 80/10/10. Pure map — no shuffle, no state, identical
     * on any cluster size.
     */
+  /** C11/C40/C40b's deterministic split draw, ONE definition on both
+    * sides (a ratio or hash change must move every split surface in
+    * lockstep): bucket = first 8 md5 hex chars of the key's decimal
+    * string mod 100; 80/10/10 by bucket range. */
+  private def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+  private def splitOfBucket(b: Column): Column =
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+  private[operators] def md5BucketSql(expr: String): String =
+    s"('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 8))::BIGINT % 100"
+  private[operators] def splitCaseSql(b: String): String =
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' " +
+      "ELSE 'test' END"
+
   def deterministicSplit(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
+        md5Bucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("source"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test").as("split"))
+        splitOfBucket(col("bucket")).as("split"))
 
   /** C40: leakage-safe split — C11's deterministic 80/10/10 split,
     * but the hash is keyed on the C9 near-dup CLUSTER id, so a whole
@@ -252,20 +264,24 @@ object Pipeline {
     leakageSafeSplitOf(Tables(spark, dir, "documents"), threshold)
 
   /** [[leakageSafeSplit]] over any (doc_id, source, text) frame —
-    * C40b applies it to the existing-corpus slice. */
+    * C40b applies the hashed-shingle variant below to slices of its
+    * shared frame. */
   def leakageSafeSplitOf(docs: DataFrame,
       threshold: Double = 0.8): DataFrame =
-    Dedup.clusterAssignments(docs.select(col("doc_id"), col("source")),
-        Dedup.ngramJaccardOf(docs.select(col("doc_id"), col("text")),
-            threshold)
-          .select(col("doc_id_a"), col("doc_id_b")))
+    splitByCluster(Dedup.clusterAssignments(
+      docs.select(col("doc_id"), col("source")),
+      Dedup.ngramJaccardOf(docs.select(col("doc_id"), col("text")),
+          threshold)
+        .select(col("doc_id_a"), col("doc_id_b"))))
+
+  /** The cluster-keyed md5 draw over a (doc_id, source, cluster_id)
+    * assignment frame — the tail C40 and C40b's existing side share. */
+  private def splitByCluster(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("doc_id"), col("source"), col("cluster_id"),
-        (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
+        md5Bucket(col("cluster_id")).as("bucket"))
       .select(col("doc_id"), col("source"), col("cluster_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test").as("split"))
+        splitOfBucket(col("bucket")).as("split"))
 
   /** C40b: split assignment for NEWLY-ARRIVING documents, consistent
     * with an existing corpus's leakage-safe split — the incremental
@@ -292,32 +308,47 @@ object Pipeline {
     * The new batch is C35's deterministic id-slice (doc_id % newMod
     * = 0) so both engines see identical corpora; in production it is
     * a crawl batch — MBs against a 100 TB corpus, which is the
-    * asymmetry the plan exploits: the cross-match reuses C35's
-    * machinery VERBATIM (index the SMALL new batch on the driver,
-    * stream the big corpus ONCE map-side — zero shuffles, exact
-    * Jaccard; LSH fallback above the driver bound), the intra-batch
-    * clustering runs on the batch alone, and the only corpus-scale
-    * work beyond that single pass is the existing split's own C9
-    * labeling (in production: a stored artifact read back, not
-    * recomputed — C32b's winnow screen is the still-cheaper variant
-    * when even one corpus pass per batch is too much, at the cost of
-    * fingerprint- rather than τ-exact matching).
+    * asymmetry the plan exploits: ONE shared tokenize+shingle pass
+    * (persisted size-gated, C35's discipline) feeds the cross-match
+    * (C35's machinery verbatim: index the SMALL new batch on the
+    * driver, stream the big corpus ONCE map-side — zero shuffles,
+    * exact Jaccard; LSH fallback above the driver bound), the
+    * intra-batch clustering (batch slice only), and the existing
+    * split's own C9 labeling (in production: a stored artifact read
+    * back, not recomputed — C32b's winnow screen is the
+    * still-cheaper variant when even one corpus pass per batch is
+    * too much, at the cost of fingerprint- rather than τ-exact
+    * matching).
     */
   def splitAssignNew(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, newMod: Int = 20): DataFrame = {
-    val all = Tables(spark, dir, "documents")
+      threshold: Double = 0.8, newMod: Int = 20,
+      maxPersistBytes: Long = 8L * 1024 * 1024 * 1024): DataFrame = {
     val isNew = col("doc_id") % newMod === 0
-    val existingSplit = leakageSafeSplitOf(all.filter(!isNew), threshold)
-    val newBatch = all.filter(isNew)
-    val newClusters = Dedup.clusterAssignments(
-      newBatch.select(col("doc_id"), col("source")),
-      Dedup.ngramJaccardOf(newBatch.select(col("doc_id"), col("text")),
+    // ONE tokenize+shingle pass feeds all three consumers (existing
+    // clusters, intra-batch clusters, cross-match) — persisted
+    // size-gated on file statistics, C35's discipline; over the
+    // bound the frame recomputes per consumer rather than spilling
+    // a corpus-scale cache.
+    val docs = Tables(spark, dir, "documents")
+    val raw = docs.select(col("doc_id"), col("source"),
+      Dedup.shingleHashColumn(col("text")).as("sh"))
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val base = if (corpusBytes <= maxPersistBytes)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
+    def clustersOf(slice: DataFrame) = Dedup.clusterAssignments(
+      slice.select(col("doc_id"), col("source")),
+      Dedup.ngramJaccardOfHashed(slice.select(col("doc_id"), col("sh")),
           threshold)
         .select(col("doc_id_a"), col("doc_id_b")))
+    val existingSplit = splitByCluster(clustersOf(base.filter(!isNew)))
+    val newClusters = clustersOf(base.filter(isNew))
     // (existing doc, new doc) pairs at τ — C35 with the new batch as
-    // the indexed "benchmark" side
-    val matches = Dedup.fuzzyDecontam(spark, dir, threshold,
-        benchMod = newMod)
+    // the indexed "benchmark" side, fed the shared frame
+    val matches = Dedup.fuzzyDecontamOf(spark, base, isNew,
+        benchBytesEst = corpusBytes / newMod.toLong.max(1L),
+        threshold = threshold)
       .select(col("bench_id").as("new_doc_id"),
         col("doc_id").as("old_doc_id"))
     val touched = matches
@@ -331,14 +362,11 @@ object Pipeline {
     newClusters.join(touched, Seq("cluster_id"), "left")
       .select(col("doc_id"), col("source"), col("cluster_id"),
         col("n_splits"), col("inherited"),
-        (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
+        md5Bucket(col("cluster_id")).as("bucket"))
       .select(col("doc_id"), col("source"), col("cluster_id"),
         when(col("n_splits") >= 2, "quarantine")
           .when(col("n_splits") === 1, col("inherited"))
-          .otherwise(when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "valid")
-            .otherwise("test")).as("split"))
+          .otherwise(splitOfBucket(col("bucket"))).as("split"))
   }
 
   /** Sequence packing: assign documents to contiguous token-budget
@@ -590,11 +618,9 @@ object Pipeline {
        |${Dedup.closureCtes(corpus, "c")},
        |${Dedup.closureCtes(newb, "n")},
        |esplit AS (SELECT a.doc_id,
-       |    CASE WHEN a.b < 80 THEN 'train' WHEN a.b < 90 THEN 'valid'
-       |         ELSE 'test' END AS split
+       |    ${splitCaseSql("a.b")} AS split
        |  FROM (SELECT doc_id,
-       |      ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
-       |        % 100 AS b
+       |      ${md5BucketSql("cluster_id")} AS b
        |    FROM allcc) a),
        |xt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') w
        |  FROM documents),
@@ -617,12 +643,9 @@ object Pipeline {
        |SELECT h.doc_id, d.source, h.cluster_id,
        |  CASE WHEN t.n_splits >= 2 THEN 'quarantine'
        |       WHEN t.n_splits = 1 THEN t.inherited
-       |       WHEN h.hb < 80 THEN 'train'
-       |       WHEN h.hb < 90 THEN 'valid'
-       |       ELSE 'test' END AS split
+       |       ELSE ${splitCaseSql("h.hb")} END AS split
        |FROM (SELECT doc_id, cluster_id,
-       |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
-       |      % 100 AS hb
+       |    ${md5BucketSql("cluster_id")} AS hb
        |  FROM allcn) h
        |JOIN documents d ON h.doc_id = d.doc_id
        |LEFT JOIN touched t ON h.cluster_id = t.cluster_id""".stripMargin
@@ -648,20 +671,17 @@ object Pipeline {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 10""".stripMargin,
     "pipeline_split" ->
-      """SELECT doc_id, source,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
-        |       ELSE 'test' END AS split
+      s"""SELECT doc_id, source,
+        |  ${splitCaseSql("b")} AS split
         |FROM (SELECT doc_id, source,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  ${md5BucketSql("doc_id")} AS b
         |  FROM documents) t""".stripMargin,
     "pipeline_split_leakage_safe" ->
       s"""${Dedup.clustersCte}
          |SELECT a.doc_id, d.source, a.cluster_id,
-         |  CASE WHEN a.b < 80 THEN 'train' WHEN a.b < 90 THEN 'valid'
-         |       ELSE 'test' END AS split
+         |  ${splitCaseSql("a.b")} AS split
          |FROM (SELECT doc_id, cluster_id,
-         |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
-         |      % 100 AS b
+         |    ${md5BucketSql("cluster_id")} AS b
          |  FROM allc) a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin,
     "pipeline_split_assign_new" -> assignNewOracle,
     "pipeline_pack" ->
