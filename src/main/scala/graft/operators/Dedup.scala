@@ -1275,7 +1275,7 @@ object Dedup {
       .select(keep ++ Seq((-col("fp.np")).as("pos"), col("fp.h")): _*)
   }
 
-  private def winnowFingerprintsCol(text: Column, k: Int, w: Int,
+  private[graft] def winnowFingerprintsCol(text: Column, k: Int, w: Int,
       portable: Boolean): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.expressions.WinnowFingerprints(

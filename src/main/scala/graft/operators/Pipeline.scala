@@ -369,6 +369,92 @@ object Pipeline {
           .otherwise(splitOfBucket(col("bucket"))).as("split"))
   }
 
+  /** C40c: persist the split-serving artifact pair — `{name}_split`
+    * (the C40 leakage-safe assignment of the corpus) next to a C32b
+    * winnow fingerprint index of the same corpus — so later batches
+    * route through [[splitAssignServed]] WITHOUT any corpus pass at
+    * all (C40b's τ-exact screen re-reads the corpus once per batch;
+    * this is the trade the scaladoc there names: fingerprint-grade
+    * matching for zero corpus reads at serve time). */
+  def buildSplitArtifact(db: graft.catalog.GraftDatabase, name: String,
+      dir: String, threshold: Double = 0.8, k: Int = 4, w: Int = 4,
+      maxOcc: Int = 1000): Unit = {
+    Dedup.buildWinnowIndex(db,
+      Tables(db.spark, dir, "documents").select(col("doc_id"), col("text")),
+      name, k, w, maxOcc)
+    db.write(leakageSafeSplit(db.spark, dir, threshold), s"${name}_split",
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** C40c: serve split assignment for a new (doc_id, text) batch from
+    * the stored artifacts — C40b's decision table, fingerprint-grade
+    * and PER-DOC: a new doc whose winnow screen touches exactly one
+    * existing split inherits it, one touching ≥2 splits quarantines
+    * (it bridges), one touching none takes the C11 md5 draw on its
+    * own doc_id. Deltas vs C40b, both declared: matching is the C32b
+    * winnow guarantee (shared ≥ w+k−1 token run), not τ-exact
+    * Jaccard, and the decision is per doc — intra-batch near-dup
+    * structure is the BATCH path's job (a serving screen cannot hold
+    * cross-row candidate state; the same boundary G6 draws for
+    * streaming near-dedup).
+    *
+    * Scale shape: fingerprinting is one stateless native pass over
+    * the batch; candidates come from a fingerprint-index join priced
+    * by matches; the split attach joins the batch-sized candidate
+    * set; NOTHING reads the corpus. `explode_outer` keeps docs too
+    * short to fingerprint (< w+k−1 tokens) in the decision flow —
+    * they match nothing and take the hash draw.
+    */
+  def splitAssignServed(db: graft.catalog.GraftDatabase, name: String,
+      newDocs: DataFrame, minShared: Int = 1): DataFrame =
+    splitAssignRows(db, name, newDocs, minShared, carry = Nil)
+
+  /** Shared row-shape core of [[splitAssignServed]] and the G23
+    * streaming twin (`StreamingDedup.splitAssignStream`) — `carry`
+    * threads the stream's `ts` through, G15's pattern. */
+  private[graft] def splitAssignRows(db: graft.catalog.GraftDatabase,
+      name: String, rows: DataFrame, minShared: Int,
+      carry: Seq[String]): DataFrame = {
+    val meta = db.read(s"${name}_meta").collect()(0)
+    val (k, w, portable) = (meta.getAs[Int]("k"), meta.getAs[Int]("w"),
+      meta.getAs[Boolean]("portable"))
+    val keep = (carry :+ "doc_id").map(col)
+    val fp = rows.select(keep :+
+        explode_outer(Dedup.winnowFingerprintsCol(col("text"), k, w,
+          portable)).as("fp"): _*)
+      .select(keep :+ col("fp.h").as("h"): _*)
+      .dropDuplicates(carry ++ Seq("doc_id", "h"))
+    val idx = db.read(s"${name}_fp")
+      .select(col("h"), col("doc_id").as("index_doc_id"))
+    val splits = db.read(s"${name}_split")
+      .select(col("doc_id").as("index_doc_id"),
+        col("split").as("old_split"))
+    // left outer keeps unmatched (and fingerprint-less) docs in the
+    // decision flow. An under-threshold pair is NULLED, not filtered:
+    // dropping the row would lose a doc whose every fingerprint
+    // matched but no pair cleared minShared — every doc must keep
+    // ≥1 row into the decision aggregate.
+    val pairs = fp.join(idx, Seq("h"), "left_outer")
+      .groupBy(keep :+ col("index_doc_id"): _*)
+      .agg(count(col("index_doc_id")).as("n_shared"))
+      .withColumn("index_doc_id",
+        when(col("n_shared") >= minShared, col("index_doc_id")))
+      .join(splits, Seq("index_doc_id"), "left_outer")
+    // size(collect_set(..)) not countDistinct: same exact arithmetic
+    // (nulls ignored; the split alphabet bounds the set at 3), but
+    // legal inside a streaming aggregation, so batch and G23 share
+    // this one definition
+    pairs
+      .groupBy(keep: _*)
+      .agg(size(collect_set(col("old_split"))).as("n_splits"),
+        min(col("old_split")).as("inherited"))
+      .select(keep ++ Seq(
+        when(col("n_splits") >= 2, "quarantine")
+          .when(col("n_splits") === 1, col("inherited"))
+          .otherwise(splitOfBucket(md5Bucket(col("doc_id"))))
+          .as("split")): _*)
+  }
+
   /** Sequence packing: assign documents to contiguous token-budget
     * bins per source — the batching step before training. Cumulative
     * token count over a (source, doc_id) total order, bin = the

@@ -130,6 +130,25 @@ object StreamingDedup {
         carry = Seq("ts"))
       .dropDuplicates("ts", "new_doc_id", "index_doc_id")
 
+  /** G23: streaming split assignment (r15) — a (ts, doc_id, text)
+    * stream of arriving documents routed into the stored C40c split
+    * artifact's train/valid/test/quarantine, per
+    * [[graft.operators.Pipeline.splitAssignServed]]'s per-doc
+    * decision table: fingerprints map-side (stateless native pass,
+    * `explode_outer` so even docs too short to fingerprint decide),
+    * candidates from a stream-static LEFT join against the stored
+    * fingerprint index, split attach from the stored `{name}_split`
+    * table, then the pair-count and per-doc decision folds under the
+    * `ts` watermark (G5's chained-stateful shape). Identical
+    * arithmetic to the batch serve, spec-pinned.
+    */
+  def splitAssignStream(db: graft.catalog.GraftDatabase, name: String,
+      stream: DataFrame, minShared: Int = 1,
+      watermark: String = "1 hour"): DataFrame =
+    graft.operators.Pipeline.splitAssignRows(db, name,
+      stream.withWatermark("ts", watermark), minShared,
+      carry = Seq("ts"))
+
   /** Convenience form of [[incrementalNoveltyStreamManaged]] — with
     * NO persistent index (there is no handle to release it through,
     * and a leaked corpus-scale cache per call is worse than the

@@ -888,6 +888,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .toDF("doc_id", "text")).count() == 0)
   }
 
+  test("served split assignment: inherit, quarantine, hash — no corpus pass") {
+    import spark.implicits._
+    val dir = scratch("split_artifact")
+    // existing corpus: three mutually-dissimilar docs, each its own
+    // cluster, so split = md5 draw on own id: 21→valid, 41→train,
+    // 43→test (hand-derived buckets 88/71/98)
+    def toks(p: String) = (1 to 30).map(j => s"$p$j").mkString(" ")
+    Seq((21L, toks("v"), "srcA"), (41L, toks("t"), "srcA"),
+        (43L, toks("s"), "srcA"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val db = graft.catalog.GraftDatabase(spark, s"$dir/db")
+    Pipeline.buildSplitArtifact(db, "spl", dir)
+    assert(db.read("spl_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      == Map(21L -> "valid", 41L -> "train", 43L -> "test"))
+    def run(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(j => s"$p$j").mkString(" ")
+    val batch = Seq(
+      // ≥ w+k−1 = 7-token run from 21 → inherit 'valid' (own hash
+      // draw would say 'train' — the inherit is observable)
+      500L -> s"${run("v", 5, 11)} ${toks("n5")}",
+      // runs from 41 (train) AND 43 (test) → bridges → quarantine
+      501L -> s"${run("t", 5, 11)} ${toks("n6")} ${run("s", 5, 11)}",
+      // matches nothing → md5 draw on 502 → 'valid'
+      502L -> toks("n7"),
+      // too short to fingerprint (3 tokens < 7) → md5 draw → 'train'
+      503L -> "tiny doc here").toDF("doc_id", "text")
+    val got = Pipeline.splitAssignServed(db, "spl", batch)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(500L -> "valid", 501L -> "quarantine",
+      502L -> "valid", 503L -> "train"), got.toString)
+    // minShared above any real overlap degrades every match to the
+    // hash draw — and no doc is lost from the decision flow
+    val strict = Pipeline.splitAssignServed(db, "spl", batch,
+        minShared = 99)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict == Map(500L -> "train", 501L -> "test",
+      502L -> "valid", 503L -> "train"), strict.toString)
+  }
+
   test("SemDeDup recalls planted near-dups with exact precision") {
     import spark.implicits._
     val e = Tables(spark, sf, "embeddings").limit(100)

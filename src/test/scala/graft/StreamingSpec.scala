@@ -689,6 +689,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("G23: streamed split assignment equals the batch serve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = scratch("split_stream")
+    def toks(p: String) = (1 to 30).map(j => s"$p$j").mkString(" ")
+    Seq((21L, toks("v"), "srcA"), (41L, toks("t"), "srcA"),
+        (43L, toks("s"), "srcA"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val db = graft.catalog.GraftDatabase(spark, s"$dir/db")
+    graft.operators.Pipeline.buildSplitArtifact(db, "spl", dir)
+    def run(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(j => s"$p$j").mkString(" ")
+    val batch = Seq(
+      500L -> s"${run("v", 5, 11)} ${toks("n5")}",
+      501L -> s"${run("t", 5, 11)} ${toks("n6")} ${run("s", 5, 11)}",
+      502L -> toks("n7"),
+      503L -> "tiny doc here")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .splitAssignStream(db, "spl", mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_assign_out").start()
+    try {
+      mem.addData(batch.map { case (id, t) => (ts(0), id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData((ts(300), -1L, "flush flush flush flush flush flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("split_assign_out")
+        .filter(col("doc_id") >= 0)
+        .select("doc_id", "split")
+      val want = graft.operators.Pipeline.splitAssignServed(db, "spl",
+        batch.toDF("doc_id", "text"))
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0)
+      assert(want.except(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("F7 streamed pHash screening equals the batch screen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
