@@ -1033,7 +1033,7 @@ object Dedup {
       |FROM cand
       |WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8""".stripMargin
 
-  private val jaccardOracle = jaccardOracleOver("documents")
+  private[operators] val jaccardOracle = jaccardOracleOver("documents")
 
   /** C10: edit-distance verification of near-dup pairs — Levenshtein
     * distance (and its length-normalized ratio) for every verified

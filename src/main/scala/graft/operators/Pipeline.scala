@@ -369,6 +369,43 @@ object Pipeline {
           .otherwise(splitOfBucket(col("bucket"))).as("split"))
   }
 
+  /** C41: split-leakage audit — score ANY (doc_id, split) assignment
+    * against the verified near-dup pair set: every pair whose
+    * members landed in different splits is train/eval leakage
+    * (memorized near-copies of eval text in train, and vice versa).
+    * Output is the pair count per unordered split pair
+    * (least/greatest canonicalization merges (train,test) with
+    * (test,train)); off-diagonal rows ARE the leak. The audit a
+    * corpus team runs on a legacy doc_id-hash split before trusting
+    * its held-out numbers — and the invariant check C40's
+    * cluster-keyed split passes by construction (spec-pinned zero).
+    *
+    * Scale: the pair set is C3's (bucketed AllPairs, never O(n²));
+    * the two split attaches are doc_id equi-joins against a
+    * pair-sized frame; the final aggregation has ≤ 6 groups.
+    */
+  def splitLeakageAuditOf(pairs: DataFrame, split: DataFrame): DataFrame =
+    pairs
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .join(split.select(col("doc_id").as("doc_id_a"),
+        col("split").as("split_a")), Seq("doc_id_a"))
+      .join(split.select(col("doc_id").as("doc_id_b"),
+        col("split").as("split_b")), Seq("doc_id_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+
+  /** [[splitLeakageAuditOf]] applied to C11's doc_id-hash split —
+    * the pre-C40 practice, audited: its off-diagonal rows measure
+    * exactly the leak the cluster-keyed split closes. */
+  def splitLeakageAudit(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    splitLeakageAuditOf(
+      Dedup.ngramJaccard(spark, dir, threshold),
+      deterministicSplit(spark, dir).select(col("doc_id"), col("split")))
+
   /** C40c: persist the split-serving artifact pair — `{name}_split`
     * (the C40 leakage-safe assignment of the corpus) next to a C32b
     * winnow fingerprint index of the same corpus — so later batches
@@ -770,6 +807,20 @@ object Pipeline {
          |    ${md5BucketSql("cluster_id")} AS b
          |  FROM allc) a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin,
     "pipeline_split_assign_new" -> assignNewOracle,
+    "curate_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id, ${splitCaseSql("b")} AS split
+         |  FROM (SELECT doc_id, ${md5BucketSql("doc_id")} AS b
+         |    FROM documents) t0),
+         |pr AS (SELECT doc_id_a, doc_id_b FROM (
+         |${Dedup.jaccardOracle}
+         |) jp),
+         |lab AS (SELECT LEAST(a.split, b.split) AS split_lo,
+         |    GREATEST(a.split, b.split) AS split_hi
+         |  FROM pr JOIN sp a ON pr.doc_id_a = a.doc_id
+         |  JOIN sp b ON pr.doc_id_b = b.doc_id)
+         |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+         |  split_lo <> split_hi AS leaked
+         |FROM lab GROUP BY 1, 2""".stripMargin,
     "pipeline_pack" ->
       """WITH t AS (SELECT source, doc_id,
         |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
@@ -854,6 +905,7 @@ object Pipeline {
     "pipeline_split" -> (deterministicSplit _),
     "pipeline_split_leakage_safe" -> ((s, d) => leakageSafeSplit(s, d)),
     "pipeline_split_assign_new" -> ((s, d) => splitAssignNew(s, d)),
+    "curate_split_leakage" -> ((s, d) => splitLeakageAudit(s, d)),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
     "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),
     "pipeline_pack_split" -> ((s, d) => packTokenSpans(s, d)),

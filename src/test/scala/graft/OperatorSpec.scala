@@ -673,6 +673,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     out.foreach { case (docId, _, cid, _) => assert(clusterOf(docId) == cid) }
   }
 
+  test("leakage audit: C40's split is clean, C11's leak is measured") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+    // the cluster-keyed split audits to ZERO off-diagonal pairs —
+    // C40's invariant, stated as the audit it passes
+    val safe = Pipeline.splitLeakageAuditOf(pairs,
+        Pipeline.leakageSafeSplit(spark, sf)
+          .select(col("doc_id"), col("split")))
+      .collect()
+    assert(safe.nonEmpty)
+    assert(!safe.exists(_.getAs[Boolean]("leaked")), safe.mkString(";"))
+    // the doc_id-hash split's audit equals a driver-side recompute
+    // (and on this fixture the leak is real, not hypothetical)
+    val split = Pipeline.deterministicSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = pairs.select("doc_id_a", "doc_id_b").collect()
+      .map(r => (split(r.getLong(0)), split(r.getLong(1))))
+      .map { case (a, b) => (Seq(a, b).min, Seq(a, b).max) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Pipeline.splitLeakageAudit(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.keys.exists { case (a, b) => a != b },
+      "fixture sanity: the doc_id split must actually leak here")
+  }
+
   test("split-assign-new inherits, quarantines bridges, hashes the rest") {
     import spark.implicits._
     // New batch = doc_id % 20 == 0. Groups use disjoint vocabularies

@@ -125,7 +125,10 @@ SCALE10 = [
     # driver-indexed cross-probe vs duckdb's shingle join, the same
     # pairing already counted for curate_decontam_fuzzy; both engines
     # additionally close both pair graphs from raw text)
-    "pipeline_split_assign_new"]
+    "pipeline_split_assign_new",
+    # C41 split-leakage audit — like-for-like (both engines compute
+    # the verified pair set and the md5 split CASE from raw tables)
+    "curate_split_leakage"]
 
 # Rows whose DuckDB twin is NOT like-for-like WORK (the csv_*
 # exclusion principle: a served artifact vs a from-raw recompute, a
