@@ -699,6 +699,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "fixture sanity: the doc_id split must actually leak here")
   }
 
+  test("C40 invariant holds on randomized duplication-heavy corpora") {
+    // seeded generator, not scalacheck: each case costs Spark jobs,
+    // so a few random corpora with planted duplicate classes stand
+    // in for the input space; the assertions are universal
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 1 to 3) {
+      val dir = scratch(s"c40_rand_$trial")
+      var id = 0L
+      val docs = (1 to 12).flatMap { g =>
+        val base = (1 to 15).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+        (0 until 1 + rnd.nextInt(3)).map { c =>
+          id += 1
+          // near-dup copies: drop the last token of the base
+          (id, if (c == 0) base else base.split(" ").dropRight(1).mkString(" "),
+            s"src${rnd.nextInt(3)}")
+        }
+      }
+      docs.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val split = Pipeline.leakageSafeSplit(spark, dir)
+      val rows = split.collect()
+      // total function, fixed alphabet
+      assert(rows.length == docs.length)
+      assert(rows.map(_.getString(3)).toSet
+        .subsetOf(Set("train", "valid", "test")))
+      // the invariant: the audit comes back clean
+      val audit = Pipeline.splitLeakageAuditOf(
+          Dedup.ngramJaccard(spark, dir),
+          split.select(col("doc_id"), col("split")))
+        .collect()
+      assert(!audit.exists(_.getAs[Boolean]("leaked")),
+        s"trial $trial leaked: ${audit.mkString(";")}")
+      // deterministic: a re-run routes identically
+      val again = Pipeline.leakageSafeSplit(spark, dir).collect()
+      assert(again.map(r => r.getLong(0) -> r.getString(3)).toMap ==
+        rows.map(r => r.getLong(0) -> r.getString(3)).toMap)
+    }
+  }
+
   test("split-assign-new inherits, quarantines bridges, hashes the rest") {
     import spark.implicits._
     // New batch = doc_id % 20 == 0. Groups use disjoint vocabularies
