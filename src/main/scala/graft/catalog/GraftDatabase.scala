@@ -781,6 +781,112 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     fs.delete(bak, true)
   }
 
+  // ---- H18: versioned tables (snapshot reads / time travel) ------
+  //
+  // Layout (inside the table dir, so the table lists normally):
+  //   <table>/_versions/v00001/…parquet   — IMMUTABLE once renamed in
+  //   <table>/_current                    — one line naming the
+  //                                         served version
+  // Publish protocol: stage → rename into _versions (atomic dir
+  // move; an existing destination fails LOUDLY — two writers cannot
+  // silently interleave) → flip the pointer file. The pointer flip
+  // is delete+rename (Hadoop rename refuses existing destinations),
+  // so there is a crash window with NO pointer — readers then fall
+  // back to the HIGHEST published version, which the protocol makes
+  // identical to what the pointer would have said (data rename
+  // strictly precedes pointer flip), and the next write re-heals the
+  // pointer. Versions are immutable: a reader pinned to vN (a
+  // reproducible training run reading "corpus @ vN") is unaffected
+  // by later writes; only [[vacuumVersions]] deletes, never the
+  // current version — the Delta-style retention contract, stated.
+  // Single concurrent writer per table, like [[replaceTable]].
+
+  private def versionsDir(table: String) =
+    new Path(tablePath(table), "_versions")
+  private def currentPtr(table: String) =
+    new Path(tablePath(table), "_current")
+  private def vName(v: Int) = f"v$v%05d"
+
+  private def publishedVersions(table: String): Seq[Int] = {
+    val vd = versionsDir(table)
+    if (!fs.exists(vd)) return Seq.empty
+    fs.listStatus(vd).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt).sorted
+  }
+
+  /** The served version: the pointer file if present, else the
+    * highest published version (the pointer-flip crash window; the
+    * two agree by protocol). */
+  def currentVersion(table: String): Int = {
+    val ptr = currentPtr(table)
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim.drop(1).toInt
+    } else publishedVersions(table).lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no published versions for $table"))
+  }
+
+  /** Publish `df` as the next version of `table`; returns the new
+    * version number. Prior versions stay readable until vacuumed. */
+  def writeVersioned(df: DataFrame, table: String): Int = {
+    val tdir = new Path(tablePath(table))
+    fs.mkdirs(versionsDir(table))
+    // clean stranded stagings from a crashed writer (single-writer
+    // contract makes this safe)
+    fs.listStatus(new Path(tablePath(table))).toSeq
+      .filter(_.getPath.getName.startsWith("_staging_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val next = publishedVersions(table).lastOption.getOrElse(0) + 1
+    val staging = new Path(tdir, s"_staging_${vName(next)}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    renameOrThrow(staging, new Path(versionsDir(table), vName(next)))
+    val tmp = new Path(tdir, "_current_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(vName(next).getBytes("UTF-8")) finally out.close()
+    fs.delete(currentPtr(table), false)
+    renameOrThrow(tmp, currentPtr(table))
+    next
+  }
+
+  /** Snapshot read of the current version. */
+  def readVersioned(table: String): DataFrame =
+    readVersioned(table, currentVersion(table))
+
+  /** Snapshot read of a specific version (time travel). */
+  def readVersioned(table: String, version: Int): DataFrame =
+    spark.read.parquet(
+      new Path(versionsDir(table), vName(version)).toString)
+
+  /** (version, n_files, bytes, published_ms) per published version,
+    * ascending — the audit surface for retention decisions. */
+  def versionHistory(table: String): DataFrame = {
+    import spark.implicits._
+    publishedVersions(table).map { v =>
+      val p = new Path(versionsDir(table), vName(v))
+      val st = fs.listStatus(p).toSeq.filter(_.isFile)
+      (v, st.count(_.getPath.getName.endsWith(".parquet")),
+        st.map(_.getLen).sum, fs.getFileStatus(p).getModificationTime)
+    }.toDF("version", "n_files", "bytes", "published_ms")
+  }
+
+  /** Delete all but the newest `keepLast` versions — NEVER the
+    * current one, whatever `keepLast` says. Returns what was
+    * deleted. A reader pinned below the retention horizon breaks,
+    * exactly like any vacuum; pick `keepLast` from
+    * [[versionHistory]] accordingly. */
+  def vacuumVersions(table: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentVersion(table)
+    val all = publishedVersions(table)
+    val victims = all.dropRight(keepLast).filterNot(_ == cur)
+    victims.foreach(v =>
+      fs.delete(new Path(versionsDir(table), vName(v)), true))
+    victims
+  }
+
   /** Recursively remove the whole database. */
   def drop(): Unit = fs.delete(new Path(path), true)
 

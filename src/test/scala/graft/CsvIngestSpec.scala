@@ -787,6 +787,55 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(db.tablePath("_old_t"))))
   }
 
+  test("versioned tables: snapshot reads, time travel, vacuum, crash heal") {
+    import spark.implicits._
+    val db = GraftDatabase(spark, scratch("versioned") + "/db")
+    assert(db.writeVersioned(Seq(1L, 2L).toDF("x"), "t") == 1)
+    assert(db.currentVersion("t") == 1)
+    assert(db.readVersioned("t").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // a reader pinned to v1 keeps its snapshot across later writes
+    val pinned = db.readVersioned("t", 1)
+    assert(db.writeVersioned(Seq(10L).toDF("x"), "t") == 2)
+    assert(db.readVersioned("t").collect().map(_.getLong(0)).toSeq
+      == Seq(10L))
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // time travel by explicit version
+    assert(db.readVersioned("t", 1).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // history ascends and carries sizes
+    val hist = db.versionHistory("t").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(hist.forall(r => r.getInt(1) >= 1 && r.getLong(2) > 0))
+    // pointer-crash window: no _current file → the highest published
+    // version serves, and the next write heals the pointer
+    val fs = new org.apache.hadoop.fs.Path(db.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(db.tablePath("t"), "_current"),
+      false)
+    assert(db.currentVersion("t") == 2)
+    assert(db.readVersioned("t").collect().map(_.getLong(0)).toSeq
+      == Seq(10L))
+    assert(db.writeVersioned(Seq(99L).toDF("x"), "t") == 3)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(db.tablePath("t"), "_current")))
+    // a stranded staging dir from a crashed writer is swept, not
+    // published
+    fs.mkdirs(new org.apache.hadoop.fs.Path(db.tablePath("t"),
+      "_staging_v99999"))
+    assert(db.writeVersioned(Seq(5L).toDF("x"), "t") == 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.tablePath("t"),
+      "_staging_v99999")))
+    // vacuum keeps the newest keepLast, never the current
+    assert(db.vacuumVersions("t", keepLast = 2) == Seq(1, 2))
+    assert(db.readVersioned("t").collect().map(_.getLong(0)).toSeq
+      == Seq(5L))
+    assert(db.readVersioned("t", 3).collect().map(_.getLong(0)).toSeq
+      == Seq(99L))
+    intercept[Exception] { db.readVersioned("t", 1).collect() }
+    intercept[IllegalArgumentException] { db.vacuumVersions("t", 0) }
+  }
+
   test("csv and json export round-trip") {
     val dir = scratch("export")
     val db = GraftDatabase(spark, s"$dir/db")
