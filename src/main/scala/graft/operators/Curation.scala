@@ -978,6 +978,18 @@ object Curation {
     * collision contract (the oracle compares raw text, so a
     * collision surfaces as a hash-check mismatch).
     */
+  /** C26 over two SNAPSHOTS of an H18 versioned table — the release
+    * audit "what changed between corpus vA and vB", served entirely
+    * from the immutable version directories (no re-scan of anything
+    * that was not published): two bounded snapshot scans into the
+    * shared one-aggregate diff tail. Months-later reproducibility is
+    * H18's contract — the same (table, vA, vB) always yields the
+    * same report. */
+  def corpusDiffVersions(db: graft.catalog.GraftDatabase, table: String,
+      oldVersion: Int, newVersion: Int): DataFrame =
+    corpusDiff(db.readVersioned(table, oldVersion),
+      db.readVersioned(table, newVersion))
+
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     val o = oldDocs.select(col("doc_id"), col("source"),
       xxhash64(col("text")).as("h"), lit(0).as("side"))

@@ -836,6 +836,26 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { db.vacuumVersions("t", 0) }
   }
 
+  test("corpus diff across versioned snapshots reports the release delta") {
+    import spark.implicits._
+    val db = GraftDatabase(spark, scratch("ver_diff") + "/db")
+    db.writeVersioned(Seq((1L, "alpha text", "s1"), (2L, "beta text", "s1"),
+        (3L, "gamma text", "s2")).toDF("doc_id", "text", "source"),
+      "corpus")
+    db.writeVersioned(Seq((1L, "alpha text", "s1"), // unchanged
+        (2L, "beta text EDITED", "s1"), // changed
+        (4L, "delta text", "s2")) // added; 3 removed
+        .toDF("doc_id", "text", "source"),
+      "corpus")
+    val got = graft.operators.Curation
+      .corpusDiffVersions(db, "corpus", 1, 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (n_added, n_removed, n_changed, n_unchanged) per source
+    assert(got == Map("s1" -> (0L, 0L, 1L, 1L), "s2" -> (1L, 1L, 0L, 0L)),
+      got.toString)
+  }
+
   test("csv and json export round-trip") {
     val dir = scratch("export")
     val db = GraftDatabase(spark, s"$dir/db")
