@@ -921,6 +921,33 @@ class CorpusPrepSpec extends AnyFunSuite with SparkTestBase {
       (4L, "lo", "w", 7L), (5L, "e", "w", 6L)))
   }
 
+  test("bpe regimes: in-core trainer ≡ distributed rounds (r15 OPT)") {
+    import spark.implicits._
+    // mixes ties (the UTF-8-order tie-break), multi-char merges, a
+    // word with a repeated pair ("aaa" non-overlap), and a non-ASCII
+    // token so the driver's code-point split is exercised
+    val texts = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("aaa") ++ Seq.fill(2)("żółw")).mkString(" ")
+    val df = Seq(texts).toDF("text")
+    val incore = graft.operators.Bpe
+      .learnMergesOf(spark, df, 8, 2L).orderBy("rank").collect().toSeq
+    val dist = graft.operators.Bpe
+      .learnMergesOf(spark, df, 8, 2L, maxDriverVocab = 0)
+      .orderBy("rank").collect().toSeq
+    assert(incore == dist && incore.nonEmpty)
+    val docs = Seq((1L, texts)).toDF("doc_id", "text")
+    val va = graft.operators.Bpe
+      .segmentVocabForSpec(spark, docs, 8, Int.MaxValue)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    val vb = graft.operators.Bpe
+      .segmentVocabForSpec(spark, docs, 8, 0)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(va == vb && va.nonEmpty)
+  }
+
   test("bpe merge pass: left-to-right non-overlap, determinism") {
     import spark.implicits._
     // "aaa" under (a,a) fuses the FIRST pair only
