@@ -56,11 +56,22 @@ object CsvQueries {
   def csvIngestMixed(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("ingest_mixed", sfDir)
     val db = freshDb(spark, "ingest_mixed", sfDir)
-    mixedFrame(spark, sfDir)
+    spread(mixedFrame(spark, sfDir))
       .write.mode("overwrite").option("header", "true").csv(s"$dir/mixed_csv")
     CsvUploader.upload(db, s"$dir/mixed_csv", Some("mixed"))
     db.read("mixed")
   }
+
+  /** Corpus-scale fixtures write one part per input partition, and
+    * the test tables are single-file/single-row-group parquet — so
+    * the fixture write AND every downstream scan of it ran as ONE
+    * task (r15 OPT job profile: 31 idle cores on local[32]). A
+    * cluster-width round-robin repartition parallelizes both; same
+    * rows, same uploaded table, layout only.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism))
 
   private def mixedFrame(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders").select(
@@ -75,7 +86,7 @@ object CsvQueries {
   /** A3: the inference verdicts themselves, as rows. */
   def csvInferTypes(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("infer_types", sfDir)
-    mixedFrame(spark, sfDir)
+    spread(mixedFrame(spark, sfDir))
       .write.mode("overwrite").option("header", "true").csv(s"$dir/mixed_csv")
     val raw = spark.read.option("header", "true").option("inferSchema", "false")
       .csv(s"$dir/mixed_csv")
@@ -322,6 +333,7 @@ object CsvQueries {
           .otherwise(concat(lit("n"), col("o_orderkey"))).as("note"),
         struct(col("o_orderstatus").as("status"),
           (col("o_orderkey") % 5).as("bucket")).as("meta"))
+      .transform(spread)
       .write.mode("overwrite").json(s"$dir/orders_jsonl")
     val res = graft.sources.JsonlUploader.upload(
       db, s"$dir/orders_jsonl", Some("orders_json"))
@@ -497,7 +509,7 @@ object CsvQueries {
   def csvSqlInterface(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("sql_iface", sfDir)
     val db = freshDb(spark, "sql_iface", sfDir)
-    Tables(spark, sfDir, "orders")
+    spread(Tables(spark, sfDir, "orders"))
       .write.mode("overwrite").option("header", "true").csv(s"$dir/orders_csv")
     CsvUploader.upload(db, s"$dir/orders_csv", Some("uploaded_orders"))
     db.sql("""SELECT o_orderstatus, COUNT(*) AS n,

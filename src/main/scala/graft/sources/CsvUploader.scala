@@ -82,6 +82,7 @@ object CsvUploader {
         windowText.exists(quotedNewline(_, delimCh)) ||
           quotedNewlineInOtherParts(spark, csvPath, encoding, delimCh))
       withLegacyCharsets(spark, needsLegacyCharset(encoding)) {
+       withAdaptiveSplits(spark, bytesTodo) {
         val raw =
           if (alter) readRawEvolving(spark, csvPath, encoding, delim,
             multi)
@@ -100,6 +101,7 @@ object CsvUploader {
         db.progress.complete(taskId, resolved, bytesTodo, rows)
         UploadResult(db.name, resolved, taskId, rows, bytesTodo, encoding,
           types, None)
+       }
       }
     } catch {
       case e: Exception =>
@@ -540,6 +542,36 @@ object CsvUploader {
       encoding == EncodingDetector.Cp277 ||
       encoding == EncodingDetector.Cp1047 ||
       encoding == EncodingDetector.Cp1047Nl
+
+  /** Scale-adaptive input split size for the upload's distributed
+    * scans (r15 OPT, guide §2.2/§6): Spark assigns one scan task per
+    * `spark.sql.files.maxPartitionBytes` (128 MB default) slice of
+    * each file, so a single 12 MB CSV reads — and type-infers, and
+    * typed-writes — on ONE task while the other cores idle (measured:
+    * the inference aggregate was the dominant job of every csv_*
+    * bench row at 2–3 tasks on local[32]). Target `bytes/(2·cores)`
+    * per split, floored at 1 MiB so tiny files don't shred into
+    * per-record tasks, and never RAISED above the session's
+    * configured value — the admin's cluster setting stays the
+    * ceiling, and at real scale `bytes/(2·cores)` exceeds it so this
+    * is a no-op. Scoped and restored like [[withLegacyCharsets]];
+    * `uploadAll` workers each own a session, so concurrent uploads
+    * cannot race the conf. Gzip members and multiLine parses are
+    * unsplittable regardless — the conf is harmless there.
+    */
+  private[sources] def withAdaptiveSplits[T](spark: SparkSession,
+      bytes: Long)(body: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    val prevBytes =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(prev)
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val target = math.max(bytes / (2L * cores), 1L << 20)
+    if (target >= prevBytes) return body
+    spark.conf.set(key, target.toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
 
   /** Run `body` with the legacy-charset escape hatch on, restoring
     * the previous session value afterwards — a one-off Shift-JIS

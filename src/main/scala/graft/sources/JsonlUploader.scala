@@ -54,6 +54,10 @@ object JsonlUploader {
     try {
       bytesTodo = fs.getContentSummary(p).getLength
       db.progress.start(taskId, resolved, bytesTodo, started)
+      // line-delimited JSON is byte-splittable like CSV — same
+      // adaptive split sizing so the schema-inference pass and the
+      // load both use the cluster (r15 OPT; see CsvUploader)
+      CsvUploader.withAdaptiveSplits(spark, bytesTodo) {
       val df = spark.read.json(jsonlPath)
       if (df.schema.isEmpty)
         throw new IllegalArgumentException(
@@ -76,6 +80,7 @@ object JsonlUploader {
       UploadResult(db.name, resolved, taskId, rows, bytesTodo,
         df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),
         None)
+      }
     } catch {
       case e: Exception =>
         db.progress.fail(taskId, resolved, String.valueOf(e.getMessage))

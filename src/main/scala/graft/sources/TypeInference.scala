@@ -49,7 +49,13 @@ object TypeInference {
     */
   private def canon(c: Column): Column = {
     val t = translate(trim(c), "_", "")
-    when(t.rlike("^(?i)[+-]?inf$"), concat(t, lit("inity"))).otherwise(t)
+    // bare inf spellings by exact lowercase match — equivalent to the
+    // anchored (?i)[+-]?inf regex, without a regex-engine pass on
+    // EVERY value of EVERY column (r15 OPT: canon runs inside both
+    // probes of the one-pass inference aggregate, so its per-value
+    // cost multiplies across the whole upload)
+    when(lower(t).isin("inf", "+inf", "-inf"),
+      concat(t, lit("inity"))).otherwise(t)
   }
 
   // Format AND range: the applied cast is try_cast(LongType), so a
@@ -58,14 +64,19 @@ object TypeInference {
   // non-missing data. Such values fail this probe and demote the
   // column to float (Python's arbitrary-precision int can't overflow;
   // a fixed-width engine keeps the value, approximately, instead).
+  // Conjunct ORDER is the r15 OPT hot-path fix: try_cast first, so
+  // the Python-grammar regex only runs on values that already parse —
+  // a text column's values fail the cheap cast and skip the regex
+  // entirely (both conjuncts are pure, so the reorder is semantics-
+  // free; And short-circuits in codegen).
   private def isInt(c: Column): Column =
-    trim(c).rlike(IntRe) && canon(c).try_cast(LongType).isNotNull
+    canon(c).try_cast(LongType).isNotNull && trim(c).rlike(IntRe)
   // try_cast: ANSI-safe "does it parse" probe (Spark 4 ANSI casts
   // throw). Underscored values must additionally match the Python
   // grammar — try_cast alone never sees them (canon strips first).
   private def isFloat(c: Column): Column =
-    (!trim(c).contains("_") || trim(c).rlike(FloatRe)) &&
-      canon(c).try_cast(DoubleType).isNotNull
+    canon(c).try_cast(DoubleType).isNotNull &&
+      (!trim(c).contains("_") || trim(c).rlike(FloatRe))
 
   /** Column reference by RAW header name: a dot or backtick in a CSV
     * header is a literal character, not nested-attribute syntax —
