@@ -97,11 +97,30 @@ object Tables {
 
   // Note on input layout: the driver's test tables are ONE parquet
   // file with ONE row group — an unsplittable single-task scan. A
-  // repartition-after-scan guard was measured (r5) and REJECTED: at
-  // these data sizes the extra fixed-width exchange costs more than
-  // the lost scan parallelism on every operator tried (tfidf 0.6 s →
-  // 1.6 s), and at real scale a corpus arrives in thousands of
-  // splittable files, where the guard is a no-op anyway. Operators
-  // therefore read the layout as-is and rely on AQE to size
-  // post-shuffle stages.
+  // BLANKET repartition-after-scan guard was measured (r5) and
+  // REJECTED: at these data sizes the extra fixed-width exchange
+  // costs more than the lost scan parallelism on every operator
+  // tried (tfidf 0.6 s → 1.6 s), and at real scale a corpus arrives
+  // in thousands of splittable files, where the guard is a no-op
+  // anyway. Operators therefore read the layout as-is and rely on
+  // AQE to size post-shuffle stages — EXCEPT the few whose per-row
+  // arithmetic dominates the exchange (below).
+
+  /** Round-robin widen a NARROW scan for operators whose per-row math
+    * dwarfs one exchange of the rows (r15 OPT): the O(n²·d) cosine of
+    * C6, the nTables·planes·d signature pass of C7, D12's r·d
+    * projection — each ran ~1 s on ONE task at sf0.1/local[32]
+    * because the single-row-group input gives the whole map stage one
+    * split (job profile: 31 idle cores). No-op whenever the input
+    * already provides ≥ half the cluster's parallelism — at real
+    * scale a corpus arrives in many files and this never fires. This
+    * deliberately does NOT revisit the r5 rejection: light-math text
+    * operators keep the raw layout; only heavy-arithmetic vector
+    * operators opt in, each with a measured win.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, want / 2)) df
+    else df.repartition(want)
+  }
 }

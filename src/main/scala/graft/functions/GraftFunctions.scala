@@ -106,6 +106,10 @@ object GraftFunctions {
     toCol(PrefixByRarity(toExpr(sh), serializedCms, threshold))
 
   /** Random-hyperplane LSH bit signature of an embedding. */
+  def pcaProject(vec: Column, components: Array[Array[Double]],
+      bias: Array[Double]): Column =
+    toCol(expressions.PcaProjection(toExpr(vec), components, bias))
+
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
     toCol(HyperplaneSignature(toExpr(vec), planes))
 

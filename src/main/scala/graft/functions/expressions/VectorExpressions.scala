@@ -454,3 +454,72 @@ case class AdcScore(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** PCA projection of a float vector under a literal basis (SURVEY.md
+  * §2.D12; r15 OPT): out(j) = dot(v, components(j)) − bias(j), as
+  * array<double>[r]. Replaces the per-component
+  * `aggregate(zip_with(v, lit(comp), _*_))` formulation, which built
+  * an r·d-literal expression tree (measured ~0.5 s of analysis +
+  * codegen per query at r=32, d=64 — pure driver latency) and
+  * evaluated through interpreted lambdas with per-element boxing.
+  * One primitive loop nest inside whole-stage codegen instead.
+  * Vectors shorter than d clamp to their prefix (missing dims read
+  * as 0), like the other vector expressions.
+  */
+case class PcaProjection(child: Expression,
+    components: Array[Array[Double]], bias: Array[Double])
+    extends UnaryExpression {
+
+  require(components.nonEmpty && components.length == bias.length)
+  private val r = components.length
+  private val d = components(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pca_project"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), d)
+    val out = new Array[Double](r)
+    var j = 0
+    while (j < r) {
+      val comp = components(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * comp(i); i += 1 }
+      out(j) = acc - bias(j)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cm = ctx.addReferenceObj("components", components, "double[][]")
+      val bs = ctx.addReferenceObj("bias", bias, "double[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val comp = ctx.freshName("comp")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $d);
+         |double[] $out = new double[$r];
+         |for (int $j = 0; $j < $r; $j++) {
+         |  double[] $comp = $cm[$j];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $comp[$i];
+         |  }
+         |  $out[$j] = $acc - $bs[$j];
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

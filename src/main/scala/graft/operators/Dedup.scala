@@ -735,7 +735,10 @@ object Dedup {
   def embeddingPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"))
+    // stream side spread: the O(n²/2·d) cosine pass otherwise runs on
+    // the scan's single split (r15 OPT; Tables.spreadIfNarrow)
+    val a = Tables.spreadIfNarrow(
+      e.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea")))
     val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("vec_id_a") < col("vec_id_b"))
       .withColumn("sim", cosineSimilarity(col("ea"), col("eb")))
@@ -761,8 +764,8 @@ object Dedup {
   def embeddingLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.4, nTables: Int = 16,
       planesPerTable: Int = 6): DataFrame =
-    embeddingLshOn(Tables(spark, dir, "embeddings"), threshold, nTables,
-      planesPerTable)
+    embeddingLshOn(Tables.spreadIfNarrow(Tables(spark, dir, "embeddings")),
+      threshold, nTables, planesPerTable)
 
   /** C7b: multi-probe variant — each vector ALSO probes the bucket
     * with its lowest-|margin| bit flipped (the plane it sits closest

@@ -194,14 +194,13 @@ object Pca {
     */
   def projectExpr(model: PcaModel, v: Column): Column = {
     // dot(v − μ, c) = dot(v, c) − dot(μ, c): the μ·c half is a plain
-    // Scala constant, so the per-row work is r literal-array folds
-    array(model.components.map { comp =>
-      val bias = comp.zip(model.mean).map { case (c, m) => c * m }.sum
-      val litC = typedlit(comp.toSeq)
-      aggregate(
-        zip_with(v, litC, (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x) - lit(bias)
-    }: _*)
+    // Scala constant; ONE native expression evaluates all r dots
+    // (r15 OPT — the per-component aggregate(zip_with(..)) form built
+    // an r·d-literal tree that cost ~0.5 s of analysis/codegen per
+    // query and ran through interpreted lambdas)
+    val bias = model.components.map(comp =>
+      comp.zip(model.mean).map { case (c, m) => c * m }.sum)
+    pcaProject(v, model.components, bias)
   }
 
   /** Dot product of two r-dim projected arrays. */
@@ -235,8 +234,8 @@ object Pca {
   def annPcaRefined(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, r: Int = 32, overfetch: Int = 8,
       sampleN: Int = 65536): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val e = Tables.spreadIfNarrow(Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = train(
       KMeans.sampleVectors(e, sampleN).map(normalize), r, center = false)
@@ -285,7 +284,8 @@ object Pca {
   def buildPcaIndex(db: graft.catalog.GraftDatabase, e: DataFrame,
       name: String, r: Int = 32, sampleN: Int = 65536): Unit = {
     val spark = db.spark
-    val ep = e.select(col("vec_id"), col("embedding"))
+    val ep = graft.Tables.spreadIfNarrow(
+        e.select(col("vec_id"), col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = train(
       KMeans.sampleVectors(ep, sampleN).map(normalize), r, center = false)
