@@ -943,7 +943,8 @@ object Curation {
     // structure matters (equal grams ⇒ equal hashes; distinct
     // collide w.p. ~2⁻⁶⁴ — the C1/C3 contract).
     val gf = graft.functions.GraftFunctions
-    val sets = Tables(spark, dir, "documents")
+    val sets = graft.Tables.spreadIfNarrow(Tables(spark, dir, "documents")
+        .select(col("source"), col("text")))
       .select(col("source"),
         explode(gf.sortedDistinctLongs(
           gf.tokenWindowHashes(col("text"), 3))).as("gh"))

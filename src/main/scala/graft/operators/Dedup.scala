@@ -149,6 +149,11 @@ object Dedup {
     // branch and both verify sides — persist it once instead of
     // re-tokenizing the corpus per branch. Long arrays cache in a few
     // bytes per shingle; MEMORY_AND_DISK spills at cluster scale.
+    // NO spread here (r15 OPT, measured): the native shingle hashing
+    // is cheap relative to one exchange + a 32-partition cache, and
+    // the family regressed 1.05->1.49 s (ngram) / 0.98->1.51 s
+    // (split_leakage audit) under a spread base - the r5 rejection
+    // holds for this pipeline.
     val docs = docShingleHashesOf(docsIn)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = ngramJaccardOfHashed(docs, threshold)

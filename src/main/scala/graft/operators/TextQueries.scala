@@ -144,7 +144,7 @@ object TextQueries {
     */
   def topBigrams(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
     val bigrams = bigramArray(wsTokens(lower(col("text"))))
-    Tables(spark, dir, "documents")
+    Tables.spreadIfNarrow(Tables(spark, dir, "documents").select(col("text")))
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("bigram").asc)
