@@ -943,8 +943,11 @@ object Curation {
     // structure matters (equal grams ⇒ equal hashes; distinct
     // collide w.p. ~2⁻⁶⁴ — the C1/C3 contract).
     val gf = graft.functions.GraftFunctions
-    val sets = graft.Tables.spreadIfNarrow(Tables(spark, dir, "documents")
-        .select(col("source"), col("text")))
+    // NO spread (r15 OPT, measured): isolated the widened map read
+    // 1.63->1.45 s, but the full 161-row board charged the extra
+    // exchange's cross-query debt at +1.6 s in-suite - net negative
+    // where it counts. The shingle pass stays on the scan's layout.
+    val sets = Tables(spark, dir, "documents")
       .select(col("source"),
         explode(gf.sortedDistinctLongs(
           gf.tokenWindowHashes(col("text"), 3))).as("gh"))

@@ -49,12 +49,7 @@ object TextIndex {
     // instead of evicting (an eviction would silently re-tokenize),
     // released synchronously below — the writes all run inside this
     // call, so no listener machinery is needed.
-    // spread the corpus before the tokenize (r15 OPT,
-    // Tables.spreadIfNarrow): the build's map side — tokenize +
-    // posexplode + partial agg — otherwise runs on the scan's single
-    // split, and the persisted frame inherits that one partition for
-    // all three artifact writes
-    val tok = tokenized(graft.Tables.spreadIfNarrow(docs))
+    val tok = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val (postings, lens, stats) = batchArtifacts(tok, batchId = -1L)

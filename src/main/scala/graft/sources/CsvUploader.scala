@@ -86,8 +86,27 @@ object CsvUploader {
         val raw =
           if (alter) readRawEvolving(spark, csvPath, encoding, delim,
             multi)
-          else dictZipColumns(readRaw(spark, csvPath, encoding, delim,
-            multi), windowText, delim, encoding)
+          else {
+            // header-as-schema guard: a window truncated at the sniff
+            // bound with no complete second record may hold a CUT
+            // header — providing it as schema would silently narrow
+            // the table. One complete data record proves the header
+            // ended inside the window.
+            // the window scanner only knows \n / \r\n record ends —
+            // a charset whose records terminate otherwise (cp1047's
+            // NEL) would yield the whole window as one giant
+            // "header", so only a plain-\n lineSep qualifies
+            val sniffHeader = windowText
+              .filter(_ => lineSepFor(encoding).forall(_ == "\n"))
+              .flatMap { t =>
+              val scanned = scanWindow(t, if (delim.isEmpty) ',' else delim.head)
+              if (sniff.length == sniffBytes && scanned.fieldCounts.size < 2)
+                None
+              else Some(scanned.header)
+            }
+            dictZipColumns(readRaw(spark, csvPath, encoding, delim,
+              multi, sniffHeader = sniffHeader), windowText, delim, encoding)
+          }
         val (types, rows) = TypeInference.inferWithCount(raw)
         val typed = TypeInference.applyTypes(raw, types)
         // Live mid-load progress (reference updates every 10 rows,
@@ -619,10 +638,47 @@ object CsvUploader {
       encoding: String): org.apache.spark.sql.DataFrameReader =
     lineSepFor(encoding).fold(reader)(reader.option("lineSep", _))
 
+  /** Spark's own header-name derivation (CSVUtils.makeSafeHeader,
+    * default enforceSchema/case-insensitive path): empty fields read
+    * `_cN`; when a name repeats (case-insensitively), EVERY
+    * occurrence gets its column index appended (`a,b,a` →
+    * `a0,b,a2`) — the index-suffixed surface [[dictZipColumns]]
+    * expects. Reimplemented here so a pre-sniffed header can become
+    * a provided schema (r15 OPT below) without changing a single
+    * column name.
+    */
+  private[sources] def safeHeaderNames(header: Seq[String]): Seq[String] = {
+    val keys = header.map(h =>
+      if (h == null) null else h.toLowerCase(java.util.Locale.ROOT))
+    val dup = keys.filter(_ != null).groupBy(identity)
+      .collect { case (k, g) if g.size > 1 => k }.toSet
+    header.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.isEmpty) s"_c$i"
+      else if (dup.contains(keys(i))) s"$h$i"
+      else h
+    }
+  }
+
   private def readRaw(spark: SparkSession, csvPath: String,
       encoding: String, delimiter: String = ",",
-      multiline: Boolean = false): DataFrame = {
-    val reader = spark.read
+      multiline: Boolean = false,
+      sniffHeader: Option[Seq[String]] = None): DataFrame = {
+    // r15 OPT: with no user schema, DataFrame CONSTRUCTION launches a
+    // driver mini-job that reads the first line just to name the
+    // all-string columns — ~0.1 s of job + planning per upload, per
+    // file format contract. The encoding sniff already decoded and
+    // RFC-4180-parsed the header (the same dialect univocity runs
+    // with: quote-escape = quote, no backslash), so hand the reader
+    // the schema instead; `header=true` still skips each file's
+    // header line. Falls back to Spark's own inference whenever the
+    // window is undecodable or header-less.
+    val provided: Option[org.apache.spark.sql.types.StructType] =
+      sniffHeader.filter(_.nonEmpty).map { h =>
+        org.apache.spark.sql.types.StructType(safeHeaderNames(h).map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType, nullable = true)))
+      }
+    val reader0 = spark.read
       .option("header", "true")
       .option("encoding", sparkCharset(encoding))
       .option("sep", delimiter)
@@ -638,6 +694,7 @@ object CsvUploader {
       // forced) — records may then span raw newlines, like the
       // reference's csv.reader
       .option("multiLine", multiline.toString)
+    val reader = provided.fold(reader0)(reader0.schema)
     val df = applyLineSep(reader, encoding).csv(csvPath)
     if (encoding == EncodingDetector.Cp1252) {
       import org.apache.spark.sql.functions.{col, translate}
