@@ -241,9 +241,30 @@ object TextIndex {
   private val indexReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Bucket count for a corpus of `bytes` on-disk parquet: ~32 MB of
+    * corpus per bucket, floored at 4 (so term-probe pruning stays
+    * meaningful on tiny corpora) and capped at 4096 (file-count
+    * hygiene). r15 OPT, guide §2 "derive partitioning from input
+    * size": the previous `defaultParallelism` choice tuned the layout
+    * to CLUSTER width — 3×32 near-empty files and 3×32 write-task
+    * dispatches per build over a 30 MB corpus locally, while a
+    * 100 TB corpus wants far MORE buckets than cores. The build and
+    * every serving process derive the same count from the same
+    * listing (the table name embeds it), so cross-process re-attach
+    * is unchanged; tools/scale10.py's served-twin SQL computes the
+    * same formula.
+    */
+  private[graft] def bucketsFor(bytes: Long): Int =
+    math.min(4096L, math.max(4L, bytes / (32L << 20) + 1)).toInt
+
   private def indexHandles(spark: SparkSession,
       dir: String): (graft.catalog.GraftDatabase, String, String, Int) = {
-    val n = spark.sparkContext.defaultParallelism
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(p).getLength
+      catch { case _: Exception => 0L }
+    val n = bucketsFor(bytes)
     val key = s"${new org.apache.hadoop.fs.Path(dir).getName}_$n"
     val db = graft.catalog.GraftDatabase(spark,
       s"${CsvQueries.scratchRoot}/textindex_$key/db")

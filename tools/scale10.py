@@ -208,20 +208,31 @@ SCALE10 += sorted(ASYMMETRIC.keys() - set(SCALE10))
 # run the spark side FIRST), plus the identical exact-cosine scan.
 # The row is like-for-like and counts in the totals under the spark
 # timing of search_hybrid_rrf.
-_IDX = "/root/repo/target/graft_scratch/textindex_scale10_32/db"
+# bucket count mirrors TextIndex.bucketsFor (r15 OPT: corpus-size-
+# derived, ~32 MB/bucket, floor 4 cap 4096) so the twin reads the
+# same artifact the spark bench pass wrote
+def _n_buckets():
+    bytes_ = sum(os.path.getsize(f) for f in
+                 glob.glob(f"{OUT}/documents.parquet/*") +
+                 ([f"{OUT}/documents.parquet"]
+                  if os.path.isfile(f"{OUT}/documents.parquet") else []))
+    return int(min(4096, max(4, bytes_ // (32 << 20) + 1)))
+_NB = _n_buckets() if os.path.exists(f"{OUT}/documents.parquet") else 4
+_IDX = f"/root/repo/target/graft_scratch/textindex_scale10_{_NB}/db"
+_PB = f"postings_b{_NB}"
 SERVED_TWINS = {
     "search_hybrid_rrf_served": ("search_hybrid_rrf", f"""
 WITH st AS (SELECT CAST(SUM(n_docs) AS DOUBLE) n,
                    CAST(SUM(total_len) AS DOUBLE) l
-            FROM read_parquet('{_IDX}/postings_b32_corpus/*.parquet')),
+            FROM read_parquet('{_IDX}/{_PB}_corpus/*.parquet')),
 d AS (SELECT term, CAST(SUM(df) AS DOUBLE) df
-      FROM read_parquet('{_IDX}/postings_b32_df/*.parquet')
+      FROM read_parquet('{_IDX}/{_PB}_df/*.parquet')
       WHERE term IN ('batch','merge') GROUP BY term),
 p AS (SELECT term, doc_id, CAST(tf AS DOUBLE) tf
-      FROM read_parquet('{_IDX}/postings_b32/*.parquet')
+      FROM read_parquet('{_IDX}/{_PB}/*.parquet')
       WHERE term IN ('batch','merge')),
 dl AS (SELECT doc_id, CAST(dl AS DOUBLE) dl
-       FROM read_parquet('{_IDX}/postings_b32_len/*.parquet')),
+       FROM read_parquet('{_IDX}/{_PB}_len/*.parquet')),
 bm AS (SELECT p.doc_id,
          SUM((((st.n - d.df) + 0.5) / (d.df + 0.5)) * (p.tf * 2.2)
              / (p.tf + 1.2 * (0.25 + ((0.75 * dl.dl) * st.n) / st.l)))
