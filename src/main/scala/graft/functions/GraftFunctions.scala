@@ -103,17 +103,24 @@ object GraftFunctions {
     */
   def prefixByRarity(sh: Column, serializedCms: Array[Byte],
       threshold: Double): Column =
-    toCol(PrefixByRarity(toExpr(sh), serializedCms, threshold))
+    // broadcast ONCE per call — the Column (and any self-join reuse
+    // of it) shares one broadcast handle instead of shipping the
+    // ~1 MiB sketch bytes inside every stage's task binary
+    toCol(PrefixByRarity(toExpr(sh),
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(serializedCms), threshold))
 
-  /** Random-hyperplane LSH bit signature of an embedding. */
+  /** PCA projection of a float vector under a literal basis (see
+    * [[expressions.PcaProjection]]).
+    */
   def pcaProject(vec: Column, components: Array[Array[Double]],
       bias: Array[Double]): Column =
     toCol(expressions.PcaProjection(toExpr(vec), components, bias))
 
+  /** Random-hyperplane LSH bit signature of an embedding. */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
     toCol(HyperplaneSignature(toExpr(vec), planes))
 
-  /** Wrapping polynomial rolling hash of a string. */
   /** Every w-token window's 64-bit hash in one byte pass (see
     * [[expressions.TokenWindowHashes]]); <w-token docs → empty array.
     */

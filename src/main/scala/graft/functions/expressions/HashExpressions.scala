@@ -353,7 +353,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   * members are mostly-shared-shingle documents whose prefixes then
   * ordered by raw hash instead of rarity.
   */
-case class PrefixByRarity(child: Expression, cmsBytes: Array[Byte],
+case class PrefixByRarity(child: Expression,
+    cmsBcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
     threshold: Double) extends UnaryExpression {
 
   require(threshold > 0.0 && threshold <= 1.0)
@@ -361,8 +362,18 @@ case class PrefixByRarity(child: Expression, cmsBytes: Array[Byte],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_prefix_by_rarity"
 
+  // The sketch rides a BROADCAST, not an expression literal: the
+  // ~1.1 MiB serialized CMS (eps=1e-4 × depth 5 of longs) embedded as
+  // an Array[Byte] field was re-serialized into EVERY task binary of
+  // every stage containing this expression — the r15 bench tail's
+  // repeated "Broadcasting large task binary with size ~1.1 MiB"
+  // DAGScheduler warnings (guide §5: oversized literal state belongs
+  // in a broadcast variable; the task closure carries the handle).
+  // Executors fetch the bytes once and the lazy val deserializes once
+  // per expression instance per JVM; the driver-side interpreted path
+  // reads .value locally, so eval semantics are unchanged.
   @transient private lazy val cms =
-    org.apache.spark.util.sketch.CountMinSketch.readFrom(cmsBytes)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(cmsBcast.value)
 
   def compute(sh: ArrayData): ArrayData = {
     val n = sh.numElements()

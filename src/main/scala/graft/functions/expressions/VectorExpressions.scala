@@ -464,11 +464,26 @@ case class AdcScore(left: Expression, right: Expression)
   * evaluated through interpreted lambdas with per-element boxing.
   * One primitive loop nest inside whole-stage codegen instead.
   * Vectors shorter than d clamp to their prefix (missing dims read
-  * as 0), like the other vector expressions.
+  * as 0), like the other vector expressions — a DELIBERATE semantic
+  * difference from the replaced zip_with form, which null-propagated
+  * ragged vectors to NULL; every caller's corpus is fixed-width and
+  * the `_check` oracles pin the served values (r15 ADVICE, noted).
+  * Input is type-checked to array<float> so an array<double> child
+  * is an analysis error, not silent garbage through getFloat.
   */
 case class PcaProjection(child: Expression,
     components: Array[Array[Double]], bias: Array[Double])
     extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got ${other.sql}")
+    }
 
   require(components.nonEmpty && components.length == bias.length)
   private val r = components.length

@@ -50,8 +50,10 @@ object Bpe {
     * regime never comes close).
     */
   private[operators] val MaxDriverVocab: Int =
-    sys.env.get("SPARK_GRAFT_BPE_MAX_DRIVER_VOCAB").map(_.toInt)
-      .getOrElse(1 << 20)
+    sys.env.get("SPARK_GRAFT_BPE_MAX_DRIVER_VOCAB")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(1 << 20) // malformed value → default, not an
+                          // ExceptionInInitializerError (r15 ADVICE)
 
   /** Character symbols of a word (initial BPE state). */
   private def chars(c: Column): Column =

@@ -733,9 +733,12 @@ object Dedup {
       col("doc_id"),
       simhash60(tokens(lower(col("text")))).as("simhash"))
 
-  /** C6: exact embedding near-dup pairs (cosine ≥ τ). Exact path =
-    * broadcast the smaller side of the self-join; the at-scale path
-    * is [[embeddingLsh]].
+  /** C6: exact embedding near-dup pairs (cosine ≥ τ). BOUNDED-CORPUS
+    * ONLY: the self-join broadcasts the full embeddings table and the
+    * cosine pass is O(n²/2·d) — the declared exact-pairs operator,
+    * viable while the table fits a broadcast (same contract as C9's
+    * bounded union-find). The at-scale path is [[embeddingLsh]],
+    * which never materializes anything quadratic.
     */
   def embeddingPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {

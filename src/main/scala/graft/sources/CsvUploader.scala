@@ -96,7 +96,14 @@ object CsvUploader {
             // a charset whose records terminate otherwise (cp1047's
             // NEL) would yield the whole window as one giant
             // "header", so only a plain-\n lineSep qualifies
+            // … and the window scanner splits on a single CHARACTER:
+            // with an explicit multi-char delimiter it would mis-split
+            // the header and hand Spark wrong column names as a
+            // provided schema (permissive mode then silently pads
+            // every row) — fall through to Spark's own header naming
+            // instead (r15 ADVICE).
             val sniffHeader = windowText
+              .filter(_ => delim.length == 1)
               .filter(_ => lineSepFor(encoding).forall(_ == "\n"))
               .flatMap { t =>
               val scanned = scanWindow(t, if (delim.isEmpty) ',' else delim.head)
@@ -672,8 +679,16 @@ object CsvUploader {
     // the schema instead; `header=true` still skips each file's
     // header line. Falls back to Spark's own inference whenever the
     // window is undecodable or header-less.
+    // safeHeaderNames reproduces makeSafeHeader's CASE-INSENSITIVE
+    // dedup — Spark's own path dedups case-sensitively when
+    // spark.sql.caseSensitive=true, so the provided-schema fast path
+    // only engages under the default (false), which is the only mode
+    // the engine's own sessions run (r15 VERDICT #3: pin the
+    // assumption with a guard, not a comment alone).
+    val caseInsensitive = !spark.conf
+      .getOption("spark.sql.caseSensitive").exists(_.toBoolean)
     val provided: Option[org.apache.spark.sql.types.StructType] =
-      sniffHeader.filter(_.nonEmpty).map { h =>
+      sniffHeader.filter(_ => caseInsensitive).filter(_.nonEmpty).map { h =>
         org.apache.spark.sql.types.StructType(safeHeaderNames(h).map(n =>
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.StringType, nullable = true)))

@@ -25,7 +25,8 @@ object DrivePlanDump {
       SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = java.nio.file.Paths.get("plans/r15")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16"))
     java.nio.file.Files.createDirectories(outDir)
     for (n <- args.tail) {
       val txt =
@@ -38,7 +39,7 @@ object DrivePlanDump {
       java.nio.file.Files.write(outDir.resolve(s"${n}_$suffix.txt"),
         (s"-- $n ($suffix), sfDir=$sfDir\n" + txt)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"wrote plans/r15/${n}_$suffix.txt")
+      println(s"wrote $outDir/${n}_$suffix.txt")
     }
     spark.stop()
   }

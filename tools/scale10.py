@@ -212,10 +212,15 @@ SCALE10 += sorted(ASYMMETRIC.keys() - set(SCALE10))
 # derived, ~32 MB/bucket, floor 4 cap 4096) so the twin reads the
 # same artifact the spark bench pass wrote
 def _n_buckets():
-    bytes_ = sum(os.path.getsize(f) for f in
-                 glob.glob(f"{OUT}/documents.parquet/*") +
-                 ([f"{OUT}/documents.parquet"]
-                  if os.path.isfile(f"{OUT}/documents.parquet") else []))
+    # recursive walk, matching fs.getContentSummary: a partitioned /
+    # nested corpus dir would otherwise count inode sizes and disagree
+    # with the Spark side near a 32 MB boundary (r15 ADVICE)
+    p = f"{OUT}/documents.parquet"
+    if os.path.isfile(p):
+        bytes_ = os.path.getsize(p)
+    else:
+        bytes_ = sum(os.path.getsize(os.path.join(root, f))
+                     for root, _, files in os.walk(p) for f in files)
     return int(min(4096, max(4, bytes_ // (32 << 20) + 1)))
 _NB = _n_buckets() if os.path.exists(f"{OUT}/documents.parquet") else 4
 _IDX = f"/root/repo/target/graft_scratch/textindex_scale10_{_NB}/db"
