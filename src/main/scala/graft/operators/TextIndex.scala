@@ -41,36 +41,64 @@ object TextIndex {
     */
   def buildIndex(db: graft.catalog.GraftDatabase, table: String,
       docs: DataFrame, nBuckets: Int): Unit = {
-    // The three artifacts are separate ACTIONS over one tokenize
-    // subtree — unpersisted, Spark re-runs the corpus-scale tokenize
-    // per action (r13 VERDICT #1: this tripled the build's scan
-    // cost). Persist the tokenized frame for exactly the span of the
-    // dependent writes: MEMORY_AND_DISK so a 100 TB corpus spills
-    // instead of evicting (an eviction would silently re-tokenize),
-    // released synchronously below — the writes all run inside this
-    // call, so no listener machinery is needed.
+    // The artifacts are separate ACTIONS over one tokenize subtree —
+    // unpersisted, Spark re-runs the corpus-scale tokenize per action
+    // (r13 VERDICT #1: this tripled the build's scan cost). Persist
+    // the tokenized frame for exactly the span of the dependent
+    // writes: MEMORY_AND_DISK so a 100 TB corpus spills instead of
+    // evicting (an eviction would silently re-tokenize), released
+    // synchronously below — the writes all run inside this call, so
+    // no listener machinery is needed.
     val tok = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val (postings, lens, stats) = batchArtifacts(tok, batchId = -1L)
+    val (postings, lens0, _) = batchArtifacts(tok, batchId = -1L)
+    // r16 OPT (guide §1.4/§2.4): the 1-row `_corpus` stats are an
+    // OBSERVATION on the `_len` write pass — the separate
+    // lens.agg(count, sum) action over the persisted tokenize (one
+    // more job + driver gap on a 12-job build) is folded into the
+    // write that streams the same rows anyway. Same values by
+    // construction: n_docs counts the lens rows, total_len sums dl.
+    val obs = new org.apache.spark.sql.Observation(s"${table}_corpus_stats")
+    val lens = lens0.observe(obs, count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    // postings first: its tokenize materializes the shared cache.
     db.writeBucketed(postings, table, "term", nBuckets)
-    db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets)
-    // Per-term document frequency, persisted at BUILD time so ranked
-    // serving never pre-computes it (r9 VERDICT #3): batch-keyed like
-    // `_corpus` (base build = batch −1, G10 appends publish partials,
-    // serving SUMS — replay-safe, no read-modify-write). Derived from
-    // the JUST-WRITTEN postings layout, not the raw corpus: the scan
-    // is column-pruned to `term` and the term bucketing satisfies the
-    // groupBy's clustering, so this is an exchange-free agg over
-    // compact parquet — not a second tokenize pass.
+    // r16 OPT (guide §2.6 overlap independent jobs): `_len` (reads
+    // the persisted tokenize) and `_df` (an exchange-free agg over
+    // the JUST-WRITTEN postings layout — column-pruned to `term`,
+    // term bucketing satisfies the groupBy's clustering, so never a
+    // second tokenize pass; batch-keyed like `_corpus`: base build =
+    // batch −1, G10 appends publish partials, serving SUMS —
+    // replay-safe, no read-modify-write) are independent of each
+    // other. Submitting both from a 2-thread pool back-fills the
+    // cluster through each write's commit/DDL tail instead of paying
+    // the two tails sequentially. Failures propagate: Await rethrows.
     val dfs = db.readBucketed(table).groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .select(lit(-1L).as("batch_id"), col("term"), col("df"))
-    db.writeBucketed(dfs, s"${table}_df", "term", nBuckets)
-    // batch-keyed stats rows (base build = batch −1): the streaming
-    // G10 append publishes one row per micro-batch and serving SUMS
-    // them, so corpus size never needs a read-modify-write (which a
-    // foreachBatch replay would double-apply)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fLen = scala.concurrent.Future(
+        db.writeBucketed(lens, s"${table}_len", "doc_id", nBuckets))
+      val fDf = scala.concurrent.Future(
+        db.writeBucketed(dfs, s"${table}_df", "term", nBuckets))
+      scala.concurrent.Await.result(fLen,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(fDf,
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    // batch-keyed stats row (base build = batch −1), from the
+    // observation riding the `_len` write: same LocalTableScan write
+    // the old 1-row stats frame planned, minus its corpus-scale agg.
+    val st = obs.get
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = Seq((-1L, st("n_docs").asInstanceOf[Long],
+        Option(st("total_len")).map(_.asInstanceOf[Long])))
+      .toDF("batch_id", "n_docs", "total_len")
     db.write(stats, s"${table}_corpus", org.apache.spark.sql.SaveMode.Overwrite)
     } finally tok.unpersist(blocking = false)
   }
