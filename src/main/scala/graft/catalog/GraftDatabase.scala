@@ -258,7 +258,22 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     * it's a layout key, not data.
     */
   def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
-      nFiles: Int): Unit = {
+      nFiles: Int): Unit =
+    writeZOrdered(df, table, zCols, nFiles, Map.empty, None)
+
+  /** [[writeZOrdered]] with caller-supplied curve bounds (r16 OPT,
+    * guide §6: footer statistics over data scans). When `boundsHint`
+    * covers every z-column AND `rowCountHint` is known, the
+    * bounds-derivation agg — a full read of every z-column, corpus-
+    * scale at 100 TB — is skipped outright; the hints must be EXACT
+    * (parquet INT64 footer min/max are), because they fix the curve
+    * normalization every later append inherits. Partial hints fall
+    * back to the agg for everything (the pass reads all the columns
+    * anyway).
+    */
+  def writeZOrdered(df: DataFrame, table: String, zCols: Seq[String],
+      nFiles: Int, boundsHint: Map[String, (Long, Long)],
+      rowCountHint: Option[Long]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     // Interleaving RAW values lets the widest column's high bits
     // dominate the curve (its top bits sit above every bit the
@@ -271,31 +286,38 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
     // xxhash64 keys, lo≈Long.Min, hi≈Long.Max) wraps `hi - lo`
     // negative in 64-bit arithmetic (r15 review).
     val bits = 63 / zCols.size
-    val aggs = count(lit(1)) +:
-      zCols.flatMap(c =>
-        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    // Empty INPUT: nothing to lay out — leave the table
-    // un-bootstrapped so upsertZOrdered's next non-empty batch lays
-    // it out (a streaming foreachBatch can legitimately deliver an
-    // empty first batch). A z-column with NO derivable bounds over a
-    // NON-empty input (entirely null, or not castable to long — e.g.
-    // a string column) is a caller error and is named LOUDLY: the
-    // r15 review found the all-uncastable case taking the silent
-    // empty-input return, leaving no table and no error.
-    if (stats.getLong(0) == 0L) return
-    val nullCols = zCols.zipWithIndex.filter { case (_, i) =>
-      stats.isNullAt(1 + 2 * i) }.map(_._1)
-    require(nullCols.isEmpty,
-      s"writeZOrdered: z-column(s) ${nullCols.mkString(", ")} are " +
-        "entirely NULL (or not castable to long); cannot derive curve " +
-        "bounds over a non-empty input")
-    val metas = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = stats.getLong(1 + 2 * i)
-      val hi = stats.getLong(2 + 2 * i)
+    def metaOf(c: String, lo: Long, hi: Long): ZColMeta = {
       val span = (BigInt(hi) - BigInt(lo)).max(BigInt(1))
       val spanBits = span.bitLength
       ZColMeta(c, lo, hi, spanBits - bits)
+    }
+    val hinted = rowCountHint.isDefined && zCols.forall(boundsHint.contains)
+    val metas: Seq[ZColMeta] = if (hinted) {
+      if (rowCountHint.get == 0L) return
+      zCols.map { c => val (lo, hi) = boundsHint(c); metaOf(c, lo, hi) }
+    } else {
+      val aggs = count(lit(1)) +:
+        zCols.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val stats = df.agg(aggs.head, aggs.tail: _*).head()
+      // Empty INPUT: nothing to lay out — leave the table
+      // un-bootstrapped so upsertZOrdered's next non-empty batch lays
+      // it out (a streaming foreachBatch can legitimately deliver an
+      // empty first batch). A z-column with NO derivable bounds over a
+      // NON-empty input (entirely null, or not castable to long — e.g.
+      // a string column) is a caller error and is named LOUDLY: the
+      // r15 review found the all-uncastable case taking the silent
+      // empty-input return, leaving no table and no error.
+      if (stats.getLong(0) == 0L) return
+      val nullCols = zCols.zipWithIndex.filter { case (_, i) =>
+        stats.isNullAt(1 + 2 * i) }.map(_._1)
+      require(nullCols.isEmpty,
+        s"writeZOrdered: z-column(s) ${nullCols.mkString(", ")} are " +
+          "entirely NULL (or not castable to long); cannot derive curve " +
+          "bounds over a non-empty input")
+      zCols.zipWithIndex.map { case (c, i) =>
+        metaOf(c, stats.getLong(1 + 2 * i), stats.getLong(2 + 2 * i))
+      }
     }
     df.withColumn("__z", zCurve(metas))
       .repartitionByRange(nFiles, col("__z"))

@@ -310,7 +310,14 @@ object Dedup {
     val wBand = pinWidth(spark, st.getLong(0) * bands)
     val wVerify = pinWidth(spark, st.getLong(1))
     graft.CacheHygiene.unpersistAfterUse(docs)
-    val banded = lshBanded(docs, k, bands)
+    // r16 OPT: the k=128-permutation signature pass is heavy per-row
+    // math over a cache whose partition count is the SCAN's (one
+    // split on a single-row-group corpus file) — spread it to cluster
+    // width before the signatures, per the r15 spreadIfNarrow
+    // discipline (heavy-arithmetic operators only; no-op on
+    // multi-file input at real scale). The ngram shingle BASE stays
+    // unspread (the r15 pinned negative at ngramJaccardOf).
+    val banded = lshBanded(graft.Tables.spreadIfNarrow(docs), k, bands)
     // ONE shuffle for candidate generation: collect each bucket's
     // members (bounded by the skew cap — degenerate boilerplate
     // buckets are dropped; exact dups are C1's job anyway), then

@@ -24,10 +24,22 @@ object Layout {
     */
   def zorderRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val db = CsvQueries.freshDb(spark, "layout_zorder", sfDir)
+    // r16 OPT (guide §6): curve bounds + the empty-input check come
+    // from parquet FOOTER statistics (exact INT64 min/max, record
+    // counts — driver metadata only), replacing the bounds agg that
+    // read both key columns corpus-wide. Any unreadable footer →
+    // None → writeZOrdered's own scan-agg fallback; footer min/max
+    // are exact, so the curve normalization (and every later
+    // append's sidecar) is bit-identical either way.
+    val src = s"$sfDir/orders.parquet"
+    val bounds = Seq("o_custkey", "o_orderkey").flatMap(c =>
+      graft.sources.ParquetStats.longColumnRange(spark, src, c)
+        .map(c -> _)).toMap
     db.writeZOrdered(
       Tables(spark, sfDir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-      "orders_z", Seq("o_custkey", "o_orderkey"), nFiles = 8)
+      "orders_z", Seq("o_custkey", "o_orderkey"), nFiles = 8,
+      bounds, graft.sources.ParquetStats.rowCount(spark, src))
     db.read("orders_z").select(
       col("o_orderkey"), col("o_custkey"),
       zorder(col("o_custkey"), col("o_orderkey")).as("z"))

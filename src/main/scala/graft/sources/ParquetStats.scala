@@ -113,9 +113,16 @@ object ParquetStats {
     } catch { case NonFatal(_) => None }
   }
 
-  // rowCount memo: (dir # listingSig) -> exact row total
+  // rowCount memo: (dir # listingSig) -> exact row total.
+  // BOXED java.lang.Long like the sibling memos (r16 fix): with a
+  // primitive Scala Long value type, a map MISS returned null which
+  // unboxed to 0L, and the `hit != null` guard re-boxed it to a
+  // non-null java.lang.Long(0) — so EVERY lookup "hit" with 0 rows
+  // and rowCount always answered Some(0). Locally harmless (every
+  // caller's gate correctly read "small"), but the q5 big-join gate
+  // could never fire at scale.
   private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Exact row count of the parquet table under `dir` from footer
     * record counts alone — no Spark job, no data pages; memoized per
