@@ -171,7 +171,10 @@ object Bench {
       "q_events_hopping", "curate_quality_percentile",
       "pipeline_pack_split", "mm_integrity",
       // r15: the F7 count-gated shape and the routed-HNSW serve
-      "mm_phash_neardup", "ann_hnsw_routed")
+      "mm_phash_neardup", "ann_hnsw_routed",
+      // r16 (VERDICT #4): the C40c served split — production serve
+      // shape next to the inline build-cost row
+      "pipeline_split_assign_served")
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
 

@@ -1492,6 +1492,35 @@ object Dedup {
        |    COALESCE(lab$sfx.cluster_id, d.doc_id) AS cluster_id
        |  FROM $rel d LEFT JOIN lab$sfx ON d.doc_id = lab$sfx.id)""".stripMargin
 
+  /** Winnow fingerprint CTE block over `rel` (k=4, w=4, portable
+    * md5-60 hash — [[winnowPairsOracle]]'s selection chain verbatim,
+    * every CTE name prefixed with `p` so two fingerprint sets (C40c:
+    * corpus index + new batch) compose in one WITH list). Ends at
+    * `${p}fp` (DISTINCT doc_id, h).
+    */
+  private[operators] def winnowFpCtes(rel: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') w
+       |           FROM $rel),
+       |${p}g AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(w) - 3)) AS pos,
+       |    unnest([('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT
+       |            for i in range(1, len(w) - 2)]) AS h
+       |  FROM ${p}t WHERE len(w) >= 4),
+       |${p}mn AS (SELECT doc_id, pos AS ws,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+       |  FROM ${p}g),
+       |${p}v AS (SELECT doc_id, ws, mh FROM ${p}mn
+       |  WHERE ws + 3 <= n_grams),
+       |${p}sel AS (SELECT v.doc_id, v.ws, MAX(g.pos) AS spos
+       |  FROM ${p}v v JOIN ${p}g g ON g.doc_id = v.doc_id
+       |    AND g.pos BETWEEN v.ws AND v.ws + 3 AND g.h = v.mh
+       |  GROUP BY v.doc_id, v.ws),
+       |${p}fp AS (SELECT DISTINCT s.doc_id, g.h
+       |  FROM ${p}sel s JOIN ${p}g g ON g.doc_id = s.doc_id
+       |    AND g.pos = s.spos)""".stripMargin
+
   /** CC oracle prefix: the closure over the whole documents table,
     * unsuffixed — the C9 / C39 / C40 oracles compose from it.
     */

@@ -446,6 +446,60 @@ object Pipeline {
       newDocs: DataFrame, minShared: Int = 1): DataFrame =
     splitAssignRows(db, name, newDocs, minShared, carry = Nil)
 
+  // ---- C40c as a declared row (r16, VERDICT #4): artifact built
+  // ONCE per corpus dir per JVM into a scratch warehouse (the
+  // servedIndex memo pattern — a persisted artifact is a storage
+  // decision, not per-query work; staleness rides the documents
+  // listing signature, no probe job), so the TIMED row is the
+  // production serve shape: zero corpus reads, fingerprint-index
+  // join priced by matches. `pipeline_split_assign_new` stays the
+  // build-cost row (the full inline composition), mirroring the r7
+  // text-index build/serve split.
+  private val splitArtifactReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** C40c served split assignment of the C35 batch slice
+    * (doc_id % newMod = 0) from stored artifacts built over the
+    * REMAINING corpus — the (corpus, batch) split
+    * [[splitAssignNew]] uses, served instead of recomputed.
+    */
+  def splitAssignServedForDir(spark: SparkSession, dir: String,
+      newMod: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isNew = col("doc_id") % newMod === 0
+    val key = new org.apache.hadoop.fs.Path(dir).getName
+    val db = graft.catalog.GraftDatabase(spark,
+      s"${CsvQueries.scratchRoot}/splitart_$key/db")
+    val name = "corpus"
+    val sig = graft.sources.ParquetStats
+      .listingSig(spark, s"$dir/documents.parquet").getOrElse("?")
+    if (!splitArtifactReady.contains(s"$key#$sig")) {
+      val sigPath = new org.apache.hadoop.fs.Path(db.path, "_artifact_sig")
+      val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh = db.tableExists(s"${name}_fp") &&
+        db.tableExists(s"${name}_split") &&
+        db.tableExists(s"${name}_meta") &&
+        (try {
+          val in = fs.open(sigPath)
+          (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()) == sig
+        } catch { case _: Exception => false })
+      if (!fresh) {
+        val old = docs.filter(!isNew)
+        Dedup.buildWinnowIndex(db, old.select(col("doc_id"), col("text")),
+          name)
+        db.write(leakageSafeSplitOf(old), s"${name}_split",
+          org.apache.spark.sql.SaveMode.Overwrite)
+        val out = fs.create(sigPath, true)
+        try out.write(sig.getBytes("UTF-8")) finally out.close()
+      }
+      splitArtifactReady.add(s"$key#$sig")
+      ()
+    }
+    splitAssignServed(db, name,
+      docs.filter(isNew).select(col("doc_id"), col("text")))
+  }
+
   /** Shared row-shape core of [[splitAssignServed]] and the G23
     * streaming twin (`StreamingDedup.splitAssignStream`) — `carry`
     * threads the stream's `ts` through, G15's pattern. */
@@ -774,7 +828,46 @@ object Pipeline {
        |LEFT JOIN touched t ON h.cluster_id = t.cluster_id""".stripMargin
   }
 
+  /** C40c oracle: the served decision surface recomputed from first
+    * principles — winnow fingerprints (k=4, w=4, portable md5-60
+    * hash, build-side occurrence cap 1000) of the corpus slice,
+    * C40's cluster-keyed split of the same slice, batch fingerprints,
+    * then the per-doc inherit/quarantine/draw CASE, mirroring
+    * [[splitAssignRows]] exactly (minShared = 1; fingerprint-less
+    * docs keep a row via the LEFT JOINs and take the md5 draw).
+    */
+  private def assignServedOracle: String = {
+    val corpus = "(SELECT * FROM documents WHERE doc_id % 20 <> 0)"
+    val newb = "(SELECT doc_id FROM documents WHERE doc_id % 20 = 0)"
+    s"""WITH RECURSIVE
+       |${Dedup.closureCtes(corpus, "c")},
+       |esplit AS (SELECT a.doc_id, ${splitCaseSql("a.b")} AS split
+       |  FROM (SELECT doc_id, ${md5BucketSql("cluster_id")} AS b
+       |    FROM allcc) a),
+       |${Dedup.winnowFpCtes(corpus, "c")},
+       |${Dedup.winnowFpCtes("(SELECT * FROM documents WHERE doc_id % 20 = 0)", "n")},
+       |cocc AS (SELECT h FROM cfp GROUP BY h HAVING COUNT(*) <= 1000),
+       |idx AS (SELECT f.doc_id, f.h FROM cfp f JOIN cocc USING (h)),
+       |pr AS (SELECT n.doc_id, i.doc_id AS old_doc_id,
+       |    COUNT(i.doc_id) AS n_shared
+       |  FROM nfp n LEFT JOIN idx i USING (h) GROUP BY 1, 2),
+       |att AS (SELECT pr.doc_id, es.split AS old_split
+       |  FROM pr LEFT JOIN esplit es
+       |    ON pr.n_shared >= 1 AND pr.old_doc_id = es.doc_id),
+       |dec AS (SELECT doc_id, COUNT(DISTINCT old_split) AS n_splits,
+       |    MIN(old_split) AS inherited
+       |  FROM att GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN dec.n_splits >= 2 THEN 'quarantine'
+       |       WHEN dec.n_splits = 1 THEN dec.inherited
+       |       ELSE ${splitCaseSql(s"(${md5BucketSql("d.doc_id")})")}
+       |  END AS split
+       |FROM $newb d
+       |LEFT JOIN dec ON d.doc_id = dec.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_split_assign_served" -> assignServedOracle,
     "pipeline_shard_manifest" ->
       """WITH r AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
@@ -905,6 +998,8 @@ object Pipeline {
     "pipeline_split" -> (deterministicSplit _),
     "pipeline_split_leakage_safe" -> ((s, d) => leakageSafeSplit(s, d)),
     "pipeline_split_assign_new" -> ((s, d) => splitAssignNew(s, d)),
+    "pipeline_split_assign_served" ->
+      ((s, d) => splitAssignServedForDir(s, d)),
     "curate_split_leakage" -> ((s, d) => splitLeakageAudit(s, d)),
     "pipeline_pack" -> ((s, d) => packSequences(s, d)),
     "pipeline_pack_concat" -> ((s, d) => packConcat(s, d)),

@@ -954,6 +954,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .toDF("doc_id", "text")).count() == 0)
   }
 
+  test("splitAssignServedForDir: artifact memo is stable across invocations") {
+    // the r16 bench row: first call builds the C40c artifact pair,
+    // every later call serves from it (listing-sig memo). Both calls
+    // must return the identical assignment — and every batch doc
+    // (doc_id % 20 == 0) must get exactly one split.
+    val sf = "/root/testdata/sf0.001"
+    val first = Pipeline.splitAssignServedForDir(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val second = Pipeline.splitAssignServedForDir(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == second)
+    val batchIds = graft.Tables(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first.keySet == batchIds)
+    assert(first.values.forall(
+      Set("train", "valid", "test", "quarantine").contains))
+  }
+
   test("served split assignment: inherit, quarantine, hash — no corpus pass") {
     import spark.implicits._
     val dir = scratch("split_artifact")
