@@ -204,6 +204,20 @@ object Bench {
       .map(v => s""","phase_anchor":{"query":"dedup_ngram_jaccard","sec":${fmt(v)}}""")
       .getOrElse("")
 
+    // r16 (VERDICT r15 #9, measurement instrument only): the RAW
+    // per-pass values behind each published min, sidecar-only (the
+    // stdout line must stay under the driver's 2000-char capture).
+    // The spread between a row's two passes is a mechanical noise
+    // bound — a cross-round delta inside a row's own pass spread is
+    // jitter, not a regression. Zero change to timed semantics or to
+    // any published number.
+    val passesRawField = {
+      val m = names.map { n =>
+        "\"" + n + "\":[" + passes.map(p => fmt(p(n))).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s""","passes_raw":$m"""
+    }
+
     // Protocol pinned in-artifact (VERDICT r10 #8) so boards compare
     // across rounds without archaeology.
     val protocol = "per-query cache clear + GC fence + 250ms settle; " +
@@ -218,7 +232,7 @@ object Bench {
       if (warmResults.isEmpty) ""
       else s""","warm_queries":${json(warmResults)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$warmField$failedField$rowsOnlyField$anchorField,"sf":"$sfDir","passes":"warmup+measured","protocol":"$protocol"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)}$warmField$failedField$rowsOnlyField$anchorField$passesRawField,"sf":"$sfDir","passes":"warmup+measured","protocol":"$protocol"}"""
     // best-effort sidecar: an unwritable CWD must not destroy the
     // measured run's stdout line (the driver-parsed artifact)
     try java.nio.file.Files.write(
