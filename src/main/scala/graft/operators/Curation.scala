@@ -947,10 +947,25 @@ object Curation {
     // 1.63->1.45 s, but the full 161-row board charged the extra
     // exchange's cross-query debt at +1.6 s in-suite - net negative
     // where it counts. The shingle pass stays on the scan's layout.
-    val sets = Tables(spark, dir, "documents")
+    // r16 OPT: width-pin the gh exchange ([[Dedup.pinWidth]]'s
+    // data-proportional discipline, cost signal = footer text bytes
+    // ÷ ~6 bytes/gram — driver metadata, no job). The reduce side
+    // (collect_set + local pair unfold) is CPU-heavy on FEW bytes —
+    // the job profile read it AQE-coalesced to 3 tasks for 0.9 s of
+    // the row's 1.6 s. Unlike the r15-reverted map-side spread
+    // (an ADDED exchange, charged back in-suite), this repartition
+    // REPLACES the planner's own groupBy exchange (same key, so
+    // EnsureRequirements adds nothing) and is exempt from AQE
+    // byte-coalescing — the verifyJaccard precedent. No footer
+    // stats → unpinned, exactly the old plan.
+    val ghWidth = graft.sources.ParquetStats
+      .uncompressedColumnBytes(spark, s"$dir/documents.parquet", "text")
+      .map(b => Dedup.pinWidth(spark, b / 6))
+    val grams = Tables(spark, dir, "documents")
       .select(col("source"),
         explode(gf.sortedDistinctLongs(
           gf.tokenWindowHashes(col("text"), 3))).as("gh"))
+    val sets = ghWidth.fold(grams)(w => grams.repartition(w, col("gh")))
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)

@@ -212,7 +212,7 @@ object Dedup {
     * is large enough for coalescing to starve the stages. Clamped to
     * defaultParallelism; rows-per-task is env-tunable for sweeps.
     */
-  private def pinWidth(spark: SparkSession, costRows: Long): Int = {
+  private[operators] def pinWidth(spark: SparkSession, costRows: Long): Int = {
     val perTask = sys.env.getOrElse(
       "SPARK_GRAFT_PIN_ROWS_PER_TASK", "49152").toLong
     math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
