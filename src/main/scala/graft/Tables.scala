@@ -42,8 +42,18 @@ object Tables {
       java.util.concurrent.ConcurrentHashMap[
         String, org.apache.spark.sql.types.StructType]]())
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    parquetMemoized(spark, s"$sfDir/$name.parquet")
+
+  /** Schema-memoized parquet read of any path — r16: shared with
+    * [[graft.catalog.GraftDatabase.read]], whose per-call footer
+    * inference job every serving read and every `db.sql()` view
+    * registration was paying. Parquet writes always create fresh
+    * part-file names, so any rewrite changes the listing signature
+    * and re-infers.
+    */
+  private[graft] def parquetMemoized(spark: SparkSession,
+      path: String): DataFrame = {
     graft.sources.ParquetStats.listingSig(spark, path) match {
       case None => spark.read.parquet(path) // unreadable: fail as before
       case Some(sig) =>

@@ -78,6 +78,15 @@ class GraftDatabase(val spark: SparkSession, val path: String) {
       mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     df.write.mode(mode).parquet(tablePath(table))
 
+  // NOT schema-memoized — measured NEGATIVE (r16, two reversed-order
+  // A/B reps of the upload/serve suite: 10.75 vs 10.12 and 10.60 vs
+  // 8.54 s): database tables are mostly FRESH scratch paths (every
+  // upload row rewrites its db; the progress table changes under the
+  // poller), so the Tables.parquetMemoized listing-signature memo
+  // never hits and each read pays an extra listing + a second
+  // DataFrame construction on top of the same inference job. The
+  // memo stays on the static corpus tables (graft.Tables), where it
+  // always hits.
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
 
   /** Read with a caller-supplied schema (DDL string): parquet schema
