@@ -881,16 +881,32 @@ object Dedup {
   /** The C9 labeling tail over ANY vertex universe + pair frame —
     * shared with the pHash cluster view (F7c): label propagation on
     * the pair graph, unlabeled universe members become their own
-    * singleton cluster, sizes attached. */
+    * singleton cluster, sizes attached.
+    *
+    * r16 OPT (guide §2.4, remove shuffles outright): sizes used to
+    * be a corpus-sized `groupBy(cluster_id)` + a corpus×sizes join —
+    * two corpus exchanges for counts that are fully determined by
+    * the VERTEX SET (a tiny fraction of the corpus): a cluster's
+    * size is its member count in the pair graph, and every unpaired
+    * doc is a singleton of size 1. [[clusterLabels]] now ships the
+    * size with each label (in-core regime: same driver pass;
+    * distributed regime: one vertex-sized window), so the whole tail
+    * is ONE left join + two coalesces. Sound because both callers'
+    * pair vertices come from the same filtered `docs` universe
+    * (C9: pairs over the identical documents frame; F7c:
+    * phashNearDup applies the identical text-nonnull/length≥1
+    * filter) and doc_id is unique — a corpus member count per
+    * cluster_id therefore equals the vertex count per label. */
   private[operators] def clustersOver(docs: DataFrame, pairs: DataFrame,
       maxIters: Int, maxDriverEdges: Long,
       reliableCheckpointDir: Option[String]): DataFrame = {
-    val withCluster = clusterAssignments(docs.select(col("doc_id")), pairs,
-      maxIters, maxDriverEdges, reliableCheckpointDir)
-    val sizes = withCluster.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    withCluster.join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val labels = clusterLabels(docs.sparkSession, pairs, maxIters,
+      maxDriverEdges, reliableCheckpointDir)
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
   /** The label-attach half of [[clustersOver]] WITHOUT the size
@@ -903,8 +919,12 @@ object Dedup {
       pairs: DataFrame, maxIters: Int = 50,
       maxDriverEdges: Long = 4L * 1000 * 1000,
       reliableCheckpointDir: Option[String] = None): DataFrame = {
+    // Project cluster_size away BEFORE the join: the split callers
+    // don't consume it, and pruning here keeps their join input (and
+    // broadcast bytes) byte-identical to the pre-r16 shape.
     val labels = clusterLabels(docs.sparkSession, pairs, maxIters,
       maxDriverEdges, reliableCheckpointDir)
+      .select(col("id"), col("label"))
     docs.join(labels, col("doc_id") === col("id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
       .drop("id", "label")
@@ -941,8 +961,12 @@ object Dedup {
       orderBy = Seq("quality" -> true, "doc_id" -> false))
   }
 
-  /** Connected-component labels (id, label=min reachable id) of the
-    * pair graph. Two regimes, same output:
+  /** Connected-component labels (id, label=min reachable id,
+    * cluster_size=component vertex count) of the pair graph — the
+    * size rides along since r16 (see [[clustersOver]]'s equivalence
+    * note; in-core it is one extra pass over the parent map,
+    * distributed one vertex-sized window — never a corpus
+    * aggregation). Two regimes, same output:
     *
     * - **In-core union-find** when the pair set fits the driver
     *   (≤ maxDriverEdges, default 4M ⇒ ~64 MB): near-dup graphs are
@@ -994,8 +1018,13 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      parent.keys.toSeq.sorted.map(id => (id, find(id)))
-        .toDF("id", "label")
+      val rootSize = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.foreach { k =>
+        val r = find(k)
+        rootSize.update(r, rootSize.getOrElse(r, 0L) + 1L)
+      }
+      parent.keys.toSeq.sorted.map(id => (id, find(id), rootSize(find(id))))
+        .toDF("id", "label", "cluster_size")
     } else {
       val checkpoint: DataFrame => DataFrame = reliableCheckpointDir match {
         case Some(d) =>
@@ -1029,7 +1058,10 @@ object Dedup {
         prevSum = s
         it += 1
       }
-      labels
+      // Component size = vertex count per label — one exchange over
+      // the converged label frame (vertex-sized, never the corpus).
+      labels.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
     }
   }
 
