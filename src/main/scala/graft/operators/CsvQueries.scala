@@ -56,7 +56,7 @@ object CsvQueries {
   def csvIngestMixed(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("ingest_mixed", sfDir)
     val db = freshDb(spark, "ingest_mixed", sfDir)
-    spread(mixedFrame(spark, sfDir))
+    mixedFrame(spark, sfDir)
       .write.mode("overwrite").option("header", "true").csv(s"$dir/mixed_csv")
     CsvUploader.upload(db, s"$dir/mixed_csv", Some("mixed"))
     db.read("mixed")
@@ -73,8 +73,14 @@ object CsvQueries {
     df.repartition(math.max(1,
       df.sparkSession.sparkContext.defaultParallelism))
 
+  /** r16 OPT: the spread sits UNDER the projection — the single-
+    * row-group orders scan is one task either way, but with the
+    * exchange below, the date_format/when expression work runs at
+    * cluster width instead of on the scan's lone split (job profile:
+    * 0.40 s single-task expression+decode job ahead of every mixed
+    * fixture write). Same rows; only row→partition assignment moves. */
   private def mixedFrame(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "orders").select(
+    spread(Tables(spark, sfDir, "orders")).select(
       col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
       col("o_orderstatus").as("status"),
@@ -86,7 +92,7 @@ object CsvQueries {
   /** A3: the inference verdicts themselves, as rows. */
   def csvInferTypes(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("infer_types", sfDir)
-    spread(mixedFrame(spark, sfDir))
+    mixedFrame(spark, sfDir)
       .write.mode("overwrite").option("header", "true").csv(s"$dir/mixed_csv")
     val raw = spark.read.option("header", "true").option("inferSchema", "false")
       .csv(s"$dir/mixed_csv")
