@@ -330,7 +330,12 @@ object CsvQueries {
   def jsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("jsonl_ingest", sfDir)
     val db = freshDb(spark, "jsonl_ingest", sfDir)
-    Tables(spark, sfDir, "orders").select(
+    // r16 OPT: spread UNDER the projection (same mechanism as
+    // mixedFrame) — the exchange carries 4 raw columns and the
+    // date_format/when/concat/struct work runs at cluster width
+    // instead of on the orders scan's lone split (job profile:
+    // 0.26 s single-task expression job ahead of the JSON write).
+    spread(Tables(spark, sfDir, "orders")).select(
         col("o_orderkey"),
         col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
@@ -339,7 +344,6 @@ object CsvQueries {
           .otherwise(concat(lit("n"), col("o_orderkey"))).as("note"),
         struct(col("o_orderstatus").as("status"),
           (col("o_orderkey") % 5).as("bucket")).as("meta"))
-      .transform(spread)
       .write.mode("overwrite").json(s"$dir/orders_jsonl")
     val res = graft.sources.JsonlUploader.upload(
       db, s"$dir/orders_jsonl", Some("orders_json"))
