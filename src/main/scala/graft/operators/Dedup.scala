@@ -1343,6 +1343,11 @@ object Dedup {
   def winnowPairs(spark: SparkSession, dir: String, k: Int = 4,
       w: Int = 4, maxOcc: Int = 1000,
       portableHash: Boolean = true): DataFrame = {
+    // r16 pinned negative: spreading the docs before fingerprinting
+    // (0.29 s single-task pass locally) measured WORSE — 0.909 vs
+    // 0.711/0.790 s same-suite A/B — the exchange ships the corpus
+    // TEXT (the r15 ngram-shingle text-shuffle negative again).
+    // Fingerprints stay on the raw layout.
     val fp = winnowFingerprintsOf(Tables(spark, dir, "documents"), k, w,
       portableHash)
     val fph = fp.select(col("doc_id"), col("h")).distinct()

@@ -303,6 +303,11 @@ object LanguageModel {
     // (= the whole corpus), same deterministic counts, same
     // arithmetic — only WHERE the model lives changes.
     val db = servedCorpusModel(spark, dir)
+    // r16 pinned negative: spreading `docs` before scoring (the
+    // persist fill runs 0.28 s on ONE task locally) measured WORSE —
+    // 0.819 vs 0.670/0.690 s same-suite A/B — because the exchange
+    // ships the corpus TEXT, the same text-shuffle loss as the r15
+    // ngram-shingle negative. Scoring stays on the raw layout.
     curriculumFrom(perplexityFromModel(db, "corpus", docs), stages)
   }
 
